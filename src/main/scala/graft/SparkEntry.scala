@@ -1,13 +1,245 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.analytics.LakeQueries
+import graft.ingest.IngestQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Parity rules (SURVEY §4): every computed column aliased identically in
+  * Spark and oracle SQL; double aggregates rounded in both; integer sums
+  * cast back to BIGINT in DuckDB (whose SUM(BIGINT) widens to HUGEINT);
+  * timestamps only ever output as formatted strings.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    LakeQueries.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.A lake analytics core
+    "q1_pricing_summary" -> (LakeQueries.q1PricingSummary _),
+    "q2_revenue_filter" -> (LakeQueries.q2RevenueFilter _),
+    "q3_shipping_priority" -> (LakeQueries.q3ShippingPriority _),
+    "q4_order_priority" -> (LakeQueries.q4OrderPriority _),
+    "q5_region_volume" -> (LakeQueries.q5RegionVolume _),
+    "q6_top_customers" -> (LakeQueries.q6TopCustomers _),
+    "q7_rollup_sales" -> (LakeQueries.q7RollupSales _),
+    "q8_distinct_stats" -> (LakeQueries.q8DistinctStats _),
+    "q9_cust_no_orders" -> (LakeQueries.q9CustNoOrders _),
+    "q10_event_gaps" -> (LakeQueries.q10EventGaps _),
+    "q11_json_props" -> (LakeQueries.q11JsonProps _),
+    // §2.B ingestion semantics
+    "ingest_typecast" -> (IngestQueries.ingestTypecast _),
+    "ingest_filename_route" -> (IngestQueries.ingestFilenameRoute _),
+    "ingest_ledger_diff" -> (IngestQueries.ingestLedgerDiff _),
+    "ingest_watermark_append" -> (IngestQueries.ingestWatermarkAppend _),
+    "ingest_failure_classify" -> (IngestQueries.ingestFailureClassify _),
+    "ingest_schema_merge" -> (IngestQueries.ingestSchemaMerge _),
+    "ingest_partition_derive" -> (IngestQueries.ingestPartitionDerive _),
+    "sync_zone_diff" -> (IngestQueries.syncZoneDiff _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_revenue_filter" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue, count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate,'%Y-%m-%d') AS orderdate, o_orderpriority,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q5_region_volume" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q6_top_customers" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, round(sum(o_totalprice),2) AS rev, count(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey),
+        |j AS (
+        |  SELECT c_mktsegment, c_custkey, rev, n_orders
+        |  FROM rev JOIN customer ON o_custkey = c_custkey),
+        |r AS (
+        |  SELECT *, rank() OVER (PARTITION BY c_mktsegment
+        |                         ORDER BY rev DESC, c_custkey) AS rnk
+        |  FROM j)
+        |SELECT c_mktsegment, rnk, c_custkey, rev, cast(n_orders AS BIGINT) AS n_orders
+        |FROM r WHERE rnk <= 5
+        |ORDER BY c_mktsegment, rnk, c_custkey""".stripMargin,
+    "q7_rollup_sales" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS flag,
+        |       coalesce(l_linestatus,'ALL') AS status,
+        |       round(sum(l_extendedprice),2) AS sales, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q8_distinct_stats" ->
+      """SELECT l_suppkey, count(DISTINCT l_partkey) AS parts,
+        |       count(DISTINCT l_orderkey) AS orders_n, count(*) AS lines
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "q9_cust_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q10_event_gaps" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, user_id,
+        |         cast(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |         sec - lag(sec) OVER (PARTITION BY user_id
+        |                              ORDER BY sec, event_id) AS gap
+        |  FROM e)
+        |SELECT event_type, count(*) AS n_gaps,
+        |       round(avg(gap),2) AS avg_gap_s,
+        |       cast(max(gap) AS BIGINT) AS max_gap_s
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q11_json_props" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |         cast(regexp_extract(props,'([0-9]+)',1) AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n, cast(sum(k) AS BIGINT) AS k_sum,
+        |       round(avg(k),4) AS k_avg, round(sum(value),2) AS value_sum
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ingest_typecast" ->
+      """WITH raw AS (
+        |  SELECT cast(event_id AS VARCHAR) AS c0, cast(user_id AS VARCHAR) AS c1,
+        |         strftime(ts,'%Y-%m-%d') AS c2
+        |  FROM events),
+        |typed AS (
+        |  SELECT cast(c0 AS BIGINT) AS c0, cast(c1 AS BIGINT) AS c1,
+        |         cast(c2 AS DATE) AS c2
+        |  FROM raw)
+        |SELECT strftime(c2,'%Y-%m-%d') AS day, count(*) AS n,
+        |       cast(sum(c0) AS BIGINT) AS id_sum,
+        |       cast(sum(CASE WHEN c1 % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS even_users
+        |FROM typed GROUP BY day ORDER BY day""".stripMargin,
+    "ingest_filename_route" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN event_id % 17 = 0 THEN 'BADFILE.TXT'
+        |    ELSE concat(event_type,'_',strftime(ts,'%Y%m%d'),'_',
+        |                lpad(cast(event_id % 86400 AS VARCHAR),6,'0'),'.CSV.GZ')
+        |    END AS fname
+        |  FROM events),
+        |r AS (
+        |  SELECT fname,
+        |    regexp_matches(fname,'^(.+)_([0-9]{8})_[0-9]{6}\.CSV\.GZ$') AS ok,
+        |    regexp_extract(fname,'^(.+)_([0-9]{8})_[0-9]{6}\.CSV\.GZ$',1) AS tn,
+        |    regexp_extract(fname,'^(.+)_([0-9]{8})_[0-9]{6}\.CSV\.GZ$',2) AS dt
+        |  FROM f)
+        |SELECT CASE WHEN ok THEN tn ELSE '(irregular)' END AS table_name,
+        |       CASE WHEN ok THEN 'OK' ELSE 'IRREGULAR' END AS route_status,
+        |       count(*) AS files,
+        |       count(DISTINCT CASE WHEN ok THEN dt END) AS days
+        |FROM r GROUP BY table_name, route_status
+        |ORDER BY table_name, route_status""".stripMargin,
+    "ingest_ledger_diff" ->
+      """SELECT event_type, count(*) AS to_process,
+        |       cast(min(event_id) AS BIGINT) AS min_id,
+        |       cast(max(event_id) AS BIGINT) AS max_id
+        |FROM events
+        |WHERE event_id NOT IN (SELECT event_id FROM events WHERE event_id % 10 < 3)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ingest_watermark_append" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       round(sum(o_totalprice),2) AS total,
+        |       strftime(min(o_orderdate),'%Y-%m-%d') AS min_day,
+        |       strftime(max(o_orderdate),'%Y-%m-%d') AS max_day
+        |FROM orders
+        |WHERE o_orderdate > (SELECT max(o_orderdate) FROM orders
+        |                     WHERE o_orderkey % 5 = 0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "ingest_failure_classify" ->
+      """WITH config(cfg_type, expected_cnt) AS (
+        |  VALUES ('click',3),('view',3),('signup',5),('purchase',6)),
+        |files AS (
+        |  SELECT event_type, (event_id % 7) + 1 AS header_cnt,
+        |         (event_id % 13 = 0) AS irregular
+        |  FROM events)
+        |SELECT event_type,
+        |  CASE WHEN irregular THEN 'IRREGULAR'
+        |       WHEN expected_cnt IS NULL THEN 'OUTOFCONFIG'
+        |       WHEN header_cnt <> expected_cnt THEN 'UNMATCH'
+        |       ELSE 'OK' END AS status,
+        |  count(*) AS n
+        |FROM files LEFT JOIN config ON event_type = cfg_type
+        |GROUP BY event_type, status ORDER BY event_type, status""".stripMargin,
+    "ingest_schema_merge" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT coalesce(o_orderpriority,'(missing)') AS priority,
+        |       count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM merged GROUP BY priority ORDER BY priority""".stripMargin,
+    "ingest_partition_derive" ->
+      """SELECT strftime(ts,'%Y-%m-%d') AS transferred_date,
+        |       count(*) AS rows_n, count(DISTINCT user_id) AS users,
+        |       round(sum(value),2) AS value_sum
+        |FROM events GROUP BY transferred_date ORDER BY transferred_date""".stripMargin,
+    "sync_zone_diff" ->
+      """WITH storing AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0),
+        |userzone AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 89 <> 0),
+        |c AS (SELECT count(*) AS n, cast(min(o_orderkey) AS BIGINT) AS min_key,
+        |             cast(max(o_orderkey) AS BIGINT) AS max_key
+        |      FROM storing WHERE o_orderkey NOT IN (SELECT o_orderkey FROM userzone)),
+        |d AS (SELECT count(*) AS n, cast(min(o_orderkey) AS BIGINT) AS min_key,
+        |             cast(max(o_orderkey) AS BIGINT) AS max_key
+        |      FROM userzone WHERE o_orderkey NOT IN (SELECT o_orderkey FROM storing))
+        |SELECT 'COPY' AS action, n, min_key, max_key FROM c
+        |UNION ALL
+        |SELECT 'DELETE' AS action, n, min_key, max_key FROM d
+        |ORDER BY action""".stripMargin
+  )
 }

@@ -1,0 +1,162 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The lake's analytics query surface (reference: Athena/Presto over the
+  * cataloged storing zone — README.md step 7). Re-expressed as Catalyst
+  * plans: dims broadcast, facts shuffle on join keys, filters/projections
+  * push to the parquet scan.
+  *
+  * Oracle-parity rules (SURVEY §4): rounded double aggregates, no raw
+  * timestamps in output, ties broken on unique ids.
+  */
+object LakeQueries {
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+  private def ts(lit0: String) = java.sql.Timestamp.valueOf(lit0 + " 00:00:00")
+
+  /** A1: TPC-H Q1-style pricing summary — scan→filter→agg→sort. */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") <= lit(ts("2000-01-01")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** A2: TPC-H Q6-style revenue forecast — pure pushdown filter + agg. */
+  def q2RevenueFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit(ts("1996-01-01")) && col("l_shipdate") < lit(ts("1997-01-01"))
+        && col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("cnt"))
+
+  /** A3: TPC-H Q3-style shipping priority — 3-way join, group, top-10. */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders").where(col("o_orderdate") < lit(ts("1997-01-01")))
+    val li = t(s, dir, "lineitem").where(col("l_shipdate") > lit(ts("1997-01-01")))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** A4: TPC-H Q4-style order priority check — EXISTS via left-semi join. */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .where(col("o_orderdate") >= lit(ts("1996-01-01")) && col("o_orderdate") < lit(ts("1996-07-01")))
+    val bigLines = t(s, dir, "lineitem").where(col("l_quantity") > 45)
+    ord.join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** A5: TPC-H Q5-style local-supplier volume — 6-way join; all dims
+    * broadcast, the lineitem⋈orders shuffle is the only wide exchange. */
+  def q5RegionVolume(s: SparkSession, dir: String): DataFrame = {
+    val region = t(s, dir, "region").where(col("r_name") === "ASIA")
+    val nation = t(s, dir, "nation")
+    val cust = t(s, dir, "customer")
+    val supp = t(s, dir, "supplier")
+    val ord = t(s, dir, "orders")
+      .where(col("o_orderdate") >= lit(ts("1996-01-01")) && col("o_orderdate") < lit(ts("1997-01-01")))
+    val li = t(s, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** A6: top-5 customers by order revenue per market segment — window rank
+    * over an aggregate (rank on the *rounded* revenue for oracle parity). */
+  def q6TopCustomers(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("rev"), count(lit(1)).as("n_orders"))
+    val joined = rev.join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("rev").desc, col("c_custkey"))
+    joined.withColumn("rnk", rank().over(w))
+      .where(col("rnk") <= 5)
+      .select(col("c_mktsegment"), col("rnk"), col("c_custkey"), col("rev"), col("n_orders"))
+      .orderBy(col("c_mktsegment"), col("rnk"), col("c_custkey"))
+  }
+
+  /** A7: ROLLUP sales cube over returnflag×linestatus. */
+  def q7RollupSales(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("sales"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sales"), col("n"))
+      .orderBy(col("flag"), col("status"))
+
+  /** A8: exact distinct cardinalities per supplier. */
+  def q8DistinctStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(countDistinct(col("l_partkey")).as("parts"),
+        countDistinct(col("l_orderkey")).as("orders_n"),
+        count(lit(1)).as("lines"))
+      .orderBy(col("l_suppkey"))
+
+  /** A9: customers with no premium (>450k) orders — NOT EXISTS via
+    * left-anti join. */
+  def q9CustNoOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").where(col("o_totalprice") > 450000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** A10: inter-event gaps per user (lag window), aggregated per type.
+    * Epoch seconds (integer) because events.ts is ns-precision: Spark
+    * truncates parquet ns→µs while DuckDB keeps ns — whole seconds agree. */
+  def q10EventGaps(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        unix_timestamp(col("ts")).as("sec"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    e.withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .where(col("gap").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(col("gap")), 2).as("avg_gap_s"),
+        max(col("gap")).as("max_gap_s"))
+      .orderBy(col("event_type"))
+  }
+
+  /** A11: JSON property extraction from events.props + agg (regexp-based
+    * so the oracle needs no JSON extension). */
+  def q11JsonProps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"), col("value"),
+        regexp_extract(col("props"), "([0-9]+)", 1).cast("bigint").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+        round(avg(col("k")), 4).as("k_avg"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .orderBy(col("event_type"))
+}

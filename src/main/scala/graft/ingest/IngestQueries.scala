@@ -1,0 +1,125 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The reference's ingestion jobs re-expressed as verifiable lake queries
+  * (SURVEY §2.B). Each drives the corresponding library module over driver
+  * testdata so the DuckDB oracle can check the *semantics* — the real
+  * write paths live in [[LakeWriter]] / [[Ledger]] and are ScalaTest'd.
+  */
+object IngestQueries {
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** B1: type-dictionary casting (CsvIngest round-trip): stringify typed
+    * columns as a headerless CSV would arrive, re-cast per type dict, and
+    * aggregate the typed result. */
+  def ingestTypecast(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events").select(
+      col("event_id").cast("string").as("c0"),
+      col("user_id").cast("string").as("c1"),
+      date_format(col("ts"), "yyyy-MM-dd").as("c2"),
+      col("event_type").as("c3"))
+    // type codes: 4=Long, 4=Long, 6=Date, 1=String (ref type dict L90–98)
+    val typed = CsvIngest.castByTypeList(raw, Seq(4, 4, 6, 1))
+    typed.groupBy(date_format(col("c2"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"), sum(col("c0")).as("id_sum"),
+        sum(when(col("c1") % 2 === 0, 1L).otherwise(0L)).as("even_users"))
+      .orderBy(col("day"))
+  }
+
+  /** B2: filename routing — synthesize landing keys from events, parse
+    * them back, route per FilenameRouter (incl. IRREGULAR). */
+  def ingestFilenameRoute(s: SparkSession, dir: String): DataFrame = {
+    val files = t(s, dir, "events").select(
+      when(col("event_id") % 17 === 0, lit("BADFILE.TXT"))
+        .otherwise(concat(col("event_type"), lit("_"),
+          date_format(col("ts"), "yyyyMMdd"), lit("_"),
+          lpad((col("event_id") % 86400).cast("string"), 6, "0"),
+          lit(".CSV.GZ"))).as("fname"))
+    FilenameRouter.route(files)
+      .groupBy(col("table_name"), col("route_status"))
+      .agg(count(lit(1)).as("files"),
+        countDistinct(col("file_date")).as("days"))
+      .orderBy(col("table_name"), col("route_status"))
+  }
+
+  /** B3: processed-ledger anti-join — pending = all − processed. */
+  def ingestLedgerDiff(s: SparkSession, dir: String): DataFrame = {
+    val all = t(s, dir, "events")
+    val processed = all.where(col("event_id") % 10 < 3)
+    Ledger.pending(all, processed, "event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("to_process"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
+  /** B4: watermark-incremental append — rows newer than the ingested max. */
+  def ingestWatermarkAppend(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val ingested = ord.where(col("o_orderkey") % 5 === 0)
+    Watermark.newerThanMax(ord, ingested, "o_orderdate")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("min_day"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_day"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** B5: failure classification — IRREGULAR / OUTOFCONFIG / UNMATCH / OK. */
+  def ingestFailureClassify(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val config = Seq(("click", 3), ("view", 3), ("signup", 5), ("purchase", 6))
+      .toDF("cfg_type", "expected_cnt")
+    val files = t(s, dir, "events").select(col("event_type"), col("event_id"),
+      ((col("event_id") % 7) + 1).as("header_cnt"),
+      (col("event_id") % 13 === 0).as("irregular"))
+    val joined = files.join(broadcast(config), col("event_type") === col("cfg_type"), "left")
+    FailureClassifier.classify(joined, col("irregular"), col("header_cnt"), col("expected_cnt"))
+      .groupBy(col("event_type"), col("status"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("status"))
+  }
+
+  /** B6: layout-changed merge — union-by-name with null-filled columns. */
+  def ingestSchemaMerge(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val oldLayout = ord.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val newLayout = ord.where(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    SchemaEvolution.mergeLayouts(Seq(oldLayout, newLayout))
+      .groupBy(coalesce(col("o_orderpriority"), lit("(missing)")).as("priority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("priority"))
+  }
+
+  /** B7: TRANSFERRED_DATE partition derivation + per-partition stats
+    * (what LakeWriter.writePartitioned partitions by). */
+  def ingestPartitionDerive(s: SparkSession, dir: String): DataFrame =
+    LakeWriter.withTransferredDate(t(s, dir, "events"), "ts")
+      .groupBy(col(LakeWriter.PartitionCol))
+      .agg(count(lit(1)).as("rows_n"),
+        countDistinct(col("user_id")).as("users"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .orderBy(col(LakeWriter.PartitionCol))
+
+  /** B8: zone-sync plan — `aws s3 sync --delete` as two anti-joins. */
+  def syncZoneDiff(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val storing = ord.where(col("o_orderkey") % 97 =!= 0)
+    val user = ord.where(col("o_orderkey") % 89 =!= 0)
+    val p = ZoneSync.plan(storing, user, "o_orderkey")
+    val copy = p.toCopy.agg(count(lit(1)).as("n"),
+      min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+      .select(lit("COPY").as("action"), col("n"), col("min_key"), col("max_key"))
+    val del = p.toDelete.agg(count(lit(1)).as("n"),
+      min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+      .select(lit("DELETE").as("action"), col("n"), col("min_key"), col("max_key"))
+    copy.unionAll(del).orderBy(col("action"))
+  }
+}

@@ -1,0 +1,22 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Watermark-incremental ingest (the RDS→lake path).
+  *
+  * Reference (CONVERT_RDS_TO_S3_DAILY_JOB.PY:95–102): append only source
+  * rows with `key > (SELECT max(key) FROM already_ingested)`.
+  *
+  * Spark-first: the scalar watermark is an aggregate on the ingested side
+  * broadcast into a filter on the source side — one tiny broadcast, the
+  * big side streams through a codegen'd filter, and for JDBC sources the
+  * predicate pushes down into the remote query.
+  */
+object Watermark {
+  /** Rows of `source` strictly above the max of `ingested(keyCol)`. */
+  def newerThanMax(source: DataFrame, ingested: DataFrame, keyCol: String): DataFrame = {
+    val wm = ingested.agg(max(col(keyCol)).as("__wm"))
+    source.crossJoin(broadcast(wm)).where(col(keyCol) > col("__wm")).drop("__wm")
+  }
+}

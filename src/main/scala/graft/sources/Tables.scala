@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Storing-zone read path: thin, pushdown-friendly parquet catalog.
+  *
+  * The reference reads cataloged parquet through Glue/Athena
+  * (DATALAKE_TRANSFORMATION_S3_DAILY_JOB.PY:240 reads back parquet with
+  * mergeSchema; RUN_CRAWLER_JOB.PY catalogs it). Here a table is simply
+  * `{zone}/{name}.parquet`; Catalyst handles column pruning and filter
+  * pushdown to the scan, which is what makes the 100 TB case work — no
+  * driver-side file listing loops like the reference's boto3 walk.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, zoneDir: String, name: String): DataFrame =
+    normalizeNanos(spark.read.parquet(s"$zoneDir/$name.parquet"))
+
+  /** Parquet TIMESTAMP(NANOS) columns arrive as BIGINT epoch-nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (Spark has no ns
+    * timestamp type). Normalize them back to µs TimestampType so every
+    * downstream operator sees one timestamp type. */
+  private def normalizeNanos(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.LongType
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case None => df
+    }
+  }
+
+  /** mergeSchema read: the reference's layout-changed merge path
+    * (DATALAKE_TRANSFORMATION_S3_DAILY_JOB.PY:240). */
+  def mergedSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+}
