@@ -48,7 +48,7 @@ object LakeQueries {
     val ord = t(s, dir, "orders").where(col("o_orderdate") < lit(ts("1997-01-01")))
     val li = t(s, dir, "lineitem").where(col("l_shipdate") > lit(ts("1997-01-01")))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
         col("o_orderpriority"))
@@ -68,8 +68,11 @@ object LakeQueries {
       .orderBy(col("o_orderpriority"))
   }
 
-  /** A5: TPC-H Q5-style local-supplier volume — 6-way join; all dims
-    * broadcast, the lineitem⋈orders shuffle is the only wide exchange. */
+  /** A5: TPC-H Q5-style local-supplier volume — 6-way join. Only the
+    * fixed-cardinality dims (region: 5 rows, nation: 25 rows) carry a
+    * broadcast hint; customer/supplier grow with scale factor, so their
+    * joins shuffle on the key (AQE converts them to broadcast at runtime
+    * when the actual size allows — never forced). */
   def q5RegionVolume(s: SparkSession, dir: String): DataFrame = {
     val region = t(s, dir, "region").where(col("r_name") === "ASIA")
     val nation = t(s, dir, "nation")
@@ -79,8 +82,8 @@ object LakeQueries {
       .where(col("o_orderdate") >= lit(ts("1996-01-01")) && col("o_orderdate") < lit(ts("1997-01-01")))
     val li = t(s, dir, "lineitem")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey")
         && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -95,7 +98,7 @@ object LakeQueries {
     val rev = t(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(round(sum(col("o_totalprice")), 2).as("rev"), count(lit(1)).as("n_orders"))
-    val joined = rev.join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+    val joined = rev.join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
     val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("rev").desc, col("c_custkey"))
     joined.withColumn("rnk", rank().over(w))
       .where(col("rnk") <= 5)

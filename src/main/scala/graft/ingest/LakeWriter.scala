@@ -23,15 +23,27 @@ object LakeWriter {
     df.withColumn(PartitionCol, date_format(col(tsCol), "yyyy-MM-dd"))
 
   /** Partitioned write; `filesPerPartition` bounds small files (the scale
-    * replacement for the reference's repartition(1)). */
+    * replacement for the reference's repartition(1)).
+    *
+    * Overwrite mode uses DYNAMIC partition overwrite so re-ingesting one
+    * day replaces only that day's partition instead of truncating the
+    * whole table (idempotent daily re-runs, the reference's per-date
+    * directory overwrite semantics). The file-count bucket is derived from
+    * row data (`xxhash64` over all columns), never from
+    * `spark_partition_id()`: a stable key keeps task retries deterministic
+    * and spreads rows evenly regardless of input layout. */
   def writePartitioned(df: DataFrame, path: String,
                        mode: SaveMode = SaveMode.Overwrite,
                        filesPerPartition: Int = 4): Unit = {
     val sized =
       if (filesPerPartition == 1) df.repartition(col(PartitionCol))
-      else df.repartition(col(PartitionCol), pmod(spark_partition_id(), lit(filesPerPartition)))
+      else {
+        val bucket = pmod(xxhash64(df.columns.map(col): _*), lit(filesPerPartition))
+        df.repartition(col(PartitionCol), bucket)
+      }
     sized.write
       .mode(mode)
+      .option("partitionOverwriteMode", "dynamic")
       .option("compression", "gzip")
       .partitionBy(PartitionCol)
       .parquet(path)

@@ -15,6 +15,8 @@ import org.apache.spark.sql.DataFrame
   */
 object SchemaEvolution {
   /** Union frames with evolving layouts; missing columns become nulls. */
-  def mergeLayouts(frames: Seq[DataFrame]): DataFrame =
+  def mergeLayouts(frames: Seq[DataFrame]): DataFrame = {
+    require(frames.nonEmpty, "mergeLayouts needs at least one frame")
     frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
 }

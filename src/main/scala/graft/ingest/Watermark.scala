@@ -19,4 +19,10 @@ object Watermark {
     val wm = ingested.agg(max(col(keyCol)).as("__wm"))
     source.crossJoin(broadcast(wm)).where(col(keyCol) > col("__wm")).drop("__wm")
   }
+
+  /** The reference's non-partitioned-table branch (CONVERT_RDS_TO_S3_DAILY
+    * _JOB.PY:84–92): no watermark — the whole source snapshot replaces the
+    * destination. Plain distributed overwrite; no repartition(1). */
+  def fullRefresh(source: DataFrame, destPath: String): Unit =
+    source.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(destPath)
 }

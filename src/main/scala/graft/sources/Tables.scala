@@ -16,13 +16,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, zoneDir: String, name: String): DataFrame =
-    normalizeNanos(spark.read.parquet(s"$zoneDir/$name.parquet"))
+  /** Tables whose `ts` column is parquet TIMESTAMP(NANOS) in the driver
+    * testdata. The ns→µs normalization is scoped to this set so a future
+    * table with a genuine BIGINT column named `ts` is left untouched. */
+  private val nanosTsTables = Set("events")
+
+  def apply(spark: SparkSession, zoneDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$zoneDir/$name.parquet")
+    if (nanosTsTables(name)) normalizeNanos(df) else df
+  }
 
   /** Parquet TIMESTAMP(NANOS) columns arrive as BIGINT epoch-nanos under
     * `spark.sql.legacy.parquet.nanosAsLong=true` (Spark has no ns
     * timestamp type). Normalize them back to µs TimestampType so every
-    * downstream operator sees one timestamp type. */
+    * downstream operator sees one timestamp type. (Integer division is
+    * fine here: the testdata carries no pre-1970 timestamps, where
+    * truncation toward zero would differ from flooring.) */
   private def normalizeNanos(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.expr
     import org.apache.spark.sql.types.LongType
