@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.LakeQueries
 import graft.ingest.IngestQueries
+import graft.ops.TextQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -39,7 +40,13 @@ object SparkEntry {
     "ingest_failure_classify" -> (IngestQueries.ingestFailureClassify _),
     "ingest_schema_merge" -> (IngestQueries.ingestSchemaMerge _),
     "ingest_partition_derive" -> (IngestQueries.ingestPartitionDerive _),
-    "sync_zone_diff" -> (IngestQueries.syncZoneDiff _)
+    "sync_zone_diff" -> (IngestQueries.syncZoneDiff _),
+    // §2.C LLM-training-data pipeline
+    "dedup_exact" -> (TextQueries.dedupExact _),
+    "text_langid" -> (TextQueries.textLangid _),
+    "text_quality" -> (TextQueries.textQuality _),
+    "text_tokens" -> (TextQueries.textTokens _),
+    "text_fingerprint" -> (TextQueries.textFingerprint _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -240,6 +247,84 @@ object SparkEntry {
         |SELECT 'COPY' AS action, n, min_key, max_key FROM c
         |UNION ALL
         |SELECT 'DELETE' AS action, n, min_key, max_key FROM d
-        |ORDER BY action""".stripMargin
+        |ORDER BY action""".stripMargin,
+    "dedup_exact" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |         md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS h
+        |  FROM documents),
+        |k AS (SELECT *, min(doc_id) OVER (PARTITION BY h) AS keeper FROM h)
+        |SELECT source, count(*) AS docs, count(DISTINCT h) AS uniq_docs,
+        |       cast(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+        |       min(h) AS min_h, max(h) AS max_h
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "text_langid" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |         string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang,
+        |    len(list_filter(w, x -> x IN ('the','a','of','and'))) AS en,
+        |    len(list_filter(w, x -> x IN ('el','la','de','los'))) AS es,
+        |    len(list_filter(w, x -> x IN ('der','die','das','und'))) AS de,
+        |    len(list_filter(w, x -> x IN ('le','les','des','une'))) AS fr
+        |  FROM toks),
+        |p AS (
+        |  SELECT lang, CASE
+        |    WHEN en=0 AND es=0 AND de=0 AND fr=0 THEN 'und'
+        |    WHEN en>=es AND en>=de AND en>=fr THEN 'en'
+        |    WHEN es>=de AND es>=fr THEN 'es'
+        |    WHEN de>=fr THEN 'de'
+        |    ELSE 'fr' END AS predicted
+        |  FROM s)
+        |SELECT lang, predicted, count(*) AS n
+        |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "text_quality" ->
+      """WITH d AS (
+        |  SELECT source, trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm
+        |  FROM documents),
+        |m AS (
+        |  SELECT source,
+        |    cast(len(string_split(norm,' ')) AS DOUBLE) AS n_tok,
+        |    cast(len(list_filter(string_split(norm,' '),
+        |         x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) AS n_stop,
+        |    cast(length(replace(norm,' ','')) AS DOUBLE) AS n_alpha
+        |  FROM d),
+        |q AS (
+        |  SELECT source, n_tok, n_stop/n_tok AS stop_ratio,
+        |    0.4*least(n_tok/100.0,1.0) + 0.3*least((n_stop/n_tok)*10.0,1.0)
+        |      + 0.3*(CASE WHEN n_alpha/n_tok >= 3.0 AND n_alpha/n_tok <= 8.0
+        |                  THEN 1.0 ELSE 0.0 END) AS q
+        |  FROM m)
+        |SELECT source, count(*) AS docs,
+        |       round(avg(n_tok),4) AS avg_tokens,
+        |       round(avg(stop_ratio),4) AS avg_stop_ratio,
+        |       round(avg(q),4) AS avg_quality,
+        |       cast(sum(CASE WHEN q >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_good
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "text_tokens" ->
+      """WITH d AS (
+        |  SELECT lang, trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm
+        |  FROM documents),
+        |m AS (
+        |  SELECT lang,
+        |    cast(len(string_split(norm,' ')) AS BIGINT) AS ws,
+        |    cast(len(regexp_extract_all(norm,'[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tok
+        |  FROM d)
+        |SELECT lang, count(*) AS docs,
+        |       cast(sum(ws) AS BIGINT) AS ws_tokens,
+        |       cast(sum(re_tok) AS BIGINT) AS re_tokens,
+        |       round(avg(ws),4) AS avg_ws,
+        |       max(re_tok) AS max_re
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_fingerprint" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' '))),' ')) AS fp
+        |  FROM documents)
+        |SELECT fp, count(*) AS n_docs, min(doc_id) AS keeper, max(doc_id) AS max_doc
+        |FROM f GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin
   )
 }

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** SparkEntry-facing text-pipeline queries (SURVEY §2.C — C1, C8–C11).
+  *
+  * All are single-pass narrow projections over `documents` followed by one
+  * aggregation — at 100 TB each is a scan→map→partial-agg→final-agg plan
+  * with no joins and one small shuffle on the (low-cardinality) group key.
+  */
+object TextQueries {
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+
+  /** C1: exact dedup — md5 over normalized text, min-doc_id keeper, dup
+    * accounting per source. The window over the hash shuffles once on the
+    * hash (uniformly distributed — no skew by construction). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      Text.contentHash(col("text")).as("h"))
+    val keeper = min(col("doc_id")).over(Window.partitionBy(col("h")))
+    d.withColumn("keeper", keeper)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        countDistinct(col("h")).as("uniq_docs"),
+        sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L)).as("dup_docs"),
+        min(col("h")).as("min_h"),
+        max(col("h")).as("max_h"))
+      .orderBy(col("source"))
+  }
+
+  /** C8: language ID — marker-vocabulary argmax vs the labeled lang
+    * column, reported as a confusion matrix. */
+  def textLangid(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"), Text.langId(Text.tokens(col("text"))).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+
+  /** C9: quality scoring — token count, stopword ratio, average token
+    * length folded into a [0,1] score; per-source aggregate. */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val norm = Text.normalized(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopRatio = Text.markerCount(toks, Text.stopwords).cast("double") / nTok
+    val avgLen = length(regexp_replace(norm, " ", "")).cast("double") / nTok
+    val score = lit(0.4) * least(nTok / 100.0, lit(1.0)) +
+      lit(0.3) * least(stopRatio * 10.0, lit(1.0)) +
+      lit(0.3) * when(avgLen >= 3.0 && avgLen <= 8.0, 1.0).otherwise(0.0)
+    docs(s, dir)
+      .select(col("source"), nTok.as("n_tok"), stopRatio.as("stop_ratio"), score.as("q"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        round(avg(col("n_tok")), 4).as("avg_tokens"),
+        round(avg(col("stop_ratio")), 4).as("avg_stop_ratio"),
+        round(avg(col("q")), 4).as("avg_quality"),
+        sum(when(col("q") >= 0.7, 1L).otherwise(0L)).as("n_good"))
+      .orderBy(col("source"))
+  }
+
+  /** C10: token counting — whitespace tokens and BPE-ish regex pieces. */
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"),
+        size(Text.tokens(col("text"))).cast("long").as("ws"),
+        Text.regexTokenCount(col("text")).as("re_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("re_tok")).as("re_tokens"),
+        round(avg(col("ws")), 4).as("avg_ws"),
+        max(col("re_tok")).as("max_re"))
+      .orderBy(col("lang"))
+
+  /** C11: duplicate fingerprint groups — md5 of the sorted distinct token
+    * set; emits only groups with >1 member (the reorder-dup clusters). */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("keeper"),
+        max(col("doc_id")).as("max_doc"))
+      .where(col("n_docs") > 1)
+      .orderBy(col("fp"))
+}
