@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.LakeQueries
 import graft.ingest.IngestQueries
-import graft.ops.TextQueries
+import graft.ops.{DedupQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -46,7 +46,10 @@ object SparkEntry {
     "text_langid" -> (TextQueries.textLangid _),
     "text_quality" -> (TextQueries.textQuality _),
     "text_tokens" -> (TextQueries.textTokens _),
-    "text_fingerprint" -> (TextQueries.textFingerprint _)
+    "text_fingerprint" -> (TextQueries.textFingerprint _),
+    "dedup_ngram_jaccard" -> (DedupQueries.dedupNgramJaccard _),
+    "dedup_minhash" -> (DedupQueries.dedupMinhash _),
+    "dedup_simhash" -> (DedupQueries.dedupSimhash _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -325,6 +328,10 @@ object SparkEntry {
         |      string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' '))),' ')) AS fp
         |  FROM documents)
         |SELECT fp, count(*) AS n_docs, min(doc_id) AS keeper, max(doc_id) AS max_doc
-        |FROM f GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin
+        |FROM f GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+    "dedup_ngram_jaccard" -> DedupQueries.jaccardOracle,
+    "dedup_minhash" -> DedupQueries.minhashOracle
+    // dedup_simhash: rows-only (60-bit banded SimHash isn't expressible in
+    // portable DuckDB SQL — no hex->int conversion); covered by ScalaTest.
   )
 }

@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for document corpora (SURVEY §2.C C2–C4).
+  *
+  * Scale design (100 TB): every algorithm here is bucket-first — the only
+  * joins are equi-joins on shingle / LSH-band keys, never a cross join, so
+  * candidate generation is bounded by bucket sizes rather than n². The
+  * Jaccard path additionally caps shingle document-frequency (hot-shingle
+  * skew guard: a shingle shared by D docs would otherwise emit D²/2 join
+  * rows); MinHash/SimHash need no cap because their joins run on band
+  * keys, whose groups are duplicate clusters by construction.
+  *
+  * Everything is md5-derived so the DuckDB oracle reproduces signatures
+  * bit-for-bit (SURVEY §4: integer math + md5 are parity-safe).
+  */
+object Dedup {
+
+  /** Word n-gram shingles (distinct, space-joined) of a token array. */
+  def shingles(toks: Column, n: Int): Column = {
+    val grams = transform(sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*))
+    array_distinct(when(size(toks) >= n, grams)
+      .otherwise(array().cast("array<string>")))
+  }
+
+  /** Exploded (id, shingle) frame for a document frame. */
+  def shingleFrame(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol), explode(shingles(Text.tokens(col(textCol)), n)).as("s"))
+
+  /** Drop shingles whose document frequency exceeds `maxDf` (the skew
+    * guard — mirrors stopword-shingle removal in production dedup). */
+  def capDocFrequency(shingled: DataFrame, maxDf: Int): DataFrame =
+    shingled
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .where(col("__df") <= maxDf)
+      .drop("__df")
+
+  /** Candidate pairs with shingle-set Jaccard >= `minJaccard`.
+    * Plan: explode → df-cap → equi-self-join on shingle → pair counts →
+    * Jaccard against per-doc set sizes. Output: (doc_a, doc_b, common,
+    * jaccard). */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, maxDf: Int = 100, minJaccard: Double = 0.5): DataFrame = {
+    val sh = capDocFrequency(shingleFrame(docs, idCol, textCol, n), maxDf)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val a = sh.select(col(idCol).as("doc_a"), col("s"))
+    val b = sh.select(col(idCol).as("doc_b"), col("s"))
+    val common = a.join(b, a("s") === b("s") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signature columns m0..m{k-1}: per permutation k the min (lex)
+    * of md5("k|" + shingle) — one groupBy computes all k mins, so the
+    * shingle explosion is scanned once regardless of k. */
+  def minhashSignature(shingled: DataFrame, idCol: String, numHashes: Int): DataFrame =
+    shingled.groupBy(col(idCol))
+      .agg(
+        min(md5(concat(lit("0|"), col("s")))).as("m0"),
+        (1 until numHashes).map(k =>
+          min(md5(concat(lit(s"$k|"), col("s")))).as(s"m$k")): _*)
+
+  /** LSH banding: (id, band_idx, band_key) with band_key = md5 of the
+    * band's row minhashes joined by '|'. */
+  def lshBands(sig: DataFrame, idCol: String, numBands: Int, rowsPerBand: Int): DataFrame = {
+    val bandKeys = (0 until numBands).map { b =>
+      val ms = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      md5(concat_ws("|", ms: _*))
+    }
+    sig.select(col(idCol), posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
+  }
+
+  /** MinHash-LSH candidate pairs: docs sharing >= 1 band. Output:
+    * (doc_a, doc_b, shared_bands). The join key is (band_idx, band_key) —
+    * bucket-local, no cross join. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, numHashes: Int = 16, numBands: Int = 4): DataFrame = {
+    val rows = numHashes / numBands
+    val sh = shingleFrame(docs, idCol, textCol, n)
+    val bands = lshBands(minhashSignature(sh, idCol, numHashes), idCol, numBands, rows)
+    val a = bands.select(col(idCol).as("doc_a"), col("band_idx"), col("band_key"))
+    val b = bands.select(col(idCol).as("doc_b"), col("band_idx"), col("band_key"))
+    a.join(b, Seq("band_idx", "band_key")).where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_bands"))
+  }
+
+  /** 60-bit SimHash from token multiplicities: token hash = first 15 hex
+    * chars of md5 (60 bits, sign-safe in a long); simhash bit i is set
+    * when the count-weighted ±1 sum over tokens is positive. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until 60).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"b$i"))
+    val withSums = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val hash = (0 until 60).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((x, y) => x + y)
+    withSums.select(col(idCol), hash.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: 4 bands of 15 bits block the pairs, then
+    * exact Hamming distance <= `maxHamming` filters (any pair within
+    * Hamming 3 of 60 bits shares at least one of 4 bands — pigeonhole). */
+  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(docs, idCol, textCol)
+    val bandCols = (0 until 4).map(b =>
+      shiftright(col("simhash"), b * 15).bitwiseAND(0x7FFF).as(s"band$b"))
+    val banded = sig.select(col(idCol) +: col("simhash") +: bandCols: _*)
+      .select(col(idCol), col("simhash"),
+        posexplode(array((0 until 4).map(b => col(s"band$b")): _*))
+          .as(Seq("band_idx", "band_val")))
+    val a = banded.select(col(idCol).as("doc_a"), col("simhash").as("sh_a"),
+      col("band_idx"), col("band_val"))
+    val b = banded.select(col(idCol).as("doc_b"), col("simhash").as("sh_b"),
+      col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val")).where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

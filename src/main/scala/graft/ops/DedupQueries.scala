@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** SparkEntry-facing dedup queries (SURVEY §2.C C2–C4) plus their DuckDB
+  * oracle SQL. The MinHash oracle is *generated* from the same
+  * (numHashes, numBands) constants the Spark plan uses, so the md5
+  * permutation formulas can never drift between engines.
+  */
+object DedupQueries {
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+
+  /** C2: word-3-gram shingle Jaccard pairs at tau=0.5, df-capped. */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** C3: MinHash-LSH candidate pairs (16 hashes, 4 bands x 4 rows). */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** C4: SimHash near-dup pairs at Hamming <= 3 (rows-only oracle). */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashCandidates(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Shared oracle-SQL fragment: normalized token array per doc. */
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id,
+      |         string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s
+      |  FROM toks, unnest(generate_series(1, len(w)-2)) AS t(i)
+      |  WHERE len(w) >= 3)""".stripMargin
+
+  val jaccardOracle: String =
+    s"""WITH $toksCte,
+       |keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+       |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pr AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+       |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2)
+       |SELECT i AS doc_a, j AS doc_b, cast(c AS BIGINT) AS common,
+       |       round(c::DOUBLE/(x.n+y.n-c), 4) AS jaccard
+       |FROM pr JOIN sz x ON pr.i = x.doc_id JOIN sz y ON pr.j = y.doc_id
+       |WHERE c::DOUBLE/(x.n+y.n-c) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val minhashOracle: String = {
+    val numHashes = 16; val numBands = 4; val rows = numHashes / numBands
+    val mins = (0 until numHashes)
+      .map(k => s"    min(md5('$k|'||s)) AS m$k").mkString(",\n")
+    val bandSelects = (0 until numBands).map { b =>
+      val ms = (0 until rows).map(r => s"m${b * rows + r}").mkString("||'|'||")
+      s"  SELECT doc_id, $b AS band_idx, md5($ms) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $toksCte,
+       |sig AS (
+       |  SELECT doc_id,
+       |$mins
+       |  FROM sh0 GROUP BY doc_id),
+       |bands AS (
+       |$bandSelects)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_bands
+       |FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |  AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+}
