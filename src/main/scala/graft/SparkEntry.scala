@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.LakeQueries
 import graft.ingest.IngestQueries
-import graft.ops.{DedupQueries, TextQueries}
+import graft.ops.{DedupQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -49,7 +49,11 @@ object SparkEntry {
     "text_fingerprint" -> (TextQueries.textFingerprint _),
     "dedup_ngram_jaccard" -> (DedupQueries.dedupNgramJaccard _),
     "dedup_minhash" -> (DedupQueries.dedupMinhash _),
-    "dedup_simhash" -> (DedupQueries.dedupSimhash _)
+    "dedup_simhash" -> (DedupQueries.dedupSimhash _),
+    "dedup_embedding" -> (VectorQueries.dedupEmbedding _),
+    "sim_search_topk" -> (VectorQueries.simSearchTopk _),
+    "sim_search_lsh" -> (VectorQueries.simSearchLsh _),
+    "embed_stats" -> (VectorQueries.embedStats _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -330,8 +334,46 @@ object SparkEntry {
         |SELECT fp, count(*) AS n_docs, min(doc_id) AS keeper, max(doc_id) AS max_doc
         |FROM f GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
     "dedup_ngram_jaccard" -> DedupQueries.jaccardOracle,
-    "dedup_minhash" -> DedupQueries.minhashOracle
+    "dedup_minhash" -> DedupQueries.minhashOracle,
     // dedup_simhash: rows-only (60-bit banded SimHash isn't expressible in
     // portable DuckDB SQL — no hex->int conversion); covered by ScalaTest.
+    "dedup_embedding" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, e,
+        |             sqrt(list_dot_product(e, e)) AS nrm FROM v)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        |       round(list_dot_product(a.e, b.e)/(a.nrm*b.nrm), 4) AS cosine
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.e, b.e)/(a.nrm*b.nrm) >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "sim_search_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 5),
+        |c AS (SELECT query_id, vec_id,
+        |             round(list_dot_product(qe, e)/(qn*nrm), 4) AS cosine
+        |      FROM q, n WHERE vec_id <> query_id),
+        |r AS (SELECT *, rank() OVER (PARTITION BY query_id
+        |                             ORDER BY cosine DESC, vec_id) AS rnk
+        |      FROM c)
+        |SELECT query_id, rnk, vec_id, cosine FROM r WHERE rnk <= 10
+        |ORDER BY query_id, rnk, vec_id""".stripMargin,
+    // sim_search_lsh: rows-only (hyperplane set generated Scala-side).
+    "embed_stats" ->
+      """WITH v AS (
+        |  SELECT label, list_transform(embedding, x -> x::DOUBLE) AS e
+        |  FROM embeddings),
+        |m AS (SELECT label, sqrt(list_dot_product(e, e)) AS nrm,
+        |             list_sum(e)/len(e) AS mean_c FROM v)
+        |SELECT label, count(*) AS n,
+        |       round(avg(nrm), 4) AS avg_norm,
+        |       round(min(nrm), 4) AS min_norm,
+        |       round(max(nrm), 4) AS max_norm,
+        |       round(avg(mean_c), 4) AS avg_mean_comp
+        |FROM m GROUP BY label ORDER BY label""".stripMargin
   )
 }

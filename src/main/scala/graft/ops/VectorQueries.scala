@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** SparkEntry-facing embedding queries (SURVEY §2.C C5–C7, C13).
+  *
+  * Scale notes: the near-dup pair join (C5) blocks on a key (label here;
+  * any coarse clustering/bucketing key at 100 TB) so candidate cost is
+  * bounded per block — never an unkeyed self-join. Brute-force top-k (C6)
+  * broadcasts only the small query set; the corpus side streams through a
+  * BroadcastNestedLoopJoin — the documented baseline. The LSH path (C7) is
+  * the scale route: L independent hyperplane tables bucket the corpus and
+  * only bucket-mates are scored (equi-join on (table, bucket)).
+  */
+object VectorQueries {
+  private def emb(s: SparkSession, dir: String) =
+    Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
+
+  /** C5: embedding cosine near-dup pairs within label blocks, tau=0.35. */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val v = emb(s, dir)
+    val a = v.select(col("vec_id").as("vec_a"), col("label"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("vec_b"), col("label"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val cos = Vectors.cosine(col("ea"), col("eb"), col("na"), col("nb"))
+    a.join(b, Seq("label")).where(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cos)
+      .where(col("cos") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), col("label"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** C6: brute-force cosine top-10 for the query set vec_id < 5. */
+  def simSearchTopk(s: SparkSession, dir: String): DataFrame = {
+    val v = emb(s, dir)
+    val queries = v.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val cos = Vectors.cosine(col("qe"), col("e"), col("qn"), col("nrm"))
+    val scored = v.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), round(cos, 4).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", rank().over(w))
+      .where(col("rnk") <= 10)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rnk"), col("vec_id"))
+  }
+
+  /** C7: LSH-bucketed ANN — L=4 hyperplane tables x 6 bits; candidates =
+    * bucket-mates in any table; exact cosine rescore; top-10 per query.
+    * (Rows-only oracle: the plane set is generated Scala-side.) */
+  def simSearchLsh(s: SparkSession, dir: String): DataFrame = {
+    val numTables = 4; val bitsPerTable = 6; val dim = 64
+    val v = emb(s, dir)
+    val buckets = (0 until numTables).map { l =>
+      struct(lit(l).as("tbl"),
+        Vectors.lshBucket(col("e"), Vectors.hyperplanes(bitsPerTable, dim, 42L + l))
+          .as("bucket"))
+    }
+    val banded = v.select(col("vec_id"), col("e"), col("nrm"),
+        explode(array(buckets: _*)).as("tb"))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val queries = banded.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"),
+        col("tbl"), col("bucket"))
+    val cand = banded.join(queries, Seq("tbl", "bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id"), col("qe"), col("qn"),
+        col("e"), col("nrm"))
+    val cos = Vectors.cosine(col("qe"), col("e"), col("qn"), col("nrm"))
+    val scored = cand.select(col("query_id"), col("vec_id"), round(cos, 4).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", rank().over(w))
+      .where(col("rnk") <= 10)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rnk"), col("vec_id"))
+  }
+
+  /** C13: per-label vector statistics (norms + mean component). */
+  def embedStats(s: SparkSession, dir: String): DataFrame = {
+    val meanComp = aggregate(col("e"), lit(0.0), (acc, x) => acc + x) / size(col("e"))
+    emb(s, dir)
+      .select(col("label"), col("nrm"), meanComp.as("mean_c"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("nrm")), 4).as("avg_norm"),
+        round(min(col("nrm")), 4).as("min_norm"),
+        round(max(col("nrm")), 4).as("max_norm"),
+        round(avg(col("mean_c")), 4).as("avg_mean_comp"))
+      .orderBy(col("label"))
+  }
+}

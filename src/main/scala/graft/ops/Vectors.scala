@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector primitives (SURVEY §2.C C5–C7, C13).
+  *
+  * Vectors are `array<float>` columns cast to `array<double>` up front so
+  * every engine (and the DuckDB oracle) accumulates in double precision in
+  * array order — bit-stable dot products. All arithmetic is Catalyst
+  * `aggregate`/`zip_with` higher-order functions: codegen'd, no UDFs.
+  */
+object Vectors {
+
+  /** array<float> → array<double>. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Fold-left dot product in array order (parity with the oracle). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm as sqrt(dot(v, v)) — the same expression shape the oracle
+    * uses, so intermediate rounding is identical. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine from precomputed norms (precompute per row before a pair
+    * join — never recompute norms per candidate pair). */
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Corpus with `e` (double vector) and `nrm` columns added. */
+  def withNorm(df: DataFrame, vecCol: String): DataFrame = {
+    val e = toDouble(col(vecCol))
+    df.withColumn("e", e).withColumn("nrm", norm(col("e")))
+  }
+
+  /** Deterministic ±1 random-hyperplane set: `numPlanes` planes of `dim`
+    * components, seeded — identical across sessions/executors, so LSH
+    * signatures are reproducible (SURVEY §4 determinism rule). */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Signature bucket id: bit j set iff dot(v, plane_j) > 0. */
+  def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(dot(v, typedLit(p.toSeq)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((x, y) => x + y)
+}
