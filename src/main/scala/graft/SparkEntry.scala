@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.LakeQueries
-import graft.ingest.IngestQueries
-import graft.ops.{DedupQueries, TextQueries, VectorQueries}
+import graft.ingest.{IngestQueries, SchemaDiscovery}
+import graft.ops.{DedupQueries, Multimodal, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -41,6 +41,8 @@ object SparkEntry {
     "ingest_schema_merge" -> (IngestQueries.ingestSchemaMerge _),
     "ingest_partition_derive" -> (IngestQueries.ingestPartitionDerive _),
     "sync_zone_diff" -> (IngestQueries.syncZoneDiff _),
+    "meta_schema_discovery" -> (SchemaDiscovery.metaSchemaDiscovery _),
+    "meta_ddl_export" -> (SchemaDiscovery.metaDdlExport _),
     // §2.C LLM-training-data pipeline
     "dedup_exact" -> (TextQueries.dedupExact _),
     "text_langid" -> (TextQueries.textLangid _),
@@ -53,7 +55,8 @@ object SparkEntry {
     "dedup_embedding" -> (VectorQueries.dedupEmbedding _),
     "sim_search_topk" -> (VectorQueries.simSearchTopk _),
     "sim_search_lsh" -> (VectorQueries.simSearchLsh _),
-    "embed_stats" -> (VectorQueries.embedStats _)
+    "embed_stats" -> (VectorQueries.embedStats _),
+    "mm_metadata" -> (Multimodal.mmMetadata _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -374,6 +377,27 @@ object SparkEntry {
         |       round(min(nrm), 4) AS min_norm,
         |       round(max(nrm), 4) AS max_norm,
         |       round(avg(mean_c), 4) AS avg_mean_comp
-        |FROM m GROUP BY label ORDER BY label""".stripMargin
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
+    // meta_schema_discovery / meta_ddl_export: rows-only (schema
+    // inference output has no SQL-queryable oracle source).
+    "mm_metadata" ->
+      """WITH m AS (
+        |  SELECT source,
+        |         octet_length(encode(text)) AS byte_len,
+        |         sha256(text) AS content_id
+        |  FROM documents),
+        |d AS (
+        |  SELECT source, byte_len, content_id,
+        |    CASE byte_len % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |         ELSE 'webp' END AS fmt,
+        |    64 + byte_len % 960 AS width,
+        |    64 + (byte_len * 7) % 960 AS height
+        |  FROM m)
+        |SELECT source, fmt, count(*) AS n,
+        |       cast(sum(byte_len) AS BIGINT) AS total_bytes,
+        |       round(avg(width), 4) AS avg_width,
+        |       round(avg(height), 4) AS avg_height,
+        |       min(content_id) AS min_cid
+        |FROM d GROUP BY source, fmt ORDER BY source, fmt""".stripMargin
   )
 }
