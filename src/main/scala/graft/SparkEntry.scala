@@ -56,7 +56,9 @@ object SparkEntry {
     "sim_search_topk" -> (VectorQueries.simSearchTopk _),
     "sim_search_lsh" -> (VectorQueries.simSearchLsh _),
     "embed_stats" -> (VectorQueries.embedStats _),
-    "mm_metadata" -> (Multimodal.mmMetadata _)
+    "mm_metadata" -> (Multimodal.mmMetadata _),
+    // §2.D streaming (batch face of the streaming transform)
+    "stream_events_window" -> (graft.streaming.EventsPipeline.streamEventsWindow _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -398,6 +400,11 @@ object SparkEntry {
         |       round(avg(width), 4) AS avg_width,
         |       round(avg(height), 4) AS avg_height,
         |       min(content_id) AS min_cid
-        |FROM d GROUP BY source, fmt ORDER BY source, fmt""".stripMargin
+        |FROM d GROUP BY source, fmt ORDER BY source, fmt""".stripMargin,
+    "stream_events_window" ->
+      """SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, count(*) AS n, round(sum(value), 2) AS value_sum
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
   )
 }
