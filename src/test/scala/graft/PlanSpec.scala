@@ -1,0 +1,60 @@
+package graft
+
+/** Physical/logical plan assertions — the 100 TB guardrails (SURVEY §5):
+  * filters must reach the parquet scan, no forced broadcast of
+  * scale-growing tables, and no Cartesian product anywhere in the
+  * dedup/similarity family. */
+class PlanSpec extends SparkSpec {
+
+  private def executed(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  private def analyzed(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.analyzed.toString
+
+  test("q1/q2: filters are pushed down to the parquet scan") {
+    for (q <- Seq("q1_pricing_summary", "q2_revenue_filter")) {
+      val plan = executed(q)
+      assert(plan.contains("PushedFilters: ["), s"$q plan has no PushedFilters")
+      assert(plan.contains("l_shipdate"), s"$q shipdate filter missing from scan")
+      assert(!plan.contains("PushedFilters: []"), s"$q pushed-filter list is empty")
+    }
+  }
+
+  test("scan prunes columns: q2 reads only the columns it needs") {
+    val plan = executed("q2_revenue_filter")
+    // ReadSchema must not include untouched wide columns like l_comment
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.nonEmpty, "no ReadSchema in scan")
+    assert(!readSchema.contains("l_comment"), "q2 reads l_comment it never uses")
+  }
+
+  test("broadcast hints exist only for fixed-size dims (region/nation)") {
+    // q5 keeps exactly 2 hints (nation, region); q3/q6 have none — the
+    // customer/supplier joins must be left to AQE.
+    def hintCount(q: String) = "ResolvedHint".r.findAllIn(analyzed(q)).size
+    assert(hintCount("q5_region_volume") == 2)
+    assert(hintCount("q3_shipping_priority") == 0)
+    assert(hintCount("q6_top_customers") == 0)
+  }
+
+  test("dedup/similarity plans contain no CartesianProduct") {
+    for (q <- Seq("dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
+        "dedup_embedding", "sim_search_lsh")) {
+      val plan = executed(q)
+      assert(!plan.contains("CartesianProduct"), s"$q has a Cartesian product")
+    }
+  }
+
+  test("sim_search_topk broadcasts only the query side") {
+    val plan = executed("sim_search_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "brute-force top-k should be a broadcast nested-loop join of the tiny query set")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("ledger/zone-sync anti-joins stay key-only (no wide shuffle)") {
+    val plan = executed("sync_zone_diff")
+    assert(plan.contains("LeftAnti"), "sync plan must use anti-joins")
+  }
+}

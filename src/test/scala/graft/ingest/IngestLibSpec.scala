@@ -1,0 +1,81 @@
+package graft.ingest
+
+import graft.SparkSpec
+
+/** Library-module invariants: Ledger, CsvIngest, SchemaEvolution,
+  * ZoneSync, Watermark — the write/plan paths not exercised by the
+  * oracle-checked queries. */
+class IngestLibSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Ledger.record + pending round-trip") {
+    val ledgerPath = tmpDir("ledger") + "/keys"
+    val all = Seq("f1", "f2", "f3", "f4").toDF("key")
+    Ledger.record(Seq("f1", "f3").toDF("key"), "key", ledgerPath)
+    val processed = spark.read.parquet(ledgerPath)
+    val pending = Ledger.pending(all, processed, "key").as[String].collect().toSet
+    assert(pending == Set("f2", "f4"))
+    // append more processed keys; pending shrinks
+    Ledger.record(Seq("f2").toDF("key"), "key", ledgerPath)
+    val p2 = Ledger.pending(all, spark.read.parquet(ledgerPath), "key")
+      .as[String].collect().toSet
+    assert(p2 == Set("f4"))
+  }
+
+  test("CsvIngest.readCsv applies headers and the type dictionary") {
+    val dir = tmpDir("csv")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/part.csv"), "1,hello,2024-01-02\n2,world,2024-02-03\n")
+    val df = CsvIngest.readCsv(spark, dir, Seq("id", "name", "day"), Seq(4, 1, 6))
+    assert(df.schema.map(f => f.name -> f.dataType.sql).toSeq ==
+      Seq("id" -> "BIGINT", "name" -> "STRING", "day" -> "DATE"))
+    val r = df.orderBy("id").collect()
+    assert(r.length == 2 && r(0).getLong(0) == 1L && r(0).getString(1) == "hello")
+  }
+
+  test("CsvIngest rejects header/type-count mismatches") {
+    val df = Seq(("1", "x")).toDF("a", "b")
+    assertThrows[IllegalArgumentException](CsvIngest.withHeaders(df, Seq("only_one")))
+    assertThrows[IllegalArgumentException](CsvIngest.castByTypeList(df, Seq(4)))
+  }
+
+  test("SchemaEvolution.mergeLayouts null-fills missing columns") {
+    val oldL = Seq((1L, 9.0)).toDF("k", "v")
+    val newL = Seq((2L, 8.0, "p")).toDF("k", "v", "extra")
+    val merged = SchemaEvolution.mergeLayouts(Seq(oldL, newL))
+    assert(merged.columns.toSet == Set("k", "v", "extra"))
+    assert(merged.where("extra IS NULL").count() == 1)
+    assertThrows[IllegalArgumentException](SchemaEvolution.mergeLayouts(Nil))
+  }
+
+  test("ZoneSync.plan splits copy/delete disjointly") {
+    val src = Seq("a", "b", "c").toDF("key")
+    val dst = Seq("b", "c", "d").toDF("key")
+    val p = ZoneSync.plan(src, dst, "key")
+    assert(p.toCopy.as[String].collect().toSet == Set("a"))
+    assert(p.toDelete.as[String].collect().toSet == Set("d"))
+  }
+
+  test("Watermark.newerThanMax keeps only rows above the ingested max") {
+    val source = Seq(1L, 5L, 9L, 12L).toDF("k")
+    val ingested = Seq(1L, 5L).toDF("k")
+    assert(Watermark.newerThanMax(source, ingested, "k")
+      .as[Long].collect().toSet == Set(9L, 12L))
+  }
+
+  test("Watermark.fullRefresh replaces the destination snapshot") {
+    val dst = tmpDir("refresh") + "/table"
+    Watermark.fullRefresh(Seq(1L, 2L).toDF("k"), dst)
+    Watermark.fullRefresh(Seq(7L).toDF("k"), dst)
+    assert(spark.read.parquet(dst).as[Long].collect().toSeq == Seq(7L))
+  }
+
+  test("FilenameRouter parses the reference filename convention") {
+    val files = Seq("ORDERS_20240102_153000.CSV.GZ", "garbage.txt").toDF("fname")
+    val routed = FilenameRouter.route(files)
+      .select("fname", "table_name", "route_status").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(routed.exists { case (f, t, s) => f.startsWith("ORDERS") && t == "ORDERS" && s == "OK" })
+    assert(routed.exists { case (f, _, s) => f == "garbage.txt" && s == "IRREGULAR" })
+  }
+}

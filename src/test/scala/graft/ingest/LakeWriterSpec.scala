@@ -1,0 +1,60 @@
+package graft.ingest
+
+import org.apache.spark.sql.SaveMode
+
+import graft.SparkSpec
+
+class LakeWriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("writePartitioned lays out partition directories") {
+    val out = tmpDir("lw-layout")
+    val df = Seq((1L, "2024-01-01"), (2L, "2024-01-01"), (3L, "2024-01-02"))
+      .toDF("id", "transferred_date")
+    LakeWriter.writePartitioned(df, out)
+    val dirs = new java.io.File(out).listFiles.filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("transferred_date=2024-01-01", "transferred_date=2024-01-02"))
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
+  test("overwrite of one partition preserves the others (dynamic mode)") {
+    val out = tmpDir("lw-dynamic")
+    val initial = Seq((1L, "2024-01-01"), (3L, "2024-01-02")).toDF("id", "transferred_date")
+    LakeWriter.writePartitioned(initial, out)
+    // re-ingest ONLY day 1
+    val day1 = Seq((10L, "2024-01-01")).toDF("id", "transferred_date")
+    LakeWriter.writePartitioned(day1, out, SaveMode.Overwrite)
+    val rows = spark.read.parquet(out)
+      .select("id", "transferred_date").as[(Long, String)].collect().toSet
+    assert(rows == Set((10L, "2024-01-01"), (3L, "2024-01-02")),
+      "day-2 partition must survive a day-1 re-ingest")
+  }
+
+  test("file count per partition is bounded by filesPerPartition") {
+    val out = tmpDir("lw-files")
+    val big = (1 to 2000).map(i => (i.toLong, "2024-02-01")).toDF("id", "transferred_date")
+    LakeWriter.writePartitioned(big, out, filesPerPartition = 4)
+    val files = new java.io.File(s"$out/transferred_date=2024-02-01")
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    assert(files >= 1 && files <= 4)
+  }
+
+  test("withTransferredDate derives yyyy-MM-dd from a timestamp column") {
+    val df = Seq(java.sql.Timestamp.valueOf("2024-03-05 14:30:00")).toDF("ts")
+    val out = LakeWriter.withTransferredDate(df, "ts")
+      .select("transferred_date").as[String].head()
+    assert(out == "2024-03-05")
+  }
+
+  test("compact round-trips a mergeSchema read") {
+    val src = tmpDir("lw-compact-src"); val dst = tmpDir("lw-compact-dst")
+    Seq((1L, "a", "2024-01-01")).toDF("id", "v", "transferred_date")
+      .write.mode("append").parquet(src)
+    Seq((2L, "2024-01-01")).toDF("id", "transferred_date")
+      .write.mode("append").parquet(src)
+    LakeWriter.compact(spark, src, dst)
+    val back = spark.read.parquet(dst)
+    assert(back.count() == 2)
+    assert(back.columns.toSet == Set("id", "v", "transferred_date"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = graft.sources.Tables(spark, sfDir, "documents")
+
+  test("Text.fingerprint is word-order invariant, contentHash is not") {
+    val df = Seq(
+      (1L, "spark makes joins fast"),
+      (2L, "fast joins makes   SPARK"), // same token set, different order
+      (3L, "something else entirely")).toDF("id", "text")
+    val fp = df.select(Text.fingerprint(col("text"))).as[String].collect()
+    assert(fp(0) == fp(1) && fp(0) != fp(2))
+    val ch = df.select(Text.contentHash(col("text"))).as[String].collect()
+    assert(ch(0) != ch(1))
+  }
+
+  test("shingles produce n-grams and tolerate short docs") {
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "text")
+    val sh = df.select(col("id"), Dedup.shingles(Text.tokens(col("text")), 3).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L) == Seq("a b c", "b c d"))
+    assert(sh(2L).isEmpty, "doc shorter than n yields no shingles, not an error")
+  }
+
+  test("jaccardPairs finds planted near-dups and respects the threshold") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text").collect()
+    assert(pairs.nonEmpty, "testdata contains planted near-dup pairs")
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.5))
+    assert(pairs.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+  }
+
+  test("minhash LSH candidates cover the high-Jaccard pairs") {
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text")
+      .where(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(jac.nonEmpty)
+    val recall = jac.intersect(cand).size.toDouble / jac.size
+    assert(recall >= 0.9, s"LSH recall $recall on >=0.9-Jaccard pairs (4 bands x 4 rows)")
+  }
+
+  test("capDocFrequency drops hot shingles") {
+    val hot = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y")).toDF("doc_id", "s")
+    val kept = Dedup.capDocFrequency(hot, maxDf = 2).select("s").as[String].collect()
+    assert(kept.toSet == Set("y"))
+  }
+
+  test("simhash pairs are within the Hamming bound and deterministic") {
+    val pairs = Dedup.simhashCandidates(docs, "doc_id", "text").collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 3))
+    // identical text => identical simhash
+    val twin = Seq((1L, "spark shuffles data fast"), (2L, "spark shuffles data fast"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhash(twin, "doc_id", "text")
+      .select("simhash").as[Long].collect()
+    assert(sigs(0) == sigs(1))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class VectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot/norm/cosine compute in double precision") {
+    val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 0.0f, 0.0f))).toDF("a", "b")
+    val r = df.select(
+      Vectors.dot(Vectors.toDouble(col("a")), Vectors.toDouble(col("b"))).as("dot"),
+      Vectors.norm(Vectors.toDouble(col("a"))).as("na"),
+      Vectors.norm(Vectors.toDouble(col("b"))).as("nb")).head()
+    assert(r.getDouble(0) == 2.0)
+    assert(r.getDouble(1) == 3.0)
+    assert(r.getDouble(2) == 2.0)
+  }
+
+  test("hyperplanes are deterministic per seed and ±1-valued") {
+    val p1 = Vectors.hyperplanes(4, 8, 42L)
+    val p2 = Vectors.hyperplanes(4, 8, 42L)
+    val p3 = Vectors.hyperplanes(4, 8, 43L)
+    assert(p1.map(_.toSeq).toSeq == p2.map(_.toSeq).toSeq)
+    assert(p1.map(_.toSeq).toSeq != p3.map(_.toSeq).toSeq)
+    assert(p1.flatten.forall(v => v == 1.0 || v == -1.0))
+  }
+
+  test("lshBucket groups identical vectors together") {
+    val planes = Vectors.hyperplanes(6, 3, 42L)
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0)), (2L, Seq(1.0, 2.0, 3.0)), (3L, Seq(-9.0, 4.0, -1.0)))
+      .toDF("id", "e")
+    val b = df.select(col("id"), Vectors.lshBucket(col("e"), planes).as("bucket"))
+      .as[(Long, Long)].collect().toMap
+    assert(b(1L) == b(2L))
+    assert(b.values.forall(v => v >= 0 && v < 64))
+  }
+
+  test("embedding near-dup pairs stay within label blocks") {
+    val pairs = VectorQueries.dedupEmbedding(spark, sfDir).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Double]("cosine") >= 0.35))
+  }
+
+  test("LSH top-k returns a subset-scored view consistent with brute force") {
+    val bf = VectorQueries.simSearchTopk(spark, sfDir)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = VectorQueries.simSearchLsh(spark, sfDir)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    // any candidate both paths scored must carry the identical cosine
+    val overlap = lsh.filter(r => bf.contains((r._1, r._2)))
+    assert(overlap.forall(r => bf((r._1, r._2)) == r._3),
+      "LSH rescoring must agree exactly with brute-force cosine")
+  }
+}

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+class EventsPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  private val sample = Seq(
+    (ts(0, 10), "click", 1.0), (ts(0, 40), "click", 2.0), (ts(0, 50), "view", 3.0),
+    (ts(1, 5), "click", 4.0), (ts(2, 30), "view", 5.0), (ts(5, 59), "click", 6.0))
+
+  test("MemoryStream run of windowedCounts matches the batch plan") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val q = EventsPipeline
+      .windowedCounts(stream.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("win_complete")
+      .outputMode("complete").start()
+    try {
+      stream.addData(sample.take(3))
+      q.processAllAvailable()
+      stream.addData(sample.drop(3))
+      q.processAllAvailable()
+      val streamed = spark.table("win_complete").collect().toSet
+      val batch = EventsPipeline
+        .windowedCounts(sample.toDF("ts", "event_type", "value")).collect().toSet
+      assert(streamed == batch,
+        "the same transform must produce identical results in both modes")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("file-source pipeline emits watermark-closed windows exactly once") {
+    val src = tmpDir("ep-src"); val out = tmpDir("ep-out"); val chk = tmpDir("ep-chk")
+    val events = sample.toDF("ts", "event_type", "value")
+    events.write.mode("overwrite").parquet(src)
+    val q = EventsPipeline.start(spark, src, events.schema, out, chk)
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out).collect().toSet
+    val batch = EventsPipeline.windowedCounts(events).collect().toSet
+    assert(streamed.nonEmpty, "at least the early windows are past the watermark")
+    assert(streamed.subsetOf(batch), "append mode may hold open windows, never invent rows")
+    // windows more than watermark (2h) behind the max event (05:59) are closed
+    val closed = batch.filter(_.getString(0) < "2024-01-01 03:00:00")
+    assert(closed.subsetOf(streamed), "every closed window must have been emitted")
+  }
+}
