@@ -15,9 +15,13 @@ object Vectors {
   /** array<float> → array<double>. */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Fold-left dot product in array order (parity with the oracle). */
+  /** Dot product in array order (parity with the oracle): a native fused
+    * expression (graft.functions.VectorDot, codegen'd single loop) —
+    * same left-to-right double accumulation as the previous
+    * `aggregate(zip_with(...))` spelling, minus its per-row intermediate
+    * array. Inputs are assumed equal-length (embedding columns are). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorDot(a, b)
 
   /** L2 norm as sqrt(dot(v, v)) — the same expression shape the oracle
     * uses, so intermediate rounding is identical. */
