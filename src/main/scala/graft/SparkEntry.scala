@@ -57,8 +57,9 @@ object SparkEntry {
     "sim_search_lsh" -> (VectorQueries.simSearchLsh _),
     "embed_stats" -> (VectorQueries.embedStats _),
     "mm_metadata" -> (Multimodal.mmMetadata _),
-    // §2.D streaming (batch face of the streaming transform)
-    "stream_events_window" -> (graft.streaming.EventsPipeline.streamEventsWindow _)
+    // §2.D streaming (batch faces of the streaming transforms)
+    "stream_events_window" -> (graft.streaming.EventsPipeline.streamEventsWindow _),
+    "stream_sessionize" -> (graft.streaming.Sessionize.streamSessionize _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -405,6 +406,29 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS window_start,
         |       event_type, count(*) AS n, round(sum(value), 2) AS value_sum
         |FROM events
-        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, cast(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, sec, event_id,
+        |    CASE WHEN lag(sec) OVER w IS NULL
+        |           OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_start
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |s AS (
+        |  SELECT user_id, sec,
+        |    sum(is_start) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM g),
+        |ses AS (
+        |  SELECT user_id, session_idx, count(*) AS n_events,
+        |         max(sec) - min(sec) AS dur
+        |  FROM s GROUP BY user_id, session_idx)
+        |SELECT user_id, count(*) AS n_sessions,
+        |       cast(sum(n_events) AS BIGINT) AS n_events,
+        |       cast(max(dur) AS BIGINT) AS max_dur_s,
+        |       cast(min(dur) AS BIGINT) AS min_dur_s
+        |FROM ses GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.sources.Tables
+
+/** Gap-based sessionization of the events stream (SURVEY §2.D).
+  *
+  * Batch face: session boundaries via lag + cumulative-sum windows — one
+  * shuffle on user_id, fully oracle-checkable. Streaming face: the same
+  * semantics as custom state over `flatMapGroupsWithState` with an
+  * event-time timeout — sessions close either when a later event arrives
+  * beyond the gap or when the watermark passes the open session's end.
+  * At 100 TB the state store holds ONE small record per active user, and
+  * both faces shuffle only on user_id.
+  */
+object Sessionize {
+
+  /** Inactivity gap that closes a session. */
+  val GapSeconds: Long = 1800L
+
+  // ---------- batch face ----------
+
+  /** Adds `sec` (event epoch-seconds) and `session_idx` (1-based per
+    * user) to an events frame. */
+  def assignSessions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("__gap", col("sec") - lag(col("sec"), 1).over(byUser))
+      .withColumn("__is_start",
+        when(col("__gap").isNull || col("__gap") > GapSeconds, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("__is_start")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__gap", "__is_start")
+  }
+
+  /** D3 query: per-user session statistics (oracle-checked). */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame =
+    assignSessions(Tables(s, dir, "events"))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("sec")) - min(col("sec"))).as("dur"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("dur")).as("max_dur_s"),
+        min(col("dur")).as("min_dur_s"))
+      .orderBy(col("user_id"))
+
+  // ---------- streaming face ----------
+
+  final case class Event(user_id: Long, ts: Timestamp)
+  final case class OpenSession(start: Long, last: Long, n: Long)
+  final case class Session(user_id: Long, start_sec: Long, end_sec: Long, n_events: Long)
+
+  /** Session-closing logic for one user and one micro-batch. */
+  private def updateUser(userId: Long, events: Iterator[Event],
+                         state: GroupState[OpenSession]): Iterator[Session] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Session]
+    if (state.hasTimedOut) {
+      val s = state.get
+      out += Session(userId, s.start, s.last, s.n)
+      state.remove()
+    } else {
+      var cur = state.getOption
+      events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val sec = e.ts.getTime / 1000
+        cur = cur match {
+          case Some(s) if sec - s.last > GapSeconds =>
+            out += Session(userId, s.start, s.last, s.n)
+            Some(OpenSession(sec, sec, 1))
+          case Some(s) =>
+            Some(s.copy(last = math.max(s.last, sec), n = s.n + 1))
+          case None =>
+            Some(OpenSession(sec, sec, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // close the open session once the watermark passes last + gap
+        state.setTimeoutTimestamp((s.last + GapSeconds) * 1000)
+      }
+    }
+    out.iterator
+  }
+
+  /** Continuous sessionization over a streaming events frame (needs
+    * `ts` + `user_id`). Emits one record per CLOSED session. */
+  def sessionizeStream(events: DataFrame,
+                       watermarkDelay: String = "1 hour"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        updateUser)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  test("batch assignSessions splits on gaps > 30 min") {
+    val events = Seq(
+      (7L, 1L, ts(0, 0)), (7L, 2L, ts(0, 10)),            // session 1
+      (7L, 3L, ts(1, 0)), (7L, 4L, ts(1, 20)),            // session 2 (50 min gap)
+      (9L, 5L, ts(0, 0))                                  // other user
+    ).toDF("user_id", "event_id", "ts")
+    val sess = Sessionize.assignSessions(events)
+      .select("user_id", "event_id", "session_idx")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sess == Set((7L, 1L, 1L), (7L, 2L, 1L), (7L, 3L, 2L), (7L, 4L, 2L), (9L, 5L, 1L)))
+  }
+
+  test("flatMapGroupsWithState emits closed sessions matching batch semantics") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp)]
+    val q = Sessionize.sessionizeStream(stream.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 7: two events 10 min apart, then a 2h gap, then one more
+      stream.addData((7L, ts(0, 0)), (7L, ts(0, 10)))
+      q.processAllAvailable()
+      stream.addData((7L, ts(2, 10)))   // closes session 1 via gap
+      q.processAllAvailable()
+      // advance the watermark far enough to time out the open session
+      stream.addData((99L, ts(9, 0)))
+      q.processAllAvailable()
+      stream.addData((99L, ts(12, 0)))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .select("user_id", "start_sec", "end_sec", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      def sec(t: Timestamp) = t.getTime / 1000
+      assert(got.contains((7L, sec(ts(0, 0)), sec(ts(0, 10)), 2L)),
+        s"gap-closed session missing from $got")
+      assert(got.contains((7L, sec(ts(2, 10)), sec(ts(2, 10)), 1L)),
+        s"timeout-closed session missing from $got")
+    } finally q.stop()
+  }
+
+  test("stream_sessionize query matches its own invariants at sf0.001") {
+    val r = Sessionize.streamSessionize(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_sessions") >= 1L)
+      assert(row.getAs[Long]("n_events") >= row.getAs[Long]("n_sessions"))
+      assert(row.getAs[Long]("max_dur_s") >= row.getAs[Long]("min_dur_s"))
+    }
+  }
+}
