@@ -70,6 +70,21 @@ class IngestLibSpec extends SparkSpec {
     assert(spark.read.parquet(dst).as[Long].collect().toSeq == Seq(7L))
   }
 
+  test("ZoneSync.backupConfig snapshots config and refuses to clobber") {
+    val root = tmpDir("confbak")
+    val config = Seq(("orders", "g1", "daily")).toDF("table", "group", "feq")
+    val dest = ZoneSync.backupConfig(config, root, "20240101_120000")
+    assert(dest == s"$root/conf_20240101_120000")
+    assert(spark.read.parquet(dest).count() == 1)
+    // same timestamp again must fail rather than overwrite a backup
+    assertThrows[Exception](ZoneSync.backupConfig(config, root, "20240101_120000"))
+  }
+
+  test("ZoneSync.userZonePath mirrors the reference layout") {
+    assert(ZoneSync.userZonePath("bkt", "data", "g1", "daily", "orders") ==
+      "bkt/data/g1/daily/orders")
+  }
+
   test("FilenameRouter parses the reference filename convention") {
     val files = Seq("ORDERS_20240102_153000.CSV.GZ", "garbage.txt").toDF("fname")
     val routed = FilenameRouter.route(files)
