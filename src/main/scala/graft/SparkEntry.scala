@@ -32,6 +32,7 @@ object SparkEntry {
     "q9_cust_no_orders" -> (LakeQueries.q9CustNoOrders _),
     "q10_event_gaps" -> (LakeQueries.q10EventGaps _),
     "q11_json_props" -> (LakeQueries.q11JsonProps _),
+    "q12_promo_revenue" -> (LakeQueries.q12PromoRevenue _),
     // §2.B ingestion semantics
     "ingest_typecast" -> (IngestQueries.ingestTypecast _),
     "ingest_filename_route" -> (IngestQueries.ingestFilenameRoute _),
@@ -170,6 +171,18 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n, cast(sum(k) AS BIGINT) AS k_sum,
         |       round(avg(k),4) AS k_avg, round(sum(value),2) AS value_sum
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q12_promo_revenue" ->
+      """WITH j AS (
+        |  SELECT p_type,
+        |         sum(l_extendedprice * (1 - l_discount)) AS rev,
+        |         count(*) AS lines
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY p_type)
+        |SELECT p_type, round(rev, 2) AS revenue, lines,
+        |       round(100.0 * rev / sum(rev) OVER (), 4) AS pct
+        |FROM j ORDER BY p_type""".stripMargin,
     "ingest_typecast" ->
       """WITH raw AS (
         |  SELECT cast(event_id AS VARCHAR) AS c0, cast(user_id AS VARCHAR) AS c1,

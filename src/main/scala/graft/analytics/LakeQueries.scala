@@ -151,6 +151,25 @@ object LakeQueries {
       .orderBy(col("event_type"))
   }
 
+  /** A12: TPC-H Q14-style promotion revenue — lineitem⋈part on partkey
+    * with a ship-date window, revenue share per part type. part grows
+    * with scale factor, so no broadcast hint: the join shuffles on
+    * partkey and AQE upgrades to broadcast only when actually small. */
+  def q12PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit(ts("1996-01-01")) && col("l_shipdate") < lit(ts("1996-04-01")))
+    val joined = li.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"),
+        count(lit(1)).as("lines"))
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    joined
+      .withColumn("pct", lit(100.0) * col("rev") / sum(col("rev")).over(w))
+      .select(col("p_type"), round(col("rev"), 2).as("revenue"), col("lines"),
+        round(col("pct"), 4).as("pct"))
+      .orderBy(col("p_type"))
+  }
+
   /** A11: JSON property extraction from events.props + agg (regexp-based
     * so the oracle needs no JSON extension). */
   def q11JsonProps(s: SparkSession, dir: String): DataFrame =
