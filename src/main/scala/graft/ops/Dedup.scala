@@ -18,17 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles (distinct, space-joined) of a token array. */
-  def shingles(toks: Column, n: Int): Column = {
-    val grams = transform(sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*))
-    array_distinct(when(size(toks) >= n, grams)
-      .otherwise(array().cast("array<string>")))
-  }
+  /** Word n-gram shingles (distinct, space-joined) of a text column —
+    * one native codegen'd pass ([[graft.functions.WordShingles]]; the
+    * transform/array_distinct spelling evaluated interpreted per element
+    * and dominated the dedup runtime). */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.WordShingles(text, n)
 
   /** Exploded (id, shingle) frame for a document frame. */
   def shingleFrame(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol), explode(shingles(Text.tokens(col(textCol)), n)).as("s"))
+    docs.select(col(idCol), explode(shingles(col(textCol), n)).as("s"))
 
   /** Drop shingles whose document frequency exceeds `maxDf` (the skew
     * guard — mirrors stopword-shingle removal in production dedup).
@@ -76,13 +75,19 @@ object Dedup {
 
   /** MinHash signature columns m0..m{k-1}: per permutation k the min (lex)
     * of md5("k|" + shingle) — one groupBy computes all k mins, so the
-    * shingle explosion is scanned once regardless of k. */
-  def minhashSignature(shingled: DataFrame, idCol: String, numHashes: Int): DataFrame =
-    shingled.groupBy(col(idCol))
+    * shingle explosion is scanned once regardless of k. The k hashes per
+    * row come from ONE native expression pass
+    * ([[graft.functions.MinHashes]]: single byte conversion, thread-local
+    * digest) instead of k independent concat→md5 trees. */
+  def minhashSignature(shingled: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val sigs = shingled.withColumn("__sigs",
+      graft.functions.MinHashes(col("s"), numHashes))
+    sigs.groupBy(col(idCol))
       .agg(
-        min(md5(concat(lit("0|"), col("s")))).as("m0"),
+        min(element_at(col("__sigs"), 1)).as("m0"),
         (1 until numHashes).map(k =>
-          min(md5(concat(lit(s"$k|"), col("s")))).as(s"m$k")): _*)
+          min(element_at(col("__sigs"), k + 1)).as(s"m$k")): _*)
+  }
 
   /** LSH banding: (id, band_idx, band_key) with band_key = md5 of the
     * band's row minhashes joined by '|'. */

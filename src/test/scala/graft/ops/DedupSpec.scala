@@ -22,10 +22,24 @@ class DedupSpec extends SparkSpec {
 
   test("shingles produce n-grams and tolerate short docs") {
     val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "text")
-    val sh = df.select(col("id"), Dedup.shingles(Text.tokens(col("text")), 3).as("s"))
+    val sh = df.select(col("id"), Dedup.shingles(col("text"), 3).as("s"))
       .as[(Long, Seq[String])].collect().toMap
     assert(sh(1L) == Seq("a b c", "b c d"))
     assert(sh(2L).isEmpty, "doc shorter than n yields no shingles, not an error")
+  }
+
+  test("native shingles match the higher-order-function spelling") {
+    val toks = Text.tokens(col("text"))
+    val grams = transform(sequence(lit(0), size(toks) - 3),
+      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+        element_at(toks, i + 3)))
+    val builtin = when(size(toks) >= 3, array_distinct(grams))
+      .otherwise(array().cast("array<string>"))
+    val mismatch = docs
+      .select(Dedup.shingles(col("text"), 3).as("a"), builtin.as("b"))
+      .where(not(col("a") === col("b")))
+      .count()
+    assert(mismatch == 0, "native and built-in shingle sets must agree on every doc")
   }
 
   test("jaccardPairs finds planted near-dups and respects the threshold") {
