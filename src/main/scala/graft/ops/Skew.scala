@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities (SURVEY §5).
+  *
+  * AQE's skew-join handling splits oversized SORT-MERGE join partitions
+  * automatically, but it cannot help when the build side must replicate
+  * (broadcast-miss hot keys) or when a single key dwarfs the rest so
+  * badly that even split partitions stall. Salting is the explicit
+  * remedy: spread the hot side over `saltFactor` sub-keys, replicate the
+  * small side once per salt, join on (key, salt).
+  *
+  * The salt is derived from a STABLE hash of the row — never from
+  * `rand()`/`spark_partition_id()` — so task retries recompute the same
+  * assignment (the determinism rule every shuffle key in this repo
+  * follows).
+  */
+object Skew {
+
+  /** Equi-join `large` with `small` on `key`, spreading each of
+    * `large`'s keys over `saltFactor` sub-partitions. `small` is
+    * replicated `saltFactor`x, so keep it broadcast-sized or the factor
+    * modest. Semantically identical to `large.join(small, key, joinType)`
+    * for inner/left joins on a unique-keyed small side. */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(saltFactor >= 1, s"saltFactor must be positive: $saltFactor")
+    val salted = large.withColumn("__salt",
+      pmod(xxhash64(large.columns.map(col): _*), lit(saltFactor)))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until saltFactor).map(i => lit(i.toLong)): _*)))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

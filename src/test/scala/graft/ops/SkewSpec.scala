@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 1000 rows of one hot key + a long tail
+  private lazy val large = ((1 to 1000).map(_ => (1L, "hot")) ++
+    (2 to 50).map(i => (i.toLong, s"cold$i"))).toDF("k", "v")
+  private lazy val small = Seq((1L, "dim1"), (2L, "dim2"), (7L, "dim7"))
+    .toDF("k", "name")
+
+  test("saltedJoin returns exactly what the plain join returns") {
+    val plain = large.join(small, Seq("k"), "inner")
+      .select("k", "v", "name").as[(Long, String, String)].collect().sorted
+    val salted = Skew.saltedJoin(large, small, "k", saltFactor = 8)
+      .select("k", "v", "name").as[(Long, String, String)].collect().sorted
+    assert(salted.toSeq == plain.toSeq)
+    assert(salted.count(_._1 == 1L) == 1000)
+  }
+
+  test("left joins preserve unmatched rows exactly once") {
+    val plain = large.join(small, Seq("k"), "left")
+      .select("k", "v", "name").collect().map(_.toString).sorted
+    val salted = Skew.saltedJoin(large, small, "k", 4, "left")
+      .select("k", "v", "name").collect().map(_.toString).sorted
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("the hot key actually spreads across salts") {
+    val salts = large.where($"k" === 1L)
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(large.columns.map(org.apache.spark.sql.functions.col): _*),
+        org.apache.spark.sql.functions.lit(8)))
+      .distinct().count()
+    assert(salts >= 1, "identical rows share a salt; distinct rows spread")
+    // distinct (k,v) rows of the hot key are identical here, so spreading
+    // requires distinct row content — check with varied rows instead:
+    val varied = (1 to 1000).map(i => (1L, s"hot$i")).toDF("k", "v")
+    val spread = Skew.saltedJoin(varied, small, "k", 8)
+    assert(spread.count() == 1000)
+    val saltCount = varied.select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("k"),
+          org.apache.spark.sql.functions.col("v")),
+        org.apache.spark.sql.functions.lit(8)))
+      .distinct().count()
+    assert(saltCount == 8, "1000 distinct hot-key rows must hit all 8 salts")
+  }
+}
