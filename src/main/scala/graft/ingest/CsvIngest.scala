@@ -45,6 +45,17 @@ object CsvIngest {
     df.select(cols: _*)
   }
 
+  /** Config row valid for `table` on the file's business date — the
+    * reference's validity-window lookup (L295: `STARTDATE <= d AND
+    * ENDDATE > d AND TABLE = t`), so one table name can change layout
+    * over time and each landing file is parsed with the layout that was
+    * live on its date. Config carries `table`, `start_date`, `end_date`
+    * (date-typed) plus the header/type payload columns. */
+  def configFor(config: DataFrame, table: String,
+                fileDate: java.sql.Date): DataFrame =
+    config.where(col("table") === table &&
+      col("start_date") <= lit(fileDate) && col("end_date") > lit(fileDate))
+
   /** Read a headerless CSV the way the reference does (L311), then apply
     * headers + types. Distributed: one DataFrame per *table*, with all of
     * that table's files globbed into one scan — not one driver thread per

@@ -33,6 +33,21 @@ class IngestLibSpec extends SparkSpec {
     assert(r.length == 2 && r(0).getLong(0) == 1L && r(0).getString(1) == "hello")
   }
 
+  test("CsvIngest.configFor picks the layout live on the file date") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val config = Seq(
+      ("orders", d("2020-01-01"), d("2023-01-01"), "v1"),
+      ("orders", d("2023-01-01"), d("9999-12-31"), "v2"),
+      ("other", d("2020-01-01"), d("9999-12-31"), "x")
+    ).toDF("table", "start_date", "end_date", "layout")
+    assert(CsvIngest.configFor(config, "orders", d("2022-06-15"))
+      .select("layout").as[String].collect().toSeq == Seq("v1"))
+    assert(CsvIngest.configFor(config, "orders", d("2023-01-01"))
+      .select("layout").as[String].collect().toSeq == Seq("v2"),
+      "END date is exclusive, START inclusive (ref L295)")
+    assert(CsvIngest.configFor(config, "orders", d("2019-12-31")).count() == 0)
+  }
+
   test("CsvIngest rejects header/type-count mismatches") {
     val df = Seq(("1", "x")).toDF("a", "b")
     assertThrows[IllegalArgumentException](CsvIngest.withHeaders(df, Seq("only_one")))

@@ -36,6 +36,27 @@ class EventsPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint restart ingests only new files, no duplicate windows") {
+    val src = tmpDir("ep-rs-src"); val out = tmpDir("ep-rs-out"); val chk = tmpDir("ep-rs-chk")
+    val batch1 = sample.take(4).toDF("ts", "event_type", "value")
+    batch1.write.mode("append").parquet(src)
+    val q1 = EventsPipeline.start(spark, src, batch1.schema, out, chk)
+    q1.awaitTermination(120000)
+    val afterFirst = spark.read.parquet(out).count()
+    // drop more files, restart from the SAME checkpoint
+    sample.drop(4).toDF("ts", "event_type", "value").write.mode("append").parquet(src)
+    val q2 = EventsPipeline.start(spark, src, batch1.schema, out, chk)
+    q2.awaitTermination(120000)
+    val finalRows = spark.read.parquet(out).collect().toSet
+    assert(finalRows.size >= afterFirst,
+      "restart must extend, never shrink, the output")
+    assert(finalRows.size == finalRows.map(_.toString).size)
+    val batch = EventsPipeline.windowedCounts(sample.toDF("ts", "event_type", "value"))
+      .collect().toSet
+    assert(finalRows.subsetOf(batch),
+      "restarted stream must agree with the batch plan — no dupes, no drift")
+  }
+
   test("file-source pipeline emits watermark-closed windows exactly once") {
     val src = tmpDir("ep-src"); val out = tmpDir("ep-out"); val chk = tmpDir("ep-chk")
     val events = sample.toDF("ts", "event_type", "value")
