@@ -67,6 +67,16 @@ object EventsPipeline {
       .trigger(trigger)
       .start()
 
+  /** Exactly-once INGEST dedup: drop re-delivered events by id inside
+    * the watermark horizon. The streaming replacement for the
+    * reference's processed-list idempotency — file-level tracking
+    * (the file source's ledger) plus row-level dedup for at-least-once
+    * upstreams. State holds only ids newer than the watermark. */
+  def dedupedStream(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** D1 query: the same [[windowedCounts]] transform run in batch mode
     * over the events table — the oracle-checkable face of the stream. */
   def streamEventsWindow(s: SparkSession, dir: String): DataFrame =

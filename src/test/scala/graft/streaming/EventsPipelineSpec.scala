@@ -57,6 +57,26 @@ class EventsPipelineSpec extends SparkSpec {
       "restarted stream must agree with the batch plan — no dupes, no drift")
   }
 
+  test("dedupedStream drops re-delivered event ids within the watermark") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventsPipeline
+      .dedupedStream(stream.toDF().toDF("event_id", "ts", "value"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, ts(0, 0), 1.0), (2L, ts(0, 5), 2.0))
+      q.processAllAvailable()
+      // re-deliver event 1 (same id, later ts) plus a new event
+      stream.addData((1L, ts(0, 10), 1.0), (3L, ts(0, 15), 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream")
+        .select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L),
+        "each event id must be emitted exactly once within the watermark")
+    } finally q.stop()
+  }
+
   test("file-source pipeline emits watermark-closed windows exactly once") {
     val src = tmpDir("ep-src"); val out = tmpDir("ep-out"); val chk = tmpDir("ep-chk")
     val events = sample.toDF("ts", "event_type", "value")
