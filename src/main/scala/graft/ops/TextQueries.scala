@@ -33,27 +33,38 @@ object TextQueries {
   }
 
   /** C8: language ID — marker-vocabulary argmax vs the labeled lang
-    * column, reported as a confusion matrix. */
-  def textLangid(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("lang"), Text.langId(Text.tokens(col("text"))).as("predicted"))
+    * column, reported as a confusion matrix. Marker counts come from one
+    * native [[graft.functions.TokenMarkerStats]] scan; the argmax cascade
+    * mirrors the oracle SQL's CASE (earlier language wins ties). */
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("lang"), graft.functions.TokenMarkerStats(col("text")).as("st"))
+    val (en, es, de, fr) =
+      (col("st.en"), col("st.es"), col("st.de"), col("st.fr"))
+    val predicted =
+      when(en === 0 && es === 0 && de === 0 && fr === 0, "und")
+        .when(en >= es && en >= de && en >= fr, "en")
+        .when(es >= de && es >= fr, "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    d.select(col("lang"), predicted.as("predicted"))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("predicted"))
+  }
 
   /** C9: quality scoring — token count, stopword ratio, average token
     * length folded into a [0,1] score; per-source aggregate. */
   def textQuality(s: SparkSession, dir: String): DataFrame = {
-    val toks = Text.tokens(col("text"))
-    val norm = Text.normalized(col("text"))
-    val nTok = size(toks).cast("double")
-    val stopRatio = Text.markerCount(toks, Text.stopwords).cast("double") / nTok
-    val avgLen = length(regexp_replace(norm, " ", "")).cast("double") / nTok
+    val d = docs(s, dir)
+      .select(col("source"), graft.functions.TokenMarkerStats(col("text")).as("st"))
+    val nTok = col("st.ws_tokens").cast("double")
+    val stopRatio = col("st.stop").cast("double") / nTok
+    val avgLen = col("st.alpha_len").cast("double") / nTok
     val score = lit(0.4) * least(nTok / 100.0, lit(1.0)) +
       lit(0.3) * least(stopRatio * 10.0, lit(1.0)) +
       lit(0.3) * when(avgLen >= 3.0 && avgLen <= 8.0, 1.0).otherwise(0.0)
-    docs(s, dir)
-      .select(col("source"), nTok.as("n_tok"), stopRatio.as("stop_ratio"), score.as("q"))
+    d.select(col("source"), nTok.as("n_tok"), stopRatio.as("stop_ratio"), score.as("q"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("docs"),
         round(avg(col("n_tok")), 4).as("avg_tokens"),
@@ -66,9 +77,8 @@ object TextQueries {
   /** C10: token counting — whitespace tokens and BPE-ish regex pieces. */
   def textTokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("lang"),
-        size(Text.tokens(col("text"))).cast("long").as("ws"),
-        Text.regexTokenCount(col("text")).as("re_tok"))
+      .select(col("lang"), graft.functions.TokenMarkerStats(col("text")).as("st"))
+      .select(col("lang"), col("st.ws_tokens").as("ws"), col("st.re_tokens").as("re_tok"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("docs"),
         sum(col("ws")).as("ws_tokens"),
