@@ -114,22 +114,14 @@ object Dedup {
       .agg(count(lit(1)).as("shared_bands"))
   }
 
-  /** 60-bit SimHash from token multiplicities: token hash = first 15 hex
-    * chars of md5 (60 bits, sign-safe in a long); simhash bit i is set
-    * when the count-weighted ±1 sum over tokens is positive. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("tok"))
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
-    val bitSums = (0 until 60).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"b$i"))
-    val withSums = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val hash = (0 until 60).map(i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((x, y) => x + y)
-    withSums.select(col(idCol), hash.as("simhash"))
-  }
+  /** 60-bit SimHash: token hash = first 15 hex chars of md5 (60 bits,
+    * sign-safe in a long); signature bit i is set when the
+    * occurrence-weighted ±1 sum over tokens is positive. One native
+    * pass per document ([[graft.functions.SimHash64]]) — no token
+    * explode, no shuffles; the spec proves equality with the exploded
+    * 60-aggregate spelling. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), graft.functions.SimHash64(col(textCol)).as("simhash"))
 
   /** SimHash near-dup candidates: 4 bands of 15 bits block the pairs, then
     * exact Hamming distance <= `maxHamming` filters (any pair within

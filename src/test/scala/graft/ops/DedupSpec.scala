@@ -66,6 +66,24 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSet == Set("y"))
   }
 
+  test("native simhash equals the exploded 60-aggregate spelling") {
+    val tok = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until 60).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"b$i"))
+    val withSums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val hash = (0 until 60).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((x, y) => x + y)
+    val builtin = withSums.select(col("doc_id"), hash.as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val native = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(native == builtin, "native SimHash64 must reproduce the exploded spelling")
+  }
+
   test("simhash pairs are within the Hamming bound and deterministic") {
     val pairs = Dedup.simhashCandidates(docs, "doc_id", "text").collect()
     assert(pairs.nonEmpty)
