@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   * loop, so routing 100M landing files is a normal Spark job.
   */
 object FilenameRouter {
-  /** `TABLE_YYYYMMDD_HHMMSS.CSV.GZ` — table name may itself contain '_'. */
-  val pattern = "^(.+)_([0-9]{8})_[0-9]{6}\\.CSV\\.GZ$"
+  /** `TABLE_YYYYMMDD_HHMMSS.CSV[.GZ]` — table name may itself contain
+    * '_'; the reference ships only gzipped files, plain CSV is accepted
+    * too (same groups: 1=table, 2=date). */
+  val pattern = "^(.+)_([0-9]{8})_[0-9]{6}\\.CSV(\\.GZ)?$"
 
   def isStandard(fname: Column): Column = fname.rlike(pattern)
 

@@ -1,0 +1,55 @@
+package graft.ingest
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+/** Integration: the whole daily transformation run, twice — the second
+  * run must be incremental (ledger-gated) and idempotent. */
+class IngestJobSpec extends SparkSpec {
+
+  private val configs = Map(
+    "ORDERS" -> IngestJob.TableConfig(Seq("id", "amount", "day"), Seq(4, 2, 6)),
+    "CUST" -> IngestJob.TableConfig(Seq("id", "name"), Seq(4, 1)))
+
+  private def drop(dir: String, name: String, lines: String): Unit =
+    Files.writeString(Paths.get(s"$dir/$name"), lines)
+
+  test("full run: route, parse, partition, ledger; second run incremental") {
+    val landing = tmpDir("ij-landing"); val storing = tmpDir("ij-storing")
+    val ledger = tmpDir("ij-ledger") + "/processed"
+
+    drop(landing, "ORDERS_20240101_080000.CSV", "1,10.5,2024-01-01\n2,20.0,2024-01-01\n")
+    drop(landing, "ORDERS_20240102_080000.CSV", "3,30.0,2024-01-02\n")
+    drop(landing, "CUST_20240101_090000.CSV", "7,alice\n")
+    drop(landing, "UNKNOWN_20240101_080000.CSV.GZ", "x\n")  // no config
+    drop(landing, "garbage.txt", "zzz\n")                   // bad name
+
+    val r1 = IngestJob.run(spark, landing, storing, ledger, configs)
+    assert(r1.processed == Map("ORDERS" -> 3L, "CUST" -> 1L))
+    assert(r1.skippedAsProcessed == 0)
+    val fails = r1.failures.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fails == Set(
+      ("UNKNOWN_20240101_080000.CSV.GZ", FailureClassifier.OutOfConfig),
+      ("garbage.txt", FailureClassifier.Irregular)))
+
+    // storing zone: partitioned by the filename's business date
+    val orders = spark.read.parquet(s"$storing/ORDERS")
+    assert(orders.count() == 3)
+    assert(orders.select("transferred_date").distinct().count() == 2)
+    assert(orders.schema("amount").dataType.typeName == "float")
+
+    // run 2: one new file; everything else ledger-skipped
+    drop(landing, "ORDERS_20240103_080000.CSV", "4,40.0,2024-01-03\n")
+    val r2 = IngestJob.run(spark, landing, storing, ledger, configs)
+    assert(r2.processed == Map("ORDERS" -> 1L))
+    assert(r2.skippedAsProcessed == 5, "all five round-1 files skip via the ledger")
+    assert(r2.failures.isEmpty)
+    val after = spark.read.parquet(s"$storing/ORDERS")
+    assert(after.count() == 4, "day-3 file appends; days 1-2 untouched")
+
+    // run 3: nothing new — a no-op
+    val r3 = IngestJob.run(spark, landing, storing, ledger, configs)
+    assert(r3.processed.isEmpty && r3.skippedAsProcessed == 6)
+  }
+}
