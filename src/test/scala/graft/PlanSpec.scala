@@ -57,4 +57,18 @@ class PlanSpec extends SparkSpec {
     val plan = executed("sync_zone_diff")
     assert(plan.contains("LeftAnti"), "sync plan must use anti-joins")
   }
+
+  test("q12: date filter pushes to the lineitem scan, no forced broadcast") {
+    val plan = executed("q12_promo_revenue")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      plan.contains("GreaterThanOrEqual(l_shipdate"), "shipdate must reach the scan")
+    assert("ResolvedHint".r.findAllIn(analyzed("q12_promo_revenue")).isEmpty)
+  }
+
+  test("sessionization shuffles once on user_id (windows + both aggs reuse it)") {
+    val plan = executed("stream_sessionize")
+    val dataShuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(dataShuffles == 1,
+      s"lag window, session agg and user agg must share one user_id shuffle:\n$plan")
+  }
 }
