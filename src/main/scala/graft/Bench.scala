@@ -8,7 +8,10 @@ import org.apache.spark.sql.SparkSession
   * start-up is not charged to whichever query happens to run first; timed
   * queries materialize through a noop-format write so the full plan
   * (sorts, projections, limits) executes — `count()` would let Catalyst
-  * prune work a real consumer pays for. Failures are reported in an
+  * prune work a real consumer pays for. Each query is timed
+  * SPARK_GRAFT_REPS times (default 2) and the MINIMUM is reported —
+  * the shared bench box shows 1.5–2x run-to-run noise, and min-of-N
+  * measures the code, not the neighbors. Failures are reported in an
   * `errors` field, never recorded as a fake timing.
   */
 object Bench {
@@ -41,13 +44,18 @@ object Bench {
     }
     names.foreach(materialize(_, warmDir)) // warm-up: not timed
 
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    names.foreach { name =>
-      val t0 = System.nanoTime()
-      materialize(name, sfDir) match {
-        case None => timings(name) = (System.nanoTime() - t0) / 1e9
-        case Some(msg) => errors(name) = msg
+    for (rep <- 1 to reps; name <- names) {
+      if (!errors.contains(name)) {
+        val t0 = System.nanoTime()
+        materialize(name, sfDir) match {
+          case None =>
+            val sec = (System.nanoTime() - t0) / 1e9
+            timings(name) = timings.get(name).fold(sec)(math.min(_, sec))
+          case Some(msg) => errors(name) = msg; timings.remove(name)
+        }
       }
     }
 

@@ -57,6 +57,7 @@ object SparkEntry {
     "sim_search_topk" -> (VectorQueries.simSearchTopk _),
     "sim_search_lsh" -> (VectorQueries.simSearchLsh _),
     "embed_stats" -> (VectorQueries.embedStats _),
+    "embed_centroids" -> (VectorQueries.embedCentroids _),
     "mm_metadata" -> (Multimodal.mmMetadata _),
     // §2.D streaming (batch faces of the streaming transforms)
     "stream_events_window" -> (graft.streaming.EventsPipeline.streamEventsWindow _),
@@ -382,6 +383,19 @@ object SparkEntry {
         |SELECT query_id, rnk, vec_id, cosine FROM r WHERE rnk <= 10
         |ORDER BY query_id, rnk, vec_id""".stripMargin,
     // sim_search_lsh: rows-only (hyperplane set generated Scala-side).
+    "embed_centroids" ->
+      """WITH v AS (
+        |  SELECT label, list_transform(embedding, x -> x::DOUBLE) AS e
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT label, i AS dim, avg(e[i]) AS m, count(*) AS n
+        |  FROM v, unnest(generate_series(1, len(e))) AS t(i)
+        |  GROUP BY label, i)
+        |SELECT label, cast(max(n) AS BIGINT) AS n_vecs,
+        |       round(sqrt(sum(m*m)), 4) AS centroid_norm,
+        |       round(max(m), 4) AS max_comp,
+        |       round(min(m), 4) AS min_comp
+        |FROM c GROUP BY label ORDER BY label""".stripMargin,
     "embed_stats" ->
       """WITH v AS (
         |  SELECT label, list_transform(embedding, x -> x::DOUBLE) AS e

@@ -86,6 +86,25 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rnk"), col("vec_id"))
   }
 
+  /** C14: per-label centroids — elementwise mean via posexplode →
+    * (label, dim) partial means → per-label centroid stats. The
+    * (label, dim) grouping spreads one label's work over dim keys, so a
+    * giant cluster never lands on a single reducer. */
+  def embedCentroids(s: SparkSession, dir: String): DataFrame = {
+    val exploded = emb(s, dir)
+      .select(col("label"), posexplode(col("e")).as(Seq("dim", "comp")))
+    val dimMeans = exploded
+      .groupBy(col("label"), col("dim"))
+      .agg(avg(col("comp")).as("m"), count(lit(1)).as("n"))
+    dimMeans
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"),
+        round(max(col("m")), 4).as("max_comp"),
+        round(min(col("m")), 4).as("min_comp"))
+      .orderBy(col("label"))
+  }
+
   /** C13: per-label vector statistics (norms + mean component). */
   def embedStats(s: SparkSession, dir: String): DataFrame = {
     val meanComp = aggregate(col("e"), lit(0.0), (acc, x) => acc + x) / size(col("e"))
