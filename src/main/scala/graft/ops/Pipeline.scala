@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The §2.C operators composed the way a training-data pipeline actually
+  * runs them: quality gate → exact dedup → MinHash near-dup removal.
+  * Each stage keeps the lowest doc id of its duplicate cluster (stable,
+  * deterministic keeper), and each is a bounded-cost plan: narrow
+  * quality projection, one hash shuffle, LSH-banded candidate join.
+  */
+object Pipeline {
+
+  final case class CorpusStats(input: Long, afterQuality: Long,
+                               afterExact: Long, afterNearDup: Long)
+
+  /** Minimum quality score (see [[TextQueries.textQuality]] formula). */
+  val MinQuality = 0.5
+
+  /** Quality gate: tokens/stopword/length folded score >= `minQ`. */
+  def qualityFilter(docs: DataFrame, textCol: String,
+                    minQ: Double = MinQuality): DataFrame = {
+    val st = graft.functions.TokenMarkerStats(col(textCol))
+    val nTok = col("__st.ws_tokens").cast("double")
+    val stopRatio = col("__st.stop").cast("double") / nTok
+    val avgLen = col("__st.alpha_len").cast("double") / nTok
+    val score = lit(0.4) * least(nTok / 100.0, lit(1.0)) +
+      lit(0.3) * least(stopRatio * 10.0, lit(1.0)) +
+      lit(0.3) * when(avgLen >= 3.0 && avgLen <= 8.0, 1.0).otherwise(0.0)
+    docs.withColumn("__st", st)
+      .where(score >= minQ)
+      .drop("__st")
+  }
+
+  /** Keep the min-id document of every exact-duplicate cluster. */
+  def dropExactDups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keeper = min(col(idCol))
+      .over(Window.partitionBy(Text.contentHash(col(textCol))))
+    docs.withColumn("__keeper", keeper)
+      .where(col(idCol) === col("__keeper"))
+      .drop("__keeper")
+  }
+
+  /** Keep the min-id document of every MinHash-LSH near-dup cluster.
+    * Candidates come from [[Dedup.minhashCandidates]]; a doc is dropped
+    * iff some candidate partner has a smaller id (no transitive-closure
+    * chasing — single-link per pair, the standard streaming-friendly
+    * approximation). */
+  def dropNearDups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val losers = Dedup.minhashCandidates(docs, idCol, textCol)
+      .select(col("doc_b").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Full cleaning pass; returns (cleaned corpus, per-stage counts). */
+  def cleanCorpus(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): (DataFrame, CorpusStats) = {
+    val q = qualityFilter(docs, textCol)
+    val e = dropExactDups(q, idCol, textCol)
+    val n = dropNearDups(e, idCol, textCol)
+    (n, CorpusStats(docs.count(), q.count(), e.count(), n.count()))
+  }
+}

@@ -1,0 +1,32 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cleanCorpus removes exact dups, near-dups and junk; keeps min ids") {
+    val base = "spark shuffles data across the cluster and sorts every partition " * 8
+    val docs = Seq(
+      (1L, base),                       // keeper of exact cluster {1,2}
+      (2L, base),                       // exact dup of 1
+      (3L, base + "with one extra tail sentence appended here"), // near-dup of 1
+      (4L, "an entirely different document about streaming watermarks " * 8),
+      (5L, "x")                         // junk: fails the quality gate
+    ).toDF("doc_id", "text")
+    val (clean, stats) = Pipeline.cleanCorpus(docs)
+    val kept = clean.select("doc_id").as[Long].collect().toSet
+    assert(stats.input == 5 && stats.afterQuality == 4)
+    assert(stats.afterExact == 3, "doc 2 is an exact dup of doc 1")
+    assert(stats.afterNearDup == 2, "doc 3 is a minhash near-dup of doc 1")
+    assert(kept == Set(1L, 4L), s"min-id keepers survive, got $kept")
+  }
+
+  test("cleanCorpus on real documents shrinks the planted-dup corpus") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val (_, stats) = Pipeline.cleanCorpus(docs)
+    assert(stats.afterQuality <= stats.input)
+    assert(stats.afterNearDup < stats.afterExact,
+      "testdata's planted near-dup pairs must lose their non-keeper half")
+  }
+}
