@@ -63,7 +63,25 @@ object IngestJob {
       .select(col("fname"), col("table_name"))
       .as[(String, String)].collect()        // metadata-scale: file names only
 
-    val written = todo.groupBy(_._2).map { case (table, entries) =>
+    // header-count validation per FILE (ref L313–318 UNMATCH): one
+    // distributed text scan measures each pending file's width before
+    // any file is parsed with the wrong layout
+    val widthByFile: Map[String, Int] =
+      if (todo.isEmpty) Map.empty
+      else spark.read.text(todo.map(e => s"$landingDir/${e._1}"): _*)
+        .select(
+          element_at(split(input_file_name(), "/"), -1).as("fname"),
+          (size(split(col("value"), ","))).as("w"))
+        .groupBy(col("fname")).agg(max(col("w")).as("w"))
+        .as[(String, Int)].collect().toMap
+    val (matched, unmatched) = todo.partition { case (f, table) =>
+      widthByFile.get(f).contains(configs(table).headers.length)
+    }
+    val unmatchDf = unmatched.map(_._1).toSeq.toDF("fname")
+      .withColumn("status", lit(FailureClassifier.Unmatch))
+    val allFailures = failures.unionByName(unmatchDf)
+
+    val written = matched.groupBy(_._2).map { case (table, entries) =>
       val cfg = configs(table)
       val paths = entries.map(e => s"$landingDir/${e._1}")
       // one scan for ALL of this table's pending files; each row's
@@ -79,9 +97,9 @@ object IngestJob {
     }
 
     // record what this run consumed (parquet append — L402–405 scaled)
-    if (todo.nonEmpty || !failures.isEmpty) {
+    if (todo.nonEmpty || !allFailures.isEmpty) {
       Ledger.record(pending.select("fname"), "fname", ledgerPath)
     }
-    RunSummary(written.toMap, skipped, failures)
+    RunSummary(written.toMap, skipped, allFailures)
   }
 }

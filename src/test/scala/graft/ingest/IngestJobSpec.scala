@@ -24,6 +24,7 @@ class IngestJobSpec extends SparkSpec {
     drop(landing, "CUST_20240101_090000.CSV", "7,alice\n")
     drop(landing, "UNKNOWN_20240101_080000.CSV.GZ", "x\n")  // no config
     drop(landing, "garbage.txt", "zzz\n")                   // bad name
+    drop(landing, "ORDERS_20240101_230000.CSV", "1,2\n")    // wrong width
 
     val r1 = IngestJob.run(spark, landing, storing, ledger, configs)
     assert(r1.processed == Map("ORDERS" -> 3L, "CUST" -> 1L))
@@ -31,7 +32,8 @@ class IngestJobSpec extends SparkSpec {
     val fails = r1.failures.collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(fails == Set(
       ("UNKNOWN_20240101_080000.CSV.GZ", FailureClassifier.OutOfConfig),
-      ("garbage.txt", FailureClassifier.Irregular)))
+      ("garbage.txt", FailureClassifier.Irregular),
+      ("ORDERS_20240101_230000.CSV", FailureClassifier.Unmatch)))
 
     // storing zone: partitioned by the filename's business date
     val orders = spark.read.parquet(s"$storing/ORDERS")
@@ -43,13 +45,13 @@ class IngestJobSpec extends SparkSpec {
     drop(landing, "ORDERS_20240103_080000.CSV", "4,40.0,2024-01-03\n")
     val r2 = IngestJob.run(spark, landing, storing, ledger, configs)
     assert(r2.processed == Map("ORDERS" -> 1L))
-    assert(r2.skippedAsProcessed == 5, "all five round-1 files skip via the ledger")
+    assert(r2.skippedAsProcessed == 6, "all six round-1 files skip via the ledger")
     assert(r2.failures.isEmpty)
     val after = spark.read.parquet(s"$storing/ORDERS")
     assert(after.count() == 4, "day-3 file appends; days 1-2 untouched")
 
     // run 3: nothing new — a no-op
     val r3 = IngestJob.run(spark, landing, storing, ledger, configs)
-    assert(r3.processed.isEmpty && r3.skippedAsProcessed == 6)
+    assert(r3.processed.isEmpty && r3.skippedAsProcessed == 7)
   }
 }
