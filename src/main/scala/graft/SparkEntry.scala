@@ -59,6 +59,7 @@ object SparkEntry {
     "embed_stats" -> (VectorQueries.embedStats _),
     "embed_centroids" -> (VectorQueries.embedCentroids _),
     "mm_metadata" -> (Multimodal.mmMetadata _),
+    "mm_features" -> (Multimodal.mmFeatures _),
     // §2.D streaming (batch faces of the streaming transforms)
     "stream_events_window" -> (graft.streaming.EventsPipeline.streamEventsWindow _),
     "stream_sessionize" -> (graft.streaming.Sessionize.streamSessionize _)
@@ -429,6 +430,23 @@ object SparkEntry {
         |       round(avg(height), 4) AS avg_height,
         |       min(content_id) AS min_cid
         |FROM d GROUP BY source, fmt ORDER BY source, fmt""".stripMargin,
+    // byte histogram == char-code histogram because the corpus is ASCII
+    // (one byte per char); a non-ASCII doc would break this equality and
+    // fail the gate loudly.
+    "mm_features" ->
+      """WITH bins AS (SELECT unnest(generate_series(0, 15)) AS bin),
+        |d AS (SELECT doc_id, source, text, length(text) AS len FROM documents),
+        |pb AS (
+        |  SELECT doc_id, ord(substr(text, i, 1)) // 16 AS bin
+        |  FROM d, unnest(generate_series(1, length(text))) AS t(i)),
+        |cnt AS (SELECT doc_id, bin, count(*) AS c FROM pb GROUP BY doc_id, bin),
+        |grid AS (SELECT d.doc_id, d.source, d.len, bins.bin FROM d CROSS JOIN bins),
+        |share AS (
+        |  SELECT g.source, g.bin,
+        |         coalesce(cnt.c, 0)::DOUBLE / g.len AS share
+        |  FROM grid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id AND g.bin = cnt.bin)
+        |SELECT source, bin, round(avg(share), 4) AS avg_share, count(*) AS docs
+        |FROM share GROUP BY source, bin ORDER BY source, bin""".stripMargin,
     "stream_events_window" ->
       """SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS window_start,
         |       event_type, count(*) AS n, round(sum(value), 2) AS value_sum

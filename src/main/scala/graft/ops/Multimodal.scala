@@ -63,6 +63,40 @@ object Multimodal {
     MediaMeta(id, n, fmt, 64 + n % 960, 64 + (n * 7) % 960)
   }
 
+  /** Frame sampling: slice an opaque payload into `frameBytes` blocks
+    * and keep every `everyN`-th — the video-frame-subsample shape
+    * (explode plumbing is real; real codecs would decode each block).
+    * Emits (idCol, frame_idx, frame_bytes, frame_len). */
+  def frameSample(df: DataFrame, idCol: String, binCol: String,
+                  frameBytes: Int = 256, everyN: Int = 4): DataFrame = {
+    val step = frameBytes * everyN
+    val total = octet_length(col(binCol))
+    val lastFrame = greatest(floor((total - 1) / step).cast("long"), lit(0L))
+    val frames = transform(sequence(lit(0L), lastFrame),
+      i => col(binCol).substr((i * step + 1).cast("int"), lit(frameBytes)))
+    df.select(col(idCol), posexplode(frames).as(Seq("frame_idx", "frame_bytes")))
+      .withColumn("frame_len", octet_length(col("frame_bytes")).cast("long"))
+  }
+
+  /** Feature extraction: 16-bin l1-normalized byte histogram per payload
+    * ([[graft.functions.ByteHistogram]], one native scan) — codec-free
+    * features that plug straight into the §2.C vector operators. */
+  def byteFeatures(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("features", graft.functions.ByteHistogram(col(binCol)))
+
+  /** C15 query: per-source mean byte-histogram profile — feature
+    * extraction aggregated into a per-source fingerprint. */
+  def mmFeatures(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("source"), asBinary("text").as("payload"))
+    byteFeatures(d, "payload")
+      .select(col("source"), posexplode(col("features")).as(Seq("bin", "share")))
+      .groupBy(col("source"), col("bin"))
+      .agg(round(avg(col("share")), 4).as("avg_share"),
+        count(lit(1)).as("docs"))
+      .orderBy(col("source"), col("bin"))
+  }
+
   /** C12 query: binary ingestion metadata aggregated per (source, fmt). */
   def mmMetadata(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")

@@ -65,6 +65,18 @@ class PlanSpec extends SparkSpec {
     assert("ResolvedHint".r.findAllIn(analyzed("q12_promo_revenue")).isEmpty)
   }
 
+  test("native-expression queries stay inside whole-stage codegen") {
+    for (q <- Seq("dedup_minhash", "text_langid", "mm_features", "dedup_embedding")) {
+      // AQE prints codegen spans ("*(n) Op") only in the FINAL plan;
+      // drive THIS QueryExecution (df.write would build a separate one)
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.queryExecution.toRdd.count()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+        s"$q lost its codegen span — a native expression fell back to interpreted")
+    }
+  }
+
   test("sessionization shuffles once on user_id (windows + both aggs reuse it)") {
     val plan = executed("stream_sessionize")
     val dataShuffles = "Exchange hashpartitioning".r.findAllIn(plan).size

@@ -17,6 +17,37 @@ class MultimodalSpec extends SparkSpec {
       "b94d27b9934d3e08a52e52d7da7dabfac484efe37a5380ee9088f7ace2efcde9")
   }
 
+  test("byte histogram is l1-normalized and matches a hand computation") {
+    val df = Seq("aaab").toDF("text")  // 'a'=0x61 bin 6 x3, 'b'=0x62 bin 6 x1
+      .withColumn("payload", Multimodal.asBinary("text"))
+    val h = Multimodal.byteFeatures(df, "payload")
+      .select("features").as[Seq[Double]].head()
+    assert(h.length == 16)
+    assert(h(6) == 1.0 && h.sum == 1.0)
+    val mixed = Seq(" a!").toDF("text")  // 0x20 bin 2, 0x61 bin 6, 0x21 bin 2
+      .withColumn("payload", Multimodal.asBinary("text"))
+    val h2 = Multimodal.byteFeatures(mixed, "payload")
+      .select("features").as[Seq[Double]].head()
+    assert(h2(2) == 2.0 / 3 && h2(6) == 1.0 / 3)
+  }
+
+  test("frameSample slices payloads into strided fixed-size frames") {
+    val text = "x" * 1000  // 1000 bytes; frame 100, stride x2 => frames at 0,200,...,800
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+      .withColumn("payload", Multimodal.asBinary("text"))
+    val frames = Multimodal.frameSample(df, "doc_id", "payload",
+      frameBytes = 100, everyN = 2)
+      .select("frame_idx", "frame_len").as[(Int, Long)].collect().sortBy(_._1)
+    assert(frames.length == 5)
+    assert(frames.forall(_._2 == 100L))
+    // short payload: one (truncated) frame, never zero rows
+    val short = Seq((2L, "tiny")).toDF("doc_id", "text")
+      .withColumn("payload", Multimodal.asBinary("text"))
+    val f2 = Multimodal.frameSample(short, "doc_id", "payload", 100, 2)
+      .select("frame_len").as[Long].collect()
+    assert(f2.toSeq == Seq(4L))
+  }
+
   test("decodePartitions plumbing matches the columnar stub decode") {
     val d = graft.sources.Tables(spark, sfDir, "documents").limit(20)
       .select(col("doc_id"), col("text"))
