@@ -29,6 +29,8 @@ object SparkEntry {
     "q6_top_customers" -> (LakeQueries.q6TopCustomers _),
     "q7_rollup_sales" -> (LakeQueries.q7RollupSales _),
     "q8_distinct_stats" -> (LakeQueries.q8DistinctStats _),
+    // rows-only: HLL sketch estimates are engine-specific
+    "q8_distinct_approx" -> (LakeQueries.q8DistinctApprox _),
     "q9_cust_no_orders" -> (LakeQueries.q9CustNoOrders _),
     "q10_event_gaps" -> (LakeQueries.q10EventGaps _),
     "q11_json_props" -> (LakeQueries.q11JsonProps _),

@@ -125,6 +125,19 @@ object LakeQueries {
         count(lit(1)).as("lines"))
       .orderBy(col("l_suppkey"))
 
+  /** A8-approx: the q8 distinct cardinalities as HyperLogLog++ sketches —
+    * the 100 TB path. Exact per-group distinct (q8) plans an Expand (one
+    * shuffled copy of lineitem PER distinct column); the sketch version
+    * is one partial-aggregated pass, no Expand, mergeable across
+    * executors. Rows-only oracle: sketch estimates are engine-specific. */
+  def q8DistinctApprox(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("parts_approx"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("orders_approx"),
+        count(lit(1)).as("lines"))
+      .orderBy(col("l_suppkey"))
+
   /** A9: customers with no premium (>450k) orders — NOT EXISTS via
     * left-anti join. */
   def q9CustNoOrders(s: SparkSession, dir: String): DataFrame =

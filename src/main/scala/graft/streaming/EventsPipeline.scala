@@ -77,6 +77,26 @@ object EventsPipeline {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream–stream inner join on user_id within a ±30 min event-time
+    * band: correlates two event feeds (e.g. clicks vs purchases) as they
+    * arrive. Both sides carry watermarks, so the join state store
+    * retains only rows inside the band + watermark horizon — bounded
+    * state, the scale requirement for any stream-stream join. */
+  def correlatedStream(left: DataFrame, right: DataFrame,
+                       watermarkDelay: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("ts").as("l_ts"), col("event_type").as("l_type"))
+    val r = right.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("r_ts") <= col("l_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("l_type"), col("r_type"),
+        col("l_ts"), col("r_ts"))
+  }
+
   /** D1 query: the same [[windowedCounts]] transform run in batch mode
     * over the events table — the oracle-checkable face of the stream. */
   def streamEventsWindow(s: SparkSession, dir: String): DataFrame =

@@ -58,6 +58,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), "sync plan must use anti-joins")
   }
 
+  test("approx distinct: no Expand, and within 5% of exact counts") {
+    val approxPlan = executed("q8_distinct_approx")
+    assert(!approxPlan.contains("Expand"),
+      "HLL variant must not multiply the input per distinct column")
+    assert(executed("q8_distinct_stats").contains("Expand"),
+      "sanity: the exact variant does pay the Expand")
+    val exact = SparkEntry.queries("q8_distinct_stats")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = SparkEntry.queries("q8_distinct_approx")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, (p, o)) =>
+      val (pe, oe) = exact(k)
+      assert(math.abs(p - pe) <= math.max(1L, (pe * 0.05).toLong), s"supplier $k parts")
+      assert(math.abs(o - oe) <= math.max(1L, (oe * 0.05).toLong), s"supplier $k orders")
+    }
+  }
+
   test("q12: date filter pushes to the lineitem scan, no forced broadcast") {
     val plan = executed("q12_promo_revenue")
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)") ||

@@ -57,6 +57,34 @@ class EventsPipelineSpec extends SparkSpec {
       "restarted stream must agree with the batch plan — no dupes, no drift")
   }
 
+  test("stream-stream interval join correlates events within the band") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val buys = MemoryStream[(Long, Timestamp, String)]
+    val q = EventsPipeline.correlatedStream(
+        clicks.toDF().toDF("user_id", "ts", "event_type"),
+        buys.toDF().toDF("user_id", "ts", "event_type"))
+      .writeStream.format("memory").queryName("correlated")
+      .outputMode("append").start()
+    try {
+      clicks.addData((7L, ts(1, 0), "click"), (9L, ts(1, 0), "click"))
+      buys.addData(
+        (7L, ts(1, 20), "purchase"),   // within 30 min of user 7's click
+        (7L, ts(3, 0), "purchase"),    // outside the band
+        (8L, ts(1, 5), "purchase"))    // no matching click user
+      q.processAllAvailable()
+      // advance both watermarks so in-band results flush
+      clicks.addData((99L, ts(9, 0), "click")); buys.addData((99L, ts(9, 1), "x"))
+      q.processAllAvailable()
+      val got = spark.table("correlated")
+        .select("user_id", "l_type", "r_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got.contains((7L, "click", "purchase")))
+      assert(!got.exists(_._1 == 8L), "unmatched user must not appear")
+      assert(got.count(_._1 == 7L) == 1, "the out-of-band purchase must not join")
+    } finally q.stop()
+  }
+
   test("dedupedStream drops re-delivered event ids within the watermark") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Double)]
