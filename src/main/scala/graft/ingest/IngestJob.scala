@@ -29,10 +29,39 @@ object IngestJob {
       skippedAsProcessed: Long,       // files the ledger filtered out
       failures: DataFrame)            // (fname, status) for IRREGULAR/OUTOFCONFIG
 
-  /** One daily run. `landingDir` holds `TABLE_YYYYMMDD_HHMMSS.CSV[.GZ]`
-    * files; `configs` maps table name → layout. */
+  /** Run with a config TABLE carrying validity windows — the reference's
+    * actual config shape (columns: table, start_date, end_date, headers
+    * and type_codes as comma-joined strings; TRANSFORMATION L295). Each
+    * landing file resolves the layout live on ITS business date, so one
+    * run can parse the same table under two layouts across a layout
+    * change. Files whose date no window covers fail OUTOFCONFIG. */
+  def runWithConfigTable(spark: SparkSession, landingDir: String,
+                         storingDir: String, ledgerPath: String,
+                         config: DataFrame): RunSummary = {
+    // resolve (table, business-date) -> layout; config is metadata-scale
+    val rows = config.select("table", "start_date", "end_date", "headers", "type_codes")
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getDate(2),
+        r.getString(3).split(",").toSeq,
+        r.getString(4).split(",").map(_.trim.toInt).toSeq))
+    def layoutFor(table: String, d: java.sql.Date): Option[TableConfig] =
+      rows.find { case (t, s, e, _, _) =>
+        t == table && s.compareTo(d) <= 0 && e.compareTo(d) > 0
+      }.map(r => TableConfig(r._4, r._5))
+    runResolved(spark, landingDir, storingDir, ledgerPath, layoutFor)
+  }
+
+  /** One daily run with a static layout per table. */
   def run(spark: SparkSession, landingDir: String, storingDir: String,
-          ledgerPath: String, configs: Map[String, TableConfig]): RunSummary = {
+          ledgerPath: String, configs: Map[String, TableConfig]): RunSummary =
+    runResolved(spark, landingDir, storingDir, ledgerPath,
+      (table, _) => configs.get(table))
+
+  /** Core run: `layoutFor(table, businessDate)` resolves each file's
+    * parsing config (None ⇒ OUTOFCONFIG). */
+  def runResolved(spark: SparkSession, landingDir: String, storingDir: String,
+                  ledgerPath: String,
+                  layoutFor: (String, java.sql.Date) => Option[TableConfig]): RunSummary = {
     import spark.implicits._
 
     // landing inventory: file NAMES only (metadata-scale listing)
@@ -49,57 +78,66 @@ object IngestJob {
     val pending = Ledger.pending(routed, processedLedger, "fname")
     val skipped = routed.count() - pending.count()
 
-    // failure classes the reference reports (L102–107): bad name, no config
-    val classified = pending.withColumn("status",
-      when(col("route_status") === "IRREGULAR", FailureClassifier.Irregular)
-        .when(!col("table_name").isInCollection(
-          if (configs.isEmpty) Seq("") else configs.keys.toSeq),
-          FailureClassifier.OutOfConfig)
-        .otherwise(FailureClassifier.Ok))
-    val failures = classified.where(col("status") =!= FailureClassifier.Ok)
-      .select(col("fname"), col("status"))
-
-    val todo = classified.where(col("status") === FailureClassifier.Ok)
-      .select(col("fname"), col("table_name"))
-      .as[(String, String)].collect()        // metadata-scale: file names only
+    // classify each pending file (metadata-scale: names + dates only);
+    // the reference's classes, L102–107: bad name → IRREGULAR, no config
+    // row covering the file's business date → OUTOFCONFIG
+    val pendingRows = pending
+      .select(col("fname"), col("route_status"), col("table_name"), col("file_date"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getDate(3))))
+    final case class Todo(fname: String, table: String, cfg: TableConfig)
+    val (todo, classFails) = pendingRows.foldLeft(
+      (Vector.empty[Todo], Vector.empty[(String, String)])) {
+      case ((ok, bad), (f, status, table, dateOpt)) =>
+        if (status == "IRREGULAR" || dateOpt.isEmpty)
+          (ok, bad :+ (f -> FailureClassifier.Irregular))
+        else layoutFor(table, dateOpt.get) match {
+          case Some(cfg) => (ok :+ Todo(f, table, cfg), bad)
+          case None => (ok, bad :+ (f -> FailureClassifier.OutOfConfig))
+        }
+    }
 
     // header-count validation per FILE (ref L313–318 UNMATCH): one
     // distributed text scan measures each pending file's width before
     // any file is parsed with the wrong layout
     val widthByFile: Map[String, Int] =
       if (todo.isEmpty) Map.empty
-      else spark.read.text(todo.map(e => s"$landingDir/${e._1}"): _*)
+      else spark.read.text(todo.map(e => s"$landingDir/${e.fname}"): _*)
         .select(
           element_at(split(input_file_name(), "/"), -1).as("fname"),
           (size(split(col("value"), ","))).as("w"))
         .groupBy(col("fname")).agg(max(col("w")).as("w"))
         .as[(String, Int)].collect().toMap
-    val (matched, unmatched) = todo.partition { case (f, table) =>
-      widthByFile.get(f).contains(configs(table).headers.length)
-    }
-    val unmatchDf = unmatched.map(_._1).toSeq.toDF("fname")
-      .withColumn("status", lit(FailureClassifier.Unmatch))
-    val allFailures = failures.unionByName(unmatchDf)
+    val (matched, unmatched) = todo.partition(e =>
+      widthByFile.get(e.fname).contains(e.cfg.headers.length))
+    val allFailures = (classFails ++
+      unmatched.map(e => e.fname -> FailureClassifier.Unmatch))
+      .toDF("fname", "status")
 
-    val written = matched.groupBy(_._2).map { case (table, entries) =>
-      val cfg = configs(table)
-      val paths = entries.map(e => s"$landingDir/${e._1}")
-      // one scan for ALL of this table's pending files; each row's
-      // business date derives from its source file's name (ref L339)
-      val raw = spark.read.option("header", "false").csv(paths: _*)
-      val typed = CsvIngest.castByTypeList(
-        CsvIngest.withHeaders(raw, cfg.headers), cfg.typeCodes)
-        .withColumn(LakeWriter.PartitionCol,
-          date_format(FilenameRouter.fileDate(
-            element_at(split(input_file_name(), "/"), -1)), "yyyy-MM-dd"))
-      LakeWriter.writePartitioned(typed, s"$storingDir/$table", SaveMode.Overwrite)
-      table -> typed.count()
-    }
+    // group by (table, layout): across a layout change the same table
+    // parses under two configs in one run; their business dates are
+    // disjoint, so dynamic partition overwrite keeps both writes safe
+    val written = matched.groupBy(e => (e.table, e.cfg)).toSeq
+      .map { case ((table, cfg), entries) =>
+        val paths = entries.map(e => s"$landingDir/${e.fname}")
+        // one scan for ALL of this group's files; each row's business
+        // date derives from its source file's name (ref L339)
+        val raw = spark.read.option("header", "false").csv(paths: _*)
+        val typed = CsvIngest.castByTypeList(
+          CsvIngest.withHeaders(raw, cfg.headers), cfg.typeCodes)
+          .withColumn(LakeWriter.PartitionCol,
+            date_format(FilenameRouter.fileDate(
+              element_at(split(input_file_name(), "/"), -1)), "yyyy-MM-dd"))
+        LakeWriter.writePartitioned(typed, s"$storingDir/$table", SaveMode.Overwrite)
+        table -> typed.count()
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
 
     // record what this run consumed (parquet append — L402–405 scaled)
-    if (todo.nonEmpty || !allFailures.isEmpty) {
+    if (pendingRows.nonEmpty) {
       Ledger.record(pending.select("fname"), "fname", ledgerPath)
     }
-    RunSummary(written.toMap, skipped, allFailures)
+    RunSummary(written, skipped, allFailures)
   }
 }

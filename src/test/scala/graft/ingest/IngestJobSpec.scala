@@ -54,4 +54,34 @@ class IngestJobSpec extends SparkSpec {
     val r3 = IngestJob.run(spark, landing, storing, ledger, configs)
     assert(r3.processed.isEmpty && r3.skippedAsProcessed == 7)
   }
+
+  test("config table with validity windows parses a layout change in one run") {
+    import spark.implicits._
+    val landing = tmpDir("ij2-landing"); val storing = tmpDir("ij2-storing")
+    val ledger = tmpDir("ij2-ledger") + "/processed"
+    def d(s: String) = java.sql.Date.valueOf(s)
+
+    // ORDERS layout changes on 2024-02-01: (id, amount) -> (id, amount, note)
+    val config = Seq(
+      ("ORDERS", d("2020-01-01"), d("2024-02-01"), "id,amount", "4,2"),
+      ("ORDERS", d("2024-02-01"), d("9999-12-31"), "id,amount,note", "4,2,1"))
+      .toDF("table", "start_date", "end_date", "headers", "type_codes")
+
+    drop(landing, "ORDERS_20240115_080000.CSV", "1,10.5\n")        // old layout
+    drop(landing, "ORDERS_20240215_080000.CSV", "2,20.5,rush\n")   // new layout
+    drop(landing, "ORDERS_20190101_080000.CSV", "0,0.0\n")         // before any window
+
+    val r = IngestJob.runWithConfigTable(spark, landing, storing, ledger, config)
+    assert(r.processed == Map("ORDERS" -> 2L))
+    val fails = r.failures.collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(fails == Set(("ORDERS_20190101_080000.CSV", FailureClassifier.OutOfConfig)))
+
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$storing/ORDERS")
+    assert(merged.count() == 2)
+    assert(merged.columns.toSet == Set("id", "amount", "note", "transferred_date"))
+    val note = merged.where($"id" === 2L).select("note").as[String].head()
+    assert(note == "rush")
+    assert(merged.where($"id" === 1L).select("note").head().isNullAt(0),
+      "old-layout rows null-fill the new column")
+  }
 }

@@ -46,6 +46,21 @@ class LakeWriterSpec extends SparkSpec {
     assert(out == "2024-03-05")
   }
 
+  test("date filters prune partitions at the scan (no full-table read)") {
+    val out = tmpDir("lw-prune")
+    val df = Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-03"))
+      .toDF("id", "transferred_date")
+    LakeWriter.writePartitioned(df, out)
+    val q = spark.read.parquet(out)
+      .where(org.apache.spark.sql.functions.col("transferred_date") === "2024-01-02")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"),
+      "partition column filter must become a PartitionFilter")
+    assert(plan.contains("transferred_date"),
+      "the pruned column must appear in the partition filter")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("compact round-trips a mergeSchema read") {
     val src = tmpDir("lw-compact-src"); val dst = tmpDir("lw-compact-dst")
     Seq((1L, "a", "2024-01-01")).toDF("id", "v", "transferred_date")
