@@ -72,4 +72,35 @@ object LakeWriter {
     val df = spark.read.option("mergeSchema", "true").parquet(path)
     writePartitioned(df, outPath, SaveMode.Overwrite, filesPerPartition)
   }
+
+  /** In-place compaction of ONE partition: re-read just that day (the
+    * scan prunes to it) and rewrite it at the target file count. Dynamic
+    * overwrite touches nothing else, so daily housekeeping of a
+    * small-file-heavy partition never rewrites the table. */
+  def compactPartition(spark: org.apache.spark.sql.SparkSession, path: String,
+                       date: String, filesPerPartition: Int = 4): Unit = {
+    val day = spark.read.parquet(path)
+      .where(col(PartitionCol) === date)
+    writePartitioned(day, path, SaveMode.Overwrite, filesPerPartition)
+  }
+
+  /** Retention: drop partitions with `transferred_date` strictly older
+    * than `keepFrom`. Deletion is by partition DIRECTORY (a metadata-
+    * scale operation listing only first-level dirs) — data files are
+    * never scanned. Returns the dropped partition values. */
+  def expirePartitions(path: String, keepFrom: String): Seq[String] = {
+    val prefix = s"$PartitionCol="
+    val dirs = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+    val expired = dirs.filter(_.getName.stripPrefix(prefix) < keepFrom)
+    expired.foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(d)
+    }
+    expired.map(_.getName.stripPrefix(prefix)).toSeq.sorted
+  }
 }

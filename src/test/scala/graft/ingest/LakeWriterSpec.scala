@@ -61,6 +61,38 @@ class LakeWriterSpec extends SparkSpec {
     assert(q.collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("compactPartition rewrites one day without touching the others") {
+    val out = tmpDir("lw-cpact")
+    // day 1 lands as many small appends
+    (1 to 6).foreach { i =>
+      LakeWriter.writePartitioned(
+        Seq((i.toLong, "2024-01-01")).toDF("id", "transferred_date"),
+        out, SaveMode.Append, filesPerPartition = 1)
+    }
+    LakeWriter.writePartitioned(
+      Seq((99L, "2024-01-02")).toDF("id", "transferred_date"), out, SaveMode.Append)
+    val before = new java.io.File(s"$out/transferred_date=2024-01-01")
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    assert(before >= 6)
+    LakeWriter.compactPartition(spark, out, "2024-01-01", filesPerPartition = 2)
+    val after = new java.io.File(s"$out/transferred_date=2024-01-01")
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    assert(after <= 2, s"expected <=2 files after compaction, got $after")
+    val rows = spark.read.parquet(out).select("id").as[Long].collect().toSet
+    assert(rows == (1L to 6L).toSet + 99L, "no rows lost, day-2 untouched")
+  }
+
+  test("expirePartitions drops only days older than the retention floor") {
+    val out = tmpDir("lw-expire")
+    val df = Seq((1L, "2024-01-01"), (2L, "2024-01-15"), (3L, "2024-02-01"))
+      .toDF("id", "transferred_date")
+    LakeWriter.writePartitioned(df, out)
+    val dropped = LakeWriter.expirePartitions(out, keepFrom = "2024-01-15")
+    assert(dropped == Seq("2024-01-01"))
+    val remaining = spark.read.parquet(out).select("id").as[Long].collect().toSet
+    assert(remaining == Set(2L, 3L))
+  }
+
   test("compact round-trips a mergeSchema read") {
     val src = tmpDir("lw-compact-src"); val dst = tmpDir("lw-compact-dst")
     Seq((1L, "a", "2024-01-01")).toDF("id", "v", "transferred_date")
