@@ -39,7 +39,7 @@ object CsvIngest {
   def castByTypeList(df: DataFrame, typeCodes: Seq[Int]): DataFrame = {
     require(df.columns.length == typeCodes.length,
       s"type list mismatch: data=${df.columns.length} config=${typeCodes.length}")
-    val cols: Seq[Column] = df.columns.zip(typeCodes).map { case (name, code) =>
+    val cols: Seq[Column] = df.columns.toSeq.zip(typeCodes).map { case (name, code) =>
       col(name).cast(typeDict(code)).as(name)
     }
     df.select(cols: _*)

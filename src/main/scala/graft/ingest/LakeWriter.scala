@@ -38,7 +38,7 @@ object LakeWriter {
     val sized =
       if (filesPerPartition == 1) df.repartition(col(PartitionCol))
       else {
-        val bucket = pmod(xxhash64(df.columns.map(col): _*), lit(filesPerPartition))
+        val bucket = pmod(xxhash64(df.columns.toSeq.map(col): _*), lit(filesPerPartition))
         df.repartition(col(PartitionCol), bucket)
       }
     sized.write

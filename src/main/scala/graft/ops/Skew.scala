@@ -28,7 +28,7 @@ object Skew {
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor >= 1, s"saltFactor must be positive: $saltFactor")
     val salted = large.withColumn("__salt",
-      pmod(xxhash64(large.columns.map(col): _*), lit(saltFactor)))
+      pmod(xxhash64(large.columns.toSeq.map(col): _*), lit(saltFactor)))
     val replicated = small.withColumn("__salt",
       explode(array((0 until saltFactor).map(i => lit(i.toLong)): _*)))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
