@@ -100,7 +100,9 @@ object IngestJob {
 
     // header-count validation per FILE (ref L313–318 UNMATCH): one
     // distributed text scan measures each pending file's width before
-    // any file is parsed with the wrong layout
+    // any file is parsed with the wrong layout. NOTE: width counts raw
+    // comma splits — a quoted field containing commas would overcount
+    // (the reference's landing format, like this check, is unquoted)
     val widthByFile: Map[String, Int] =
       if (todo.isEmpty) Map.empty
       else spark.read.text(todo.map(e => s"$landingDir/${e.fname}"): _*)
