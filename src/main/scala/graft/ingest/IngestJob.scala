@@ -131,14 +131,20 @@ object IngestJob {
           .withColumn(LakeWriter.PartitionCol,
             date_format(FilenameRouter.fileDate(
               element_at(split(input_file_name(), "/"), -1)), "yyyy-MM-dd"))
-        LakeWriter.writePartitioned(typed, s"$storingDir/$table", SaveMode.Overwrite)
-        table -> typed.count()
+        // row count observed DURING the write pass — no second parse
+        val obs = org.apache.spark.sql.Observation()
+        LakeWriter.writePartitioned(typed.observe(obs, count(lit(1)).as("n")),
+          s"$storingDir/$table", SaveMode.Overwrite)
+        table -> obs.get("n").asInstanceOf[Long]
       }
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
 
-    // record what this run consumed (parquet append — L402–405 scaled)
-    if (pendingRows.nonEmpty) {
-      Ledger.record(pending.select("fname"), "fname", ledgerPath)
+    // record ONLY successfully written files (the reference appends only
+    // successes to PROCESSED_OBJECT_LIST, L402–405): a failed file —
+    // e.g. OUTOFCONFIG because its config row hasn't landed yet — must
+    // retry on a later run, not be silently skipped forever
+    if (matched.nonEmpty) {
+      Ledger.record(matched.map(_.fname).toDF("fname"), "fname", ledgerPath)
     }
     RunSummary(written, skipped, allFailures)
   }

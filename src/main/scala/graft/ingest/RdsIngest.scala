@@ -31,17 +31,38 @@ object RdsIngest {
         spark.read.jdbc(url, table, props)
     }
 
-  /** Incremental snapshot: rows of `table` with `keyCol` above the max
-    * already in `ingested`, range-partitioned over the new key span.
-    * Mirrors CONVERT_RDS L95–102 with the driver-side max replaced by a
-    * broadcast scalar. */
+  /** Incremental snapshot: rows of `table` with numeric `keyCol` above
+    * the max already in `ingested` (CONVERT_RDS L95–102). The watermark
+    * is resolved to a LITERAL on the driver so the `key > wm` predicate
+    * pushes into the remote SQL — the database scans only new rows —
+    * and the fresh key span's bounds come from one remote min/max query
+    * so the read fans out over `numPartitions` parallel cursors. */
   def readIncremental(spark: SparkSession, url: String, table: String,
                       keyCol: String, ingested: DataFrame,
                       numPartitions: Int = 8,
                       props: Properties = new Properties()): DataFrame = {
-    val source = read(spark, url, table, props)
-    val fresh = Watermark.newerThanMax(source, ingested, keyCol)
-    // spread the fresh span over parallel readers when it is large
-    if (numPartitions > 1) fresh.repartition(numPartitions) else fresh
+    import org.apache.spark.sql.functions.{col, lit, max}
+    val wmRow = ingested.agg(max(col(keyCol))).head()
+    if (wmRow.isNullAt(0)) return read(spark, url, table, props)
+    val wm = wmRow.getLong(0)
+
+    // one metadata-scale remote query bounds the fresh span
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    val (lo, hi, any) =
+      try {
+        val rs = conn.createStatement().executeQuery(
+          s"SELECT MIN($keyCol), MAX($keyCol) FROM $table WHERE $keyCol > $wm")
+        rs.next()
+        val l = rs.getLong(1); val lNull = rs.wasNull()
+        val h = rs.getLong(2)
+        (l, h, !lNull)
+      } finally conn.close()
+
+    val fresh =
+      if (!any) read(spark, url, table, props).where(col(keyCol) > lit(wm)).limit(0)
+      else if (hi > lo && numPartitions > 1)
+        read(spark, url, table, props, Some((keyCol, lo, hi, numPartitions)))
+      else read(spark, url, table, props)
+    fresh.where(col(keyCol) > lit(wm))   // literal ⇒ pushed to the remote scan
   }
 }

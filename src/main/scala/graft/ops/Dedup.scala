@@ -50,13 +50,19 @@ object Dedup {
     * Jaccard against per-doc set sizes. Output: (doc_a, doc_b, common,
     * jaccard). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, maxDf: Int = 100, minJaccard: Double = 0.5): DataFrame = {
+                   n: Int = 3, maxDf: Int = 100, minJaccard: Double = 0.5,
+                   persistShingles: Boolean = false): DataFrame = {
     // The capped shingle frame feeds three consumers (per-doc sizes and
-    // both self-join sides); persist it so the explode + df-cap shuffle
-    // runs once instead of per consumer. MEMORY_AND_DISK: at 100 TB the
-    // explosion exceeds executor memory and spills instead of failing.
-    val sh = capDocFrequency(shingleFrame(docs, idCol, textCol, n), maxDf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both self-join sides). `persistShingles` caches it (MEMORY_AND_DISK)
+    // so the explode + df-cap shuffle runs once instead of per consumer —
+    // but the cache lives until the session clears it (Spark offers no
+    // completion hook to unpersist a lazily-consumed frame), so opting in
+    // hands the caller that lifecycle; the default recomputes and leaks
+    // nothing.
+    val sh0 = capDocFrequency(shingleFrame(docs, idCol, textCol, n), maxDf)
+    val sh = if (persistShingles)
+      sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sh0
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val a = sh.select(col(idCol).as("doc_a"), col("s"))
     val b = sh.select(col(idCol).as("doc_b"), col("s"))

@@ -53,12 +53,20 @@ object Pipeline {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** Full cleaning pass; returns (cleaned corpus, per-stage counts). */
+  /** Full cleaning pass; returns (cleaned corpus, per-stage counts).
+    * Each stage is persisted so the four stage counts and the returned
+    * frame execute every stage ONCE (not re-deriving quality → exact →
+    * near-dup per action); intermediates are unpersisted here, the
+    * RETURNED frame stays cached — callers unpersist it when done. */
   def cleanCorpus(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): (DataFrame, CorpusStats) = {
-    val q = qualityFilter(docs, textCol)
-    val e = dropExactDups(q, idCol, textCol)
-    val n = dropNearDups(e, idCol, textCol)
-    (n, CorpusStats(docs.count(), q.count(), e.count(), n.count()))
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val q = qualityFilter(docs, textCol).persist(MEMORY_AND_DISK)
+    val e = dropExactDups(q, idCol, textCol).persist(MEMORY_AND_DISK)
+    val n = dropNearDups(e, idCol, textCol).persist(MEMORY_AND_DISK)
+    val stats = CorpusStats(docs.count(), q.count(), e.count(), n.count())
+    q.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    (n, stats)
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities (SURVEY §5).
@@ -23,12 +23,20 @@ object Skew {
     * `large`'s keys over `saltFactor` sub-partitions. `small` is
     * replicated `saltFactor`x, so keep it broadcast-sized or the factor
     * modest. Semantically identical to `large.join(small, key, joinType)`
-    * for inner/left joins on a unique-keyed small side. */
+    * for inner/left joins on a unique-keyed small side.
+    *
+    * The default salt hashes the whole row, which cannot spread rows
+    * that are BYTE-IDENTICAL duplicates (they all hash alike). When the
+    * hot key is duplicate-heavy, pass a custom `salt` — e.g.
+    * `rand(seed) * saltFactor` cast to long — trading retry determinism
+    * for spread. */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
-                 saltFactor: Int, joinType: String = "inner"): DataFrame = {
+                 saltFactor: Int, joinType: String = "inner",
+                 salt: Option[Column] = None): DataFrame = {
     require(saltFactor >= 1, s"saltFactor must be positive: $saltFactor")
-    val salted = large.withColumn("__salt",
+    val saltCol = salt.getOrElse(
       pmod(xxhash64(large.columns.toSeq.map(col): _*), lit(saltFactor)))
+    val salted = large.withColumn("__salt", saltCol.cast("long"))
     val replicated = small.withColumn("__salt",
       explode(array((0 until saltFactor).map(i => lit(i.toLong)): _*)))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")

@@ -74,11 +74,22 @@ object Sessionize {
       events.toSeq.sortBy(_.ts.getTime).foreach { e =>
         val sec = e.ts.getTime / 1000
         cur = cur match {
-          case Some(s) if sec - s.last > GapSeconds =>
+          case Some(s) if sec > s.last + GapSeconds =>
             out += Session(userId, s.start, s.last, s.n)
             Some(OpenSession(sec, sec, 1))
+          case Some(s) if sec < s.start - GapSeconds =>
+            // late orphan: beyond the gap BEFORE the open session — it
+            // can never attach, emit it as its own (already closed)
+            // session. (A late event that would BRIDGE two sessions
+            // cannot be re-split from compressed state; within one
+            // watermark delay the gap/extend branches cover ordering.)
+            out += Session(userId, sec, sec, 1)
+            Some(s)
           case Some(s) =>
-            Some(s.copy(last = math.max(s.last, sec), n = s.n + 1))
+            // in-band (possibly out-of-order): extend BOTH edges so a
+            // late event just before the session start pulls start back
+            // — matching the batch face's time-ordered assignment
+            Some(OpenSession(math.min(s.start, sec), math.max(s.last, sec), s.n + 1))
           case None =>
             Some(OpenSession(sec, sec, 1))
         }

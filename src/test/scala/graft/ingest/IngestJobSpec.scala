@@ -22,7 +22,7 @@ class IngestJobSpec extends SparkSpec {
     drop(landing, "ORDERS_20240101_080000.CSV", "1,10.5,2024-01-01\n2,20.0,2024-01-01\n")
     drop(landing, "ORDERS_20240102_080000.CSV", "3,30.0,2024-01-02\n")
     drop(landing, "CUST_20240101_090000.CSV", "7,alice\n")
-    drop(landing, "UNKNOWN_20240101_080000.CSV.GZ", "x\n")  // no config
+    drop(landing, "UNKNOWN_20240101_080000.CSV", "x\n")  // no config
     drop(landing, "garbage.txt", "zzz\n")                   // bad name
     drop(landing, "ORDERS_20240101_230000.CSV", "1,2\n")    // wrong width
 
@@ -31,7 +31,7 @@ class IngestJobSpec extends SparkSpec {
     assert(r1.skippedAsProcessed == 0)
     val fails = r1.failures.collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(fails == Set(
-      ("UNKNOWN_20240101_080000.CSV.GZ", FailureClassifier.OutOfConfig),
+      ("UNKNOWN_20240101_080000.CSV", FailureClassifier.OutOfConfig),
       ("garbage.txt", FailureClassifier.Irregular),
       ("ORDERS_20240101_230000.CSV", FailureClassifier.Unmatch)))
 
@@ -45,14 +45,23 @@ class IngestJobSpec extends SparkSpec {
     drop(landing, "ORDERS_20240103_080000.CSV", "4,40.0,2024-01-03\n")
     val r2 = IngestJob.run(spark, landing, storing, ledger, configs)
     assert(r2.processed == Map("ORDERS" -> 1L))
-    assert(r2.skippedAsProcessed == 6, "all six round-1 files skip via the ledger")
-    assert(r2.failures.isEmpty)
+    assert(r2.skippedAsProcessed == 3,
+      "only the three WRITTEN round-1 files skip via the ledger")
+    assert(r2.failures.count() == 3,
+      "failed files are never ledgered — they reclassify until fixed or removed")
     val after = spark.read.parquet(s"$storing/ORDERS")
     assert(after.count() == 4, "day-3 file appends; days 1-2 untouched")
 
-    // run 3: nothing new — a no-op
+    // run 3: nothing new written; the three failures keep retrying
     val r3 = IngestJob.run(spark, landing, storing, ledger, configs)
-    assert(r3.processed.isEmpty && r3.skippedAsProcessed == 7)
+    assert(r3.processed.isEmpty && r3.skippedAsProcessed == 4)
+    assert(r3.failures.count() == 3)
+
+    // a failure heals: config for UNKNOWN arrives -> the file ingests
+    val healed = configs + ("UNKNOWN" -> IngestJob.TableConfig(Seq("v"), Seq(1)))
+    val r4 = IngestJob.run(spark, landing, storing, ledger, healed)
+    assert(r4.processed == Map("UNKNOWN" -> 1L),
+      "an OUTOFCONFIG file must retry once its config lands")
   }
 
   test("config table with validity windows parses a layout change in one run") {

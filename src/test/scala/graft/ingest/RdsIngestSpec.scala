@@ -34,12 +34,19 @@ class RdsIngestSpec extends SparkSpec {
     assert(df.count() == 100)
   }
 
-  test("incremental read returns only rows above the ingested watermark") {
+  test("incremental read pushes the watermark to the remote scan, fans out") {
     val ingested = (1L to 90L).toDF("ID")
     val fresh = RdsIngest.readIncremental(spark, url, "ORDERS", "ID", ingested,
       numPartitions = 2)
     val ids = fresh.select("ID").as[Long].collect().sorted
     assert(ids.toSeq == (91L to 100L))
-    assert(fresh.rdd.getNumPartitions == 2)
+    assert(fresh.rdd.getNumPartitions == 2,
+      "fresh span must fan out over the requested cursors")
+    val plan = fresh.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(ID,90)"),
+      s"watermark must appear as a pushed JDBC filter:\n$plan")
+    // empty increment: nothing newer than the max key
+    val upToDate = (1L to 100L).toDF("ID")
+    assert(RdsIngest.readIncremental(spark, url, "ORDERS", "ID", upToDate).count() == 0)
   }
 }

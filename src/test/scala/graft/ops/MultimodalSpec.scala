@@ -40,12 +40,16 @@ class MultimodalSpec extends SparkSpec {
       .select("frame_idx", "frame_len").as[(Int, Long)].collect().sortBy(_._1)
     assert(frames.length == 5)
     assert(frames.forall(_._2 == 100L))
-    // short payload: one (truncated) frame, never zero rows
+    // short payload: one (truncated) frame
     val short = Seq((2L, "tiny")).toDF("doc_id", "text")
       .withColumn("payload", Multimodal.asBinary("text"))
     val f2 = Multimodal.frameSample(short, "doc_id", "payload", 100, 2)
       .select("frame_len").as[Long].collect()
     assert(f2.toSeq == Seq(4L))
+    // empty payload: zero frames, not one phantom empty frame
+    val empty = Seq((3L, "")).toDF("doc_id", "text")
+      .withColumn("payload", Multimodal.asBinary("text"))
+    assert(Multimodal.frameSample(empty, "doc_id", "payload", 100, 2).count() == 0)
   }
 
   test("decodePartitions plumbing matches the columnar stub decode") {

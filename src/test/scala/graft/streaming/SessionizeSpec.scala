@@ -51,6 +51,34 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late out-of-order events extend the open session or orphan-close") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp)]
+    val q = Sessionize.sessionizeStream(stream.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      stream.addData((7L, ts(2, 0)))          // watermark -> 1:00 after batch
+      q.processAllAvailable()
+      // 1:10 is > watermark but > gap before the open session -> orphan;
+      // 1:50 is within the gap band -> pulls session start back
+      stream.addData((7L, ts(1, 10)), (7L, ts(1, 50)))
+      q.processAllAvailable()
+      stream.addData((99L, ts(9, 0)))
+      q.processAllAvailable()
+      stream.addData((99L, ts(12, 0)))        // advance watermark: timeout flush
+      q.processAllAvailable()
+      def sec(t: Timestamp) = t.getTime / 1000
+      val got = spark.table("late_sessions")
+        .select("user_id", "start_sec", "end_sec", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got.contains((7L, sec(ts(1, 10)), sec(ts(1, 10)), 1L)),
+        s"orphan session missing from $got")
+      assert(got.contains((7L, sec(ts(1, 50)), sec(ts(2, 0)), 2L)),
+        s"back-extended session missing from $got")
+    } finally q.stop()
+  }
+
   test("stream_sessionize query matches its own invariants at sf0.001") {
     val r = Sessionize.streamSessionize(spark, sfDir).collect()
     assert(r.nonEmpty)
