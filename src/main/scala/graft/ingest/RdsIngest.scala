@@ -43,26 +43,46 @@ object RdsIngest {
                       props: Properties = new Properties()): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, max}
     val wmRow = ingested.agg(max(col(keyCol))).head()
-    if (wmRow.isNullAt(0)) return read(spark, url, table, props)
-    val wm = wmRow.getLong(0)
+    val wm: Option[Any] = if (wmRow.isNullAt(0)) None else Some(wmRow.get(0))
 
-    // one metadata-scale remote query bounds the fresh span
+    wm match {
+      case Some(n: Number) =>
+        // numeric key: bound the fresh span remotely and fan out
+        val w = n.longValue()
+        boundedRead(spark, url, table, keyCol, Some(w), numPartitions, props)
+          .where(col(keyCol) > lit(w))
+      case Some(other) =>
+        // non-numeric key (date/string): literal predicate still pushes
+        // to the remote scan; range partitioning needs a numeric span
+        read(spark, url, table, props).where(col(keyCol) > lit(other))
+      case None =>
+        // cold start: nothing ingested — full load, still fanned out
+        boundedRead(spark, url, table, keyCol, None, numPartitions, props)
+    }
+  }
+
+  /** Read with partition bounds taken from one remote min/max query over
+    * the (optionally watermark-filtered) key span. */
+  private def boundedRead(spark: SparkSession, url: String, table: String,
+                          keyCol: String, above: Option[Long],
+                          numPartitions: Int, props: Properties): org.apache.spark.sql.DataFrame = {
+    // honor the JDBC 'driver' property the way spark.read.jdbc does
+    Option(props.getProperty("driver")).foreach(Class.forName)
+    val where = above.map(w => s" WHERE $keyCol > $w").getOrElse("")
     val conn = java.sql.DriverManager.getConnection(url, props)
     val (lo, hi, any) =
       try {
         val rs = conn.createStatement().executeQuery(
-          s"SELECT MIN($keyCol), MAX($keyCol) FROM $table WHERE $keyCol > $wm")
+          s"SELECT MIN($keyCol), MAX($keyCol) FROM $table$where")
         rs.next()
         val l = rs.getLong(1); val lNull = rs.wasNull()
         val h = rs.getLong(2)
         (l, h, !lNull)
       } finally conn.close()
-
-    val fresh =
-      if (!any) read(spark, url, table, props).where(col(keyCol) > lit(wm)).limit(0)
-      else if (hi > lo && numPartitions > 1)
-        read(spark, url, table, props, Some((keyCol, lo, hi, numPartitions)))
-      else read(spark, url, table, props)
-    fresh.where(col(keyCol) > lit(wm))   // literal ⇒ pushed to the remote scan
+    if (!any)
+      read(spark, url, table, props).limit(0)
+    else if (hi > lo && numPartitions > 1)
+      read(spark, url, table, props, Some((keyCol, lo, hi, numPartitions)))
+    else read(spark, url, table, props)
   }
 }

@@ -13,9 +13,13 @@ import graft.sources.Tables
 object DedupQueries {
   private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
 
-  /** C2: word-3-gram shingle Jaccard pairs at tau=0.5, df-capped. */
+  /** C2: word-3-gram shingle Jaccard pairs at tau=0.5, df-capped.
+    * persistShingles=true: in the Verify/Bench mains the session IS the
+    * process, so the one cached shingle frame (deduped by Spark's
+    * CacheManager across identical plans) has exactly the lifetime it
+    * needs — and the explode+cap shuffle runs once, not three times. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(docs(s, dir), "doc_id", "text")
+    Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", persistShingles = true)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** C3: MinHash-LSH candidate pairs (16 hashes, 4 bands x 4 rows). */

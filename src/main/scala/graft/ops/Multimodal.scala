@@ -72,7 +72,7 @@ object Multimodal {
     val step = frameBytes * everyN
     val total = octet_length(col(binCol))
     val lastFrame = greatest(floor((total - 1) / step).cast("long"), lit(0L))
-    val frames = when(total === 0, array().cast("array<binary>"))
+    val frames = when(total.isNull || total === 0, array().cast("array<binary>"))
       .otherwise(transform(sequence(lit(0L), lastFrame),
         i => col(binCol).substr((i * step + 1).cast("int"), lit(frameBytes))))
     df.select(col(idCol), posexplode(frames).as(Seq("frame_idx", "frame_bytes")))

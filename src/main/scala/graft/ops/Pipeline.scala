@@ -56,14 +56,19 @@ object Pipeline {
   /** Full cleaning pass; returns (cleaned corpus, per-stage counts).
     * Each stage is persisted so the four stage counts and the returned
     * frame execute every stage ONCE (not re-deriving quality → exact →
-    * near-dup per action); intermediates are unpersisted here, the
-    * RETURNED frame stays cached — callers unpersist it when done. */
+    * near-dup per action); intermediates are unpersisted here. With
+    * `persistResult` (default) the RETURNED frame stays cached so the
+    * caller's materialization is also single-pass — the caller owns
+    * unpersisting it; pass false to get a recompute-on-use frame with
+    * no cache lifetime to manage. */
   def cleanCorpus(docs: DataFrame, idCol: String = "doc_id",
-                  textCol: String = "text"): (DataFrame, CorpusStats) = {
+                  textCol: String = "text",
+                  persistResult: Boolean = true): (DataFrame, CorpusStats) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val q = qualityFilter(docs, textCol).persist(MEMORY_AND_DISK)
     val e = dropExactDups(q, idCol, textCol).persist(MEMORY_AND_DISK)
-    val n = dropNearDups(e, idCol, textCol).persist(MEMORY_AND_DISK)
+    val n0 = dropNearDups(e, idCol, textCol)
+    val n = if (persistResult) n0.persist(MEMORY_AND_DISK) else n0
     val stats = CorpusStats(docs.count(), q.count(), e.count(), n.count())
     q.unpersist(blocking = false)
     e.unpersist(blocking = false)

@@ -28,15 +28,17 @@ object Skew {
     * The default salt hashes the whole row, which cannot spread rows
     * that are BYTE-IDENTICAL duplicates (they all hash alike). When the
     * hot key is duplicate-heavy, pass a custom `salt` — e.g.
-    * `rand(seed) * saltFactor` cast to long — trading retry determinism
-    * for spread. */
+    * `rand(seed) * saltFactor` — trading retry determinism for spread.
+    * Any custom salt is pmod-normalized into [0, saltFactor) so an
+    * un-bounded expression can never silently drop rows. */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  saltFactor: Int, joinType: String = "inner",
                  salt: Option[Column] = None): DataFrame = {
     require(saltFactor >= 1, s"saltFactor must be positive: $saltFactor")
-    val saltCol = salt.getOrElse(
-      pmod(xxhash64(large.columns.toSeq.map(col): _*), lit(saltFactor)))
-    val salted = large.withColumn("__salt", saltCol.cast("long"))
+    val saltCol = pmod(
+      salt.getOrElse(xxhash64(large.columns.toSeq.map(col): _*)).cast("long"),
+      lit(saltFactor.toLong))
+    val salted = large.withColumn("__salt", saltCol)
     val replicated = small.withColumn("__salt",
       explode(array((0 until saltFactor).map(i => lit(i.toLong)): _*)))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")

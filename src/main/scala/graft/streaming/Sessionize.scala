@@ -70,34 +70,37 @@ object Sessionize {
       out += Session(userId, s.start, s.last, s.n)
       state.remove()
     } else {
-      var cur = state.getOption
-      events.toSeq.sortBy(_.ts.getTime).foreach { e =>
-        val sec = e.ts.getTime / 1000
-        cur = cur match {
-          case Some(s) if sec > s.last + GapSeconds =>
-            out += Session(userId, s.start, s.last, s.n)
-            Some(OpenSession(sec, sec, 1))
-          case Some(s) if sec < s.start - GapSeconds =>
-            // late orphan: beyond the gap BEFORE the open session — it
-            // can never attach, emit it as its own (already closed)
-            // session. (A late event that would BRIDGE two sessions
-            // cannot be re-split from compressed state; within one
-            // watermark delay the gap/extend branches cover ordering.)
-            out += Session(userId, sec, sec, 1)
-            Some(s)
-          case Some(s) =>
-            // in-band (possibly out-of-order): extend BOTH edges so a
-            // late event just before the session start pulls start back
-            // — matching the batch face's time-ordered assignment
-            Some(OpenSession(math.min(s.start, sec), math.max(s.last, sec), s.n + 1))
-          case None =>
-            Some(OpenSession(sec, sec, 1))
+      // chain-merge: fold the batch's sorted events into local spans,
+      // slot the open-session span among them, and merge every pair of
+      // adjacent spans within the gap. This reproduces the batch face
+      // for ALL orderings within one micro-batch (orphans that a later
+      // event bridges, mutual orphans, back-extension). The one
+      // remaining approximation — a late event bridging a session
+      // ALREADY emitted in an earlier batch — is inherent to append
+      // mode (emitted rows cannot be retracted).
+      val eventSpans = events.toSeq.map(_.ts.getTime / 1000).sorted
+        .foldLeft(Vector.empty[OpenSession]) { (acc, sec) =>
+          acc.lastOption match {
+            case Some(p) if sec <= p.last + GapSeconds =>
+              acc.init :+ OpenSession(p.start, math.max(p.last, sec), p.n + 1)
+            case _ => acc :+ OpenSession(sec, sec, 1)
+          }
         }
-      }
-      cur.foreach { s =>
-        state.update(s)
+      val merged = (state.getOption.toVector ++ eventSpans)
+        .sortBy(_.start)
+        .foldLeft(Vector.empty[OpenSession]) { (acc, sp) =>
+          acc.lastOption match {
+            case Some(p) if sp.start <= p.last + GapSeconds =>
+              acc.init :+ OpenSession(p.start, math.max(p.last, sp.last), p.n + sp.n)
+            case _ => acc :+ sp
+          }
+        }
+      if (merged.nonEmpty) {
+        merged.init.foreach(s => out += Session(userId, s.start, s.last, s.n))
+        val open = merged.last
+        state.update(open)
         // close the open session once the watermark passes last + gap
-        state.setTimeoutTimestamp((s.last + GapSeconds) * 1000)
+        state.setTimeoutTimestamp((open.last + GapSeconds) * 1000)
       }
     }
     out.iterator

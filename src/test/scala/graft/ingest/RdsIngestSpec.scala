@@ -49,4 +49,24 @@ class RdsIngestSpec extends SparkSpec {
     val upToDate = (1L to 100L).toDF("ID")
     assert(RdsIngest.readIncremental(spark, url, "ORDERS", "ID", upToDate).count() == 0)
   }
+
+  test("cold start (empty ledger) still fans out over parallel cursors") {
+    val nothing = Seq.empty[Long].toDF("ID")
+    val full = RdsIngest.readIncremental(spark, url, "ORDERS", "ID", nothing,
+      numPartitions = 4)
+    assert(full.count() == 100)
+    assert(full.rdd.getNumPartitions == 4,
+      "the largest read the function does must not serialize on one cursor")
+  }
+
+  test("integer (non-long) key columns do not crash the watermark read") {
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE EVENTS_I (IK INT PRIMARY KEY)")
+    (1 to 20).foreach(i => st.execute(s"INSERT INTO EVENTS_I VALUES ($i)"))
+    st.close(); conn.close()
+    val ingested = (1 to 15).toDF("IK")
+    val fresh = RdsIngest.readIncremental(spark, url, "EVENTS_I", "IK", ingested)
+    assert(fresh.select("IK").as[Int].collect().sorted.toSeq == (16 to 20))
+  }
 }

@@ -50,6 +50,10 @@ class MultimodalSpec extends SparkSpec {
     val empty = Seq((3L, "")).toDF("doc_id", "text")
       .withColumn("payload", Multimodal.asBinary("text"))
     assert(Multimodal.frameSample(empty, "doc_id", "payload", 100, 2).count() == 0)
+    // NULL payload: also zero frames
+    val nul = Seq(4L).toDF("doc_id")
+      .withColumn("payload", lit(null).cast("binary"))
+    assert(Multimodal.frameSample(nul, "doc_id", "payload", 100, 2).count() == 0)
   }
 
   test("decodePartitions plumbing matches the columnar stub decode") {

@@ -28,6 +28,17 @@ class SkewSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("an unbounded custom salt is normalized, never drops rows") {
+    import org.apache.spark.sql.functions.xxhash64
+    // the "obvious mistake": a raw hash, far outside [0, saltFactor)
+    val salted = Skew.saltedJoin(large, small, "k", 8,
+        salt = Some(xxhash64(org.apache.spark.sql.functions.col("k"))))
+      .select("k", "v", "name").as[(Long, String, String)].collect().sorted
+    val plain = large.join(small, Seq("k"), "inner")
+      .select("k", "v", "name").as[(Long, String, String)].collect().sorted
+    assert(salted.toSeq == plain.toSeq)
+  }
+
   test("the hot key actually spreads across salts") {
     val salts = large.where($"k" === 1L)
       .select(org.apache.spark.sql.functions.pmod(

@@ -79,6 +79,34 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a later event in the same batch bridges an apparent orphan") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp)]
+    val q = Sessionize.sessionizeStream(stream.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("bridge_sessions")
+      .outputMode("append").start()
+    try {
+      stream.addData((7L, ts(2, 0)))
+      q.processAllAvailable()
+      // 1:25 alone would orphan (gap to 2:00 is 35 min) but 1:50 chains
+      // 1:25 -> 1:50 -> 2:00 into ONE session, like the batch face
+      stream.addData((7L, ts(1, 25)), (7L, ts(1, 50)))
+      q.processAllAvailable()
+      stream.addData((99L, ts(9, 0)))
+      q.processAllAvailable()
+      stream.addData((99L, ts(12, 0)))
+      q.processAllAvailable()
+      def sec(t: Timestamp) = t.getTime / 1000
+      val got = spark.table("bridge_sessions")
+        .select("user_id", "start_sec", "end_sec", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got.contains((7L, sec(ts(1, 25)), sec(ts(2, 0)), 3L)),
+        s"chained events must form one session, got $got")
+      assert(!got.contains((7L, sec(ts(1, 25)), sec(ts(1, 25)), 1L)),
+        "no spurious orphan for a bridgeable event")
+    } finally q.stop()
+  }
+
   test("stream_sessionize query matches its own invariants at sf0.001") {
     val r = Sessionize.streamSessionize(spark, sfDir).collect()
     assert(r.nonEmpty)
