@@ -58,6 +58,8 @@ object SparkEntry {
     "dedup_embedding" -> (VectorQueries.dedupEmbedding _),
     "sim_search_topk" -> (VectorQueries.simSearchTopk _),
     "sim_search_lsh" -> (VectorQueries.simSearchLsh _),
+    // rows-only: centroid assignment is Scala-side plan logic
+    "sim_search_ivf" -> (VectorQueries.simSearchIvf _),
     "embed_stats" -> (VectorQueries.embedStats _),
     "embed_centroids" -> (VectorQueries.embedCentroids _),
     "mm_metadata" -> (Multimodal.mmMetadata _),

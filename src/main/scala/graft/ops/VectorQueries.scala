@@ -105,6 +105,55 @@ object VectorQueries {
       .orderBy(col("label"))
   }
 
+  /** Full centroid VECTORS per label: posexplode → (label, dim) means →
+    * reassembled arrays (sorted struct collect; labels are few, so the
+    * result is broadcast-sized by construction). */
+  private def centroidVectors(v: DataFrame): DataFrame =
+    v.select(col("label"), posexplode(col("e")).as(Seq("dim", "comp")))
+      .groupBy(col("label"), col("dim"))
+      .agg(avg(col("comp")).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        x => x.getField("m")).as("centroid"))
+
+  /** C16: IVF ANN — the third search family beside brute force (C6) and
+    * LSH (C7). Build: every vector joins the tiny broadcast centroid set
+    * and keeps its nearest (the inverted-file assignment). Search: each
+    * query probes only its `nprobe`=2 closest centroids' posting lists
+    * (equi-join on the cluster id — bucket-bounded, no cross join), then
+    * exact cosine rescores and top-10 ranks. Rows-only oracle. */
+  def simSearchIvf(s: SparkSession, dir: String): DataFrame = {
+    val v = emb(s, dir)
+    val cents = Vectors.withNorm(centroidVectors(v), "centroid")
+      .select(col("label").as("cluster"), col("e").as("ce"), col("nrm").as("cn"))
+    val simToCent = Vectors.cosine(col("e"), col("ce"), col("nrm"), col("cn"))
+    // assignment: nearest centroid per vector (rank over the tiny join)
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(simToCent.desc, col("cluster"))
+    val assigned = v.crossJoin(broadcast(cents))
+      .withColumn("__r", rank().over(byVec))
+      .where(col("__r") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cluster"))
+    // probes: each query's 2 closest centroids
+    val byQuery = Window.partitionBy(col("vec_id"))
+      .orderBy(simToCent.desc, col("cluster"))
+    val probes = v.where(col("vec_id") < 5).crossJoin(broadcast(cents))
+      .withColumn("__r", rank().over(byQuery))
+      .where(col("__r") <= 2)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("cluster"))
+    val cand = assigned.join(probes, Seq("cluster"))
+      .where(col("vec_id") =!= col("query_id"))
+    val cos = Vectors.cosine(col("qe"), col("e"), col("qn"), col("nrm"))
+    val scored = cand.select(col("query_id"), col("vec_id"), round(cos, 4).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", rank().over(w))
+      .where(col("rnk") <= 10)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rnk"), col("vec_id"))
+  }
+
   /** C13: per-label vector statistics (norms + mean component). */
   def embedStats(s: SparkSession, dir: String): DataFrame = {
     val meanComp = aggregate(col("e"), lit(0.0), (acc, x) => acc + x) / size(col("e"))

@@ -44,6 +44,20 @@ class VectorSpec extends SparkSpec {
     assert(pairs.forall(_.getAs[Double]("cosine") >= 0.35))
   }
 
+  test("IVF probes recover a reasonable share of brute-force neighbors") {
+    val bf = VectorQueries.simSearchTopk(spark, sfDir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = VectorQueries.simSearchIvf(spark, sfDir)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.groupBy(_._1).forall(_._2.length <= 10))
+    val recall = ivf.count(r => bf.contains((r._1, r._2))).toDouble / bf.size
+    // nprobe=2 of 10 clusters over near-random vectors: just assert the
+    // probes genuinely concentrate candidates vs random chance (~20%)
+    assert(recall >= 0.2, s"IVF recall $recall vs brute force")
+  }
+
   test("LSH top-k returns a subset-scored view consistent with brute force") {
     val bf = VectorQueries.simSearchTopk(spark, sfDir)
       .select("query_id", "vec_id", "cosine")
