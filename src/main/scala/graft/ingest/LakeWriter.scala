@@ -94,13 +94,7 @@ object LakeWriter {
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(prefix))
     val expired = dirs.filter(_.getName.stripPrefix(prefix) < keepFrom)
-    expired.foreach { d =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
-      rm(d)
-    }
+    expired.foreach(FsUtil.deleteRecursively)
     expired.map(_.getName.stripPrefix(prefix)).toSeq.sorted
   }
 }

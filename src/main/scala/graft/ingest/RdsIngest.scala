@@ -42,29 +42,37 @@ object RdsIngest {
                       numPartitions: Int = 8,
                       props: Properties = new Properties()): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, max}
+    import org.apache.spark.sql.types.NumericType
     val wmRow = ingested.agg(max(col(keyCol))).head()
     val wm: Option[Any] = if (wmRow.isNullAt(0)) None else Some(wmRow.get(0))
+    // range partitioning needs a numeric span; decide from the REMOTE
+    // table's schema (one prepare, no data read)
+    val base = read(spark, url, table, props)
+    val numericKey = base.schema(keyCol).dataType.isInstanceOf[NumericType]
 
     wm match {
-      case Some(n: Number) =>
-        // numeric key: bound the fresh span remotely and fan out
-        val w = n.longValue()
-        boundedRead(spark, url, table, keyCol, Some(w), numPartitions, props)
-          .where(col(keyCol) > lit(w))
+      case Some(n: Number) if numericKey =>
+        // filter by the EXACT watermark value (truncating a fractional
+        // key would re-ingest rows); long bounds are only partition
+        // split points — Spark's first/last JDBC partitions are
+        // unbounded, so truncation there cannot lose rows
+        boundedRead(spark, url, table, keyCol, Some(n), numPartitions, props)
+          .where(col(keyCol) > lit(n))
       case Some(other) =>
         // non-numeric key (date/string): literal predicate still pushes
-        // to the remote scan; range partitioning needs a numeric span
         read(spark, url, table, props).where(col(keyCol) > lit(other))
-      case None =>
+      case None if numericKey =>
         // cold start: nothing ingested — full load, still fanned out
         boundedRead(spark, url, table, keyCol, None, numPartitions, props)
+      case None => base
     }
   }
 
   /** Read with partition bounds taken from one remote min/max query over
-    * the (optionally watermark-filtered) key span. */
+    * the (optionally watermark-filtered) key span. Only called for
+    * numeric keys. */
   private def boundedRead(spark: SparkSession, url: String, table: String,
-                          keyCol: String, above: Option[Long],
+                          keyCol: String, above: Option[Number],
                           numPartitions: Int, props: Properties): org.apache.spark.sql.DataFrame = {
     // honor the JDBC 'driver' property the way spark.read.jdbc does
     Option(props.getProperty("driver")).foreach(Class.forName)

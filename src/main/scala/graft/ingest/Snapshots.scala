@@ -1,6 +1,6 @@
 package graft.ingest
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -50,17 +50,28 @@ object Snapshots {
     val commitId = java.util.UUID.randomUUID().toString
     val dataDir = s"$table/data/$commitId"
     df.write.parquet(dataDir)
-
     Files.createDirectories(manifestDir(table))
-    val prior = versions(table)
-    val prev: Seq[String] =
-      if (append && prior.nonEmpty) liveDirs(table, prior.last) else Seq.empty
-    val next = prior.lastOption.getOrElse(0L) + 1
-    val tmp = manifestDir(table).resolve(s".v$next.tmp")
-    Files.writeString(tmp, (prev :+ dataDir).mkString("\n"))
-    // atomic publication: the manifest appears fully-written or not at all
-    Files.move(tmp, manifestPath(table, next), StandardCopyOption.ATOMIC_MOVE)
-    next
+
+    // optimistic-concurrency publication: re-resolve the head, stage a
+    // writer-unique temp, and claim the next version with a hard link —
+    // link() atomically FAILS if the target exists, so racing committers
+    // serialize (loser re-reads the new head and retries against it)
+    var committed = -1L
+    while (committed < 0) {
+      val prior = versions(table)
+      val prev: Seq[String] =
+        if (append && prior.nonEmpty) liveDirs(table, prior.last) else Seq.empty
+      val next = prior.lastOption.getOrElse(0L) + 1
+      val tmp = manifestDir(table).resolve(s".v$next-$commitId.tmp")
+      Files.writeString(tmp, (prev :+ dataDir).mkString("\n"))
+      try {
+        Files.createLink(manifestPath(table, next), tmp)
+        committed = next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => // lost the race
+      } finally Files.deleteIfExists(tmp)
+    }
+    committed
   }
 
   /** Read a snapshot: the latest version, or a pinned historical one. */
@@ -75,18 +86,35 @@ object Snapshots {
 
   /** Expire history: delete manifests < `keepFrom` and any data dir no
     * surviving manifest references. Readers of retained versions are
-    * unaffected (their files are still listed, hence still live). */
+    * unaffected (their files are still listed, hence still live). The
+    * CURRENT version can never be expired — a runaway retention bound
+    * must not destroy the live table. */
   def expireBefore(table: String, keepFrom: Long): Seq[Long] = {
-    val (drop, keep) = versions(table).partition(_ < keepFrom)
+    val vs = versions(table)
+    require(vs.isEmpty || keepFrom <= vs.last,
+      s"refusing to expire the current snapshot v${vs.lastOption.getOrElse(0L)}")
+    val (drop, keep) = vs.partition(_ < keepFrom)
     val stillLive = keep.flatMap(liveDirs(table, _)).toSet
     val doomed = drop.flatMap(liveDirs(table, _)).toSet -- stillLive
-    doomed.foreach { d =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
-      }
-      rm(new java.io.File(d))
-    }
+    doomed.foreach(d => FsUtil.deleteRecursively(new java.io.File(d)))
     drop.foreach(v => Files.deleteIfExists(manifestPath(table, v)))
     drop
+  }
+
+  /** Remove orphans: data dirs referenced by NO manifest (failed commits
+    * that died between the data write and publication) and stale temp
+    * files. Safe concurrently with readers — only never-published dirs
+    * are touched. Returns the deleted data dirs. */
+  def vacuum(table: String): Seq[String] = {
+    val referenced = versions(table).flatMap(liveDirs(table, _)).toSet
+    val dataRoot = Paths.get(table, "data").toFile
+    val orphans = Option(dataRoot.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .map(d => s"$table/data/${d.getName}")
+      .filterNot(referenced)
+    orphans.foreach(d => FsUtil.deleteRecursively(new java.io.File(d)))
+    Option(manifestDir(table).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".tmp")).foreach(_.delete())
+    orphans.toSeq.sorted
   }
 }

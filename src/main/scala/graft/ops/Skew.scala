@@ -29,14 +29,16 @@ object Skew {
     * that are BYTE-IDENTICAL duplicates (they all hash alike). When the
     * hot key is duplicate-heavy, pass a custom `salt` — e.g.
     * `rand(seed) * saltFactor` — trading retry determinism for spread.
-    * Any custom salt is pmod-normalized into [0, saltFactor) so an
-    * un-bounded expression can never silently drop rows. */
+    * Any custom salt is null-coalesced and pmod-normalized into
+    * [0, saltFactor) so an unbounded or null-producing expression can
+    * never silently drop rows. */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  saltFactor: Int, joinType: String = "inner",
                  salt: Option[Column] = None): DataFrame = {
     require(saltFactor >= 1, s"saltFactor must be positive: $saltFactor")
     val saltCol = pmod(
-      salt.getOrElse(xxhash64(large.columns.toSeq.map(col): _*)).cast("long"),
+      coalesce(salt.getOrElse(xxhash64(large.columns.toSeq.map(col): _*))
+        .cast("long"), lit(0L)),
       lit(saltFactor.toLong))
     val salted = large.withColumn("__salt", saltCol)
     val replicated = small.withColumn("__salt",

@@ -127,7 +127,7 @@ object VectorQueries {
     val cents = Vectors.withNorm(centroidVectors(v), "centroid")
       .select(col("label").as("cluster"), col("e").as("ce"), col("nrm").as("cn"))
     val simToCent = Vectors.cosine(col("e"), col("ce"), col("nrm"), col("cn"))
-    // assignment: nearest centroid per vector (rank over the tiny join)
+    // one window serves both ranks: nearest centroids per vector
     val byVec = Window.partitionBy(col("vec_id"))
       .orderBy(simToCent.desc, col("cluster"))
     val assigned = v.crossJoin(broadcast(cents))
@@ -135,10 +135,8 @@ object VectorQueries {
       .where(col("__r") === 1)
       .select(col("vec_id"), col("e"), col("nrm"), col("cluster"))
     // probes: each query's 2 closest centroids
-    val byQuery = Window.partitionBy(col("vec_id"))
-      .orderBy(simToCent.desc, col("cluster"))
     val probes = v.where(col("vec_id") < 5).crossJoin(broadcast(cents))
-      .withColumn("__r", rank().over(byQuery))
+      .withColumn("__r", rank().over(byVec))
       .where(col("__r") <= 2)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("nrm").as("qn"), col("cluster"))

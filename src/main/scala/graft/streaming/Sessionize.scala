@@ -59,49 +59,44 @@ object Sessionize {
 
   final case class Event(user_id: Long, ts: Timestamp)
   final case class OpenSession(start: Long, last: Long, n: Long)
+  /** State = ALL of a user's not-yet-closed spans. Keeping every span
+    * until the watermark passes `last + gap` (not just the newest one)
+    * means an above-watermark event in a later batch can still bridge
+    * two apparent sessions — emission happens exclusively on timeout,
+    * exactly when no in-watermark event can change the span again. */
+  final case class OpenSessions(spans: Vector[OpenSession])
   final case class Session(user_id: Long, start_sec: Long, end_sec: Long, n_events: Long)
 
-  /** Session-closing logic for one user and one micro-batch. */
-  private def updateUser(userId: Long, events: Iterator[Event],
-                         state: GroupState[OpenSession]): Iterator[Session] = {
-    val out = scala.collection.mutable.ListBuffer.empty[Session]
-    if (state.hasTimedOut) {
-      val s = state.get
-      out += Session(userId, s.start, s.last, s.n)
-      state.remove()
-    } else {
-      // chain-merge: fold the batch's sorted events into local spans,
-      // slot the open-session span among them, and merge every pair of
-      // adjacent spans within the gap. This reproduces the batch face
-      // for ALL orderings within one micro-batch (orphans that a later
-      // event bridges, mutual orphans, back-extension). The one
-      // remaining approximation — a late event bridging a session
-      // ALREADY emitted in an earlier batch — is inherent to append
-      // mode (emitted rows cannot be retracted).
-      val eventSpans = events.toSeq.map(_.ts.getTime / 1000).sorted
-        .foldLeft(Vector.empty[OpenSession]) { (acc, sec) =>
-          acc.lastOption match {
-            case Some(p) if sec <= p.last + GapSeconds =>
-              acc.init :+ OpenSession(p.start, math.max(p.last, sec), p.n + 1)
-            case _ => acc :+ OpenSession(sec, sec, 1)
-          }
-        }
-      val merged = (state.getOption.toVector ++ eventSpans)
-        .sortBy(_.start)
-        .foldLeft(Vector.empty[OpenSession]) { (acc, sp) =>
-          acc.lastOption match {
-            case Some(p) if sp.start <= p.last + GapSeconds =>
-              acc.init :+ OpenSession(p.start, math.max(p.last, sp.last), p.n + sp.n)
-            case _ => acc :+ sp
-          }
-        }
-      if (merged.nonEmpty) {
-        merged.init.foreach(s => out += Session(userId, s.start, s.last, s.n))
-        val open = merged.last
-        state.update(open)
-        // close the open session once the watermark passes last + gap
-        state.setTimeoutTimestamp((open.last + GapSeconds) * 1000)
+  private def chainMerge(spans: Vector[OpenSession]): Vector[OpenSession] =
+    spans.sortBy(_.start).foldLeft(Vector.empty[OpenSession]) { (acc, sp) =>
+      acc.lastOption match {
+        case Some(p) if sp.start <= p.last + GapSeconds =>
+          acc.init :+ OpenSession(p.start, math.max(p.last, sp.last), p.n + sp.n)
+        case _ => acc :+ sp
       }
+    }
+
+  /** Session logic for one user and one micro-batch: merge new events
+    * into the state's span set; emit spans only when the watermark has
+    * passed their close (timeout). */
+  private def updateUser(userId: Long, events: Iterator[Event],
+                         state: GroupState[OpenSessions]): Iterator[Session] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Session]
+    val watermark = state.getCurrentWatermarkMs()
+
+    val eventSpans = events.toSeq.map(_.ts.getTime / 1000).sorted
+      .map(sec => OpenSession(sec, sec, 1)).toVector
+    val merged = chainMerge(
+      state.getOption.map(_.spans).getOrElse(Vector.empty) ++ eventSpans)
+
+    // a span is closed once no admissible event can extend it: the
+    // watermark has passed its last event + gap
+    val (closed, open) = merged.partition(s => (s.last + GapSeconds) * 1000 <= watermark)
+    closed.foreach(s => out += Session(userId, s.start, s.last, s.n))
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(OpenSessions(open))
+      state.setTimeoutTimestamp(open.map(s => (s.last + GapSeconds) * 1000).min)
     }
     out.iterator
   }
@@ -117,7 +112,7 @@ object Sessionize {
       .select(col("user_id").cast("long"), col("ts"))
       .as[Event]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        updateUser)
+      .flatMapGroupsWithState[OpenSessions, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateUser)
   }
 }

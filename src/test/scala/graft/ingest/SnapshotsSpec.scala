@@ -31,6 +31,24 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, table).as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("expireBefore refuses to destroy the current snapshot") {
+    val table = tmpDir("snap-guard") + "/t"
+    Snapshots.write(Seq(1L).toDF("id"), table)
+    intercept[IllegalArgumentException](Snapshots.expireBefore(table, keepFrom = 2L))
+    assert(Snapshots.read(spark, table).count() == 1)
+  }
+
+  test("vacuum removes only never-published data dirs") {
+    val table = tmpDir("snap-vac") + "/t"
+    Snapshots.write(Seq(1L).toDF("id"), table)
+    // simulate a commit that died between data write and publication
+    Seq(7L).toDF("id").write.parquet(s"$table/data/dead-commit")
+    val removed = Snapshots.vacuum(table)
+    assert(removed == Seq(s"$table/data/dead-commit"))
+    assert(Snapshots.read(spark, table).as[Long].collect().toSeq == Seq(1L),
+      "published data must survive vacuum")
+  }
+
   test("expireBefore drops old versions but never files still referenced") {
     val table = tmpDir("snap-exp") + "/t"
     Snapshots.write(Seq(1L).toDF("id"), table)            // v1

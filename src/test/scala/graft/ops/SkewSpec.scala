@@ -39,6 +39,17 @@ class SkewSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("a null-producing custom salt still joins every row") {
+    import org.apache.spark.sql.functions.{lit, when}
+    // salt is null for the hot key — must coalesce, not drop
+    val nullish = when($"k" =!= 1L, lit(3L))
+    val salted = Skew.saltedJoin(large, small, "k", 8, salt = Some(nullish))
+      .select("k", "v", "name").as[(Long, String, String)].collect().sorted
+    val plain = large.join(small, Seq("k"), "inner")
+      .select("k", "v", "name").as[(Long, String, String)].collect().sorted
+    assert(salted.toSeq == plain.toSeq)
+  }
+
   test("the hot key actually spreads across salts") {
     val salts = large.where($"k" === 1L)
       .select(org.apache.spark.sql.functions.pmod(

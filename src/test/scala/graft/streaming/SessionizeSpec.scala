@@ -107,6 +107,35 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("an event in a LATER batch bridges two spans not yet past the watermark") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp)]
+    val q = Sessionize.sessionizeStream(stream.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("xbatch_sessions")
+      .outputMode("append").start()
+    try {
+      // two spans 35 min apart — apparently separate sessions, but the
+      // watermark hasn't closed the first, so neither may emit yet
+      stream.addData((7L, ts(2, 0)), (7L, ts(2, 35)))
+      q.processAllAvailable()
+      assert(spark.table("xbatch_sessions").count() == 0,
+        "nothing may emit before the watermark passes a span's close")
+      // a later batch delivers the bridging event (above watermark)
+      stream.addData((7L, ts(2, 15)))
+      q.processAllAvailable()
+      stream.addData((99L, ts(9, 0)))
+      q.processAllAvailable()
+      stream.addData((99L, ts(12, 0)))
+      q.processAllAvailable()
+      def sec(t: Timestamp) = t.getTime / 1000
+      val got = spark.table("xbatch_sessions")
+        .select("user_id", "start_sec", "end_sec", "n_events")
+        .as[(Long, Long, Long, Long)].collect().filter(_._1 == 7L).toSet
+      assert(got == Set((7L, sec(ts(2, 0)), sec(ts(2, 35)), 3L)),
+        s"the cross-batch bridge must yield ONE session, got $got")
+    } finally q.stop()
+  }
+
   test("stream_sessionize query matches its own invariants at sf0.001") {
     val r = Sessionize.streamSessionize(spark, sfDir).collect()
     assert(r.nonEmpty)
