@@ -41,6 +41,7 @@ object SparkEntry {
     "ingest_ledger_diff" -> (IngestQueries.ingestLedgerDiff _),
     "ingest_watermark_append" -> (IngestQueries.ingestWatermarkAppend _),
     "ingest_failure_classify" -> (IngestQueries.ingestFailureClassify _),
+    "ingest_failure_ledger" -> (IngestQueries.ingestFailureLedger _),
     "ingest_schema_merge" -> (IngestQueries.ingestSchemaMerge _),
     "ingest_partition_derive" -> (IngestQueries.ingestPartitionDerive _),
     "sync_zone_diff" -> (IngestQueries.syncZoneDiff _),
@@ -252,6 +253,41 @@ object SparkEntry {
         |  count(*) AS n
         |FROM files LEFT JOIN config ON event_type = cfg_type
         |GROUP BY event_type, status ORDER BY event_type, status""".stripMargin,
+    "ingest_failure_ledger" ->
+      """WITH config(cfg_type, meta_list) AS (
+        |  VALUES ('click','ev_id,ev_type,ts'),('view','ev_id,ev_type,ts'),
+        |         ('signup','ev_id,ev_type,ts,props,val'),
+        |         ('purchase','ev_id,ev_type,ts,props,val,qty')),
+        |cfg AS (
+        |  SELECT cfg_type, meta_list,
+        |         len(string_split(meta_list, ',')) AS expected_cnt
+        |  FROM config),
+        |files AS (
+        |  SELECT concat(event_type, '_', cast(event_id AS VARCHAR)) AS fname,
+        |         event_type, (event_id % 7) + 1 AS header_cnt,
+        |         (event_id % 13 = 0) AS irregular
+        |  FROM events),
+        |cls AS (
+        |  SELECT fname, header_cnt, meta_list, expected_cnt,
+        |    CASE WHEN irregular THEN 'IRREGULAR'
+        |         WHEN expected_cnt IS NULL THEN 'OUTOFCONFIG'
+        |         WHEN header_cnt <> expected_cnt THEN 'UNMATCH'
+        |         ELSE 'OK' END AS status
+        |  FROM files LEFT JOIN cfg ON event_type = cfg_type),
+        |led AS (
+        |  SELECT fname,
+        |    CASE WHEN status = 'UNMATCH' THEN header_cnt END AS header_cnt,
+        |    CASE WHEN status = 'UNMATCH' THEN meta_list ELSE '' END AS meta_header_list,
+        |    CASE WHEN status = 'UNMATCH' THEN expected_cnt END AS meta_header_cnt,
+        |    status
+        |  FROM cls WHERE status <> 'OK')
+        |SELECT status, meta_header_list, count(*) AS n_files,
+        |       count(DISTINCT header_cnt) AS widths,
+        |       cast(sum(header_cnt) AS BIGINT) AS found_cnt_sum,
+        |       cast(sum(meta_header_cnt) AS BIGINT) AS meta_cnt_sum,
+        |       min(fname) AS first_file, max(fname) AS last_file
+        |FROM led GROUP BY status, meta_header_list
+        |ORDER BY status, meta_header_list""".stripMargin,
     "ingest_schema_merge" ->
       """WITH merged AS (
         |  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority

@@ -27,7 +27,47 @@ object IngestJob {
   final case class RunSummary(
       processed: Map[String, Long],   // table -> rows written
       skippedAsProcessed: Long,       // files the ledger filtered out
-      failures: DataFrame)            // (fname, status) for IRREGULAR/OUTOFCONFIG
+      failures: DataFrame,            // FAILED_TO_CONVERT-shaped rows for this run
+      processedFiles: Long = 0L,      // files successfully written this run
+      failureCounts: Map[String, Long] = Map.empty, // status -> file count
+      invalidConfigTables: Seq[String] = Nil,       // config rows rejected (dup headers)
+      startTime: String = "",
+      endTime: String = "") {
+
+    /** Formatted completion report — the reference's summary-mail body
+      * reshaped (send_completed_mail, DATALAKE_TRANSFORMATION_S3_DAILY
+      * _JOB.PY:183–215): per-class file counts, job status + timing, and
+      * the SQL an operator runs for failure detail. Transport (SNS/mail)
+      * is out of scope; the string is the artifact. */
+    def report: String = {
+      def line(k: String, v: Any) = f"  $k%-26s:   $v"
+      val sep = "-" * 68
+      val status =
+        if (invalidConfigTables.isEmpty) "COMPLETED"
+        else "COMPLETED WITH ERRORS: DUPLICATED COLUMNS IN ENTRY: " +
+          invalidConfigTables.mkString(", ")
+      Seq(
+        "DATALAKE TRANSFORMATION PROCESS COMPLETED",
+        sep,
+        line("PROCESSED_FILES_NUMBERS", processedFiles),
+        line("UNMATCH_FILES_NUMBERS", failureCounts.getOrElse(FailureClassifier.Unmatch, 0L)),
+        line("OUTCONFIG_FILES_NUMBERS", failureCounts.getOrElse(FailureClassifier.OutOfConfig, 0L)),
+        line("IRREGULAR_FILES_NUMBERS", failureCounts.getOrElse(FailureClassifier.Irregular, 0L)),
+        line("JOB_STATUS", status),
+        line("JOB_START_TIME", startTime),
+        line("JOB_END_TIME", endTime),
+        sep,
+        "FOR EXCEPTION FILE DETAIL, QUERY THE FAILURE LEDGER:",
+        s"  SELECT fname, header_cnt, meta_header_cnt, status" +
+          s" FROM ${FailureLedger.TableName}" +
+          s" WHERE start_exec_time >= '$startTime'"
+      ).mkString("\n")
+    }
+  }
+
+  private def nowString(): String =
+    java.time.LocalDateTime.now()
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
 
   /** Run with a config TABLE carrying validity windows — the reference's
     * actual config shape (columns: table, start_date, end_date, headers
@@ -44,11 +84,18 @@ object IngestJob {
       .map(r => (r.getString(0), r.getDate(1), r.getDate(2),
         r.getString(3).split(",").toSeq,
         r.getString(4).split(",").map(_.trim.toInt).toSeq))
+    // reject config rows with duplicated header columns before anything is
+    // parsed (ref :222–231 exits the whole job; here the bad row is dropped
+    // so its files classify OUTOFCONFIG — a queryable failure record — and
+    // retry once the config is fixed, while other tables still ingest)
+    val (validRows, invalidRows) = rows.partition(r => r._4.distinct.length == r._4.length)
+    val invalidTables = invalidRows.map(_._1).distinct.toSeq
     def layoutFor(table: String, d: java.sql.Date): Option[TableConfig] =
-      rows.find { case (t, s, e, _, _) =>
+      validRows.find { case (t, s, e, _, _) =>
         t == table && s.compareTo(d) <= 0 && e.compareTo(d) > 0
       }.map(r => TableConfig(r._4, r._5))
-    runResolved(spark, landingDir, storingDir, ledgerPath, layoutFor)
+    val summary = runResolved(spark, landingDir, storingDir, ledgerPath, layoutFor)
+    summary.copy(invalidConfigTables = invalidTables)
   }
 
   /** One daily run with a static layout per table. */
@@ -63,6 +110,7 @@ object IngestJob {
                   ledgerPath: String,
                   layoutFor: (String, java.sql.Date) => Option[TableConfig]): RunSummary = {
     import spark.implicits._
+    val startTime = nowString()
 
     // landing inventory: file NAMES only (metadata-scale listing)
     val names = Option(new java.io.File(landingDir).listFiles())
@@ -113,9 +161,18 @@ object IngestJob {
         .as[(String, Int)].collect().toMap
     val (matched, unmatched) = todo.partition(e =>
       widthByFile.get(e.fname).contains(e.cfg.headers.length))
-    val allFailures = (classFails ++
-      unmatched.map(e => e.fname -> FailureClassifier.Unmatch))
-      .toDF("fname", "status")
+    // FAILED_TO_CONVERT rows (ref :101–103): UNMATCH carries the found-vs-
+    // expected header detail (:316), OUTOFCONFIG/IRREGULAR blank it (:349–358)
+    val failureRecords: Seq[FailureLedger.Record] =
+      classFails.map { case (f, status) =>
+        FailureLedger.Record(f, "", None, "", None, startTime, status)
+      } ++ unmatched.map { e =>
+        val w = widthByFile.getOrElse(e.fname, 0)
+        FailureLedger.Record(e.fname,
+          (0 until w).map(i => s"_c$i").mkString(","), Some(w),
+          e.cfg.headers.mkString(","), Some(e.cfg.headers.length),
+          startTime, FailureClassifier.Unmatch)
+      }
 
     // group by (table, layout): across a layout change the same table
     // parses under two configs in one run; their business dates are
@@ -146,6 +203,14 @@ object IngestJob {
     if (matched.nonEmpty) {
       Ledger.record(matched.map(_.fname).toDF("fname"), "fname", ledgerPath)
     }
-    RunSummary(written, skipped, allFailures)
+    // persist this run's failures to the queryable FAILED_TO_CONVERT table
+    // (ref :400–413 appends each class list); accumulates across runs
+    FailureLedger.append(failureRecords, spark,
+      s"$storingDir/${FailureLedger.TableName}")
+    RunSummary(written, skipped, failureRecords.toDF(),
+      processedFiles = matched.size.toLong,
+      failureCounts = failureRecords.groupBy(_.status)
+        .view.mapValues(_.size.toLong).toMap,
+      startTime = startTime, endTime = nowString())
   }
 }

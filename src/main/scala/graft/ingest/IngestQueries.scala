@@ -85,6 +85,42 @@ object IngestQueries {
       .orderBy(col("event_type"), col("status"))
   }
 
+  /** B5b: the persisted failure ledger's query face — classify synthesized
+    * landing files, shape them into FAILED_TO_CONVERT rows (header detail
+    * for UNMATCH, blanked otherwise — ref :101–103, 316, 349–358), and
+    * aggregate per (status, expected layout) the way an operator triages a
+    * bad ingest night. */
+  def ingestFailureLedger(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val config = Seq(
+      ("click", "ev_id,ev_type,ts"), ("view", "ev_id,ev_type,ts"),
+      ("signup", "ev_id,ev_type,ts,props,val"),
+      ("purchase", "ev_id,ev_type,ts,props,val,qty"))
+      .toDF("cfg_type", "meta_list")
+      .withColumn("expected_cnt", size(split(col("meta_list"), ",")))
+    val files = t(s, dir, "events").select(
+      concat(col("event_type"), lit("_"), col("event_id").cast("string")).as("fname"),
+      col("event_type"),
+      ((col("event_id") % 7) + 1).as("header_cnt"),
+      (col("event_id") % 13 === 0).as("irregular"))
+    val joined = files.join(broadcast(config), col("event_type") === col("cfg_type"), "left")
+    val classified = FailureClassifier.classify(
+      joined, col("irregular"), col("header_cnt"), col("expected_cnt"))
+    val ledger = FailureLedger.shape(classified,
+      fname = col("fname"), headerList = lit(""),
+      headerCnt = col("header_cnt"),
+      metaHeaderList = col("meta_list"), metaHeaderCnt = col("expected_cnt"),
+      execTime = lit("1970-01-01 00:00:00"))
+    ledger.groupBy(col("status"), col("meta_header_list"))
+      .agg(count(lit(1)).as("n_files"),
+        countDistinct(col("header_cnt")).as("widths"),
+        sum(col("header_cnt")).as("found_cnt_sum"),
+        sum(col("meta_header_cnt")).as("meta_cnt_sum"),
+        min(col("fname")).as("first_file"),
+        max(col("fname")).as("last_file"))
+      .orderBy(col("status"), col("meta_header_list"))
+  }
+
   /** B6: layout-changed merge — union-by-name with null-filled columns. */
   def ingestSchemaMerge(s: SparkSession, dir: String): DataFrame = {
     val ord = t(s, dir, "orders")

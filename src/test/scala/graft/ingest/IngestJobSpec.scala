@@ -2,6 +2,8 @@ package graft.ingest
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions.{col => spark_col}
+
 import graft.SparkSpec
 
 /** Integration: the whole daily transformation run, twice — the second
@@ -29,11 +31,29 @@ class IngestJobSpec extends SparkSpec {
     val r1 = IngestJob.run(spark, landing, storing, ledger, configs)
     assert(r1.processed == Map("ORDERS" -> 3L, "CUST" -> 1L))
     assert(r1.skippedAsProcessed == 0)
-    val fails = r1.failures.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val fails = r1.failures.select("fname", "status").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
     assert(fails == Set(
       ("UNKNOWN_20240101_080000.CSV", FailureClassifier.OutOfConfig),
       ("garbage.txt", FailureClassifier.Irregular),
       ("ORDERS_20240101_230000.CSV", FailureClassifier.Unmatch)))
+    assert(r1.processedFiles == 3 && r1.failureCounts == Map(
+      FailureClassifier.OutOfConfig -> 1L, FailureClassifier.Irregular -> 1L,
+      FailureClassifier.Unmatch -> 1L))
+
+    // the failure ledger persisted with header detail (ref FAILED_TO_CONVERT)
+    val led1 = FailureLedger.read(spark, s"$storing/${FailureLedger.TableName}")
+    assert(led1.count() == 3)
+    val unm = led1.where(spark_col("status") === FailureClassifier.Unmatch).collect()
+    assert(unm.length == 1)
+    val u = unm.head
+    assert(u.getAs[String]("fname") == "ORDERS_20240101_230000.CSV")
+    assert(u.getAs[Int]("header_cnt") == 2, "found width recorded")
+    assert(u.getAs[String]("meta_header_list") == "id,amount,day")
+    assert(u.getAs[Int]("meta_header_cnt") == 3, "expected width recorded")
+    assert(led1.where(spark_col("status") =!= FailureClassifier.Unmatch)
+      .where(spark_col("header_cnt").isNull && spark_col("meta_header_list") === "")
+      .count() == 2, "non-UNMATCH rows blank the header detail")
 
     // storing zone: partitioned by the filename's business date
     val orders = spark.read.parquet(s"$storing/ORDERS")
@@ -62,6 +82,74 @@ class IngestJobSpec extends SparkSpec {
     val r4 = IngestJob.run(spark, landing, storing, ledger, healed)
     assert(r4.processed == Map("UNKNOWN" -> 1L),
       "an OUTOFCONFIG file must retry once its config lands")
+
+    // ledger accumulated every run's failures: 3 + 3 + 3 + 2 (UNKNOWN healed)
+    val led4 = FailureLedger.read(spark, s"$storing/${FailureLedger.TableName}")
+    assert(led4.count() == 11, "append-only error history across runs")
+    val byStatus = led4.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus == Map(
+      FailureClassifier.Unmatch -> 4L, FailureClassifier.Irregular -> 4L,
+      FailureClassifier.OutOfConfig -> 3L))
+  }
+
+  test("duplicated config headers reject the row; its files fail OUTOFCONFIG and retry") {
+    import spark.implicits._
+    val landing = tmpDir("ij3-landing"); val storing = tmpDir("ij3-storing")
+    val ledger = tmpDir("ij3-ledger") + "/processed"
+    def d(s: String) = java.sql.Date.valueOf(s)
+
+    drop(landing, "ORDERS_20240110_080000.CSV", "1,10.5\n")
+    drop(landing, "CUST_20240110_080000.CSV", "7,alice\n")
+
+    // ORDERS config row has a duplicated header column (ref :222–231)
+    val bad = Seq(
+      ("ORDERS", d("2020-01-01"), d("9999-12-31"), "id,amount,id", "4,2,4"),
+      ("CUST", d("2020-01-01"), d("9999-12-31"), "id,name", "4,1"))
+      .toDF("table", "start_date", "end_date", "headers", "type_codes")
+    val r1 = IngestJob.runWithConfigTable(spark, landing, storing, ledger, bad)
+    assert(r1.invalidConfigTables == Seq("ORDERS"))
+    assert(r1.processed == Map("CUST" -> 1L), "valid tables still ingest")
+    val fails = r1.failures.select("fname", "status").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fails == Set(("ORDERS_20240110_080000.CSV", FailureClassifier.OutOfConfig)),
+      "files of the rejected config row get a queryable failure record")
+    assert(r1.report.contains("DUPLICATED COLUMNS IN ENTRY: ORDERS"))
+
+    // config fixed -> the file ingests on the next run (never ledgered)
+    val good = Seq(
+      ("ORDERS", d("2020-01-01"), d("9999-12-31"), "id,amount", "4,2"),
+      ("CUST", d("2020-01-01"), d("9999-12-31"), "id,name", "4,1"))
+      .toDF("table", "start_date", "end_date", "headers", "type_codes")
+    val r2 = IngestJob.runWithConfigTable(spark, landing, storing, ledger, good)
+    assert(r2.invalidConfigTables.isEmpty)
+    assert(r2.processed == Map("ORDERS" -> 1L))
+  }
+
+  test("RunSummary.report formats the reference's completion-mail shape") {
+    import spark.implicits._
+    val s = IngestJob.RunSummary(
+      processed = Map("ORDERS" -> 3L), skippedAsProcessed = 2L,
+      failures = Seq.empty[FailureLedger.Record].toDF(),
+      processedFiles = 2L,
+      failureCounts = Map(FailureClassifier.Unmatch -> 1L,
+        FailureClassifier.Irregular -> 4L),
+      invalidConfigTables = Nil,
+      startTime = "2024-01-01 08:00:00", endTime = "2024-01-01 08:05:00")
+    val r = s.report
+    assert(r ==
+      """DATALAKE TRANSFORMATION PROCESS COMPLETED
+        |--------------------------------------------------------------------
+        |  PROCESSED_FILES_NUMBERS   :   2
+        |  UNMATCH_FILES_NUMBERS     :   1
+        |  OUTCONFIG_FILES_NUMBERS   :   0
+        |  IRREGULAR_FILES_NUMBERS   :   4
+        |  JOB_STATUS                :   COMPLETED
+        |  JOB_START_TIME            :   2024-01-01 08:00:00
+        |  JOB_END_TIME              :   2024-01-01 08:05:00
+        |--------------------------------------------------------------------
+        |FOR EXCEPTION FILE DETAIL, QUERY THE FAILURE LEDGER:
+        |  SELECT fname, header_cnt, meta_header_cnt, status FROM FAILED_TO_CONVERT WHERE start_exec_time >= '2024-01-01 08:00:00'""".stripMargin)
   }
 
   test("config table with validity windows parses a layout change in one run") {
@@ -82,7 +170,8 @@ class IngestJobSpec extends SparkSpec {
 
     val r = IngestJob.runWithConfigTable(spark, landing, storing, ledger, config)
     assert(r.processed == Map("ORDERS" -> 2L))
-    val fails = r.failures.collect().map(x => (x.getString(0), x.getString(1))).toSet
+    val fails = r.failures.select("fname", "status").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
     assert(fails == Set(("ORDERS_20190101_080000.CSV", FailureClassifier.OutOfConfig)))
 
     val merged = spark.read.option("mergeSchema", "true").parquet(s"$storing/ORDERS")
