@@ -117,29 +117,30 @@ object VectorQueries {
         x => x.getField("m")).as("centroid"))
 
   /** C16: IVF ANN — the third search family beside brute force (C6) and
-    * LSH (C7). Build: every vector joins the tiny broadcast centroid set
-    * and keeps its nearest (the inverted-file assignment). Search: each
-    * query probes only its `nprobe`=2 closest centroids' posting lists
+    * LSH (C7). Build: the centroid set folds into ONE broadcast
+    * array-of-structs row, and each vector's inverted-file assignment is
+    * a NARROW per-row argmax (native [[graft.functions.NearestCentroids]]
+    * — no shuffle of the corpus; the join+window spelling exchanged n·k
+    * rows on vec_id just to rank a per-row maximum). Search: each query
+    * probes only its `nprobe`=2 closest centroids' posting lists
     * (equi-join on the cluster id — bucket-bounded, no cross join), then
     * exact cosine rescores and top-10 ranks. Rows-only oracle. */
   def simSearchIvf(s: SparkSession, dir: String): DataFrame = {
     val v = emb(s, dir)
     val cents = Vectors.withNorm(centroidVectors(v), "centroid")
       .select(col("label").as("cluster"), col("e").as("ce"), col("nrm").as("cn"))
-    val simToCent = Vectors.cosine(col("e"), col("ce"), col("nrm"), col("cn"))
-    // one window serves both ranks: nearest centroids per vector
-    val byVec = Window.partitionBy(col("vec_id"))
-      .orderBy(simToCent.desc, col("cluster"))
-    val assigned = v.crossJoin(broadcast(cents))
-      .withColumn("__r", rank().over(byVec))
-      .where(col("__r") === 1)
-      .select(col("vec_id"), col("e"), col("nrm"), col("cluster"))
-    // probes: each query's 2 closest centroids
-    val probes = v.where(col("vec_id") < 5).crossJoin(broadcast(cents))
-      .withColumn("__r", rank().over(byVec))
-      .where(col("__r") <= 2)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"),
-        col("nrm").as("qn"), col("cluster"))
+    // all centroids in one row, cluster-sorted for deterministic ties
+    val centsArr = cents.agg(array_sort(collect_list(
+      struct(col("cluster"), col("ce"), col("cn")))).as("cents"))
+    val assigned = v.crossJoin(broadcast(centsArr))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        graft.functions.NearestCentroids(col("e"), col("cents"), 1)
+          .getItem(0).as("cluster"))
+    // probes: each query's 2 closest centroids (same narrow projection)
+    val probes = v.where(col("vec_id") < 5).crossJoin(broadcast(centsArr))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"),
+        explode(graft.functions.NearestCentroids(col("e"), col("cents"), 2))
+          .as("cluster"))
     val cand = assigned.join(probes, Seq("cluster"))
       .where(col("vec_id") =!= col("query_id"))
     val cos = Vectors.cosine(col("qe"), col("e"), col("qn"), col("nrm"))

@@ -95,6 +95,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("IVF assignment is shuffle-free: no corpus exchange keyed on vec_id") {
+    val plan = executed("sim_search_ivf")
+    // the old join+window spelling exchanged n·k rows on vec_id twice
+    // (assignment + probes); the native argmax projection must leave NO
+    // vec_id-keyed exchange anywhere before the posting-list join
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      s"IVF still shuffles the corpus on vec_id:\n$plan")
+    assert(plan.contains("nearest_centroids"),
+      "assignment must be the native narrow argmax projection")
+  }
+
   test("sessionization shuffles once on user_id (windows + both aggs reuse it)") {
     val plan = executed("stream_sessionize")
     val dataShuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
