@@ -31,19 +31,20 @@ object Dedup {
 
   /** Drop shingles whose document frequency exceeds `maxDf` (the skew
     * guard — mirrors stopword-shingle removal in production dedup).
-    * A count-window over the shingle does cap + filter in ONE shuffle and
-    * leaves the frame hash-partitioned by `s`, exactly what the downstream
-    * self-join needs — no re-exchange. (A groupBy+semi-join variant
-    * measured 2.5x slower: it pays an extra join shuffle and loses the
-    * join-ready partitioning. A hot shingle costs this window O(df) in a
-    * single task — count only, no enumeration — which is precisely the
-    * price of discovering it must be dropped.) */
-  def capDocFrequency(shingled: DataFrame, maxDf: Int): DataFrame =
-    shingled
-      .withColumn("__df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
-      .where(col("__df") <= maxDf)
-      .drop("__df")
+    * Two-phase: a `groupBy(s).count` discovers over-cap shingles with
+    * map-side partial aggregation — no task ever buffers a hot shingle's
+    * rows, where the previous count-window over `s` put a 100M-row
+    * boilerplate shingle into ONE WindowExec task and made it the job's
+    * wall clock. Over-cap shingles are few by definition (each needs
+    * > maxDf documents), so the hot set is broadcast-sized and the filter
+    * is a narrow broadcast ANTI-join — the exploded frame itself is never
+    * re-shuffled here. */
+  def capDocFrequency(shingled: DataFrame, maxDf: Int): DataFrame = {
+    val hot = shingled.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDf)
+      .select(col("s"))
+    shingled.join(broadcast(hot), Seq("s"), "left_anti")
+  }
 
   /** Candidate pairs with shingle-set Jaccard >= `minJaccard`.
     * Plan: explode → df-cap → equi-self-join on shingle → pair counts →

@@ -66,6 +66,24 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSet == Set("y"))
   }
 
+  test("capDocFrequency survives a synthetic hot shingle without a window straggler") {
+    // one boilerplate shingle in EVERY doc (the 100-TB skew case), plus
+    // per-doc unique shingles that must all survive the cap
+    val n = 5000
+    val frame = spark.range(n).selectExpr("id AS doc_id", "'hot hot hot' AS s")
+      .unionAll(spark.range(n).selectExpr("id AS doc_id", "concat('u', id) AS s"))
+    val capped = Dedup.capDocFrequency(frame, maxDf = 100)
+    assert(capped.count() == n, "all unique shingles kept, the hot one dropped")
+    assert(capped.where(col("s") === "hot hot hot").count() == 0)
+    // plan shape: partial-agg discovery + broadcast anti-join; NO window
+    // over s (a count-window buffers the whole hot group in one task)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"df-cap must not window over s:\n$plan")
+    assert(plan.contains("LeftAnti"), "hot shingles must be anti-joined away")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "the hot set must be broadcast, not shuffled")
+  }
+
   test("native simhash equals the exploded 60-aggregate spelling") {
     val tok = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
