@@ -1,9 +1,7 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.types._
-
-import graft.sources.Tables
 
 /** Crawler + DDL-backup equivalents (SURVEY §2.B B9/B10).
   *
@@ -12,52 +10,113 @@ import graft.sources.Tables
   * exports `SHOW CREATE TABLE` DDL for every cataloged table
   * (OUTPUT_METADATA_DDL_WEEKLY_JOB.PY:51–79).
   *
-  * Spark-first: "crawling" is parquet footer reads — a metadata operation
-  * over table *paths* (O(tables), not O(data)), so a driver-side loop over
-  * the catalog is the right scale shape; each footer read costs one small
-  * ranged request regardless of table size. DDL generation is pure
-  * schema-to-string.
+  * Crawler-true: the zone DIRECTORY is the input — tables are whatever the
+  * listing finds (the point of a crawler is cataloging tables it does NOT
+  * already know), including `col=value` partitioned layouts whose partition
+  * columns are emitted into the DDL's PARTITIONED BY clause. Schema
+  * inference is parquet footer reads — a metadata operation over table
+  * *paths* (O(tables), not O(data); each footer is one small ranged
+  * request regardless of table size) — parallelized over a bounded thread
+  * pool so a 10k-table zone crawls at pool speed, not sequentially.
   */
 object SchemaDiscovery {
+
+  /** One crawled table: leaf name, full path, partition columns (outermost
+    * first) discovered from the `k=v` directory chain. */
+  final case class CrawledTable(name: String, path: String, partitionCols: Seq[String])
+
+  /** List the zone directory: a `{name}.parquet` entry is an
+    * unpartitioned table; a plain directory is a table whose `k=v`
+    * subdirectory chain (if any) carries its partition columns — the
+    * reference's `TRANSFERRED_DATE=...` layout
+    * (DATALAKE_TRANSFORMATION_S3_DAILY_JOB.PY:339, RUN_CRAWLER_JOB.PY
+    * catalogs exactly these). Hidden/underscore entries are metadata
+    * (_SUCCESS, _delta_log-style) and skipped. */
+  def crawl(zoneDir: String): Seq[CrawledTable] = {
+    val entries = Option(new java.io.File(zoneDir).listFiles())
+      .getOrElse(Array.empty).sortBy(_.getName)
+    def partChain(dir: java.io.File): Seq[String] =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.contains("="))
+        .sortBy(_.getName).headOption match {
+        case Some(p) => p.getName.split("=").head +: partChain(p)
+        case None => Nil
+      }
+    entries.toSeq.flatMap { f =>
+      val n = f.getName
+      if (n.startsWith(".") || n.startsWith("_")) None
+      else if (n.toLowerCase.endsWith(".parquet"))
+        Some(CrawledTable(n.substring(0, n.length - ".parquet".length), f.getPath, Nil))
+      else if (f.isDirectory) Some(CrawledTable(n, f.getPath, partChain(f)))
+      else None
+    }
+  }
+
+  /** Bounded-pool parallel map for footer reads (driver-side metadata
+    * work; the pool keeps a 10k-table crawl from serializing). */
+  private def inParallel[A, B](items: Seq[A], parallelism: Int = 8)(f: A => B): Seq[B] =
+    if (items.isEmpty) Seq.empty
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, items.size))
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        Await.result(Future.sequence(items.map(a => Future(f(a)))),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    }
 
   private val columnsSchema = StructType(Seq(
     StructField("table_name", StringType, nullable = false),
     StructField("column_name", StringType, nullable = false),
     StructField("ordinal", IntegerType, nullable = false),
     StructField("data_type", StringType, nullable = false),
-    StructField("nullable", BooleanType, nullable = false)))
+    StructField("nullable", BooleanType, nullable = false),
+    StructField("is_partition", BooleanType, nullable = false)))
 
-  /** Infer every table's schema under `zoneDir` → one row per column. */
-  def discover(spark: SparkSession, zoneDir: String,
-               tables: Seq[String] = Tables.all): DataFrame = {
-    val rows = tables.flatMap { t =>
-      val schema = spark.read.parquet(s"$zoneDir/$t.parquet").schema
+  /** Crawl `zoneDir` and infer every discovered table's schema → one row
+    * per column (partition columns flagged). */
+  def discover(spark: SparkSession, zoneDir: String): DataFrame = {
+    val tables = crawl(zoneDir)
+    val rows = inParallel(tables) { t =>
+      val schema = spark.read.parquet(t.path).schema
+      val parts = t.partitionCols.toSet
       schema.fields.zipWithIndex.map { case (f, i) =>
-        Row(t, f.name, i, f.dataType.sql.toLowerCase, f.nullable)
-      }
-    }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), columnsSchema)
+        Row(t.name, f.name, i, f.dataType.sql.toLowerCase, f.nullable,
+          parts.contains(f.name))
+      }.toSeq
+    }.flatten
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), columnsSchema)
   }
 
-  /** Spark SQL DDL for one table (the `SHOW CREATE TABLE` shape). */
+  /** Spark SQL DDL for one table (the `SHOW CREATE TABLE` shape).
+    * Partition columns appear in PARTITIONED BY, not the column list —
+    * the Hive/Glue external-table convention the reference's catalog
+    * stores (OUTPUT_METADATA_DDL_WEEKLY_JOB.PY:62–66). */
   def ddlFor(table: String, schema: StructType,
              partitionCols: Seq[String] = Nil): String = {
-    val cols = schema.fields
+    val partSet = partitionCols.toSet
+    val cols = schema.fields.filterNot(f => partSet.contains(f.name))
       .map(f => s"  ${f.name} ${f.dataType.sql.toLowerCase}" +
         (if (f.nullable) "" else " NOT NULL"))
       .mkString(",\n")
     val partClause =
       if (partitionCols.isEmpty) ""
-      else s"\nPARTITIONED BY (${partitionCols.mkString(", ")})"
+      else {
+        val typed = partitionCols.map { p =>
+          schema.fields.find(_.name == p)
+            .map(f => s"$p ${f.dataType.sql.toLowerCase}").getOrElse(p)
+        }
+        s"\nPARTITIONED BY (${typed.mkString(", ")})"
+      }
     s"CREATE TABLE $table (\n$cols\n)\nUSING parquet$partClause"
   }
 
-  /** DDL export for every table under `zoneDir` → (table_name, ddl). */
-  def exportDdl(spark: SparkSession, zoneDir: String,
-                tables: Seq[String] = Tables.all): DataFrame = {
-    val rows = tables.map { t =>
-      Row(t, ddlFor(t, spark.read.parquet(s"$zoneDir/$t.parquet").schema))
+  /** DDL export for every crawled table under `zoneDir` → (table_name, ddl). */
+  def exportDdl(spark: SparkSession, zoneDir: String): DataFrame = {
+    val rows = inParallel(crawl(zoneDir)) { t =>
+      Row(t.name, ddlFor(t.name, spark.read.parquet(t.path).schema, t.partitionCols))
     }
     val schema = StructType(Seq(
       StructField("table_name", StringType, nullable = false),
@@ -65,11 +124,34 @@ object SchemaDiscovery {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
-  /** B9 query: schema discovery rows, deterministically ordered. */
-  def metaSchemaDiscovery(s: SparkSession, dir: String): DataFrame =
-    discover(s, dir).orderBy("table_name", "ordinal")
+  /** A zone the catalog does NOT know: a derived table plus a partitioned
+    * `transferred_date=` layout, written (tiny, deterministic) next to the
+    * testdata so the crawler demonstrably discovers tables outside any
+    * hardcoded list. Idempotent per sfDir. */
+  private def supplementalZone(s: SparkSession, dir: String): String = {
+    val zone = s"${sys.props("java.io.tmpdir")}/graft_crawl_zone_${math.abs(dir.hashCode)}"
+    val daily = LakeWriter.withTransferredDate(graft.sources.Tables(s, dir, "events"), "ts")
+      .groupBy(org.apache.spark.sql.functions.col(LakeWriter.PartitionCol))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_events"))
+    daily.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$zone/daily_totals.parquet")
+    daily.coalesce(1).write.mode(SaveMode.Overwrite)
+      .partitionBy(LakeWriter.PartitionCol)
+      .parquet(s"$zone/events_daily")
+    zone
+  }
 
-  /** B10 query: DDL export rows, deterministically ordered. */
+  /** B9 query: crawl the testdata zone (tables found by LISTING, no
+    * catalog) plus a supplemental zone holding an unknown table and a
+    * partitioned layout; one row per discovered column. */
+  def metaSchemaDiscovery(s: SparkSession, dir: String): DataFrame =
+    discover(s, dir).unionAll(discover(s, supplementalZone(s, dir)))
+      .orderBy("table_name", "ordinal")
+
+  /** B10 query: DDL export for every crawled table (partitioned layouts
+    * carry PARTITIONED BY), deterministically ordered. */
   def metaDdlExport(s: SparkSession, dir: String): DataFrame =
-    exportDdl(s, dir).orderBy("table_name")
+    exportDdl(s, dir).unionAll(exportDdl(s, supplementalZone(s, dir)))
+      .orderBy("table_name")
 }

@@ -5,25 +5,72 @@ import org.apache.spark.sql.types._
 import graft.SparkSpec
 
 class SchemaDiscoverySpec extends SparkSpec {
+  import spark.implicits._
 
-  test("discover emits one row per column with inferred types") {
-    val d = SchemaDiscovery.discover(spark, sfDir, Seq("region", "nation"))
+  test("crawl finds tables by listing, including partitioned layouts") {
+    val zone = tmpDir("crawler-zone")
+    Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02"))
+      .toDF("id", "v", "transferred_date")
+      .write.parquet(s"$zone/alpha.parquet")
+    Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02"))
+      .toDF("id", "v", "transferred_date")
+      .write.partitionBy("transferred_date").parquet(s"$zone/beta")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$zone/_manifest.json"), "{}")
+
+    val found = SchemaDiscovery.crawl(zone)
+    assert(found.map(_.name) == Seq("alpha", "beta"),
+      "tables come from the listing (no catalog), metadata files skipped")
+    assert(found.find(_.name == "alpha").get.partitionCols.isEmpty)
+    assert(found.find(_.name == "beta").get.partitionCols == Seq("transferred_date"))
+  }
+
+  test("discover emits one row per column with inferred types and partition flags") {
+    val zone = tmpDir("crawler-zone2")
+    Seq((1L, 1.5, "2024-01-01")).toDF("id", "amt", "transferred_date")
+      .write.partitionBy("transferred_date").parquet(s"$zone/orders")
+    val d = SchemaDiscovery.discover(spark, zone).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(3), r.getBoolean(5)))
+    assert(d.contains(("orders", "id", "bigint", false)))
+    assert(d.contains(("orders", "amt", "double", false)))
+    val part = d.find(_._2 == "transferred_date").get
+    assert(part._4, "partition column flagged")
+  }
+
+  test("discover over the testdata zone needs no table list") {
+    val d = SchemaDiscovery.discover(spark, sfDir)
     val rows = d.collect().map(r => (r.getString(0), r.getString(1), r.getString(3)))
     assert(rows.contains(("region", "r_regionkey", "int")))
     assert(rows.contains(("region", "r_name", "string")))
-    assert(rows.count(_._1 == "nation") ==
-      spark.read.parquet(s"$sfDir/nation.parquet").schema.length)
+    assert(rows.map(_._1).distinct.length == 10, "all ten testdata tables crawled")
   }
 
-  test("ddlFor renders types, nullability and partitioning") {
+  test("B9/B10 discover a table outside the catalog plus a partitioned layout") {
+    val b9 = SchemaDiscovery.metaSchemaDiscovery(spark, sfDir).collect()
+    val tables = b9.map(_.getString(0)).distinct.toSet
+    assert(tables.contains("daily_totals"), "table not in any hardcoded list")
+    assert(tables.contains("events_daily"))
+    assert(b9.exists(r => r.getString(0) == "events_daily" &&
+      r.getString(1) == "transferred_date" && r.getBoolean(5)))
+
+    val b10 = SchemaDiscovery.metaDdlExport(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(b10("events_daily").contains("PARTITIONED BY (transferred_date"))
+    assert(!b10("events_daily").matches("(?s).*\\(\n[^)]*transferred_date[^)]*\n\\).*"),
+      "partition column must not also appear in the column list")
+    assert(b10("daily_totals").contains("USING parquet"))
+    assert(!b10("daily_totals").contains("PARTITIONED BY"))
+  }
+
+  test("ddlFor renders types, nullability and typed partitioning") {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("day", StringType)))
     val ddl = SchemaDiscovery.ddlFor("t1", schema, Seq("day"))
     assert(ddl.contains("CREATE TABLE t1"))
     assert(ddl.contains("id bigint NOT NULL"))
-    assert(ddl.contains("day string"))
     assert(ddl.contains("USING parquet"))
-    assert(ddl.contains("PARTITIONED BY (day)"))
+    assert(ddl.contains("PARTITIONED BY (day string)"))
+    assert(!ddl.contains("  day string"), "partition col lives only in PARTITIONED BY")
   }
 }
