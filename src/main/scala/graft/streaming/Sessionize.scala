@@ -55,6 +55,44 @@ object Sessionize {
         min(col("dur")).as("min_dur_s"))
       .orderBy(col("user_id"))
 
+  // ---------- engine-native face ----------
+
+  /** The same gap sessions via Spark's built-in `session_window`
+    * aggregation — the engine-native spelling of [[assignSessions]].
+    * Spark's gap bound is EXCLUSIVE (an event exactly `gap` after the
+    * previous one starts a new session) where the custom faces are
+    * inclusive (`__gap > GapSeconds` splits), so the native gap is
+    * `GapSeconds + 1` over the second-truncated timestamps the other
+    * faces use. `session_window.end` is last-event + gap, so `end_sec`
+    * subtracts the gap back to the last event — the
+    * [[sessionizeStream]] Session shape. */
+  def sessionizeNativeBatch(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), timestamp_seconds(unix_timestamp(col("ts"))).as("tsec"))
+      .groupBy(col("user_id"), session_window(col("tsec"), s"${GapSeconds + 1} seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("start_sec"),
+        (unix_timestamp(col("session_window.end")) - (GapSeconds + 1)).as("end_sec"),
+        col("n_events"))
+
+  /** Streaming spelling of the native face: watermark + session_window in
+    * Append mode emits each session once its window can no longer grow —
+    * the engine-managed counterpart of [[sessionizeStream]]'s custom
+    * state (which remains the teaching/extension path: per-event output
+    * shapes or custom merge rules need `flatMapGroupsWithState`). */
+  def sessionizeStreamNative(events: DataFrame,
+                             watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .select(col("user_id"), timestamp_seconds(unix_timestamp(col("ts"))).as("tsec"))
+      .withWatermark("tsec", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("tsec"), s"${GapSeconds + 1} seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("start_sec"),
+        (unix_timestamp(col("session_window.end")) - (GapSeconds + 1)).as("end_sec"),
+        col("n_events"))
+
   // ---------- streaming face ----------
 
   final case class Event(user_id: Long, ts: Timestamp)

@@ -95,6 +95,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q6 rank<=5 plans a partial WindowGroupLimit top-k") {
+    // segment cardinality is tiny (few mktsegments), so without the
+    // partial top-k every map task would ship ALL its customers to ~5
+    // reducers and the final rank would run at parallelism 5; Spark 4's
+    // WindowGroupLimit keeps only each task's top-5 before the exchange
+    val df = SparkEntry.queries("q6_top_customers")(spark, sfDir)
+    df.queryExecution.toRdd.count() // finalize AQE plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"q6 must push a partial top-k below the segment shuffle:\n$plan")
+  }
+
   test("IVF assignment is shuffle-free: no corpus exchange keyed on vec_id") {
     val plan = executed("sim_search_ivf")
     // the old join+window spelling exchanged n·k rows on vec_id twice

@@ -136,6 +136,67 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** Custom batch face reduced to the native face's (user, start, end, n)
+    * session shape, for face-agreement comparison. */
+  private def customSessions(events: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions._
+    Sessionize.assignSessions(events)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "start_sec", "end_sec", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+  }
+
+  test("native session_window face agrees with the custom face incl. the exact-gap boundary") {
+    val events = Seq(
+      (7L, 1L, ts(0, 0)), (7L, 2L, ts(0, 30)),  // gap == 1800 s exactly: same session
+      (7L, 3L, ts(1, 1)),                        // gap == 1860 s: splits
+      (9L, 4L, ts(0, 0))
+    ).toDF("user_id", "event_id", "ts")
+    val native = Sessionize.sessionizeNativeBatch(events)
+      .select("user_id", "start_sec", "end_sec", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(native == customSessions(events),
+      s"native face diverges from custom face: $native")
+    def sec(t: Timestamp) = t.getTime / 1000
+    assert(native.contains((7L, sec(ts(0, 0)), sec(ts(0, 30)), 2L)),
+      "an exactly-gap-apart event must stay in the session (inclusive bound)")
+  }
+
+  test("native session_window face agrees with the custom face on the sf0.001 events table") {
+    val events = graft.sources.Tables(spark, sfDir, "events")
+    val native = Sessionize.sessionizeNativeBatch(events)
+      .select("user_id", "start_sec", "end_sec", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val custom = customSessions(events)
+    assert(native == custom,
+      s"face disagreement: ${(native diff custom).take(3)} vs ${(custom diff native).take(3)}")
+  }
+
+  test("streaming native session_window face emits closed sessions in Append mode") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp)]
+    val q = Sessionize.sessionizeStreamNative(stream.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("native_sessions")
+      .outputMode("append").start()
+    try {
+      stream.addData((7L, ts(0, 0)), (7L, ts(0, 10)))
+      q.processAllAvailable()
+      // advance the watermark far past 0:10 + gap so the session finalizes
+      stream.addData((99L, ts(9, 0)))
+      q.processAllAvailable()
+      stream.addData((99L, ts(12, 0)))
+      q.processAllAvailable()
+      def sec(t: Timestamp) = t.getTime / 1000
+      val got = spark.table("native_sessions")
+        .select("user_id", "start_sec", "end_sec", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got.contains((7L, sec(ts(0, 0)), sec(ts(0, 10)), 2L)),
+        s"native streaming face must emit the closed session, got $got")
+    } finally q.stop()
+  }
+
   test("stream_sessionize query matches its own invariants at sf0.001") {
     val r = Sessionize.streamSessionize(spark, sfDir).collect()
     assert(r.nonEmpty)
