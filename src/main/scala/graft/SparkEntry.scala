@@ -299,10 +299,10 @@ object SparkEntry {
         |       count(*) AS n, round(sum(o_totalprice),2) AS total
         |FROM merged GROUP BY priority ORDER BY priority""".stripMargin,
     "ingest_partition_derive" ->
-      """SELECT strftime(ts,'%Y-%m-%d') AS transferred_date,
+      """SELECT strftime(ts,'%Y-%m-%d') AS TRANSFERRED_DATE,
         |       count(*) AS rows_n, count(DISTINCT user_id) AS users,
         |       round(sum(value),2) AS value_sum
-        |FROM events GROUP BY transferred_date ORDER BY transferred_date""".stripMargin,
+        |FROM events GROUP BY TRANSFERRED_DATE ORDER BY TRANSFERRED_DATE""".stripMargin,
     "sync_zone_diff" ->
       """WITH storing AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0),
         |userzone AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 89 <> 0),

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * partition writes a bounded number of parquet files.
   */
 object LakeWriter {
-  val PartitionCol = "transferred_date"
+  val PartitionCol = "TRANSFERRED_DATE"
 
   /** Derive the reference's TRANSFERRED_DATE partition column (L127,339). */
   def withTransferredDate(df: DataFrame, tsCol: String): DataFrame =
@@ -84,7 +84,7 @@ object LakeWriter {
     writePartitioned(day, path, SaveMode.Overwrite, filesPerPartition)
   }
 
-  /** Retention: drop partitions with `transferred_date` strictly older
+  /** Retention: drop partitions with `TRANSFERRED_DATE` strictly older
     * than `keepFrom`. Deletion is by partition DIRECTORY (a metadata-
     * scale operation listing only first-level dirs) — data files are
     * never scanned. Returns the dropped partition values. */

@@ -125,7 +125,7 @@ object SchemaDiscovery {
   }
 
   /** A zone the catalog does NOT know: a derived table plus a partitioned
-    * `transferred_date=` layout, written (tiny, deterministic) next to the
+    * `TRANSFERRED_DATE=` layout, written (tiny, deterministic) next to the
     * testdata so the crawler demonstrably discovers tables outside any
     * hardcoded list. Idempotent per sfDir. */
   private def supplementalZone(s: SparkSession, dir: String): String = {

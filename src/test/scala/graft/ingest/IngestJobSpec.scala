@@ -58,7 +58,7 @@ class IngestJobSpec extends SparkSpec {
     // storing zone: partitioned by the filename's business date
     val orders = spark.read.parquet(s"$storing/ORDERS")
     assert(orders.count() == 3)
-    assert(orders.select("transferred_date").distinct().count() == 2)
+    assert(orders.select("TRANSFERRED_DATE").distinct().count() == 2)
     assert(orders.schema("amount").dataType.typeName == "float")
 
     // run 2: one new file; everything else ledger-skipped
@@ -176,7 +176,7 @@ class IngestJobSpec extends SparkSpec {
 
     val merged = spark.read.option("mergeSchema", "true").parquet(s"$storing/ORDERS")
     assert(merged.count() == 2)
-    assert(merged.columns.toSet == Set("id", "amount", "note", "transferred_date"))
+    assert(merged.columns.toSet == Set("id", "amount", "note", "TRANSFERRED_DATE"))
     val note = merged.where($"id" === 2L).select("note").as[String].head()
     assert(note == "rush")
     assert(merged.where($"id" === 1L).select("note").head().isNullAt(0),

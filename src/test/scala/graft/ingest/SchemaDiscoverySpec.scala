@@ -10,11 +10,11 @@ class SchemaDiscoverySpec extends SparkSpec {
   test("crawl finds tables by listing, including partitioned layouts") {
     val zone = tmpDir("crawler-zone")
     Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02"))
-      .toDF("id", "v", "transferred_date")
+      .toDF("id", "v", "TRANSFERRED_DATE")
       .write.parquet(s"$zone/alpha.parquet")
     Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02"))
-      .toDF("id", "v", "transferred_date")
-      .write.partitionBy("transferred_date").parquet(s"$zone/beta")
+      .toDF("id", "v", "TRANSFERRED_DATE")
+      .write.partitionBy("TRANSFERRED_DATE").parquet(s"$zone/beta")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$zone/_manifest.json"), "{}")
 
@@ -22,18 +22,18 @@ class SchemaDiscoverySpec extends SparkSpec {
     assert(found.map(_.name) == Seq("alpha", "beta"),
       "tables come from the listing (no catalog), metadata files skipped")
     assert(found.find(_.name == "alpha").get.partitionCols.isEmpty)
-    assert(found.find(_.name == "beta").get.partitionCols == Seq("transferred_date"))
+    assert(found.find(_.name == "beta").get.partitionCols == Seq("TRANSFERRED_DATE"))
   }
 
   test("discover emits one row per column with inferred types and partition flags") {
     val zone = tmpDir("crawler-zone2")
-    Seq((1L, 1.5, "2024-01-01")).toDF("id", "amt", "transferred_date")
-      .write.partitionBy("transferred_date").parquet(s"$zone/orders")
+    Seq((1L, 1.5, "2024-01-01")).toDF("id", "amt", "TRANSFERRED_DATE")
+      .write.partitionBy("TRANSFERRED_DATE").parquet(s"$zone/orders")
     val d = SchemaDiscovery.discover(spark, zone).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(3), r.getBoolean(5)))
     assert(d.contains(("orders", "id", "bigint", false)))
     assert(d.contains(("orders", "amt", "double", false)))
-    val part = d.find(_._2 == "transferred_date").get
+    val part = d.find(_._2 == "TRANSFERRED_DATE").get
     assert(part._4, "partition column flagged")
   }
 
@@ -51,12 +51,12 @@ class SchemaDiscoverySpec extends SparkSpec {
     assert(tables.contains("daily_totals"), "table not in any hardcoded list")
     assert(tables.contains("events_daily"))
     assert(b9.exists(r => r.getString(0) == "events_daily" &&
-      r.getString(1) == "transferred_date" && r.getBoolean(5)))
+      r.getString(1) == "TRANSFERRED_DATE" && r.getBoolean(5)))
 
     val b10 = SchemaDiscovery.metaDdlExport(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(b10("events_daily").contains("PARTITIONED BY (transferred_date"))
-    assert(!b10("events_daily").matches("(?s).*\\(\n[^)]*transferred_date[^)]*\n\\).*"),
+    assert(b10("events_daily").contains("PARTITIONED BY (TRANSFERRED_DATE"))
+    assert(!b10("events_daily").matches("(?s).*\\(\n[^)]*TRANSFERRED_DATE[^)]*\n\\).*"),
       "partition column must not also appear in the column list")
     assert(b10("daily_totals").contains("USING parquet"))
     assert(!b10("daily_totals").contains("PARTITIONED BY"))
