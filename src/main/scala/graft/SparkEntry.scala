@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.LakeQueries
 import graft.ingest.{IngestQueries, SchemaDiscovery}
-import graft.ops.{DedupQueries, Multimodal, TextQueries, VectorQueries}
+import graft.ops.{DedupQueries, Multimodal, Skew, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -65,6 +65,8 @@ object SparkEntry {
     "embed_centroids" -> (VectorQueries.embedCentroids _),
     "mm_metadata" -> (Multimodal.mmMetadata _),
     "mm_features" -> (Multimodal.mmFeatures _),
+    // §2.E library surface demo: salted join over a synthetically hot key
+    "skew_salted_join" -> (Skew.skewSaltedJoin _),
     // §2.D streaming (batch faces of the streaming transforms)
     "stream_events_window" -> (graft.streaming.EventsPipeline.streamEventsWindow _),
     "stream_sessionize" -> (graft.streaming.Sessionize.streamSessionize _)
@@ -487,6 +489,20 @@ object SparkEntry {
         |  FROM grid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id AND g.bin = cnt.bin)
         |SELECT source, bin, round(avg(share), 4) AS avg_share, count(*) AS docs
         |FROM share GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+    // the salt is an execution detail — the oracle is the plain join
+    "skew_salted_join" ->
+      """WITH large AS (
+        |  SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 0
+        |              ELSE l_partkey % 50 END AS hot_key,
+        |         l_extendedprice
+        |  FROM lineitem),
+        |small AS (
+        |  SELECT p_partkey % 50 AS hot_key, min(p_type) AS grp_type
+        |  FROM part GROUP BY 1)
+        |SELECT grp_type, count(*) AS n,
+        |       round(sum(l_extendedprice), 2) AS revenue
+        |FROM large JOIN small USING (hot_key)
+        |GROUP BY grp_type ORDER BY grp_type""".stripMargin,
     "stream_events_window" ->
       """SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS window_start,
         |       event_type, count(*) AS n, round(sum(value), 2) AS value_sum

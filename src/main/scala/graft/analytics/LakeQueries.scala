@@ -175,9 +175,16 @@ object LakeQueries {
       .groupBy(col("p_type"))
       .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"),
         count(lit(1)).as("lines"))
-    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // the global total runs over the post-agg set (≤ distinct p_type, fixed
+    // ~150 cardinality) — safe at any scale, but the unpartitioned-window
+    // spelling trips WindowExec's single-partition warning on every run.
+    // Agg-to-scalar + cross join says the same thing silently: the 1-row
+    // total broadcasts via AQE (no hint — the plan guardrail forbids
+    // forced broadcasts here) and the join's exchange is reused.
+    val total = joined.agg(sum(col("rev")).as("__total"))
     joined
-      .withColumn("pct", lit(100.0) * col("rev") / sum(col("rev")).over(w))
+      .crossJoin(total)
+      .withColumn("pct", lit(100.0) * col("rev") / col("__total"))
       .select(col("p_type"), round(col("rev"), 2).as("revenue"), col("lines"),
         round(col("pct"), 4).as("pct"))
       .orderBy(col("p_type"))

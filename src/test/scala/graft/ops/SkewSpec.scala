@@ -70,4 +70,32 @@ class SkewSpec extends SparkSpec {
       .distinct().count()
     assert(saltCount == 8, "1000 distinct hot-key rows must hit all 8 salts")
   }
+
+  test("skew_salted_join query: salt is in the join keys and invisible in results") {
+    import org.apache.spark.sql.functions._
+    val df = Skew.skewSaltedJoin(spark, sfDir)
+    // integration: the physical join must key on (hot_key, __salt)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"query must route through the salted join:\n$plan")
+    // the hot key really spreads: >1 distinct salt among hot_key-0 rows
+    val large = graft.sources.Tables(spark, sfDir, "lineitem").select(
+      when(col("l_orderkey") % 4 =!= 0, lit(0L))
+        .otherwise(col("l_partkey") % 50).as("hot_key"),
+      col("l_extendedprice"))
+    val hotSalts = large.where(col("hot_key") === 0L)
+      .select(pmod(xxhash64(col("hot_key"), col("l_extendedprice")), lit(8L)))
+      .distinct().count()
+    assert(hotSalts == 8, s"hot key must spread over all 8 salts, got $hotSalts")
+    // correctness: identical to the plain unsalted spelling
+    val plain = large.join(
+        graft.sources.Tables(spark, sfDir, "part")
+          .groupBy((col("p_partkey") % 50).as("hot_key"))
+          .agg(min(col("p_type")).as("grp_type")),
+        Seq("hot_key"))
+      .groupBy(col("grp_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy(col("grp_type"))
+      .collect().toSeq
+    assert(df.collect().toSeq == plain)
+  }
 }
