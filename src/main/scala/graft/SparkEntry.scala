@@ -56,6 +56,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (DedupQueries.dedupNgramJaccard _),
     "dedup_minhash" -> (DedupQueries.dedupMinhash _),
     "dedup_simhash" -> (DedupQueries.dedupSimhash _),
+    "dedup_cluster" -> (DedupQueries.dedupCluster _),
     "dedup_embedding" -> (VectorQueries.dedupEmbedding _),
     "sim_search_topk" -> (VectorQueries.simSearchTopk _),
     "sim_search_lsh" -> (VectorQueries.simSearchLsh _),
@@ -398,6 +399,7 @@ object SparkEntry {
         |FROM f GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
     "dedup_ngram_jaccard" -> DedupQueries.jaccardOracle,
     "dedup_minhash" -> DedupQueries.minhashOracle,
+    "dedup_cluster" -> DedupQueries.clusterOracle,
     // dedup_simhash: rows-only (60-bit banded SimHash isn't expressible in
     // portable DuckDB SQL — no hex->int conversion); covered by ScalaTest.
     "dedup_embedding" ->

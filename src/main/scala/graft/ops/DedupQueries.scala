@@ -32,6 +32,23 @@ object DedupQueries {
     Dedup.simhashCandidates(docs(s, dir), "doc_id", "text")
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** C17: near-dup CLUSTERS — connected components over the MinHash
+    * candidate pairs, one row per document with its cluster id (= min
+    * doc_id in the component), cluster size, and the keeper flag. The
+    * transitive step pair emitters can't do: A~B, B~C groups A and C. */
+  def dedupCluster(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashCandidates(d, "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"))
+    val cc = Cluster.connectedComponents(d.select(col("doc_id")), pairs, "doc_id")
+      .withColumnRenamed("id", "doc_id")
+    val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).cast("int").as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Shared oracle-SQL fragment: normalized token array per doc. */
   private val toksCte =
     """toks AS (
@@ -57,7 +74,9 @@ object DedupQueries {
        |WHERE c::DOUBLE/(x.n+y.n-c) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  val minhashOracle: String = {
+  /** Shared CTE chain producing the LSH band table, generated from the
+    * same (numHashes, numBands) constants the Spark plan uses. */
+  private val minhashBandCtes: String = {
     val numHashes = 16; val numBands = 4; val rows = numHashes / numBands
     val mins = (0 until numHashes)
       .map(k => s"    min(md5('$k|'||s)) AS m$k").mkString(",\n")
@@ -65,17 +84,43 @@ object DedupQueries {
       val ms = (0 until rows).map(r => s"m${b * rows + r}").mkString("||'|'||")
       s"  SELECT doc_id, $b AS band_idx, md5($ms) AS band_key FROM sig"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH $toksCte,
+    s"""$toksCte,
        |sig AS (
        |  SELECT doc_id,
        |$mins
        |  FROM sh0 GROUP BY doc_id),
        |bands AS (
-       |$bandSelects)
+       |$bandSelects)""".stripMargin
+  }
+
+  val minhashOracle: String =
+    s"""WITH $minhashBandCtes
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_bands
        |FROM bands a JOIN bands b
        |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        |  AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-  }
+
+  /** C17 oracle: reachability via a recursive CTE over the same pairs —
+    * every (node, reachable label), min per node = the component label. */
+  val clusterOracle: String =
+    s"""WITH RECURSIVE $minhashBandCtes,
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS lbl FROM documents
+       |  UNION
+       |  SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+       |cl AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY cluster_id)
+       |SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
+       |       CASE WHEN cl.doc_id = cl.cluster_id THEN 1 ELSE 0 END AS is_keeper
+       |FROM cl JOIN sz USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
 }
