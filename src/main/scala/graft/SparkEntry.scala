@@ -68,6 +68,8 @@ object SparkEntry {
     "mm_features" -> (Multimodal.mmFeatures _),
     // §2.E library surface demo: salted join over a synthetically hot key
     "skew_salted_join" -> (Skew.skewSaltedJoin _),
+    // as-of join: single-shuffle union+window point-in-time attribution
+    "asof_join" -> (graft.ops.AsofJoin.asofClickAttribution _),
     // §2.D streaming (batch faces of the streaming transforms)
     "stream_events_window" -> (graft.streaming.EventsPipeline.streamEventsWindow _),
     "stream_sessionize" -> (graft.streaming.Sessionize.streamSessionize _)
@@ -491,6 +493,23 @@ object SparkEntry {
         |  FROM grid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id AND g.bin = cnt.bin)
         |SELECT source, bin, round(avg(share), 4) AS avg_share, count(*) AS docs
         |FROM share GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+    // the oracle is DuckDB's NATIVE ASOF JOIN — an independent engine
+    // implementation of the same point-in-time semantics
+    "asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts AS click_ts0, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |       c.click_id,
+        |       strftime(c.click_ts0, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |       cast(floor(epoch(p.ts)) AS BIGINT)
+        |         - cast(floor(epoch(c.click_ts0)) AS BIGINT) AS gap_s
+        |FROM p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.click_ts0
+        |ORDER BY event_id""".stripMargin,
     // the salt is an execution detail — the oracle is the plain join
     "skew_salted_join" ->
       """WITH large AS (
