@@ -70,6 +70,8 @@ object SparkEntry {
     "skew_salted_join" -> (Skew.skewSaltedJoin _),
     // as-of join: single-shuffle union+window point-in-time attribution
     "asof_join" -> (graft.ops.AsofJoin.asofClickAttribution _),
+    // deterministic content-keyed mixture sampling with epoch repetition
+    "sample_mixture" -> (graft.ops.Sample.sampleMixtureQuery _),
     // §2.D streaming (batch faces of the streaming transforms)
     "stream_events_window" -> (graft.streaming.EventsPipeline.streamEventsWindow _),
     "stream_sessionize" -> (graft.streaming.Sessionize.streamSessionize _)
@@ -493,6 +495,8 @@ object SparkEntry {
         |  FROM grid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id AND g.bin = cnt.bin)
         |SELECT source, bin, round(avg(share), 4) AS avg_share, count(*) AS docs
         |FROM share GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+    // generated from Sample.DemoWeights — same md5 bucket + thresholds
+    "sample_mixture" -> graft.ops.Sample.mixtureOracle,
     // the oracle is DuckDB's NATIVE ASOF JOIN — an independent engine
     // implementation of the same point-in-time semantics
     "asof_join" ->

@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class SampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = (1L to 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+    .toDF("id", "grp")
+
+  test("sampling is a pure function of the id — reruns are identical") {
+    val w = Map("a" -> 0.5, "b" -> 1.5)
+    val r1 = Sample.sampleMixture(df, "id", "grp", w)
+      .select("id", "copy_idx").as[(Long, Int)].collect().sorted.toSeq
+    val r2 = Sample.sampleMixture(df.repartition(7), "id", "grp", w)
+      .select("id", "copy_idx").as[(Long, Int)].collect().sorted.toSeq
+    assert(r1 == r2, "partitioning must not change the sample")
+    assert(r1.nonEmpty)
+  }
+
+  test("integer part of the weight guarantees copies; fraction adds at the rate") {
+    val got = Sample.sampleMixture(df, "id", "grp", Map("a" -> 2.5, "b" -> 0.25))
+      .groupBy($"id", $"grp").agg(org.apache.spark.sql.functions.max($"copies").as("c"))
+      .as[(Long, String, Int)].collect()
+    val aCopies = got.filter(_._2 == "a").map(_._3)
+    assert(aCopies.forall(c => c == 2 || c == 3), "w=2.5 yields 2 or 3 copies")
+    val a3 = aCopies.count(_ == 3).toDouble / 500
+    assert(math.abs(a3 - 0.5) < 0.1, s"fraction rate off: $a3")
+    val bKept = got.count(_._2 == "b").toDouble / 500
+    assert(math.abs(bKept - 0.25) < 0.1, s"w=0.25 keep rate off: $bKept")
+    // copy_idx materializes every copy 1..copies
+    val rows = Sample.sampleMixture(df, "id", "grp", Map("a" -> 2.0, "b" -> 0.0))
+      .select("grp", "copy_idx").as[(String, Int)].collect()
+    assert(rows.forall(_._1 == "a"), "weight 0 drops the group entirely")
+    assert(rows.count(_._2 == 1) == 500 && rows.count(_._2 == 2) == 500)
+  }
+
+  test("groups without a weight use the default") {
+    val kept = Sample.sampleMixture(df, "id", "grp", Map("a" -> 0.0), defaultWeight = 1.0)
+      .select("grp").as[String].collect()
+    assert(kept.forall(_ == "b") && kept.length == 500)
+  }
+
+  test("sample_mixture query: every tier behaves per its weight at sf0.001") {
+    val rows = Sample.sampleMixtureQuery(spark, sfDir)
+      .as[(Long, String, Int, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, src, copies, idx) =>
+      val w = Sample.DemoWeights(src)
+      assert(copies >= math.floor(w).toInt && copies <= math.ceil(w).toInt,
+        s"$src copies=$copies outside [floor,ceil] of $w")
+      assert(idx >= 1 && idx <= copies)
+    }
+    // per-doc rows appear exactly `copies` times
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((id, _), g) =>
+      assert(g.map(_._4).sorted.toSeq == (1 to g.head._3).toSeq, s"doc $id copy set")
+    }
+  }
+}
