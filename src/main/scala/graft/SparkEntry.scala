@@ -51,6 +51,9 @@ object SparkEntry {
     "dedup_exact" -> (TextQueries.dedupExact _),
     "text_langid" -> (TextQueries.textLangid _),
     "text_quality" -> (TextQueries.textQuality _),
+    "quality_percentile" -> (TextQueries.qualityPercentile _),
+    // rows-only: GK-sketch results are engine-specific (the scale face)
+    "quality_percentile_approx" -> (TextQueries.qualityPercentileApprox _),
     "text_tokens" -> (TextQueries.textTokens _),
     "text_fingerprint" -> (TextQueries.textFingerprint _),
     "dedup_ngram_jaccard" -> (DedupQueries.dedupNgramJaccard _),
@@ -377,6 +380,30 @@ object SparkEntry {
         |       round(avg(stop_ratio),4) AS avg_stop_ratio,
         |       round(avg(q),4) AS avg_quality,
         |       cast(sum(CASE WHEN q >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_good
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    // same q formula as text_quality; quantile_cont == Spark's exact
+    // interpolating percentile (both use pos = p*(n-1))
+    "quality_percentile" ->
+      """WITH d AS (
+        |  SELECT source, trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm
+        |  FROM documents),
+        |m AS (
+        |  SELECT source,
+        |    cast(len(string_split(norm,' ')) AS DOUBLE) AS n_tok,
+        |    cast(len(list_filter(string_split(norm,' '),
+        |         x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) AS n_stop,
+        |    cast(length(replace(norm,' ','')) AS DOUBLE) AS n_alpha
+        |  FROM d),
+        |q AS (
+        |  SELECT source,
+        |    0.4*least(n_tok/100.0,1.0) + 0.3*least((n_stop/n_tok)*10.0,1.0)
+        |      + 0.3*(CASE WHEN n_alpha/n_tok >= 3.0 AND n_alpha/n_tok <= 8.0
+        |                  THEN 1.0 ELSE 0.0 END) AS q
+        |  FROM m)
+        |SELECT source, count(*) AS docs,
+        |       round(quantile_cont(q, 0.25), 4) AS q25,
+        |       round(quantile_cont(q, 0.50), 4) AS q50,
+        |       round(quantile_cont(q, 0.90), 4) AS q90
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
     "text_tokens" ->
       """WITH d AS (

@@ -74,6 +74,50 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Shared per-doc quality-score projection (the C9 formula). */
+  private def qualityScores(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("source"), graft.functions.TokenMarkerStats(col("text")).as("st"))
+    val nTok = col("st.ws_tokens").cast("double")
+    val stopRatio = col("st.stop").cast("double") / nTok
+    val avgLen = col("st.alpha_len").cast("double") / nTok
+    val score = lit(0.4) * least(nTok / 100.0, lit(1.0)) +
+      lit(0.3) * least(stopRatio * 10.0, lit(1.0)) +
+      lit(0.3) * when(avgLen >= 3.0 && avgLen <= 8.0, 1.0).otherwise(0.0)
+    d.select(col("source"), score.as("q"))
+  }
+
+  /** C19: per-source quality percentile cutoffs (p25/p50/p90) — the
+    * numbers a filtering pipeline actually sets its thresholds from.
+    * EXACT face: Spark's sort-based `percentile` buffers each group's
+    * values, fine while groups are bounded; the 100 TB path is
+    * [[qualityPercentileApprox]] (same shape, bounded-memory sketch —
+    * the q8 exact/approx treatment). */
+  def qualityPercentile(s: SparkSession, dir: String): DataFrame =
+    qualityScores(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        expr("percentile(q, array(0.25D, 0.5D, 0.9D))").as("p"))
+      .select(col("source"), col("docs"),
+        round(element_at(col("p"), 1), 4).as("q25"),
+        round(element_at(col("p"), 2), 4).as("q50"),
+        round(element_at(col("p"), 3), 4).as("q90"))
+      .orderBy(col("source"))
+
+  /** C19a: the scale face — GK-sketch `percentile_approx` with bounded
+    * memory per group regardless of group size (rows-only; the spec
+    * bounds its divergence from the exact face). */
+  def qualityPercentileApprox(s: SparkSession, dir: String): DataFrame =
+    qualityScores(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        expr("percentile_approx(q, array(0.25D, 0.5D, 0.9D), 10000)").as("p"))
+      .select(col("source"), col("docs"),
+        round(element_at(col("p"), 1), 4).as("q25"),
+        round(element_at(col("p"), 2), 4).as("q50"),
+        round(element_at(col("p"), 3), 4).as("q90"))
+      .orderBy(col("source"))
+
   /** C10: token counting — whitespace tokens and BPE-ish regex pieces. */
   def textTokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
