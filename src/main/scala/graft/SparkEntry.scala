@@ -75,6 +75,8 @@ object SparkEntry {
     "asof_join" -> (graft.ops.AsofJoin.asofClickAttribution _),
     // deterministic content-keyed mixture sampling with epoch repetition
     "sample_mixture" -> (graft.ops.Sample.sampleMixtureQuery _),
+    // bucketed interval join: range turned into (key, time-bucket) equi-join
+    "range_join" -> (graft.ops.RangeJoin.rangeJoinErrors _),
     // §2.D streaming (batch faces of the streaming transforms)
     "stream_events_window" -> (graft.streaming.EventsPipeline.streamEventsWindow _),
     "stream_sessionize" -> (graft.streaming.Sessionize.streamSessionize _)
@@ -524,6 +526,22 @@ object SparkEntry {
         |FROM share GROUP BY source, bin ORDER BY source, bin""".stripMargin,
     // generated from Sample.DemoWeights — same md5 bucket + thresholds
     "sample_mixture" -> graft.ops.Sample.mixtureOracle,
+    // the buckets are an execution detail — the oracle is the plain
+    // inequality join on floor-second epochs
+    "range_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'error')
+        |SELECT p.event_id, p.user_id,
+        |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |       cast(count(e.ts) AS BIGINT) AS n_errors,
+        |       round(coalesce(sum(e.value), 0), 2) AS err_value
+        |FROM p LEFT JOIN e
+        |  ON p.user_id = e.user_id
+        | AND cast(floor(epoch(e.ts)) AS BIGINT) > cast(floor(epoch(p.ts)) AS BIGINT)
+        | AND cast(floor(epoch(e.ts)) AS BIGINT) <= cast(floor(epoch(p.ts)) AS BIGINT) + 300
+        |GROUP BY 1, 2, 3 ORDER BY event_id""".stripMargin,
     // the oracle is DuckDB's NATIVE ASOF JOIN — an independent engine
     // implementation of the same point-in-time semantics
     "asof_join" ->
