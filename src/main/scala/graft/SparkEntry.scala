@@ -52,6 +52,7 @@ object SparkEntry {
     "text_langid" -> (TextQueries.textLangid _),
     "text_quality" -> (TextQueries.textQuality _),
     "quality_percentile" -> (TextQueries.qualityPercentile _),
+    "text_tfidf" -> (TextQueries.textTfidf _),
     // rows-only: GK-sketch results are engine-specific (the scale face)
     "quality_percentile_approx" -> (TextQueries.qualityPercentileApprox _),
     "text_tokens" -> (TextQueries.textTokens _),
@@ -383,6 +384,26 @@ object SparkEntry {
         |       round(avg(q),4) AS avg_quality,
         |       cast(sum(CASE WHEN q >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_good
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "text_tfidf" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(norm,' ')) AS term FROM d),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY score DESC, term) AS rnk
+        |  FROM sc)
+        |SELECT doc_id, term, cast(tf AS BIGINT) AS tf, cast(df AS BIGINT) AS df,
+        |       round(score, 4) AS score, cast(rnk AS INTEGER) AS rnk
+        |FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
     // same q formula as text_quality; quantile_cont == Spark's exact
     // interpolating percentile (both use pos = p*(n-1))
     "quality_percentile" ->

@@ -118,6 +118,35 @@ object TextQueries {
         round(element_at(col("p"), 3), 4).as("q90"))
       .orderBy(col("source"))
 
+  /** C20: TF-IDF top terms — the per-document salient-term extraction a
+    * retrieval/labeling pipeline runs over a corpus. Plan shape at
+    * 100 TB: tokens explode narrow; tf is a partial-aggregating groupBy
+    * on (doc, term); df a partial-aggregating distinct-count on term
+    * (hot stopword terms are exactly the high-df ones, and partial
+    * aggregation absorbs them map-side); the corpus size N is an
+    * agg-to-scalar broadcast; the final top-3 is a per-doc window over
+    * each doc's vocabulary — bounded by document length, never corpus
+    * size. */
+  def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("__n"))
+    val scored = tf.join(df, Seq("term")).crossJoin(n)
+      .withColumn("score",
+        col("tf") * (log((col("__n") + 1.0) / (col("df") + 1.0)) + 1.0))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rnk", row_number().over(byDoc))
+      .where(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("score"), 4).as("score"), col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   /** C10: token counting — whitespace tokens and BPE-ish regex pieces. */
   def textTokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
