@@ -53,6 +53,7 @@ object SparkEntry {
     "text_quality" -> (TextQueries.textQuality _),
     "quality_percentile" -> (TextQueries.qualityPercentile _),
     "text_tfidf" -> (TextQueries.textTfidf _),
+    "ngram_counts" -> (TextQueries.ngramCounts _),
     // rows-only: GK-sketch results are engine-specific (the scale face)
     "quality_percentile_approx" -> (TextQueries.qualityPercentileApprox _),
     "text_tokens" -> (TextQueries.textTokens _),
@@ -68,6 +69,8 @@ object SparkEntry {
     "sim_search_ivf" -> (VectorQueries.simSearchIvf _),
     "embed_stats" -> (VectorQueries.embedStats _),
     "embed_centroids" -> (VectorQueries.embedCentroids _),
+    // rows-only: learned clusters are iterative Scala-side plan logic
+    "embed_kmeans" -> (graft.ops.KMeans.embedKmeans _),
     "mm_metadata" -> (Multimodal.mmMetadata _),
     "mm_features" -> (Multimodal.mmFeatures _),
     // §2.E library surface demo: salted join over a synthetically hot key
@@ -384,6 +387,18 @@ object SparkEntry {
         |       round(avg(q),4) AS avg_quality,
         |       cast(sum(CASE WHEN q >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_good
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "ngram_counts" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm
+        |  FROM documents),
+        |toks AS (SELECT doc_id, string_split(norm,' ') AS w FROM d),
+        |bg AS (
+        |  SELECT DISTINCT doc_id, w[i]||' '||w[i+1] AS ngram
+        |  FROM toks, unnest(generate_series(1, len(w)-1)) AS t(i)
+        |  WHERE len(w) >= 2)
+        |SELECT ngram, count(*) AS df
+        |FROM bg GROUP BY ngram
+        |ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
     "text_tfidf" ->
       """WITH d AS (
         |  SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm

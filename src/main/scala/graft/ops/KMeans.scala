@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Spherical k-means (Lloyd's algorithm under cosine similarity) —
+  * LEARNED centroids for the IVF index, replacing the label column the
+  * C16 build borrows as its clustering.
+  *
+  * Iteration shape at 100 TB:
+  *  - ASSIGN is the shuffle-free narrow argmax the IVF fix introduced:
+  *    centroids fold into one broadcast array row and
+  *    [[graft.functions.NearestCentroids]] scores each vector in place —
+  *    the corpus is scanned once per round and never exchanged.
+  *  - UPDATE is the (cluster, dim) partial-aggregating mean the C14
+  *    centroid query uses — a giant cluster spreads over `dim` keys, so
+  *    no reducer owns a whole cluster.
+  *  - Only the k-row centroid frame iterates, and it is eagerly
+  *    localCheckpoint'ed each round — the corpus frame's plan never
+  *    deepens (the Cluster.scala lesson).
+  *
+  * Cosine is scale-invariant in the centroid, so the plain per-dimension
+  * mean IS the optimal update for the cosine objective — the classical
+  * EM argument applies and the mean-cosine objective is non-decreasing
+  * round over round (KMeansSpec pins this). A cluster that loses every
+  * member drops out; ids keep their init positions.
+  */
+object KMeans {
+
+  final case class Fit(assignments: DataFrame, centroids: DataFrame,
+                       objective: Seq[Double])
+
+  /** `v` needs (vec_id, e: array<double>, nrm) — [[Vectors.withNorm]]
+    * output. Init: the k lowest vec_ids (deterministic; callers wanting
+    * k-means|| can pass their own via `initCentroids`). */
+  def fit(v: DataFrame, k: Int, iters: Int,
+          initCentroids: Option[DataFrame] = None): Fit = {
+    require(k >= 1, s"k must be positive: $k")
+    require(iters >= 1, s"iters must be positive: $iters")
+    // cluster ids are the seed vec_ids themselves — any atomic id works
+    // for the argmax, and it avoids a global row-number window over the
+    // seed set (id contiguity buys nothing)
+    val init = initCentroids.getOrElse {
+      v.orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id").as("cluster"), col("e").as("ce"), col("nrm").as("cn"))
+    }
+
+    var cents = init.localCheckpoint(true)
+    var objective = Vector.empty[Double]
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      val centsArr = cents.agg(array_sort(collect_list(
+        struct(col("cluster"), col("ce"), col("cn")))).as("cents"))
+      assigned = v.crossJoin(broadcast(centsArr))
+        .select(col("vec_id"), col("e"), col("nrm"),
+          graft.functions.NearestCentroids(col("e"), col("cents"), 1)
+            .getItem(0).as("cluster"))
+      val obj = assigned.join(broadcast(cents), Seq("cluster"))
+        .agg(avg(Vectors.cosine(col("e"), col("ce"), col("nrm"), col("cn"))))
+        .head.getDouble(0)
+      objective :+= obj
+      val next = assigned
+        .select(col("cluster"), posexplode(col("e")).as(Seq("dim", "comp")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(avg(col("comp")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          x => x.getField("m")).as("ce0"))
+      cents = Vectors.withNorm(next, "ce0")
+        .select(col("cluster"), col("e").as("ce"), col("nrm").as("cn"))
+        .localCheckpoint(true)
+    }
+    Fit(assigned.select(col("vec_id"), col("cluster")), cents, objective)
+  }
+
+  /** Query face (`embed_kmeans`, rows-only): k=8 learned clusters over
+    * the embeddings corpus, 4 Lloyd rounds; per-cluster population and
+    * tightness. */
+  def embedKmeans(s: SparkSession, dir: String): DataFrame = {
+    val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
+      .select(col("vec_id"), col("e"), col("nrm"))
+    val f = fit(v, k = 8, iters = 4)
+    f.assignments
+      .join(broadcast(f.centroids), Seq("cluster"))
+      .join(v, Seq("vec_id"))
+      .withColumn("cos", Vectors.cosine(col("e"), col("ce"), col("nrm"), col("cn")))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("cos")), 4).as("avg_cos"),
+        round(min(col("cos")), 4).as("min_cos"),
+        round(max(col("cn")), 4).as("centroid_norm"))
+      .orderBy(col("cluster"))
+  }
+}

@@ -147,6 +147,23 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** C21: corpus n-gram frequency table — the primitive behind
+    * contamination checks and LM memorization audits. Bigrams come from
+    * the same native [[graft.functions.WordShingles]] single-pass
+    * expression the dedup path uses (n=2, distinct-per-doc), so
+    * occurrences == document frequency here by construction, and the
+    * whole query is one explode + one partial-aggregating groupBy with a
+    * global top-k. The top-k is two-phase by construction: rank over a
+    * single ordered column only after the aggregate has collapsed the
+    * corpus to distinct n-grams. */
+  def ngramCounts(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 2)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("ngram"))
+      .limit(20)
+
   /** C10: token counting — whitespace tokens and BPE-ish regex pieces. */
   def textTokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
