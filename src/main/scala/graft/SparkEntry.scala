@@ -45,6 +45,8 @@ object SparkEntry {
     "ingest_schema_merge" -> (IngestQueries.ingestSchemaMerge _),
     "ingest_partition_derive" -> (IngestQueries.ingestPartitionDerive _),
     "sync_zone_diff" -> (IngestQueries.syncZoneDiff _),
+    // CDC upsert: MERGE INTO as keyed window + one full-outer equi-join
+    "ingest_upsert" -> (IngestQueries.ingestUpsert _),
     "meta_schema_discovery" -> (SchemaDiscovery.metaSchemaDiscovery _),
     "meta_ddl_export" -> (SchemaDiscovery.metaDdlExport _),
     // §2.C LLM-training-data pipeline
@@ -319,6 +321,27 @@ object SparkEntry {
         |       count(*) AS rows_n, count(DISTINCT user_id) AS users,
         |       round(sum(value),2) AS value_sum
         |FROM events GROUP BY TRANSFERRED_DATE ORDER BY TRANSFERRED_DATE""".stripMargin,
+    "ingest_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 0),
+        |ch AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         o_totalprice * 1.1 AS o_totalprice,
+        |         CASE WHEN o_orderkey % 9 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |merged AS (
+        |  SELECT coalesce(c.o_orderkey, b.o_orderkey) AS k,
+        |         coalesce(c.o_orderstatus, b.o_orderstatus) AS st,
+        |         coalesce(c.o_totalprice, b.o_totalprice) AS price
+        |  FROM base b FULL OUTER JOIN ch c ON b.o_orderkey = c.o_orderkey
+        |  WHERE c.op IS NULL OR c.op <> 'D')
+        |SELECT st AS o_orderstatus, count(*) AS n,
+        |       cast(sum(cast(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS total_cents,
+        |       cast(min(k) AS BIGINT) AS min_key,
+        |       cast(max(k) AS BIGINT) AS max_key
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     "sync_zone_diff" ->
       """WITH storing AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0),
         |userzone AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 89 <> 0),

@@ -144,6 +144,36 @@ object IngestQueries {
         round(sum(col("value")), 2).as("value_sum"))
       .orderBy(col(LakeWriter.PartitionCol))
 
+  /** B11: CDC upsert — MERGE INTO over orders. Base omits the %10 keys;
+    * the changeset touches the %3 keys (deleting the %9 ones, repricing
+    * the rest at +10%), so the merge exercises update, delete, AND
+    * insert-of-unseen-key in one pass. Output is the post-merge state
+    * summarized per order status. */
+  def ingestUpsert(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val base = ord.where(col("o_orderkey") % 10 =!= 0)
+    val changes = ord.where(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        // plain IEEE multiply — bit-identical on both engines; decimal
+        // round() here diverges at half boundaries (Java BigDecimal
+        // HALF_UP vs DuckDB's C++ rounding) and poisons the total
+        (col("o_totalprice") * 1.1).as("o_totalprice"),
+        when(col("o_orderkey") % 9 === 0, "D").otherwise("U").as("op"),
+        lit(1L).as("seq"))
+    Merge.upsert(base, changes, "o_orderkey")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        // money totals in integer CENTS: floor(x*100+0.5) is pure IEEE
+        // arithmetic (same double both engines) and the integer sum is
+        // associative — immune to both rounding-mode and accumulation-
+        // order divergence
+        sum(floor(col("o_totalprice") * 100 + 0.5)).as("total_cents"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** B8: zone-sync plan — `aws s3 sync --delete` as two anti-joins. */
   def syncZoneDiff(s: SparkSession, dir: String): DataFrame = {
     val ord = t(s, dir, "orders")
