@@ -49,6 +49,8 @@ object SparkEntry {
     "ingest_upsert" -> (IngestQueries.ingestUpsert _),
     "meta_schema_discovery" -> (SchemaDiscovery.metaSchemaDiscovery _),
     "meta_ddl_export" -> (SchemaDiscovery.metaDdlExport _),
+    // one-scan multi-distinct profile unpivoted via stack
+    "meta_profile" -> (graft.ingest.Profile.metaProfile _),
     // §2.C LLM-training-data pipeline
     "dedup_exact" -> (TextQueries.dedupExact _),
     "text_langid" -> (TextQueries.textLangid _),
@@ -56,6 +58,7 @@ object SparkEntry {
     "quality_percentile" -> (TextQueries.qualityPercentile _),
     "text_tfidf" -> (TextQueries.textTfidf _),
     "ngram_counts" -> (TextQueries.ngramCounts _),
+    "text_contamination" -> (TextQueries.textContamination _),
     // rows-only: GK-sketch results are engine-specific (the scale face)
     "quality_percentile_approx" -> (TextQueries.qualityPercentileApprox _),
     "text_tokens" -> (TextQueries.textTokens _),
@@ -410,6 +413,22 @@ object SparkEntry {
         |       round(avg(q),4) AS avg_quality,
         |       cast(sum(CASE WHEN q >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_good
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "meta_profile" -> graft.ingest.Profile.profileOracle,
+    "text_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm
+        |  FROM documents),
+        |toks AS (SELECT doc_id, string_split(norm,' ') AS w FROM d),
+        |bg AS (
+        |  SELECT DISTINCT doc_id, w[i]||' '||w[i+1] AS ngram
+        |  FROM toks, unnest(generate_series(1, len(w)-1)) AS t(i)
+        |  WHERE len(w) >= 2),
+        |bench AS (SELECT DISTINCT ngram FROM bg WHERE doc_id < 5)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM bg JOIN bench USING (ngram)
+        |WHERE doc_id >= 5
+        |GROUP BY doc_id HAVING count(*) >= 3
+        |ORDER BY doc_id""".stripMargin,
     "ngram_counts" ->
       """WITH d AS (
         |  SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm

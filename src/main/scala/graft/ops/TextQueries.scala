@@ -164,6 +164,25 @@ object TextQueries {
       .orderBy(col("df").desc, col("ngram"))
       .limit(20)
 
+  /** C23: benchmark decontamination — flag corpus documents that share
+    * >= 3 distinct bigrams with a held-out "benchmark" set (here: docs
+    * 0–4). The benchmark n-gram set is small by definition, so it
+    * BROADCASTS and the corpus side never shuffles for the membership
+    * test — the only exchange is the final per-doc hit count. This is
+    * the eval-leakage gate every training-data pipeline runs before a
+    * corpus ships. */
+  def textContamination(s: SparkSession, dir: String): DataFrame = {
+    val bg = docs(s, dir)
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 2)).as("ngram"))
+    val bench = bg.where(col("doc_id") < 5).select(col("ngram")).distinct()
+    bg.where(col("doc_id") >= 5)
+      .join(broadcast(bench), Seq("ngram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .where(col("n_hits") >= 3)
+      .orderBy(col("doc_id"))
+  }
+
   /** C10: token counting — whitespace tokens and BPE-ish regex pieces. */
   def textTokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
