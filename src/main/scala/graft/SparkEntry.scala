@@ -84,6 +84,8 @@ object SparkEntry {
     "asof_join" -> (graft.ops.AsofJoin.asofClickAttribution _),
     // deterministic content-keyed mixture sampling with epoch repetition
     "sample_mixture" -> (graft.ops.Sample.sampleMixtureQuery _),
+    "sample_split" -> (graft.ops.Sample.sampleSplitQuery _),
+    "mixture_tokens" -> (graft.ops.Sample.mixtureTokensQuery _),
     // bucketed interval join: range turned into (key, time-bucket) equi-join
     "range_join" -> (graft.ops.RangeJoin.rangeJoinErrors _),
     // §2.D streaming (batch faces of the streaming transforms)
@@ -604,6 +606,8 @@ object SparkEntry {
         |FROM share GROUP BY source, bin ORDER BY source, bin""".stripMargin,
     // generated from Sample.DemoWeights — same md5 bucket + thresholds
     "sample_mixture" -> graft.ops.Sample.mixtureOracle,
+    "sample_split" -> graft.ops.Sample.splitOracle,
+    "mixture_tokens" -> graft.ops.Sample.mixtureTokensOracle,
     // the buckets are an execution detail — the oracle is the plain
     // inequality join on floor-second epochs
     "range_join" ->

@@ -64,9 +64,47 @@ object Sample {
         col("copy_idx").cast("int"))
       .orderBy(col("doc_id"), col("copy_idx"))
 
-  /** Oracle generated from [[DemoWeights]] — same thresholds, same md5
-    * bucket, so the engines can only agree or fail loudly. */
-  val mixtureOracle: String = {
+  /** Deterministic train/val/test split: the same content-keyed coin,
+    * cut at cumulative fractions — every rerun and every engine deals
+    * each document to the same fold, and a document can never leak
+    * between folds under repartitioning. `cuts` are (label, upTo)
+    * cumulative upper bounds in order; the last label takes the rest. */
+  def splitColumn(id: Column, cuts: Seq[(String, Double)], lastLabel: String,
+                  salt: String = "split"): Column = {
+    val b = bucketHex(id, salt)
+    cuts.foldRight(lit(lastLabel): Column) { case ((label, upTo), rest) =>
+      when(b < lit(hexThreshold(upTo)), label).otherwise(rest)
+    }
+  }
+
+  /** The demo folds: 80/10/10. */
+  val DemoCuts: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.9)
+
+  /** Query face (`sample_split`): fold populations per source. */
+  def sampleSplitQuery(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("fold", splitColumn(col("doc_id"), DemoCuts, "test"))
+      .groupBy(col("source"), col("fold"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("source"), col("fold"))
+
+  /** Oracle generated from [[DemoCuts]]. */
+  val splitOracle: String = {
+    val whens = DemoCuts.map { case (label, upTo) =>
+      s"WHEN substr(md5('split|'||CAST(doc_id AS VARCHAR)),1,6) < '${hexThreshold(upTo)}' THEN '$label'"
+    }.mkString("\n           ")
+    s"""SELECT source,
+       |  CASE $whens
+       |       ELSE 'test' END AS fold,
+       |  count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS chars
+       |FROM documents
+       |GROUP BY 1, 2 ORDER BY source, fold""".stripMargin
+  }
+
+  /** The [[DemoWeights]] copies expression as oracle SQL (shared by the
+    * mixture oracles — generated, so the engines can only agree or fail
+    * loudly). */
+  private def copiesCaseSql: String = {
     val cases = DemoWeights.toSeq.sortBy(_._1).map { case (g, w) =>
       val base = math.floor(w).toInt
       val thr = hexThreshold(w - math.floor(w))
@@ -74,16 +112,52 @@ object Sample {
          |      CASE WHEN substr(md5('mix|'||CAST(doc_id AS VARCHAR)),1,6) < '$thr'
          |           THEN 1 ELSE 0 END""".stripMargin
     }.mkString("\n")
+    s"CASE\n$cases\n    ELSE 1 END"
+  }
+
+  /** Oracle generated from [[DemoWeights]] — same thresholds, same md5
+    * bucket. */
+  val mixtureOracle: String =
     s"""WITH c AS (
        |  SELECT doc_id, source,
-       |    CASE
-       |$cases
-       |    ELSE 1 END AS copies
+       |    $copiesCaseSql AS copies
        |  FROM documents)
        |SELECT doc_id, source, CAST(copies AS INTEGER) AS copies,
        |       CAST(i AS INTEGER) AS copy_idx
        |FROM c, unnest(generate_series(1, copies)) AS t(i)
        |WHERE copies > 0
        |ORDER BY doc_id, copy_idx""".stripMargin
+
+  /** Query face (`mixture_tokens`): the token BUDGET the demo mixture
+    * buys per source — the number a mixture designer actually wants.
+    * Composition: the mixture's exploded copies × the C10 whitespace
+    * token count, summed per source (the explode already multiplies, so
+    * `sum(ws)` over copies == `sum(ws × copies)`). */
+  def mixtureTokensQuery(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .withColumn("ws", graft.functions.TokenMarkerStats(col("text")).getField("ws_tokens"))
+    sampleMixture(d, "doc_id", "source", DemoWeights)
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("total_copies"),
+        sum(col("ws")).as("tokens"))
+      .orderBy(col("source"))
   }
+
+  /** Oracle for `mixture_tokens`, same generated CASE + the C10 token
+    * formula. */
+  val mixtureTokensOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         trim(regexp_replace(lower(text),'\\s+',' ','g')) AS norm
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, len(string_split(norm,' ')) AS ws,
+       |    $copiesCaseSql AS copies
+       |  FROM d)
+       |SELECT source, count(*) AS n_docs,
+       |       cast(sum(copies) AS BIGINT) AS total_copies,
+       |       cast(sum(ws * copies) AS BIGINT) AS tokens
+       |FROM c WHERE copies > 0
+       |GROUP BY source ORDER BY source""".stripMargin
 }

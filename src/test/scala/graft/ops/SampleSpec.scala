@@ -35,6 +35,21 @@ class SampleSpec extends SparkSpec {
     assert(rows.count(_._2 == 1) == 500 && rows.count(_._2 == 2) == 500)
   }
 
+  test("splits partition the corpus deterministically at ~the cut ratios") {
+    import org.apache.spark.sql.functions.col
+    val f1 = df.withColumn("fold", Sample.splitColumn(col("id"), Sample.DemoCuts, "test"))
+      .select("id", "fold").as[(Long, String)].collect().toMap
+    val f2 = df.repartition(13)
+      .withColumn("fold", Sample.splitColumn(col("id"), Sample.DemoCuts, "test"))
+      .select("id", "fold").as[(Long, String)].collect().toMap
+    assert(f1 == f2, "fold assignment must be partitioning-independent")
+    assert(f1.size == 1000, "every row lands in exactly one fold")
+    val frac = f1.values.groupBy(identity).view.mapValues(_.size / 1000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05, s"train frac: $frac")
+    assert(math.abs(frac("val") - 0.1) < 0.04 && math.abs(frac("test") - 0.1) < 0.04,
+      s"val/test frac: $frac")
+  }
+
   test("groups without a weight use the default") {
     val kept = Sample.sampleMixture(df, "id", "grp", Map("a" -> 0.0), defaultWeight = 1.0)
       .select("grp").as[String].collect()
