@@ -35,6 +35,7 @@ object SparkEntry {
     "q10_event_gaps" -> (LakeQueries.q10EventGaps _),
     "q11_json_props" -> (LakeQueries.q11JsonProps _),
     "q12_promo_revenue" -> (LakeQueries.q12PromoRevenue _),
+    "q13_event_pivot" -> (LakeQueries.q13EventPivot _),
     // §2.B ingestion semantics
     "ingest_typecast" -> (IngestQueries.ingestTypecast _),
     "ingest_filename_route" -> (IngestQueries.ingestFilenameRoute _),
@@ -213,6 +214,13 @@ object SparkEntry {
         |SELECT p_type, round(rev, 2) AS revenue, lines,
         |       round(100.0 * rev / sum(rev) OVER (), 4) AS pct
         |FROM j ORDER BY p_type""".stripMargin,
+    "q13_event_pivot" ->
+      ("""SELECT strftime(ts, '%Y-%m-%d') AS day,""" + "\n" +
+        Seq("click", "error", "purchase", "signup", "view").map { ty =>
+          s"""  cast(count(CASE WHEN event_type = '$ty' THEN 1 END) AS BIGINT) AS ${ty}_n,
+             |  round(coalesce(sum(CASE WHEN event_type = '$ty' THEN value END), 0), 2) AS ${ty}_v""".stripMargin
+        }.mkString(",\n") +
+        "\nFROM events GROUP BY day ORDER BY day"),
     "ingest_typecast" ->
       """WITH raw AS (
         |  SELECT cast(event_id AS VARCHAR) AS c0, cast(user_id AS VARCHAR) AS c1,

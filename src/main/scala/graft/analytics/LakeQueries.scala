@@ -190,6 +190,27 @@ object LakeQueries {
       .orderBy(col("p_type"))
   }
 
+  /** A13: PIVOT — daily event counts with one column per event type.
+    * The value list is EXPLICIT, so Spark pivots in a single
+    * partial-aggregating pass (an unlisted-values pivot first runs a
+    * distinct job to discover columns — never do that at 100 TB; the
+    * column set is a schema decision, not data). */
+  def q13EventPivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    t(s, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("value"))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      // absent (day, type) cells pivot to NULL — zero-fill explicitly so
+      // the oracle's conditional aggregates can say the same thing
+      .select(col("day") +: types.flatMap(ty => Seq(
+        coalesce(col(s"${ty}_n"), lit(0L)).as(s"${ty}_n"),
+        round(coalesce(col(s"${ty}_v"), lit(0.0)), 2).as(s"${ty}_v"))): _*)
+      .orderBy(col("day"))
+  }
+
   /** A11: JSON property extraction from events.props + agg (regexp-based
     * so the oracle needs no JSON extension). */
   def q11JsonProps(s: SparkSession, dir: String): DataFrame =

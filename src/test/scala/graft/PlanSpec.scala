@@ -95,6 +95,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sample_mixture is shuffle-free up to the output sort") {
+    val df = SparkEntry.queries("sample_mixture")(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the mixture coin must stay a narrow projection:\n$plan")
+  }
+
+  test("text_contamination: the benchmark set joins by broadcast") {
+    val df = SparkEntry.queries("text_contamination")(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"membership test must broadcast the benchmark n-grams:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus side must not shuffle for the membership test:\n$plan")
+  }
+
+  test("q13 pivot with explicit values scans events exactly once") {
+    val df = SparkEntry.queries("q13_event_pivot")(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    // AQE repeats the tree under "== Initial Plan ==" — count the final only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1,
+      s"explicit pivot values must not trigger a discovery scan ($scans scans):\n$plan")
+  }
+
   test("q6 rank<=5 plans a partial WindowGroupLimit top-k") {
     // segment cardinality is tiny (few mktsegments), so without the
     // partial top-k every map task would ship ALL its customers to ~5
