@@ -35,8 +35,12 @@ object KMeans {
   /** `v` needs (vec_id, e: array<double>, nrm) — [[Vectors.withNorm]]
     * output. Init: the k lowest vec_ids (deterministic; callers wanting
     * k-means|| can pass their own via `initCentroids`). */
+  /** `trackObjective=false` (the production setting) skips the
+    * per-round objective scan — one fewer pass over the corpus per
+    * round; the spec turns it on to pin monotonicity. */
   def fit(v: DataFrame, k: Int, iters: Int,
-          initCentroids: Option[DataFrame] = None): Fit = {
+          initCentroids: Option[DataFrame] = None,
+          trackObjective: Boolean = false): Fit = {
     require(k >= 1, s"k must be positive: $k")
     require(iters >= 1, s"iters must be positive: $iters")
     // cluster ids are the seed vec_ids themselves — any atomic id works
@@ -57,10 +61,11 @@ object KMeans {
         .select(col("vec_id"), col("e"), col("nrm"),
           graft.functions.NearestCentroids(col("e"), col("cents"), 1)
             .getItem(0).as("cluster"))
-      val obj = assigned.join(broadcast(cents), Seq("cluster"))
-        .agg(avg(Vectors.cosine(col("e"), col("ce"), col("nrm"), col("cn"))))
-        .head.getDouble(0)
-      objective :+= obj
+      if (trackObjective) {
+        objective :+= assigned.join(broadcast(cents), Seq("cluster"))
+          .agg(avg(Vectors.cosine(col("e"), col("ce"), col("nrm"), col("cn"))))
+          .head.getDouble(0)
+      }
       val next = assigned
         .select(col("cluster"), posexplode(col("e")).as(Seq("dim", "comp")))
         .groupBy(col("cluster"), col("dim"))

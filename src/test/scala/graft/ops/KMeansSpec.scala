@@ -28,7 +28,7 @@ class KMeansSpec extends SparkSpec {
     val f = KMeans.fit(
       Vectors.withNorm(graft.sources.Tables(spark, sfDir, "embeddings"), "embedding")
         .select($"vec_id", $"e", $"nrm"),
-      k = 8, iters = 4)
+      k = 8, iters = 4, trackObjective = true)
     assert(f.objective.size == 4)
     f.objective.sliding(2).foreach { case Seq(a, b) =>
       assert(b >= a - 1e-9, s"objective regressed: ${f.objective}")
