@@ -36,6 +36,9 @@ object SparkEntry {
     "q11_json_props" -> (LakeQueries.q11JsonProps _),
     "q12_promo_revenue" -> (LakeQueries.q12PromoRevenue _),
     "q13_event_pivot" -> (LakeQueries.q13EventPivot _),
+    "q14_top_supplier" -> (LakeQueries.q14TopSupplier _),
+    "q15_part_supplier_counts" -> (LakeQueries.q15PartSupplierCounts _),
+    "q16_large_orders" -> (LakeQueries.q16LargeOrders _),
     // §2.B ingestion semantics
     "ingest_typecast" -> (IngestQueries.ingestTypecast _),
     "ingest_filename_route" -> (IngestQueries.ingestFilenameRoute _),
@@ -221,6 +224,41 @@ object SparkEntry {
              |  round(coalesce(sum(CASE WHEN event_type = '$ty' THEN value END), 0), 2) AS ${ty}_v""".stripMargin
         }.mkString(",\n") +
         "\nFROM events GROUP BY day ORDER BY day"),
+    "q14_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey),
+        |m AS (SELECT max(total_rev) AS mx FROM rev)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM rev CROSS JOIN m
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = mx
+        |ORDER BY s_suppkey""".stripMargin,
+    "q15_part_supplier_counts" ->
+      """WITH rel AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                          WHERE s_suppkey % 13 = 0))
+        |SELECT p_type,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt,
+        |       count(DISTINCT l_partkey) AS part_cnt
+        |FROM rel JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_type ORDER BY p_type""".stripMargin,
+    "q16_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 250)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |       round(o_totalprice, 2) AS totalprice, qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY qty DESC, o_orderkey LIMIT 10""".stripMargin,
     "ingest_typecast" ->
       """WITH raw AS (
         |  SELECT cast(event_id AS VARCHAR) AS c0, cast(user_id AS VARCHAR) AS c1,

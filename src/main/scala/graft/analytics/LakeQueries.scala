@@ -190,6 +190,57 @@ object LakeQueries {
       .orderBy(col("p_type"))
   }
 
+  /** A14: TPC-H Q15-style top supplier — revenue view + SCALAR-subquery
+    * max. The 1-row max broadcasts (agg-to-scalar, the q12 treatment);
+    * equality on the rounded revenue is parity-safe because both
+    * engines round to the same nearest double. */
+  def q14TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit(ts("1996-01-01")) &&
+        col("l_shipdate") < lit(ts("1996-04-01")))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("total_rev"))
+    val maxRev = rev.agg(max(col("total_rev")).as("__max"))
+    rev.crossJoin(maxRev)
+      .where(col("total_rev") === col("__max"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** A15: TPC-H Q16-style supplier counts per part type with a NOT-IN
+    * exclusion (blacklisted suppliers) — anti-join, then distinct
+    * suppliers through the lineitem relation. */
+  def q15PartSupplierCounts(s: SparkSession, dir: String): DataFrame = {
+    val blacklist = t(s, dir, "supplier")
+      .where(col("s_suppkey") % 13 === 0).select(col("s_suppkey"))
+    val rel = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(blacklist), col("l_suppkey") === col("s_suppkey"), "left_anti")
+    rel.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"),
+        countDistinct(col("l_partkey")).as("part_cnt"))
+      .orderBy(col("p_type"))
+  }
+
+  /** A16: TPC-H Q18-style large orders — IN-subquery via the aggregated
+    * quantity (HAVING), top-10 by quantity. */
+  def q16LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("qty"))
+      .where(col("qty") > 250)
+    big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        round(col("o_totalprice"), 2).as("totalprice"), col("qty"))
+      .orderBy(col("qty").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
   /** A13: PIVOT — daily event counts with one column per event type.
     * The value list is EXPLICIT, so Spark pivots in a single
     * partial-aggregating pass (an unlisted-values pivot first runs a
