@@ -76,6 +76,8 @@ object SparkEntry {
     "sim_search_lsh" -> (VectorQueries.simSearchLsh _),
     // rows-only: centroid assignment is Scala-side plan logic
     "sim_search_ivf" -> (VectorQueries.simSearchIvf _),
+    // rows-only: learned clusters, engine-specific (recall spec-bounded)
+    "sim_search_ivf_learned" -> (VectorQueries.simSearchIvfLearned _),
     "embed_stats" -> (VectorQueries.embedStats _),
     "embed_centroids" -> (VectorQueries.embedCentroids _),
     // rows-only: learned clusters are iterative Scala-side plan logic

@@ -129,6 +129,23 @@ object VectorQueries {
     val v = emb(s, dir)
     val cents = Vectors.withNorm(centroidVectors(v), "centroid")
       .select(col("label").as("cluster"), col("e").as("ce"), col("nrm").as("cn"))
+    ivfSearch(v, cents)
+  }
+
+  /** C16a: the same IVF search over LEARNED clusters — centroids come
+    * from [[KMeans.fit]] instead of borrowing the label column, which is
+    * the honest 100 TB build (real corpora carry no cluster labels).
+    * k=8, 3 Lloyd rounds; search identical to C16. Rows-only; recall
+    * spec-bounded vs brute force like the other ANN families. */
+  def simSearchIvfLearned(s: SparkSession, dir: String): DataFrame = {
+    val v = emb(s, dir)
+    val fit = KMeans.fit(v.select(col("vec_id"), col("e"), col("nrm")), k = 8, iters = 3)
+    ivfSearch(v, fit.centroids.select(col("cluster"), col("ce"), col("cn")))
+  }
+
+  /** Shared IVF search: assignment + probes as shuffle-free broadcast
+    * argmax, posting-list equi-join, exact rescore, top-10. */
+  private def ivfSearch(v: DataFrame, cents: DataFrame): DataFrame = {
     // all centroids in one row, cluster-sorted for deterministic ties
     val centsArr = cents.agg(array_sort(collect_list(
       struct(col("cluster"), col("ce"), col("cn")))).as("cents"))

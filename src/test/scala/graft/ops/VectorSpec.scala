@@ -58,6 +58,18 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF recall $recall vs brute force")
   }
 
+  test("learned-centroid IVF (k-means) recovers brute-force neighbors too") {
+    val bf = VectorQueries.simSearchTopk(spark, sfDir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = VectorQueries.simSearchIvfLearned(spark, sfDir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.groupBy(_._1).forall(_._2.length <= 10))
+    val recall = ivf.count(bf.contains).toDouble / bf.size
+    // nprobe=2 of k=8 learned clusters: same concentration bar as C16
+    assert(recall >= 0.2, s"learned-IVF recall $recall vs brute force")
+  }
+
   test("NearestCentroids matches the join+window argmax spelling row-by-row") {
     import org.apache.spark.sql.expressions.Window
     val v = Vectors.withNorm(graft.sources.Tables(spark, sfDir, "embeddings"), "embedding")
