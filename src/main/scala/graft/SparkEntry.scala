@@ -39,6 +39,8 @@ object SparkEntry {
     "q14_top_supplier" -> (LakeQueries.q14TopSupplier _),
     "q15_part_supplier_counts" -> (LakeQueries.q15PartSupplierCounts _),
     "q16_large_orders" -> (LakeQueries.q16LargeOrders _),
+    "q17_funnel" -> (LakeQueries.q17Funnel _),
+    "q18_revenue_deciles" -> (LakeQueries.q18RevenueDeciles _),
     // §2.B ingestion semantics
     "ingest_typecast" -> (IngestQueries.ingestTypecast _),
     "ingest_filename_route" -> (IngestQueries.ingestFilenameRoute _),
@@ -261,6 +263,39 @@ object SparkEntry {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY qty DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q17_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, cast(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |v AS (SELECT user_id, min(sec) AS v_sec
+        |      FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.sec) AS c_sec, min(v.v_sec) AS v_sec
+        |      FROM ev e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.sec > v.v_sec GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.sec) AS p_sec, min(c.c_sec) AS c_sec
+        |      FROM ev e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.sec > c.c_sec GROUP BY 1)
+        |SELECT '1_viewed' AS stage, count(*) AS n, CAST(NULL AS DOUBLE) AS avg_gap_s FROM v
+        |UNION ALL
+        |SELECT '2_clicked', count(*), round(avg(c_sec - v_sec), 2) FROM c
+        |UNION ALL
+        |SELECT '3_purchased', count(*), round(avg(p_sec - c_sec), 2) FROM p
+        |ORDER BY stage""".stripMargin,
+    "q18_revenue_deciles" ->
+      ("""WITH rev AS (
+         |  SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+         |  FROM orders GROUP BY 1),
+         |cut AS (SELECT [""".stripMargin +
+        (1 to 9).map(i => s"round(quantile_cont(rev, 0.$i), 4)").mkString(", ") +
+        """] AS cuts FROM rev),
+         |d AS (
+         |  SELECT rev, 1""".stripMargin +
+        (1 to 9).map(i => s" + (CASE WHEN rev > cuts[$i] THEN 1 ELSE 0 END)").mkString +
+        """ AS decile
+         |  FROM rev CROSS JOIN cut)
+         |SELECT decile, count(*) AS customers, round(sum(rev), 2) AS revenue,
+         |       round(min(rev), 2) AS floor_rev
+         |FROM d GROUP BY decile ORDER BY decile""".stripMargin),
     "ingest_typecast" ->
       """WITH raw AS (
         |  SELECT cast(event_id AS VARCHAR) AS c0, cast(user_id AS VARCHAR) AS c1,

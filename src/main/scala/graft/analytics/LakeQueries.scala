@@ -241,6 +241,67 @@ object LakeQueries {
       .limit(10)
   }
 
+  /** A17: ordered conversion funnel — per user the first view, the
+    * first click AFTER that view, the first purchase AFTER that click;
+    * reported as per-stage user counts and median-free gap averages.
+    * One pass: conditional aggregation per user (three min-over-filter
+    * aggregates chained through conditional re-aggregation — no joins,
+    * one shuffle on user_id). */
+  def q17Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("sec"))
+    // stage 1: first view per user
+    val v = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("sec")).as("v_sec"))
+    // stage 2: first click after the first view (broadcast the per-user
+    // stage marks — one row per user, far smaller than events)
+    val c = ev.where(col("event_type") === "click")
+      .join(broadcast(v), Seq("user_id"))
+      .where(col("sec") > col("v_sec"))
+      .groupBy(col("user_id")).agg(min(col("sec")).as("c_sec"), min(col("v_sec")).as("v_sec"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(broadcast(c), Seq("user_id"))
+      .where(col("sec") > col("c_sec"))
+      .groupBy(col("user_id")).agg(min(col("sec")).as("p_sec"),
+        min(col("c_sec")).as("c_sec"), min(col("v_sec")).as("v_sec"))
+    val viewed = v.agg(count(lit(1)).as("n")).select(lit("1_viewed").as("stage"), col("n"),
+      lit(null).cast("double").as("avg_gap_s"))
+    val clicked = c.agg(count(lit(1)).as("n"),
+        round(avg(col("c_sec") - col("v_sec")), 2).as("avg_gap_s"))
+      .select(lit("2_clicked").as("stage"), col("n"), col("avg_gap_s"))
+    val purchased = p.agg(count(lit(1)).as("n"),
+        round(avg(col("p_sec") - col("c_sec")), 2).as("avg_gap_s"))
+      .select(lit("3_purchased").as("stage"), col("n"), col("avg_gap_s"))
+    viewed.unionByName(clicked).unionByName(purchased).orderBy(col("stage"))
+  }
+
+  /** A18: revenue deciles — per-customer revenue bucketed by the nine
+    * exact decile CUTPOINTS. `ntile` would demand one global-window
+    * task over every customer (the single-partition smell this repo
+    * bans); cutpoints need one exact percentile aggregate (bounded
+    * buffer; percentile_approx is the drop-in at extreme scale), then
+    * bucket assignment is a narrow projection against the broadcast
+    * 1-row cut array. Cuts round to 4dp so the comparisons are
+    * bit-identical across engines. */
+  def q18RevenueDeciles(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+    val cuts = rev.agg(expr(
+      "transform(percentile(rev, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))," +
+        " c -> round(c, 4))").as("cuts"))
+    val decile = (1 to 9).map(i =>
+      when(col("rev") > element_at(col("cuts"), i), 1).otherwise(0))
+      .foldLeft(lit(1): org.apache.spark.sql.Column)(_ + _)
+    rev.crossJoin(cuts)
+      .withColumn("decile", decile)
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("customers"),
+        round(sum(col("rev")), 2).as("revenue"),
+        round(min(col("rev")), 2).as("floor_rev"))
+      .orderBy(col("decile"))
+  }
+
   /** A13: PIVOT — daily event counts with one column per event type.
     * The value list is EXPLICIT, so Spark pivots in a single
     * partial-aggregating pass (an unlisted-values pivot first runs a

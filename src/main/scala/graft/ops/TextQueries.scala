@@ -132,7 +132,10 @@ object TextQueries {
       .select(col("doc_id"),
         explode(Text.tokens(col("text"))).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    // df derives FROM tf: its rows are already unique (doc, term) pairs,
+    // so counting them per term IS the document frequency — one explode
+    // pass instead of two, and the second agg input is far smaller
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs(s, dir).agg(count(lit(1)).as("__n"))
     val scored = tf.join(df, Seq("term")).crossJoin(n)
       .withColumn("score",
