@@ -1,0 +1,84 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Seeded randomized properties: the generic operators vs brute-force
+  * in-memory references over adversarial random inputs (duplicate keys,
+  * boundary times, delete/revive chains). Seeds are FIXED — failures
+  * reproduce exactly. */
+class RandomizedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000)
+
+  test("asofJoin equals the brute-force reference on random inputs") {
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 5) {
+      val keys = 1L to 4L
+      val rights = keys.flatMap { k =>
+        // unique (k, t) per right row: tie semantics are exercised via
+        // equal LEFT times instead
+        rnd.shuffle((0L until 200L).toList).take(30).map(t => (k, t, rnd.nextInt(1000)))
+      }
+      val lefts = (1 to 60).map(i =>
+        (keys(rnd.nextInt(keys.size)), rnd.nextInt(220).toLong, i.toLong))
+      val rightDf = rights.map { case (k, t, v) => (k, ts(t), v) }.toDF("k", "rt", "rv")
+      val leftDf = lefts.map { case (k, t, id) => (k, ts(t), id) }.toDF("k", "t", "lid")
+      val got = AsofJoin.asofJoin(leftDf, rightDf, Seq("k"), "t", "rt")
+        .select($"lid", $"rv").as[(Long, Option[Int])].collect().toMap
+      lefts.foreach { case (k, t, id) =>
+        val expect = rights.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+        assert(got(id) == expect, s"trial $trial, left $id (k=$k t=$t)")
+      }
+    }
+  }
+
+  test("withinWindow equals the brute-force reference on random inputs") {
+    val rnd = new scala.util.Random(777)
+    for (trial <- 1 to 5) {
+      val w = 1 + rnd.nextInt(40)
+      val lefts = (1 to 40).map(i => (rnd.nextInt(3).toLong, rnd.nextInt(300).toLong, i.toLong))
+      val rights = (1 to 80).map(i => (rnd.nextInt(3).toLong, rnd.nextInt(300).toLong, 1000L + i))
+      val got = RangeJoin.withinWindow(
+          lefts.map { case (k, t, id) => (k, ts(t), id) }.toDF("k", "t", "lid"),
+          rights.map { case (k, t, id) => (k, ts(t), id) }.toDF("k", "rt", "rid"),
+          Seq("k"), "t", "rt", w.toLong)
+        .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+      val expect = (for {
+        (lk, lt, lid) <- lefts
+        (rk, rt, rid) <- rights
+        if lk == rk && rt > lt && rt <= lt + w
+      } yield (lid, rid)).toSet
+      assert(got == expect, s"trial $trial (w=$w): missing ${expect -- got}, extra ${got -- expect}")
+    }
+  }
+
+  test("Merge.upsert equals a sequential fold of the changes on random inputs") {
+    val rnd = new scala.util.Random(90125)
+    for (trial <- 1 to 5) {
+      val base = (1L to 20L).map(k => (k, s"b$k"))
+      val changes = (1 to 40).map { i =>
+        val k = 1L + rnd.nextInt(25)   // keys beyond the base → inserts
+        val op = if (rnd.nextInt(4) == 0) "D" else "U"
+        (k, s"c$i", op, i.toLong)
+      }
+      val got = graft.ingest.Merge.upsert(
+          base.toDF("k", "v"), changes.toDF("k", "v", "op", "seq"), "k")
+        .as[(Long, String)].collect().toMap
+      // reference: latest change per key wins outright
+      val latest = changes.groupBy(_._1).view.mapValues(_.maxBy(_._4)).toMap
+      val expect = ((1L to 25L).flatMap { k =>
+        latest.get(k) match {
+          case Some((_, v, "U", _)) => Some(k -> v)
+          case Some((_, _, "D", _)) => None
+          case None => base.find(_._1 == k).map(b => k -> b._2)
+          case _ => None
+        }
+      }).toMap
+      assert(got == expect, s"trial $trial")
+    }
+  }
+}
