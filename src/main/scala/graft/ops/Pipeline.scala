@@ -53,6 +53,21 @@ object Pipeline {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** The transitively-correct variant: connected components over the
+    * candidate pairs, keep each component's min-id. Pair-greedy
+    * [[dropNearDups]] under-deletes on shapes like A~C, B~C with A≁B
+    * (it keeps both A and B; the component keeps only A). Costs the
+    * iterative label propagation on top of candidate generation —
+    * bounded by component diameter (Cluster.scala). */
+  def dropNearDupsClustered(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = Dedup.minhashCandidates(docs, idCol, textCol)
+      .select(col("doc_a"), col("doc_b"))
+    val keepers = Cluster.connectedComponents(docs.select(col(idCol)), pairs, idCol)
+      .where(col("id") === col("cluster_id"))
+      .select(col("id").as(idCol))
+    docs.join(keepers, Seq(idCol), "left_semi")
+  }
+
   /** Full cleaning pass; returns (cleaned corpus, per-stage counts).
     * Each stage is persisted so the four stage counts and the returned
     * frame execute every stage ONCE (not re-deriving quality → exact →
@@ -63,11 +78,13 @@ object Pipeline {
     * no cache lifetime to manage. */
   def cleanCorpus(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text",
-                  persistResult: Boolean = true): (DataFrame, CorpusStats) = {
+                  persistResult: Boolean = true,
+                  clusteredNearDup: Boolean = false): (DataFrame, CorpusStats) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val q = qualityFilter(docs, textCol).persist(MEMORY_AND_DISK)
     val e = dropExactDups(q, idCol, textCol).persist(MEMORY_AND_DISK)
-    val n0 = dropNearDups(e, idCol, textCol)
+    val n0 = if (clusteredNearDup) dropNearDupsClustered(e, idCol, textCol)
+             else dropNearDups(e, idCol, textCol)
     val n = if (persistResult) n0.persist(MEMORY_AND_DISK) else n0
     val stats = CorpusStats(docs.count(), q.count(), e.count(), n.count())
     q.unpersist(blocking = false)

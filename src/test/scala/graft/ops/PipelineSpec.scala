@@ -29,4 +29,27 @@ class PipelineSpec extends SparkSpec {
     assert(stats.afterNearDup < stats.afterExact,
       "testdata's planted near-dup pairs must lose their non-keeper half")
   }
+
+  test("clustered near-dup stage keeps exactly the component keepers") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val kept = Pipeline.dropNearDupsClustered(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    // reference: the connected-components keeper set over the same pairs
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    // union-find on the driver (tiny graph)
+    val parent = scala.collection.mutable.Map(all.map(x => x -> x).toSeq: _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val keepers = all.filter(x => find(x) == x)
+    assert(kept == keepers, s"diff: ${(kept diff keepers) ++ (keepers diff kept)}")
+    // and the clustered pass never keeps MORE than pair-greedy
+    val greedy = Pipeline.dropNearDups(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.subsetOf(greedy), "clustered keepers are a subset of greedy survivors")
+  }
 }
