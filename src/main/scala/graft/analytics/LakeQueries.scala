@@ -253,14 +253,16 @@ object LakeQueries {
     // stage 1: first view per user
     val v = ev.where(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("sec")).as("v_sec"))
-    // stage 2: first click after the first view (broadcast the per-user
-    // stage marks — one row per user, far smaller than events)
+    // stage 2: first click after the first view. The per-user stage
+    // marks GROW with the user population, so no broadcast hint — the
+    // joins shuffle on user_id (reusing the aggregates' partitioning)
+    // and AQE upgrades to broadcast when the actual size allows
     val c = ev.where(col("event_type") === "click")
-      .join(broadcast(v), Seq("user_id"))
+      .join(v, Seq("user_id"))
       .where(col("sec") > col("v_sec"))
       .groupBy(col("user_id")).agg(min(col("sec")).as("c_sec"), min(col("v_sec")).as("v_sec"))
     val p = ev.where(col("event_type") === "purchase")
-      .join(broadcast(c), Seq("user_id"))
+      .join(c, Seq("user_id"))
       .where(col("sec") > col("c_sec"))
       .groupBy(col("user_id")).agg(min(col("sec")).as("p_sec"),
         min(col("c_sec")).as("c_sec"), min(col("v_sec")).as("v_sec"))

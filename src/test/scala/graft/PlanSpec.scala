@@ -36,6 +36,8 @@ class PlanSpec extends SparkSpec {
     assert(hintCount("q5_region_volume") == 2)
     assert(hintCount("q3_shipping_priority") == 0)
     assert(hintCount("q6_top_customers") == 0)
+    // per-user stage marks grow with the user population: never hinted
+    assert(hintCount("q17_funnel") == 0)
   }
 
   test("dedup/similarity plans contain no CartesianProduct") {
