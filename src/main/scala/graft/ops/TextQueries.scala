@@ -131,10 +131,15 @@ object TextQueries {
     val tok = docs(s, dir)
       .select(col("doc_id"),
         explode(Text.tokens(col("text"))).as("term"))
+    // tf is the postings frame BOTH consumers read (the scored join side
+    // and the df roll-up); cache it so the corpus explode+agg runs once —
+    // Spark's exchange reuse does not dedupe the two branches (measured:
+    // 3 scans without the persist). Session-lifetime cache, deduped by
+    // CacheManager across identical plans — the persistShingles tradeoff.
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // df derives FROM tf: its rows are already unique (doc, term) pairs,
-    // so counting them per term IS the document frequency — one explode
-    // pass instead of two, and the second agg input is far smaller
+    // so counting them per term IS the document frequency
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs(s, dir).agg(count(lit(1)).as("__n"))
     val scored = tf.join(df, Seq("term")).crossJoin(n)
