@@ -41,6 +41,7 @@ object SparkEntry {
     "q16_large_orders" -> (LakeQueries.q16LargeOrders _),
     "q17_funnel" -> (LakeQueries.q17Funnel _),
     "q18_revenue_deciles" -> (LakeQueries.q18RevenueDeciles _),
+    "q19_retention" -> (LakeQueries.q19Retention _),
     // §2.B ingestion semantics
     "ingest_typecast" -> (IngestQueries.ingestTypecast _),
     "ingest_filename_route" -> (IngestQueries.ingestFilenameRoute _),
@@ -296,6 +297,17 @@ object SparkEntry {
          |SELECT decile, count(*) AS customers, round(sum(rev), 2) AS revenue,
          |       round(min(rev), 2) AS floor_rev
          |FROM d GROUP BY decile ORDER BY decile""".stripMargin),
+    "q19_retention" ->
+      """WITH ev AS (SELECT user_id, weekofyear(ts) AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1),
+        |per_user AS (
+        |  SELECT ev.user_id, f.cohort_wk,
+        |         count(DISTINCT CASE WHEN ev.wk > f.cohort_wk THEN ev.wk END)
+        |           AS later_wks
+        |  FROM ev JOIN f ON ev.user_id = f.user_id
+        |  GROUP BY 1, 2)
+        |SELECT cohort_wk, later_wks, count(*) AS users
+        |FROM per_user GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ingest_typecast" ->
       """WITH raw AS (
         |  SELECT cast(event_id AS VARCHAR) AS c0, cast(user_id AS VARCHAR) AS c1,

@@ -304,6 +304,23 @@ object LakeQueries {
       .orderBy(col("decile"))
   }
 
+  /** A19: cohort retention — users grouped by first-seen week, counted
+    * by how many distinct later weeks they return. Two aggregations,
+    * both user-keyed (the cohort mark joins back on user_id — same
+    * partitioning, no extra shuffle class); output is the small
+    * cohort × weeks-retained matrix. */
+  def q19Retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), weekofyear(col("ts")).as("wk"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    ev.join(first, Seq("user_id"))
+      .groupBy(col("user_id"), col("cohort_wk"))
+      .agg(countDistinct(when(col("wk") > col("cohort_wk"), col("wk"))).as("later_wks"))
+      .groupBy(col("cohort_wk"), col("later_wks"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy(col("cohort_wk"), col("later_wks"))
+  }
+
   /** A13: PIVOT — daily event counts with one column per event type.
     * The value list is EXPLICIT, so Spark pivots in a single
     * partial-aggregating pass (an unlisted-values pivot first runs a

@@ -76,6 +76,28 @@ object Pipeline {
     * caller's materialization is also single-pass — the caller owns
     * unpersisting it; pass false to get a recompute-on-use frame with
     * no cache lifetime to manage. */
+  /** The whole pipeline as one call: clean (quality gate → exact dedup →
+    * clustered near-dup removal) → apply mixture weights (epoch copies)
+    * → deal deterministic train/val/test folds → write partitioned by
+    * fold. Returns the per-stage stats plus per-fold row counts. Every
+    * stage is the library operator already proven individually; this is
+    * the composition a corpus ships through. */
+  def exportTrainingData(docs: DataFrame, outPath: String,
+                         weights: Map[String, Double],
+                         idCol: String = "doc_id", textCol: String = "text",
+                         groupCol: String = "source"): (CorpusStats, Map[String, Long]) = {
+    val (clean, stats) = cleanCorpus(docs, idCol, textCol,
+      persistResult = true, clusteredNearDup = true)
+    val dealt = Sample.sampleMixture(clean, idCol, groupCol, weights)
+      .withColumn("fold", Sample.splitColumn(col(idCol), Sample.DemoCuts, "test"))
+    dealt.write.mode("overwrite").partitionBy("fold").parquet(outPath)
+    clean.unpersist(blocking = false)
+    val foldCounts = dealt.sparkSession.read.parquet(outPath)
+      .groupBy(col("fold")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (stats, foldCounts)
+  }
+
   def cleanCorpus(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text",
                   persistResult: Boolean = true,

@@ -52,4 +52,22 @@ class PipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept.subsetOf(greedy), "clustered keepers are a subset of greedy survivors")
   }
+
+  test("exportTrainingData ships a fold-partitioned, leak-free corpus") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val out = java.nio.file.Files.createTempDirectory("graft_export").toString + "/corpus"
+    val (stats, folds) = Pipeline.exportTrainingData(docs, out, Sample.DemoWeights)
+    assert(stats.afterNearDup > 0 && folds.values.sum > 0)
+    assert(folds.keySet.subsetOf(Set("train", "val", "test")))
+    val back = spark.read.parquet(out)
+    // fold dirs exist on disk and no doc_id appears in two folds
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == folds.keySet.map(f => s"fold=$f"), s"dirs: $dirs")
+    val leaks = back.groupBy($"doc_id")
+      .agg(org.apache.spark.sql.functions.countDistinct($"fold").as("nf"))
+      .where($"nf" > 1).count()
+    assert(leaks == 0, "a document must never straddle folds")
+    // mixture copies survive the write (copy_idx materialized per row)
+    assert(back.where($"copies" > 1).count() > 0, "epoch-repeated docs present")
+  }
 }
