@@ -42,6 +42,7 @@ object SparkEntry {
     "q17_funnel" -> (LakeQueries.q17Funnel _),
     "q18_revenue_deciles" -> (LakeQueries.q18RevenueDeciles _),
     "q19_retention" -> (LakeQueries.q19Retention _),
+    "q20_prospects" -> (LakeQueries.q20Prospects _),
     // §2.B ingestion semantics
     "ingest_typecast" -> (IngestQueries.ingestTypecast _),
     "ingest_filename_route" -> (IngestQueries.ingestFilenameRoute _),
@@ -297,6 +298,13 @@ object SparkEntry {
          |SELECT decile, count(*) AS customers, round(sum(rev), 2) AS revenue,
          |       round(min(rev), 2) AS floor_rev
          |FROM d GROUP BY decile ORDER BY decile""".stripMargin),
+    "q20_prospects" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+        |       round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q19_retention" ->
       """WITH ev AS (SELECT user_id, weekofyear(ts) AS wk FROM events),
         |f AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1),

@@ -321,6 +321,23 @@ object LakeQueries {
       .orderBy(col("cohort_wk"), col("later_wks"))
   }
 
+  /** A20: TPC-H Q22-style prospects — customers with above-average
+    * balance (scalar subquery in the FILTER) and no orders (anti-join),
+    * rolled up per nation. */
+  def q20Prospects(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val avgBal = cust.where(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("__avg"))
+    cust.crossJoin(avgBal)
+      .where(col("c_acctbal") > col("__avg"))
+      .join(t(s, dir, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal")), 2).as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** A13: PIVOT — daily event counts with one column per event type.
     * The value list is EXPLICIT, so Spark pivots in a single
     * partial-aggregating pass (an unlisted-values pivot first runs a
