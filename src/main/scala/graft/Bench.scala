@@ -26,7 +26,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
 
     def materialize(name: String, dir: String): Option[String] =
       try {
@@ -66,11 +66,33 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
+    def queriesJson(m: collection.Map[String, Double]): String =
+      m.map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_err":${errors.size},"sf":"$sfDir"}""")
+    def line(qs: String, omitted: Int): String = {
+      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timings.size},"queries":$qs$om,"errors":$errs,"n_err":${errors.size},"sf":"$sfDir"}"""
+    }
+    val full = line(queriesJson(timings), 0)
+    // Full per-query detail first (for humans / the repo log) ...
+    println("BENCH_DETAIL " + full)
+    // ... then the machine-facing line LAST. The harness that records this
+    // keeps only a bounded tail of stdout, so the final line must stay short:
+    // if the full map would overflow, keep the slowest queries and count the rest.
+    val out =
+      if (full.length <= 1400) full
+      else {
+        val slowest = timings.toSeq.sortBy(-_._2).take(25).sortBy(_._1)
+        line(queriesJson(collection.immutable.ListMap(slowest: _*)), timings.size - slowest.size)
+      }
+    // stop() before the final println so executor/shutdown log lines cannot
+    // land after (and evict) the machine-facing line in a bounded tail capture.
     spark.stop()
+    Console.err.flush()
+    println(out)
+    Console.out.flush()
     if (errors.nonEmpty) sys.exit(1)
   }
 }
