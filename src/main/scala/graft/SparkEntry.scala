@@ -75,7 +75,9 @@ object SparkEntry {
     "dedup_minhash" -> (DedupQueries.dedupMinhash _),
     "dedup_simhash" -> (DedupQueries.dedupSimhash _),
     "dedup_cluster" -> (DedupQueries.dedupCluster _),
-    "dedup_embedding" -> (VectorQueries.dedupEmbedding _),
+    "dedup_embedding" -> ((s: SparkSession, d: String) => VectorQueries.dedupEmbedding(s, d)),
+    // rows-only: LSH-blocked scale face of C5 (recall spec-bounded)
+    "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => VectorQueries.dedupEmbeddingLsh(s, d)),
     "sim_search_topk" -> (VectorQueries.simSearchTopk _),
     "sim_search_lsh" -> (VectorQueries.simSearchLsh _),
     // rows-only: centroid assignment is Scala-side plan logic

@@ -44,6 +44,82 @@ class VectorSpec extends SparkSpec {
     assert(pairs.forall(_.getAs[Double]("cosine") >= 0.35))
   }
 
+  test("grid-parallel exact near-dup equals the plain label-block join") {
+    // the straggler-prone spelling the grid replaces (one task per label)
+    val v = Vectors.withNorm(graft.sources.Tables(spark, sfDir, "embeddings"), "embedding")
+    val a = v.select(col("vec_id").as("vec_a"), col("label"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("vec_b"), col("label"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val cos = Vectors.cosine(col("ea"), col("eb"), col("na"), col("nb"))
+    val plain = a.join(b, Seq("label")).where(col("vec_a") < col("vec_b"))
+      .withColumn("c", cos).where(col("c") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), col("label"), round(col("c"), 4).as("cosine"))
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val grid = VectorQueries.dedupEmbedding(spark, sfDir)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(grid == plain, "grid cells must cover every pair exactly once")
+    // and with different grid sizes (incl. 1 = degenerate single cell)
+    val g7 = VectorQueries.dedupEmbedding(spark, sfDir, grid = 7)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(g7 == plain)
+  }
+
+  test("LSH near-dup face: exact on high-sim clusters, candidates << block^2") {
+    // one giant label: the scale scenario the exact face can only
+    // grid-parallelize. 10 planted near-identical pairs (cos >= 0.99)
+    // inside 300 random background vectors, dim 64.
+    val rnd = new scala.util.Random(7L)
+    val dim = 64
+    def randVec(): Array[Float] = Array.fill(dim)((rnd.nextGaussian()).toFloat)
+    val background = (0 until 300).map(i => (i.toLong, 0, randVec().toSeq))
+    val planted = (0 until 10).flatMap { p =>
+      val base = randVec()
+      val twin = base.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+      Seq((1000L + 2 * p, 0, base.toSeq), (1001L + 2 * p, 0, twin.toSeq))
+    }
+    val df = (background ++ planted).toDF("vec_id", "label", "embedding")
+    val v = Vectors.withNorm(df, "embedding")
+
+    val tau = 0.9
+    val cosAll = Vectors.cosine(col("ea"), col("eb"), col("na"), col("nb"))
+    val exact = v.select(col("vec_id").as("vec_a"), col("label"), col("e").as("ea"), col("nrm").as("na"))
+      .join(v.select(col("vec_id").as("vec_b"), col("label"), col("e").as("eb"), col("nrm").as("nb")), Seq("label"))
+      .where(col("vec_a") < col("vec_b")).where(cosAll >= tau)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 10, "planted twins must qualify")
+
+    val cand = VectorQueries.lshCandidates(v, numTables = 6, bitsPerTable = 8)
+    val nCand = cand.count()
+    val n = v.count()
+    val blockSq = n * (n - 1) / 2
+    assert(nCand < blockSq / 5,
+      s"candidates $nCand must be << all-pairs $blockSq on a single giant label")
+    val lshPairs = cand
+      .where(Vectors.cosine(col("ea"), col("eb"), col("na"), col("nb")) >= tau)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(lshPairs == exact,
+      s"high-sim regime: LSH blocking must find every tau=$tau pair (got ${lshPairs.size}/${exact.size})")
+  }
+
+  test("LSH near-dup face on the corpus: exact rescore subset, bounded recall") {
+    val exact = VectorQueries.dedupEmbedding(spark, sfDir)
+      .as[(Long, Long, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    val lsh = VectorQueries.dedupEmbeddingLsh(spark, sfDir)
+      .as[(Long, Long, Int, Double)].collect()
+    // soundness: every emitted pair is a true tau-pair with the identical
+    // exactly-rescored cosine (LSH only prunes candidates, never scores)
+    lsh.foreach { r =>
+      assert(exact.get((r._1, r._2)).contains(r._4),
+        s"pair (${r._1},${r._2}) must match the exact face bit-for-bit")
+    }
+    // recall at tau=0.35 — the regime where sign-LSH amplification is
+    // weakest (p=0.614/bit vs 0.5 random); defaults are tuned for it
+    val recall = lsh.length.toDouble / exact.size
+    assert(recall >= 0.85, s"corpus recall $recall below spec bound")
+  }
+
   test("IVF probes recover a reasonable share of brute-force neighbors") {
     val bf = VectorQueries.simSearchTopk(spark, sfDir)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
