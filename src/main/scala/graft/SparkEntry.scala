@@ -41,8 +41,11 @@ object SparkEntry {
     "q16_large_orders" -> (LakeQueries.q16LargeOrders _),
     "q17_funnel" -> (LakeQueries.q17Funnel _),
     "q18_revenue_deciles" -> (LakeQueries.q18RevenueDeciles _),
+    // rows-only: GK-sketch cutpoints are engine-specific (the scale face)
+    "q18_revenue_deciles_approx" -> (LakeQueries.q18RevenueDecilesApprox _),
     "q19_retention" -> (LakeQueries.q19Retention _),
     "q20_prospects" -> (LakeQueries.q20Prospects _),
+    "q21_waiting_supplier" -> (LakeQueries.q21WaitingSupplier _),
     // §2.B ingestion semantics
     "ingest_typecast" -> (IngestQueries.ingestTypecast _),
     "ingest_filename_route" -> (IngestQueries.ingestFilenameRoute _),
@@ -300,6 +303,25 @@ object SparkEntry {
          |SELECT decile, count(*) AS customers, round(sum(rev), 2) AS revenue,
          |       round(min(rev), 2) AS floor_rev
          |FROM d GROUP BY decile ORDER BY decile""".stripMargin),
+    "q21_waiting_supplier" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_name, n_name, count(*) AS numwait
+        |FROM l l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE l1.is_late
+        |  AND EXISTS (SELECT 1 FROM l l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.is_late)
+        |GROUP BY s_name, n_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
     "q20_prospects" ->
       """SELECT c_nationkey, count(*) AS numcust,
         |       round(sum(c_acctbal), 2) AS totacctbal

@@ -280,18 +280,37 @@ object LakeQueries {
   /** A18: revenue deciles — per-customer revenue bucketed by the nine
     * exact decile CUTPOINTS. `ntile` would demand one global-window
     * task over every customer (the single-partition smell this repo
-    * bans); cutpoints need one exact percentile aggregate (bounded
-    * buffer; percentile_approx is the drop-in at extreme scale), then
-    * bucket assignment is a narrow projection against the broadcast
-    * 1-row cut array. Cuts round to 4dp so the comparisons are
-    * bit-identical across engines. */
-  def q18RevenueDeciles(s: SparkSession, dir: String): DataFrame = {
-    val rev = t(s, dir, "orders")
+    * bans). NOTE the exact face's own limit: Spark's exact `percentile`
+    * is a global aggregate whose final task buffers EVERY per-customer
+    * revenue — fine at per-customer cardinality here, but at extreme
+    * scale the 100 TB spelling is [[q18RevenueDecilesApprox]] (GK
+    * sketch, bounded memory, same downstream plan). Bucket assignment
+    * is a narrow projection against the broadcast 1-row cut array.
+    * Cuts round to 4dp so the comparisons are bit-identical across
+    * engines. */
+  def q18RevenueDeciles(s: SparkSession, dir: String): DataFrame =
+    decilesFromCuts(custRevenue(s, dir),
+      "transform(percentile(rev, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))," +
+        " c -> round(c, 4))")
+
+  /** A18a: the approx face of [[q18RevenueDeciles]] — cutpoints from
+    * `percentile_approx` (Greenwald-Khanna sketch, accuracy 1/1e4):
+    * mergeable partial sketches, bounded aggregate memory at any
+    * cardinality. Same A8/A8a and C19/C19a exact/approx pattern:
+    * rows-only CORRECTNESS entry; PercentileSpec bounds per-decile
+    * population divergence vs the exact face. */
+  def q18RevenueDecilesApprox(s: SparkSession, dir: String): DataFrame =
+    decilesFromCuts(custRevenue(s, dir),
+      "transform(percentile_approx(rev, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D), 10000)," +
+        " c -> round(c, 4))")
+
+  private def custRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(round(sum(col("o_totalprice")), 2).as("rev"))
-    val cuts = rev.agg(expr(
-      "transform(percentile(rev, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))," +
-        " c -> round(c, 4))").as("cuts"))
+
+  private def decilesFromCuts(rev: DataFrame, cutExpr: String): DataFrame = {
+    val cuts = rev.agg(expr(cutExpr).as("cuts"))
     val decile = (1 to 9).map(i =>
       when(col("rev") > element_at(col("cuts"), i), 1).otherwise(0))
       .foldLeft(lit(1): org.apache.spark.sql.Column)(_ + _)
@@ -319,6 +338,41 @@ object LakeQueries {
       .groupBy(col("cohort_wk"), col("later_wks"))
       .agg(count(lit(1)).as("users"))
       .orderBy(col("cohort_wk"), col("later_wks"))
+  }
+
+  /** A21: TPC-H Q21-shape waiting suppliers — for finished orders with
+    * multiple suppliers, the one supplier whose line shipped late while
+    * every co-supplier shipped on time. The correlated EXISTS / NOT
+    * EXISTS become a LEFT SEMI then LEFT ANTI self-join of the
+    * late-annotated lineitem on l_orderkey: all three frames hash the
+    * same key, so the self-joins reuse one shuffle class and nothing is
+    * cartesian (PlanSpec pins both join types). Adapted to this lake's
+    * schema: lineitem carries no receipt/commit dates, so "late" =
+    * l_shipdate > o_orderdate + 60 days. */
+  def q21WaitingSupplier(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("is_late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("is_late"))
+    val others = l.select(col("l_orderkey").as("o2_orderkey"),
+      col("l_suppkey").as("o2_suppkey"), col("is_late").as("o2_late"))
+    val waiting = l.where(col("is_late"))
+      .join(others, col("l_orderkey") === col("o2_orderkey") &&
+        col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+      .join(others.where(col("o2_late")),
+        col("l_orderkey") === col("o2_orderkey") &&
+          col("l_suppkey") =!= col("o2_suppkey"), "left_anti")
+    waiting
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("s_name"), col("n_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
   }
 
   /** A20: TPC-H Q22-style prospects — customers with above-average

@@ -137,6 +137,42 @@ class PlanSpec extends SparkSpec {
       s"q6 must push a partial top-k below the segment shuffle:\n$plan")
   }
 
+  test("q21 EXISTS/NOT-EXISTS become semi/anti self-joins, no cartesian") {
+    val df = SparkEntry.queries("q21_waiting_supplier")(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"q21 must semi-join co-suppliers:\n$plan")
+    assert(plan.contains("LeftAnti"), s"q21 must anti-join late co-suppliers:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"the non-equi supplier predicate must ride the l_orderkey equi-join:\n$plan")
+  }
+
+  test("q21 semi/anti spelling equals the per-order aggregate spelling") {
+    import org.apache.spark.sql.functions._
+    // alternate face: one groupBy(l_orderkey) computing (n_supp,
+    // n_late_supp), joined back — proves the correlated-subquery logic
+    val orders = graft.sources.Tables(spark, sfDir, "orders")
+      .where(col("o_orderstatus") === "F").select("o_orderkey", "o_orderdate")
+    val l = graft.sources.Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("is_late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+    val perOrder = l.groupBy(col("l_orderkey").as("k"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late_supp"))
+    val agg = l.where(col("is_late"))
+      .join(perOrder, col("l_orderkey") === col("k"))
+      .where(col("n_supp") > 1 && col("n_late_supp") === 1)
+      .join(graft.sources.Tables(spark, sfDir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val semi = SparkEntry.queries("q21_waiting_supplier")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("s_name") -> r.getAs[Long]("numwait")).toMap
+    assert(semi == agg, "the two q21 spellings must agree supplier-by-supplier")
+  }
+
   test("IVF assignment is shuffle-free: no corpus exchange keyed on vec_id") {
     val plan = executed("sim_search_ivf")
     // the old join+window spelling exchanged n·k rows on vec_id twice

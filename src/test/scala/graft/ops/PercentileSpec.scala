@@ -36,6 +36,23 @@ class PercentileSpec extends SparkSpec {
     assert(row.getAs[Double]("q90") == interp(0.90), s"q90 for $src")
   }
 
+  test("decile approx face: population split within 2% of the exact cuts") {
+    import graft.analytics.LakeQueries
+    val exact = LakeQueries.q18RevenueDeciles(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("decile") -> r.getAs[Long]("customers")).toMap
+    val approx = LakeQueries.q18RevenueDecilesApprox(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("decile") -> r.getAs[Long]("customers")).toMap
+    val n = exact.values.sum
+    assert(approx.values.sum == n, "approx face must bucket every customer")
+    // GK accuracy 1/1e4 at this cardinality: each decile's population may
+    // shift by at most the sketch's rank error (bounded at 2% of N here)
+    (1 to 10).foreach { d =>
+      val diff = math.abs(approx.getOrElse(d, 0L) - exact.getOrElse(d, 0L))
+      assert(diff <= math.max(1L, n / 50),
+        s"decile $d population ${approx.getOrElse(d, 0L)} vs exact ${exact.getOrElse(d, 0L)}")
+    }
+  }
+
   test("approx face stays within 5% of the exact cutoffs") {
     val exact = TextQueries.qualityPercentile(spark, sfDir).collect()
       .map(r => r.getAs[String]("source") ->
