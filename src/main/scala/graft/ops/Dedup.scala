@@ -55,15 +55,16 @@ object Dedup {
                    persistShingles: Boolean = false): DataFrame = {
     // The capped shingle frame feeds three consumers (per-doc sizes and
     // both self-join sides). `persistShingles` caches it (MEMORY_AND_DISK)
-    // so the explode + df-cap shuffle runs once instead of per consumer —
-    // but the cache lives until the session clears it (Spark offers no
-    // completion hook to unpersist a lazily-consumed frame), so opting in
-    // hands the caller that lifecycle; the default recomputes and leaks
-    // nothing.
+    // so the explode + df-cap shuffle runs once instead of per consumer;
+    // the cache is scoped to the caller's next action (CacheScope), so a
+    // long-lived session never accumulates dead shingle caches. The
+    // default recomputes and caches nothing.
     val sh0 = capDocFrequency(shingleFrame(docs, idCol, textCol, n), maxDf)
-    val sh = if (persistShingles)
-      sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else sh0
+    val sh = if (persistShingles) {
+      val p = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      CacheScope.releaseAfterAction(docs.sparkSession, p)
+      p
+    } else sh0
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val a = sh.select(col(idCol).as("doc_a"), col("s"))
     val b = sh.select(col(idCol).as("doc_b"), col("s"))

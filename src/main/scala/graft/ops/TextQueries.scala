@@ -134,10 +134,12 @@ object TextQueries {
     // tf is the postings frame BOTH consumers read (the scored join side
     // and the df roll-up); cache it so the corpus explode+agg runs once —
     // Spark's exchange reuse does not dedupe the two branches (measured:
-    // 3 scans without the persist). Session-lifetime cache, deduped by
-    // CacheManager across identical plans — the persistShingles tradeoff.
+    // 3 scans without the persist). The cache is scoped to the query's
+    // own materialization, not the session (CacheScope drops it after the
+    // next action completes).
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheScope.releaseAfterAction(s, tf)
     // df derives FROM tf: its rows are already unique (doc, term) pairs,
     // so counting them per term IS the document frequency
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
