@@ -40,6 +40,12 @@ object FailureLedger {
       records.toDF().coalesce(1).write.mode(SaveMode.Append).parquet(path)
     }
 
+  /** Append a run's failures from a frame already shaped by [[shape]] —
+    * rows go parquet-to-parquet without passing through the driver. */
+  def appendFrame(failures: DataFrame, path: String): Unit =
+    if (!failures.isEmpty)
+      failures.coalesce(1).write.mode(SaveMode.Append).parquet(path)
+
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

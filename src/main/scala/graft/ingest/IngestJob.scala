@@ -78,37 +78,50 @@ object IngestJob {
   def runWithConfigTable(spark: SparkSession, landingDir: String,
                          storingDir: String, ledgerPath: String,
                          config: DataFrame): RunSummary = {
-    // resolve (table, business-date) -> layout; config is metadata-scale
-    val rows = config.select("table", "start_date", "end_date", "headers", "type_codes")
-      .collect()
-      .map(r => (r.getString(0), r.getDate(1), r.getDate(2),
-        r.getString(3).split(",").toSeq,
-        r.getString(4).split(",").map(_.trim.toInt).toSeq))
+    val parsed = config.select(col("table"), col("start_date"), col("end_date"),
+      split(col("headers"), ",").as("headers"),
+      transform(split(col("type_codes"), ","),
+        c => trim(c).cast("int")).as("type_codes"))
     // reject config rows with duplicated header columns before anything is
     // parsed (ref :222–231 exits the whole job; here the bad row is dropped
     // so its files classify OUTOFCONFIG — a queryable failure record — and
-    // retry once the config is fixed, while other tables still ingest)
-    val (validRows, invalidRows) = rows.partition(r => r._4.distinct.length == r._4.length)
-    val invalidTables = invalidRows.map(_._1).distinct.toSeq
-    def layoutFor(table: String, d: java.sql.Date): Option[TableConfig] =
-      validRows.find { case (t, s, e, _, _) =>
-        t == table && s.compareTo(d) <= 0 && e.compareTo(d) > 0
-      }.map(r => TableConfig(r._4, r._5))
-    val summary = runResolved(spark, landingDir, storingDir, ledgerPath, layoutFor)
+    // retry once the config is fixed, while other tables still ingest).
+    // Config is metadata-scale: collecting the offending NAMES is fine.
+    val dup = size(array_distinct(col("headers"))) < size(col("headers"))
+    val invalidTables = parsed.where(dup).select("table").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val summary = runWithLayouts(spark, landingDir, storingDir, ledgerPath,
+      parsed.where(!dup))
     summary.copy(invalidConfigTables = invalidTables)
   }
 
   /** One daily run with a static layout per table. */
   def run(spark: SparkSession, landingDir: String, storingDir: String,
-          ledgerPath: String, configs: Map[String, TableConfig]): RunSummary =
-    runResolved(spark, landingDir, storingDir, ledgerPath,
-      (table, _) => configs.get(table))
+          ledgerPath: String, configs: Map[String, TableConfig]): RunSummary = {
+    import spark.implicits._
+    val layouts = configs.toSeq
+      .map { case (t, c) => (t, java.sql.Date.valueOf("0001-01-01"),
+        java.sql.Date.valueOf("9999-12-31"), c.headers, c.typeCodes) }
+      .toDF("table", "start_date", "end_date", "headers", "type_codes")
+    runWithLayouts(spark, landingDir, storingDir, ledgerPath, layouts)
+  }
 
-  /** Core run: `layoutFor(table, businessDate)` resolves each file's
-    * parsing config (None ⇒ OUTOFCONFIG). */
-  def runResolved(spark: SparkSession, landingDir: String, storingDir: String,
-                  ledgerPath: String,
-                  layoutFor: (String, java.sql.Date) => Option[TableConfig]): RunSummary = {
+  /** Core run over a LAYOUTS frame: (table, start_date, end_date,
+    * headers array<string>, type_codes array<int>) — config versions as
+    * data, so layout resolution is a broadcast join, not a driver loop.
+    *
+    * The whole classification is ONE composed DataFrame: filename
+    * routing → ledger anti-join → config-window join → width-scan join,
+    * eagerly localCheckpoint'd so every consumer (failure ledger,
+    * processed ledger, write groups, counts) reads the same executor-
+    * resident snapshot without re-scanning the landing zone. The driver
+    * materializes only (a) the candidate read set and the per-(table,
+    * layout) group descriptors — the same file lists Spark's own
+    * FileIndex plans any scan from — and (b) summary counts; per-file
+    * classification detail and failure rows never pass through it. */
+  def runWithLayouts(spark: SparkSession, landingDir: String, storingDir: String,
+                     ledgerPath: String, layouts: DataFrame): RunSummary = {
+    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val startTime = nowString()
 
@@ -126,65 +139,84 @@ object IngestJob {
     val pending = Ledger.pending(routed, processedLedger, "fname")
     val skipped = routed.count() - pending.count()
 
-    // classify each pending file (metadata-scale: names + dates only);
-    // the reference's classes, L102–107: bad name → IRREGULAR, no config
-    // row covering the file's business date → OUTOFCONFIG
-    val pendingRows = pending
-      .select(col("fname"), col("route_status"), col("table_name"), col("file_date"))
-      .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2),
-        Option(r.getDate(3))))
-    final case class Todo(fname: String, table: String, cfg: TableConfig)
-    val (todo, classFails) = pendingRows.foldLeft(
-      (Vector.empty[Todo], Vector.empty[(String, String)])) {
-      case ((ok, bad), (f, status, table, dateOpt)) =>
-        if (status == "IRREGULAR" || dateOpt.isEmpty)
-          (ok, bad :+ (f -> FailureClassifier.Irregular))
-        else layoutFor(table, dateOpt.get) match {
-          case Some(cfg) => (ok :+ Todo(f, table, cfg), bad)
-          case None => (ok, bad :+ (f -> FailureClassifier.OutOfConfig))
-        }
-    }
+    // layout resolution: broadcast the metadata-scale config; when
+    // windows overlap, the latest-starting one wins (deterministic)
+    val lay = layouts.select(col("table").as("__t"), col("start_date").as("__s"),
+      col("end_date").as("__e"), col("headers").as("__hdrs"),
+      col("type_codes").as("__codes"))
+    val oneWindow = Window.partitionBy(col("fname"))
+      .orderBy(col("__s").desc_nulls_last, col("__e").desc_nulls_last)
+    val resolved = pending
+      .join(broadcast(lay),
+        col("table_name") === col("__t") && col("file_date").isNotNull &&
+          col("__s") <= col("file_date") && col("file_date") < col("__e"), "left")
+      .withColumn("__rn", row_number().over(oneWindow))
+      .where(col("__rn") === 1)
+      // the reference's classes, L102–107: bad name → IRREGULAR, no
+      // config row covering the file's business date → OUTOFCONFIG
+      .withColumn("__class",
+        when(col("route_status") === "IRREGULAR" || col("file_date").isNull,
+          lit(FailureClassifier.Irregular))
+          .when(col("__hdrs").isNull, lit(FailureClassifier.OutOfConfig))
+          .otherwise(lit("CANDIDATE")))
 
     // header-count validation per FILE (ref L313–318 UNMATCH): one
-    // distributed text scan measures each pending file's width before
-    // any file is parsed with the wrong layout. NOTE: width counts raw
-    // comma splits — a quoted field containing commas would overcount
-    // (the reference's landing format, like this check, is unquoted)
-    val widthByFile: Map[String, Int] =
-      if (todo.isEmpty) Map.empty
-      else spark.read.text(todo.map(e => s"$landingDir/${e.fname}"): _*)
+    // distributed text scan measures each candidate file's width before
+    // any file is parsed with the wrong layout. The path list is the
+    // scan's read set (what any FileIndex holds); widths stay a FRAME.
+    // NOTE: width counts raw comma splits — a quoted field containing
+    // commas would overcount (the reference's landing format, like this
+    // check, is unquoted)
+    val candidatePaths = resolved.where(col("__class") === "CANDIDATE")
+      .select("fname").as[String].collect().map(f => s"$landingDir/$f")
+    val widths =
+      if (candidatePaths.isEmpty) Seq.empty[(String, Int)].toDF("fname", "__w")
+      else spark.read.text(candidatePaths.toIndexedSeq: _*)
         .select(
           element_at(split(input_file_name(), "/"), -1).as("fname"),
-          (size(split(col("value"), ","))).as("w"))
-        .groupBy(col("fname")).agg(max(col("w")).as("w"))
-        .as[(String, Int)].collect().toMap
-    val (matched, unmatched) = todo.partition(e =>
-      widthByFile.get(e.fname).contains(e.cfg.headers.length))
-    // FAILED_TO_CONVERT rows (ref :101–103): UNMATCH carries the found-vs-
-    // expected header detail (:316), OUTOFCONFIG/IRREGULAR blank it (:349–358)
-    val failureRecords: Seq[FailureLedger.Record] =
-      classFails.map { case (f, status) =>
-        FailureLedger.Record(f, "", None, "", None, startTime, status)
-      } ++ unmatched.map { e =>
-        val w = widthByFile.getOrElse(e.fname, 0)
-        FailureLedger.Record(e.fname,
-          (0 until w).map(i => s"_c$i").mkString(","), Some(w),
-          e.cfg.headers.mkString(","), Some(e.cfg.headers.length),
-          startTime, FailureClassifier.Unmatch)
-      }
+          (size(split(col("value"), ","))).as("__w"))
+        .groupBy(col("fname")).agg(max(col("__w")).as("__w"))
+
+    // final classification, snapshotted once for all consumers
+    val classified = resolved.join(widths, Seq("fname"), "left")
+      .withColumn("status",
+        when(col("__class") =!= "CANDIDATE", col("__class"))
+          .when(col("__w") === size(col("__hdrs")), lit(FailureClassifier.Ok))
+          .otherwise(lit(FailureClassifier.Unmatch)))
+      .localCheckpoint(true)
+
+    // FAILED_TO_CONVERT rows (ref :101–103): UNMATCH carries the found-
+    // vs-expected header detail (:316), OUTOFCONFIG/IRREGULAR blank it
+    // (:349–358); appended to the queryable ledger without ever leaving
+    // the executors
+    val failures = FailureLedger.shape(classified,
+      fname = col("fname"),
+      headerList = array_join(transform(sequence(lit(0), col("__w") - 1),
+        i => concat(lit("_c"), i)), ","),
+      headerCnt = col("__w"),
+      metaHeaderList = array_join(col("__hdrs"), ","),
+      metaHeaderCnt = size(col("__hdrs")),
+      execTime = lit(startTime)).localCheckpoint(true)
+    val failureCounts = failures.groupBy("status").count()
+      .as[(String, Long)].collect().toMap
+    FailureLedger.appendFrame(failures, s"$storingDir/${FailureLedger.TableName}")
 
     // group by (table, layout): across a layout change the same table
     // parses under two configs in one run; their business dates are
-    // disjoint, so dynamic partition overwrite keeps both writes safe
-    val written = matched.groupBy(e => (e.table, e.cfg)).toSeq
-      .map { case ((table, cfg), entries) =>
-        val paths = entries.map(e => s"$landingDir/${e.fname}")
+    // disjoint, so dynamic partition overwrite keeps both writes safe.
+    // One driver row per GROUP (its read set), not per file.
+    val groups = classified.where(col("status") === FailureClassifier.Ok)
+      .groupBy(col("table_name"), col("__hdrs"), col("__codes"))
+      .agg(collect_list(col("fname")).as("fnames"))
+      .as[(String, Seq[String], Seq[Int], Seq[String])].collect()
+    val written = groups
+      .map { case (table, headers, codes, fnames) =>
+        val paths = fnames.map(f => s"$landingDir/$f")
         // one scan for ALL of this group's files; each row's business
         // date derives from its source file's name (ref L339)
         val raw = spark.read.option("header", "false").csv(paths: _*)
         val typed = CsvIngest.castByTypeList(
-          CsvIngest.withHeaders(raw, cfg.headers), cfg.typeCodes)
+          CsvIngest.withHeaders(raw, headers), codes)
           .withColumn(LakeWriter.PartitionCol,
             date_format(FilenameRouter.fileDate(
               element_at(split(input_file_name(), "/"), -1)), "yyyy-MM-dd"))
@@ -200,17 +232,13 @@ object IngestJob {
     // successes to PROCESSED_OBJECT_LIST, L402–405): a failed file —
     // e.g. OUTOFCONFIG because its config row hasn't landed yet — must
     // retry on a later run, not be silently skipped forever
-    if (matched.nonEmpty) {
-      Ledger.record(matched.map(_.fname).toDF("fname"), "fname", ledgerPath)
+    if (groups.nonEmpty) {
+      Ledger.record(classified.where(col("status") === FailureClassifier.Ok)
+        .select("fname"), "fname", ledgerPath)
     }
-    // persist this run's failures to the queryable FAILED_TO_CONVERT table
-    // (ref :400–413 appends each class list); accumulates across runs
-    FailureLedger.append(failureRecords, spark,
-      s"$storingDir/${FailureLedger.TableName}")
-    RunSummary(written, skipped, failureRecords.toDF(),
-      processedFiles = matched.size.toLong,
-      failureCounts = failureRecords.groupBy(_.status)
-        .view.mapValues(_.size.toLong).toMap,
+    RunSummary(written, skipped, failures,
+      processedFiles = groups.map(_._4.length.toLong).sum,
+      failureCounts = failureCounts,
       startTime = startTime, endTime = nowString())
   }
 }
