@@ -66,34 +66,51 @@ object LakeWriter {
   }
 
   /** Z-ORDER clustered write: interleave the bits of two normalized
-    * sort dimensions and range-partition + sort by the resulting
-    * z-value, so every output file covers a NARROW range of BOTH
-    * columns. Parquet stores per-file/row-group min-max stats; a scan
-    * filtered on either column then skips most files — the data-skipping
-    * layout a 100 TB table needs for multi-dimension predicates, where a
-    * plain sort only serves its leading column.
+    * sort dimensions (see the N-column overload). */
+  def writeClustered(df: DataFrame, path: String, c1: String, c2: String,
+                     numFiles: Int = 8): Unit =
+    writeClustered(df, path, Seq(c1, c2), numFiles)
+
+  /** Z-ORDER clustered write over N dimensions: interleave the bits of
+    * the normalized sort columns round-robin and range-partition + sort
+    * by the resulting z-value, so every output file covers a NARROW
+    * range of EVERY clustered column. Parquet stores per-file/row-group
+    * min-max stats; a scan filtered on any clustered column then skips
+    * most files — the data-skipping layout a 100 TB table needs for
+    * multi-dimension predicates, where a plain sort only serves its
+    * leading column. Per-column resolution is min(16, 62/N) bits, so
+    * the z-value always fits a long; more dimensions trade per-column
+    * resolution for coverage, the standard Z-order bargain.
     *
     * Column ranges come from one metadata-scale min/max aggregate and
     * are folded into the z-expression as literals; the z-map itself is a
     * narrow codegen'd projection and the only movement is the range
     * exchange any sorted write performs. */
-  def writeClustered(df: DataFrame, path: String, c1: String, c2: String,
-                     numFiles: Int = 8): Unit = {
+  def writeClustered(df: DataFrame, path: String, cols: Seq[String],
+                     numFiles: Int): Unit = {
     require(numFiles >= 1, s"numFiles must be positive: $numFiles")
-    val r = df.agg(
-      min(col(c1)).cast("double"), max(col(c1)).cast("double"),
-      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head
+    require(cols.nonEmpty, "writeClustered needs at least one cluster column")
+    val n = cols.length
+    val bits = math.min(16, 62 / n)
+    val maxV = (1 << bits) - 1
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head
     def norm(c: String, lo: Double, hi: Double) =
       if (hi == lo) lit(0)
       else least(greatest(
-        ((col(c).cast("double") - lo) / (hi - lo) * 65535.0).cast("int"),
-        lit(0)), lit(65535))
-    val a = norm(c1, r.getDouble(0), r.getDouble(1))
-    val b = norm(c2, r.getDouble(2), r.getDouble(3))
-    val z = (0 until 16).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1)), 2 * i).cast("long") +
-        shiftleft(shiftright(b, i).bitwiseAND(lit(1)), 2 * i + 1).cast("long")
-    }.reduce(_ + _)
+        ((col(c).cast("double") - lo) / (hi - lo) * maxV).cast("int"),
+        lit(0)), lit(maxV))
+    val normed = cols.zipWithIndex.map { case (c, j) =>
+      norm(c, r.getDouble(2 * j), r.getDouble(2 * j + 1))
+    }
+    // cast each bit to LONG before shifting: shiftleft on an int wraps at
+    // position 31, and interleaved positions reach bits*n - 1 (up to 47)
+    val z = (for {
+      i <- 0 until bits
+      (a, j) <- normed.zipWithIndex
+    } yield shiftleft(shiftright(a, i).bitwiseAND(lit(1)).cast("long"), i * n + j))
+      .reduce(_ + _)
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

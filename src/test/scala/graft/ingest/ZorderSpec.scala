@@ -48,6 +48,27 @@ class ZorderSpec extends SparkSpec {
     assert(zPrice < 0.75 && zPrice < pPrice, s"totalprice span $zPrice vs plain $pPrice")
   }
 
+  test("3-column z-order narrows the third dimension a 2-column layout ignores") {
+    val orders = graft.sources.Tables(spark, sfDir, "orders")
+    val base = Files.createTempDirectory("graft_zorder3").toString
+    val z2Dir = s"$base/z2"; val z3Dir = s"$base/z3"
+    LakeWriter.writeClustered(orders, z2Dir, "o_custkey", "o_totalprice", numFiles = 8)
+    LakeWriter.writeClustered(orders, z3Dir,
+      Seq("o_custkey", "o_totalprice", "o_orderkey"), numFiles = 8)
+    assert(spark.read.parquet(z3Dir).count() == orders.count(), "no row loss")
+
+    // the 2-col layout leaves o_orderkey unclustered (files span ~all of
+    // it); the 3-col layout must narrow it, enabling min-max skipping on
+    // a third predicate — at bounded cost on the first two dimensions
+    val k2 = meanSpan(z2Dir, "o_orderkey")
+    val k3 = meanSpan(z3Dir, "o_orderkey")
+    assert(k2 > 0.8, s"2-col layout should not narrow o_orderkey: $k2")
+    assert(k3 < 0.75 && k3 < k2, s"o_orderkey span $k3 vs 2-col $k2")
+    for (c <- Seq("o_custkey", "o_totalprice"))
+      assert(meanSpan(z3Dir, c) < 0.9,
+        s"3-col layout must still cluster $c: ${meanSpan(z3Dir, c)}")
+  }
+
   test("degenerate constant column does not break the z-map") {
     val df = spark.range(100).select(col("id"), lit(7.0).as("c"))
     val dir = Files.createTempDirectory("graft_zorder_const").toString
