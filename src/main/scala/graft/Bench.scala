@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * queries materialize through a noop-format write so the full plan
   * (sorts, projections, limits) executes — `count()` would let Catalyst
   * prune work a real consumer pays for. Each query is timed
-  * SPARK_GRAFT_REPS times (default 2) and the MINIMUM is reported —
+  * SPARK_GRAFT_REPS times (default 3) and the MINIMUM is reported —
   * the shared bench box shows 1.5–2x run-to-run noise, and min-of-N
   * measures the code, not the neighbors. Failures are reported in an
   * `errors` field, never recorded as a fake timing.
@@ -44,7 +44,7 @@ object Bench {
     }
     names.foreach(materialize(_, warmDir)) // warm-up: not timed
 
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     for (rep <- 1 to reps; name <- names) {

@@ -413,6 +413,24 @@ object LakeQueries {
       .orderBy(col("day"))
   }
 
+  /** A11 engine-native face: the same extraction via `from_json` with an
+    * explicit schema — the spelling a Spark-first user writes (one
+    * codegen'd JsonToStructs projection, schema pushed instead of a
+    * regex). The regexp face below stays the oracle-checked entry only
+    * because the DuckDB oracle carries no JSON extension;
+    * LakeQueriesSpec proves the two faces row-equal on testdata. */
+  def q11JsonPropsNative(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"), col("value"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+        round(avg(col("k")), 4).as("k_avg"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .orderBy(col("event_type"))
+
   /** A11: JSON property extraction from events.props + agg (regexp-based
     * so the oracle needs no JSON extension). */
   def q11JsonProps(s: SparkSession, dir: String): DataFrame =

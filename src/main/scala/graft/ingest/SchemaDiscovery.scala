@@ -18,6 +18,11 @@ import org.apache.spark.sql.types._
   * *paths* (O(tables), not O(data); each footer is one small ranged
   * request regardless of table size) — parallelized over a bounded thread
   * pool so a 10k-table zone crawls at pool speed, not sequentially.
+  * Within one table, `spark.read.parquet(...).schema` already rides
+  * Spark's own distributed machinery: past
+  * `spark.sql.sources.parallelPartitionDiscovery.threshold` the
+  * partition listing runs as a cluster job, so a million-partition table
+  * never serializes on the driver.
   */
 object SchemaDiscovery {
 
@@ -31,23 +36,37 @@ object SchemaDiscovery {
     * reference's `TRANSFERRED_DATE=...` layout
     * (DATALAKE_TRANSFORMATION_S3_DAILY_JOB.PY:339, RUN_CRAWLER_JOB.PY
     * catalogs exactly these). Hidden/underscore entries are metadata
-    * (_SUCCESS, _delta_log-style) and skipped. */
-  def crawl(zoneDir: String): Seq[CrawledTable] = {
-    val entries = Option(new java.io.File(zoneDir).listFiles())
-      .getOrElse(Array.empty).sortBy(_.getName)
-    def partChain(dir: java.io.File): Seq[String] =
-      Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(d => d.isDirectory && d.getName.contains("="))
-        .sortBy(_.getName).headOption match {
-        case Some(p) => p.getName.split("=").head +: partChain(p)
+    * (_SUCCESS, _delta_log-style) and skipped.
+    *
+    * Listing goes through the Hadoop FileSystem API, so the zone can be
+    * any lake URI (file:, hdfs:, s3a:) — a crawler bound to
+    * `java.io.File` only catalogs a laptop. The walk is O(tables +
+    * partition depth): the chain probe descends ONE `k=v` branch per
+    * level, never enumerating sibling partitions beyond a listing. */
+  def crawl(zoneDir: String,
+            hadoopConf: org.apache.hadoop.conf.Configuration =
+              new org.apache.hadoop.conf.Configuration()): Seq[CrawledTable] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(zoneDir)
+    val fs = root.getFileSystem(hadoopConf)
+    if (!fs.exists(root)) return Seq.empty
+    val entries = fs.listStatus(root).sortBy(_.getPath.getName)
+    def partChain(dir: Path): Seq[String] =
+      fs.listStatus(dir)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .sortBy(_.getPath.getName).headOption match {
+        case Some(p) =>
+          p.getPath.getName.split("=").head +: partChain(p.getPath)
         case None => Nil
       }
     entries.toSeq.flatMap { f =>
-      val n = f.getName
+      val n = f.getPath.getName
       if (n.startsWith(".") || n.startsWith("_")) None
       else if (n.toLowerCase.endsWith(".parquet"))
-        Some(CrawledTable(n.substring(0, n.length - ".parquet".length), f.getPath, Nil))
-      else if (f.isDirectory) Some(CrawledTable(n, f.getPath, partChain(f)))
+        Some(CrawledTable(n.substring(0, n.length - ".parquet".length),
+          f.getPath.toString, Nil))
+      else if (f.isDirectory)
+        Some(CrawledTable(n, f.getPath.toString, partChain(f.getPath)))
       else None
     }
   }
@@ -78,7 +97,7 @@ object SchemaDiscovery {
   /** Crawl `zoneDir` and infer every discovered table's schema → one row
     * per column (partition columns flagged). */
   def discover(spark: SparkSession, zoneDir: String): DataFrame = {
-    val tables = crawl(zoneDir)
+    val tables = crawl(zoneDir, spark.sessionState.newHadoopConf())
     val rows = inParallel(tables) { t =>
       val schema = spark.read.parquet(t.path).schema
       val parts = t.partitionCols.toSet
@@ -115,7 +134,7 @@ object SchemaDiscovery {
 
   /** DDL export for every crawled table under `zoneDir` → (table_name, ddl). */
   def exportDdl(spark: SparkSession, zoneDir: String): DataFrame = {
-    val rows = inParallel(crawl(zoneDir)) { t =>
+    val rows = inParallel(crawl(zoneDir, spark.sessionState.newHadoopConf())) { t =>
       Row(t.name, ddlFor(t.name, spark.read.parquet(t.path).schema, t.partitionCols))
     }
     val schema = StructType(Seq(
