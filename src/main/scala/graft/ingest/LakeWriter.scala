@@ -49,6 +49,26 @@ object LakeWriter {
       .parquet(path)
   }
 
+  /** Write with parquet BLOOM FILTERS on point-lookup columns — the
+    * third data-skipping tool beside partition pruning and Z-order
+    * min/max stats. Min/max serves range predicates on clustered
+    * columns; an equality probe on a high-cardinality UNSORTED column
+    * (order id, content hash, user id) skips nothing by stats because
+    * every file spans most of the value space. A per-row-group bloom
+    * filter answers "definitely absent" at ~10 bits/key, so a needle
+    * lookup over a 100 TB table touches only the row groups that might
+    * hold the key — the reader applies it automatically
+    * (`parquet.filter.bloom.enabled` defaults true). `expectedNdv`
+    * sizes the filter (distinct keys per ROW GROUP, not per table). */
+  def writeWithBloomFilters(df: DataFrame, path: String,
+                            bloomCols: Seq[String],
+                            expectedNdv: Long = 100000L,
+                            mode: SaveMode = SaveMode.Overwrite): Unit =
+    bloomCols.foldLeft(df.write.mode(mode)) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", expectedNdv.toString)
+    }.parquet(path)
+
   /** Bucketed write: pre-shuffles the table into `numBuckets` by
     * `bucketCol` so future equi-joins and aggregations on that key read
     * co-located buckets and skip their shuffle entirely — the storage-

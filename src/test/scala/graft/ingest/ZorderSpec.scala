@@ -69,6 +69,44 @@ class ZorderSpec extends SparkSpec {
         s"3-col layout must still cluster $c: ${meanSpan(z3Dir, c)}")
   }
 
+  test("bloom-filter write: enabled column carries a working filter, others none") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val orders = graft.sources.Tables(spark, sfDir, "orders")
+    val dir = Files.createTempDirectory("graft_bloom").toString + "/t"
+    LakeWriter.writeWithBloomFilters(orders.repartition(2), dir,
+      bloomCols = Seq("o_orderkey"), expectedNdv = 10000L)
+
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toString),
+      spark.sessionState.newHadoopConf()))
+    try {
+      val rg = reader.getRowGroups.get(0)
+      val cols = rg.getColumns.asScala
+      val keyed = cols.find(_.getPath.toDotString == "o_orderkey").get
+      val other = cols.find(_.getPath.toDotString == "o_custkey").get
+      val bfReader = reader.getBloomFilterDataReader(rg)
+      val bf = bfReader.readBloomFilter(keyed)
+      assert(bf != null, "o_orderkey must carry a bloom filter")
+      assert(bfReader.readBloomFilter(other) == null,
+        "columns not listed must not pay for a filter")
+
+      // every key actually present answers "maybe"; absent keys are
+      // overwhelmingly rejected (that IS the row-group skip)
+      val present = spark.read.parquet(file.toString)
+        .select("o_orderkey").limit(200)
+        .collect().map(_.getLong(0))
+      assert(present.forall(k => bf.findHash(bf.hash(k))),
+        "bloom filter must never reject a present key")
+      val absent = (1 to 1000).map(i => 10000000L + i)
+      val rejected = absent.count(k => !bf.findHash(bf.hash(k)))
+      assert(rejected >= 900, s"only $rejected/1000 absent keys rejected")
+    } finally reader.close()
+  }
+
   test("degenerate constant column does not break the z-map") {
     val df = spark.range(100).select(col("id"), lit(7.0).as("c"))
     val dir = Files.createTempDirectory("graft_zorder_const").toString
