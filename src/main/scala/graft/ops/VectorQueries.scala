@@ -71,12 +71,24 @@ object VectorQueries {
     * CORRECTNESS entry, like C7/C16). */
   def dedupEmbeddingLsh(s: SparkSession, dir: String, tau: Double = 0.35,
       numTables: Int = 8, bitsPerTable: Int = 2): DataFrame = {
-    val cand = lshCandidates(emb(s, dir), numTables, bitsPerTable)
+    // Rescore INSIDE the bucket-join stage and filter tau before the
+    // cross-table dedup: a pair colliding in k tables computes its
+    // (identical) cosine k times — narrow CPU in the join task — but the
+    // dedup exchange then carries only qualifying (ids, label, cos) rows,
+    // near output size, instead of every candidate with both 64-dim
+    // vectors attached (measured 4.4 s -> sub-second at sf0.1).
+    val banded = bandedCorpus(emb(s, dir), numTables, bitsPerTable)
+    val a = banded.select(col("vec_id").as("vec_a"), col("label"),
+      col("e").as("ea"), col("nrm").as("na"), col("tbl"), col("bucket"))
+    val b = banded.select(col("vec_id").as("vec_b"), col("label"),
+      col("e").as("eb"), col("nrm").as("nb"), col("tbl"), col("bucket"))
     val cos = Vectors.cosine(col("ea"), col("eb"), col("na"), col("nb"))
-    cand.withColumn("cos", cos)
+    a.join(b, Seq("label", "tbl", "bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cos)
       .where(col("cos") >= tau)
-      .select(col("vec_a"), col("vec_b"), col("label"),
-        round(col("cos"), 4).as("cosine"))
+      .groupBy(col("vec_a"), col("vec_b"), col("label"))
+      .agg(round(max(col("cos")), 4).as("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -85,7 +97,8 @@ object VectorQueries {
     * Input: a [[Vectors.withNorm]] frame with vec_id/label/e/nrm. Output:
     * one row per unordered candidate pair (deduped across tables), with
     * both vectors carried for the exact rescore. */
-  private[graft] def lshCandidates(v: DataFrame, numTables: Int,
+  /** Corpus exploded into its (table, bucket) LSH band rows. */
+  private def bandedCorpus(v: DataFrame, numTables: Int,
       bitsPerTable: Int): DataFrame = {
     val dim = v.select(size(col("e"))).head().getInt(0)
     val buckets = (0 until numTables).map { l =>
@@ -93,10 +106,15 @@ object VectorQueries {
         Vectors.lshBucket(col("e"), Vectors.hyperplanes(bitsPerTable, dim, 142L + l))
           .as("bucket"))
     }
-    val banded = v.select(col("vec_id"), col("label"), col("e"), col("nrm"),
+    v.select(col("vec_id"), col("label"), col("e"), col("nrm"),
         explode(array(buckets: _*)).as("tb"))
       .select(col("vec_id"), col("label"), col("e"), col("nrm"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  private[graft] def lshCandidates(v: DataFrame, numTables: Int,
+      bitsPerTable: Int): DataFrame = {
+    val banded = bandedCorpus(v, numTables, bitsPerTable)
     val a = banded.select(col("vec_id").as("vec_a"), col("label"),
       col("e").as("ea"), col("nrm").as("na"), col("tbl"), col("bucket"))
     val b = banded.select(col("vec_id").as("vec_b"), col("label"),
