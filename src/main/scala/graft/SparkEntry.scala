@@ -46,6 +46,7 @@ object SparkEntry {
     "q19_retention" -> (LakeQueries.q19Retention _),
     "q20_prospects" -> (LakeQueries.q20Prospects _),
     "q21_waiting_supplier" -> (LakeQueries.q21WaitingSupplier _),
+    "q22_dominant_supplier" -> (LakeQueries.q22DominantSupplier _),
     // §2.B ingestion semantics
     "ingest_typecast" -> (IngestQueries.ingestTypecast _),
     "ingest_filename_route" -> (IngestQueries.ingestFilenameRoute _),
@@ -303,6 +304,25 @@ object SparkEntry {
          |SELECT decile, count(*) AS customers, round(sum(rev), 2) AS revenue,
          |       round(min(rev), 2) AS floor_rev
          |FROM d GROUP BY decile ORDER BY decile""".stripMargin),
+    "q22_dominant_supplier" ->
+      """WITH per_supp AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY')
+        |  GROUP BY 1, 2),
+        |per_part AS (
+        |  SELECT l_partkey, sum(q) AS tq FROM per_supp GROUP BY 1),
+        |dom AS (
+        |  SELECT l_suppkey, count(*) AS parts_dominated,
+        |         round(sum(q), 2) AS qty_dominated
+        |  FROM per_supp JOIN per_part USING (l_partkey)
+        |  WHERE q > tq * 0.5
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, parts_dominated, qty_dominated
+        |FROM dom JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
     "q21_waiting_supplier" ->
       """WITH l AS (
         |  SELECT l_orderkey, l_suppkey,

@@ -375,6 +375,36 @@ object LakeQueries {
       .limit(100)
   }
 
+  /** A22: TPC-H Q20-shape dominant suppliers — suppliers who shipped
+    * MORE THAN HALF of some ECONOMY part's 1996 volume (the reference
+    * schema has no partsupp/availqty, so Q20's correlated "availability
+    * vs 50% of shipped quantity" becomes share-of-part-volume — same
+    * plan skeleton). Shape: dim-filtered semi-join prunes the fact scan
+    * (part is broadcast), ONE (part, supplier) aggregate, the per-part
+    * total RE-aggregated from that partial (co-keyed on l_partkey — no
+    * second lineitem scan), the correlated comparison as a same-key
+    * join, then the supplier rollup. */
+  def q22DominantSupplier(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part").where(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
+    val perSupp = t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit(ts("1996-01-01")) &&
+        col("l_shipdate") < lit(ts("1997-01-01")))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("q"))
+    val perPart = perSupp.groupBy(col("l_partkey")).agg(sum(col("q")).as("tq"))
+    perSupp.join(perPart, Seq("l_partkey"))
+      .where(col("q") > col("tq") * 0.5)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("parts_dominated"),
+        round(sum(col("q")), 2).as("qty_dominated"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("parts_dominated"), col("qty_dominated"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** A20: TPC-H Q22-style prospects — customers with above-average
     * balance (scalar subquery in the FILTER) and no orders (anti-join),
     * rolled up per nation. */
