@@ -56,6 +56,45 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.frameSample(nul, "doc_id", "payload", 100, 2).count() == 0)
   }
 
+  test("headerDecoder parses real PNG/GIF/BMP/JPEG container headers") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      val ihdr = Array[Byte](0, 0, 0, 13) ++ "IHDR".getBytes ++
+        Array((w >> 24).toByte, (w >> 16).toByte, (w >> 8).toByte, w.toByte,
+          (h >> 24).toByte, (h >> 16).toByte, (h >> 8).toByte, h.toByte) ++
+        Array[Byte](8, 6, 0, 0, 0)
+      sig ++ ihdr
+    }
+    def gif(w: Int, h: Int): Array[Byte] =
+      "GIF89a".getBytes ++ Array((w & 0xff).toByte, (w >> 8).toByte,
+        (h & 0xff).toByte, (h >> 8).toByte) ++ Array.fill[Byte](4)(0)
+    def bmp(w: Int, h: Int): Array[Byte] =
+      "BM".getBytes ++ Array.fill[Byte](16)(0) ++
+        Array((w & 0xff).toByte, (w >> 8 & 0xff).toByte, (w >> 16 & 0xff).toByte,
+          (w >> 24).toByte, (h & 0xff).toByte, (h >> 8 & 0xff).toByte,
+          (h >> 16 & 0xff).toByte, (h >> 24).toByte) ++ Array.fill[Byte](4)(0)
+    def jpeg(w: Int, h: Int): Array[Byte] =
+      Array(0xff, 0xd8).map(_.toByte) ++                         // SOI
+        (Array(0xff, 0xe0, 0x00, 0x10).map(_.toByte) ++          // APP0 len 16
+          Array.fill[Byte](14)(0)) ++
+        Array(0xff, 0xc0, 0x00, 0x11, 0x08).map(_.toByte) ++     // SOF0 len 17
+        Array((h >> 8).toByte, h.toByte, (w >> 8).toByte, w.toByte) ++
+        Array.fill[Byte](10)(0)
+
+    val rows = Seq(
+      (1L, png(640, 480)), (2L, gif(320, 200)), (3L, bmp(123, 77)),
+      (4L, jpeg(800, 600)), (5L, "not an image at all".getBytes))
+    val df = rows.toDF("doc_id", "payload")
+    val got = Multimodal.decodePartitions(df, "doc_id", "payload")(Multimodal.headerDecoder)
+      .select("doc_id", "fmt", "width", "height")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == (("png", 640L, 480L)))
+    assert(got(2L) == (("gif", 320L, 200L)))
+    assert(got(3L) == (("bmp", 123L, 77L)))
+    assert(got(4L) == (("jpeg", 800L, 600L)))
+    assert(got(5L) == (("bin", 0L, 0L)))
+  }
+
   test("decodePartitions plumbing matches the columnar stub decode") {
     val d = graft.sources.Tables(spark, sfDir, "documents").limit(20)
       .select(col("doc_id"), col("text"))
