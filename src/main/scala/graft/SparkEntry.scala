@@ -74,6 +74,7 @@ object SparkEntry {
     // rows-only: GK-sketch results are engine-specific (the scale face)
     "quality_percentile_approx" -> (TextQueries.qualityPercentileApprox _),
     "text_tokens" -> (TextQueries.textTokens _),
+    "text_repetition" -> (TextQueries.textRepetition _),
     "text_fingerprint" -> (TextQueries.textFingerprint _),
     "dedup_ngram_jaccard" -> (DedupQueries.dedupNgramJaccard _),
     "dedup_minhash" -> (DedupQueries.dedupMinhash _),
@@ -590,6 +591,25 @@ object SparkEntry {
         |SELECT ngram, count(*) AS df
         |FROM bg GROUP BY ngram
         |ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
+    "text_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm
+        |  FROM documents),
+        |tok AS (SELECT doc_id, source, unnest(string_split(norm,' ')) AS term
+        |        FROM d),
+        |tc AS (SELECT doc_id, source, term, count(*) AS n
+        |       FROM tok GROUP BY 1, 2, 3),
+        |per_doc AS (
+        |  SELECT doc_id, source, sum(n) AS total, count(*) AS uniq,
+        |         max(n) AS top
+        |  FROM tc GROUP BY 1, 2)
+        |SELECT source, count(*) AS docs,
+        |       round(avg(uniq::DOUBLE / total), 4) AS avg_distinct_ratio,
+        |       round(avg(top::DOUBLE / total), 4) AS avg_top_share,
+        |       cast(sum(CASE WHEN uniq::DOUBLE / total < 0.5 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_repetitive
+        |FROM per_doc GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_tfidf" ->
       """WITH d AS (
         |  SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm

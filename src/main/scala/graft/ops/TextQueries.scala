@@ -206,6 +206,35 @@ object TextQueries {
         max(col("re_tok")).as("max_re"))
       .orderBy(col("lang"))
 
+  /** C26: repetition/diversity profile — the Gopher-style quality rules
+    * (distinct-token ratio, top-token share) a pretraining pipeline
+    * filters on before dedup even starts: heavily repetitive documents
+    * (boilerplate, keyword stuffing, degenerate generations) carry low
+    * distinct ratios and a dominant top token. Plan shape at 100 TB:
+    * one token explode, a partial-aggregating (doc, term) count, a
+    * per-doc roll-up on the SAME doc key (no second shuffle class), and
+    * a tiny per-source profile — every stage map-side combines, and no
+    * task ever holds more than one document's vocabulary. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val tc = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(Text.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("source"), col("term"))
+      .agg(count(lit(1)).as("n"))
+    val perDoc = tc.groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("n")).as("total"), count(lit(1)).as("uniq"),
+        max(col("n")).as("top"))
+      .select(col("source"),
+        (col("uniq").cast("double") / col("total")).as("distinct_ratio"),
+        (col("top").cast("double") / col("total")).as("top_share"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        round(avg(col("distinct_ratio")), 4).as("avg_distinct_ratio"),
+        round(avg(col("top_share")), 4).as("avg_top_share"),
+        sum(when(col("distinct_ratio") < 0.5, 1L).otherwise(0L)).as("n_repetitive"))
+      .orderBy(col("source"))
+  }
+
   /** C11: duplicate fingerprint groups — md5 of the sorted distinct token
     * set; emits only groups with >1 member (the reorder-dup clusters). */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
