@@ -75,6 +75,7 @@ object SparkEntry {
     "quality_percentile_approx" -> (TextQueries.qualityPercentileApprox _),
     "text_tokens" -> (TextQueries.textTokens _),
     "text_repetition" -> (TextQueries.textRepetition _),
+    "text_redact" -> (TextQueries.textRedact _),
     "text_fingerprint" -> (TextQueries.textFingerprint _),
     "dedup_ngram_jaccard" -> (DedupQueries.dedupNgramJaccard _),
     "dedup_minhash" -> (DedupQueries.dedupMinhash _),
@@ -591,6 +592,32 @@ object SparkEntry {
         |SELECT ngram, count(*) AS df
         |FROM bg GROUP BY ngram
         |ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
+    "text_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id, source,
+        |         text || ' contact user' || doc_id ||
+        |         '@example.com or +1-555-' ||
+        |         lpad(cast(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents),
+        |red AS (
+        |  SELECT source,
+        |         len(regexp_extract_all(t,
+        |           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+        |         regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+        |           '<EMAIL>', 'g') AS r1
+        |  FROM planted),
+        |red2 AS (
+        |  SELECT source, n_email,
+        |         len(regexp_extract_all(r1, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))
+        |           AS n_phone,
+        |         regexp_replace(r1, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}',
+        |           '<PHONE>', 'g') AS redacted
+        |  FROM red)
+        |SELECT source, count(*) AS docs,
+        |       cast(sum(n_email) AS BIGINT) AS emails_redacted,
+        |       cast(sum(n_phone) AS BIGINT) AS phones_redacted,
+        |       min(md5(redacted)) AS sample_hash
+        |FROM red2 GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_repetition" ->
       """WITH d AS (
         |  SELECT doc_id, source,

@@ -235,6 +235,36 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** C27: PII-style redaction — email and phone patterns replaced by
+    * typed placeholders, with per-source audit counts and an md5 over
+    * the redacted text proving both engines produced byte-identical
+    * output. The corpus is synthetic (no real contact strings), so the
+    * query first PLANTS deterministic ones derived from doc_id; the
+    * operator under test is the redaction itself — two narrow
+    * codegen'd regexp projections (emails first, then phones over the
+    * already-redacted text so a digit-bearing address never
+    * double-counts), which is the whole plan at 100 TB: no shuffle
+    * until the per-source audit roll-up. */
+  def textRedact(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+    val planted = docs(s, dir).select(col("doc_id"), col("source"),
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("t"))
+    planted
+      .withColumn("n_email", regexp_count(col("t"), lit(emailRe)))
+      .withColumn("r1", regexp_replace(col("t"), emailRe, "<EMAIL>"))
+      .withColumn("n_phone", regexp_count(col("r1"), lit(phoneRe)))
+      .withColumn("redacted", regexp_replace(col("r1"), phoneRe, "<PHONE>"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_email")).as("emails_redacted"),
+        sum(col("n_phone")).as("phones_redacted"),
+        min(md5(col("redacted"))).as("sample_hash"))
+      .orderBy(col("source"))
+  }
+
   /** C11: duplicate fingerprint groups — md5 of the sorted distinct token
     * set; emits only groups with >1 member (the reorder-dup clusters). */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
