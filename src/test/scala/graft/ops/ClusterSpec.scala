@@ -40,6 +40,50 @@ class ClusterSpec extends SparkSpec {
     assert(ex.getMessage.contains("converge"))
   }
 
+  private def ccStar(nodes: Seq[Long], edges: Seq[(Long, Long)], maxIters: Int = 25) =
+    Cluster.connectedComponentsStar(
+      nodes.toDF("doc_id"), edges.toDF("doc_a", "doc_b"), "doc_id", maxIters)
+      .as[(Long, Long)].collect().toMap
+
+  test("star face equals the propagation face on assorted graphs") {
+    val cases = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq((1L, 2L), (2L, 3L))),
+      (Seq(1L, 2L, 5L, 6L, 9L), Seq((1L, 2L), (5L, 6L))),
+      ((10L to 19L) ++ Seq(3L), (10L until 19L).map(i => (i, i + 1))),
+      (Seq(1L, 2L, 3L), Seq((3L, 2L), (2L, 1L), (1L, 3L))))  // with a cycle
+    for ((nodes, edges) <- cases)
+      assert(ccStar(nodes, edges) == cc(nodes, edges),
+        s"faces diverge on $edges")
+  }
+
+  test("star face equals the propagation face on the real minhash pair graph") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .select("doc_a", "doc_b")
+    val prop = Cluster.connectedComponents(
+      docs.select("doc_id"), pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val star = Cluster.connectedComponentsStar(
+      docs.select("doc_id"), pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(star == prop)
+  }
+
+  test("star face closes a 64-node path within the budget that trips propagation") {
+    val n = 64
+    val chain = (1L until n).map(i => (i, i + 1))
+    val budget = 12
+    // propagation needs ~diameter rounds: 12 is far too few for 64 nodes
+    val ex = intercept[IllegalArgumentException] {
+      cc(1L to n, chain, maxIters = budget)
+    }
+    assert(ex.getMessage.contains("converge"))
+    // the star rounds collapse the path exponentially: same budget passes
+    val got = ccStar(1L to n, chain, maxIters = budget)
+    assert((1L to n).forall(got(_) == 1L),
+      s"chain must collapse to min id, got ${got.toSeq.sortBy(_._1).take(8)}...")
+  }
+
   test("dedup_cluster query: keepers are cluster minima, sizes add to corpus") {
     val df = DedupQueries.dedupCluster(spark, sfDir)
     val rows = df.as[(Long, Long, Long, Int)].collect()
