@@ -381,9 +381,12 @@ object LakeQueries {
     * vs 50% of shipped quantity" becomes share-of-part-volume — same
     * plan skeleton). Shape: dim-filtered semi-join prunes the fact scan
     * (part is broadcast), ONE (part, supplier) aggregate, the per-part
-    * total RE-aggregated from that partial (co-keyed on l_partkey — no
-    * second lineitem scan), the correlated comparison as a same-key
-    * join, then the supplier rollup. */
+    * total as a WINDOW over that partial — the per-part frame is the
+    * handful of suppliers on one part, and the single pipeline avoids
+    * the re-aggregate+join spelling that duplicated the whole pruned
+    * scan subtree (measured: 4 parquet scans vs 3, the exchange pair
+    * never unified under AQE) — then the correlated comparison is a
+    * narrow filter and the supplier rollup ends the plan. */
   def q22DominantSupplier(s: SparkSession, dir: String): DataFrame = {
     val parts = t(s, dir, "part").where(col("p_type") === "ECONOMY")
       .select(col("p_partkey"))
@@ -393,8 +396,8 @@ object LakeQueries {
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity")).as("q"))
-    val perPart = perSupp.groupBy(col("l_partkey")).agg(sum(col("q")).as("tq"))
-    perSupp.join(perPart, Seq("l_partkey"))
+    perSupp
+      .withColumn("tq", sum(col("q")).over(Window.partitionBy(col("l_partkey"))))
       .where(col("q") > col("tq") * 0.5)
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("parts_dominated"),

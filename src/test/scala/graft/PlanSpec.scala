@@ -173,6 +173,18 @@ class PlanSpec extends SparkSpec {
     assert(semi == agg, "the two q21 spellings must agree supplier-by-supplier")
   }
 
+  test("q22 prunes the fact scan through a broadcast semi-join, one lineitem scan") {
+    val df = SparkEntry.queries("q22_dominant_supplier")(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("LeftSemi"), s"part filter must semi-join the fact:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"the filtered part dim must broadcast:\n$plan")
+    val factScans = "Scan parquet".r.findAllIn(plan).size
+    // lineitem once + part once + supplier once = 3 scans total
+    assert(factScans <= 3, s"per-part total must re-aggregate, not re-scan ($factScans scans)")
+  }
+
   test("IVF assignment is shuffle-free: no corpus exchange keyed on vec_id") {
     val plan = executed("sim_search_ivf")
     // the old join+window spelling exchanged n·k rows on vec_id twice
