@@ -47,6 +47,7 @@ object SparkEntry {
     "q20_prospects" -> (LakeQueries.q20Prospects _),
     "q21_waiting_supplier" -> (LakeQueries.q21WaitingSupplier _),
     "q22_dominant_supplier" -> (LakeQueries.q22DominantSupplier _),
+    "q23_small_order_revenue" -> (LakeQueries.q23SmallOrderRevenue _),
     // §2.B ingestion semantics
     "ingest_typecast" -> (IngestQueries.ingestTypecast _),
     "ingest_filename_route" -> (IngestQueries.ingestFilenameRoute _),
@@ -306,6 +307,16 @@ object SparkEntry {
          |SELECT decile, count(*) AS customers, round(sum(rev), 2) AS revenue,
          |       round(min(rev), 2) AS floor_rev
          |FROM d GROUP BY decile ORDER BY decile""".stripMargin),
+    "q23_small_order_revenue" ->
+      """WITH l AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice, p_brand,
+        |         avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size <= 5)
+        |SELECT p_brand, count(*) AS small_lines,
+        |       round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM l WHERE l_quantity < avg_q * 0.2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q22_dominant_supplier" ->
       """WITH per_supp AS (
         |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS q

@@ -408,6 +408,28 @@ object LakeQueries {
       .orderBy(col("s_suppkey"))
   }
 
+  /** A23: TPC-H Q17-shape small-order revenue — lineitems whose quantity
+    * falls below 20% of THEIR part's average (the correlated scalar
+    * subquery shape), rolled up per brand. The correlated average is a
+    * window over the part key on the already-joined frame — one
+    * lineitem scan, one shuffle class; the subquery-as-join spelling
+    * would duplicate the pruned scan subtree (the q22 lesson). Small
+    * parts only (p_size <= 5, broadcast dim). */
+  def q23SmallOrderRevenue(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part").where(col("p_size") <= 5)
+      .select(col("p_partkey"), col("p_brand"))
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .withColumn("avg_q",
+        avg(col("l_quantity")).over(Window.partitionBy(col("l_partkey"))))
+      .where(col("l_quantity") < col("avg_q") * 0.2)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("small_lines"),
+        round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+      .orderBy(col("p_brand"))
+  }
+
   /** A20: TPC-H Q22-style prospects — customers with above-average
     * balance (scalar subquery in the FILTER) and no orders (anti-join),
     * rolled up per nation. */
