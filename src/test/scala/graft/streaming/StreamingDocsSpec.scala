@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.Pipeline
+
+class StreamingDocsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamed quality gate + hash dedup equals the batch pipeline stages") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+
+    val batch = Pipeline.dropExactDups(
+        Pipeline.qualityFilter(docs, "text"), "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+
+    // replay in id order (first arrival == min id, the keeper the batch
+    // face picks), with a synthetic arrival timestamp per document
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = docs.as[(Long, String)].collect().sortBy(_._1)
+      .map { case (id, text) => (id, text, new Timestamp(base + id * 1000)) }
+
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingDocs.cleanStream(
+        stream.toDF().toDF("doc_id", "text", "ts"), "ts")
+      .writeStream.format("memory").queryName("clean_docs")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4))
+        .foreach { c => stream.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val streamed = spark.table("clean_docs")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch,
+        s"faces diverge: ${(batch diff streamed).take(5)} missing, " +
+          s"${(streamed diff batch).take(5)} extra")
+      assert(streamed.size < docs.count(),
+        "sanity: the gate+dedup must actually drop documents")
+    } finally q.stop()
+  }
+
+  test("a duplicate arriving within the watermark window is suppressed") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingDocs.cleanStream(
+        stream.toDF().toDF("doc_id", "text", "ts"), "ts")
+      .writeStream.format("memory").queryName("dedup_docs")
+      .outputMode("append").start()
+    // long enough to clear the quality gate's token-count term
+    val body = Array.fill(60)("the quick brown fox jumps over the lazy dog")
+      .mkString(" ")
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    try {
+      stream.addData((1L, body, t(0)))
+      q.processAllAvailable()
+      stream.addData((2L, body, t(5)), (3L, body + " extra tail", t(6)))
+      q.processAllAvailable()
+      val got = spark.table("dedup_docs").select("doc_id").as[Long].collect().toSet
+      assert(got == Set(1L, 3L),
+        s"same-hash doc 2 must drop, distinct doc 3 must pass: $got")
+    } finally q.stop()
+  }
+}
