@@ -48,6 +48,8 @@ object SparkEntry {
     "q21_waiting_supplier" -> (LakeQueries.q21WaitingSupplier _),
     "q22_dominant_supplier" -> (LakeQueries.q22DominantSupplier _),
     "q23_small_order_revenue" -> (LakeQueries.q23SmallOrderRevenue _),
+    // rows-only: DataSketches HLL binaries/estimates are engine-specific
+    "sketch_uniques_rollup" -> (LakeQueries.sketchUniquesRollup _),
     // §2.B ingestion semantics
     "ingest_typecast" -> (IngestQueries.ingestTypecast _),
     "ingest_filename_route" -> (IngestQueries.ingestFilenameRoute _),

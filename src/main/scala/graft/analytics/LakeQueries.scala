@@ -468,6 +468,29 @@ object LakeQueries {
       .orderBy(col("day"))
   }
 
+  /** A24: mergeable distinct sketches — the incremental uniques rollup a
+    * lake keeps so "uniques over any window" never rescans history. The
+    * nightly job builds ONE DataSketches HLL sketch per (day, type)
+    * (`hll_sketch_agg`, a mergeable binary aggregate); any coarser
+    * window — here weekly per type, and the grand total — is
+    * `hll_union_agg` over the stored daily sketches: merging reads
+    * sketch bytes, not events, so a year-to-date uniques query costs
+    * 365 sketch rows per type instead of a year of fact scan. Rows-only
+    * (sketch binaries and estimates are engine-specific); SketchSpec
+    * bounds the estimates against exact distincts. */
+  def sketchUniquesRollup(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        count(lit(1)).as("events"))
+    daily
+      .groupBy(weekofyear(col("day")).as("wk"), col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_uniques"),
+        sum(col("events")).as("events"),
+        count(lit(1)).as("days_merged"))
+      .orderBy(col("wk"), col("event_type"))
+  }
+
   /** A11 engine-native face: the same extraction via `from_json` with an
     * explicit schema — the spelling a Spark-first user writes (one
     * codegen'd JsonToStructs projection, schema pushed instead of a
