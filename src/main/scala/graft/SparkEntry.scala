@@ -106,6 +106,7 @@ object SparkEntry {
     // deterministic content-keyed mixture sampling with epoch repetition
     "sample_mixture" -> (graft.ops.Sample.sampleMixtureQuery _),
     "sample_split" -> (graft.ops.Sample.sampleSplitQuery _),
+    "sample_stratified" -> (graft.ops.Sample.sampleStratifiedQuery _),
     "mixture_tokens" -> (graft.ops.Sample.mixtureTokensQuery _),
     // bucketed interval join: range turned into (key, time-bucket) equi-join
     "range_join" -> (graft.ops.RangeJoin.rangeJoinErrors _),
@@ -814,6 +815,7 @@ object SparkEntry {
     // generated from Sample.DemoWeights — same md5 bucket + thresholds
     "sample_mixture" -> graft.ops.Sample.mixtureOracle,
     "sample_split" -> graft.ops.Sample.splitOracle,
+    "sample_stratified" -> graft.ops.Sample.stratifiedOracle,
     "mixture_tokens" -> graft.ops.Sample.mixtureTokensOracle,
     // the buckets are an execution detail — the oracle is the plain
     // inequality join on floor-second epochs

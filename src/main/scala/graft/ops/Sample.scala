@@ -64,6 +64,29 @@ object Sample {
         col("copy_idx").cast("int"))
       .orderBy(col("doc_id"), col("copy_idx"))
 
+  /** Stratified EXACT-COUNT sample: the `perGroup` lowest content-coins
+    * of every group — "exactly N eval docs per source", reproducible
+    * across reruns/engines/partitionings like every sampler here. Plan:
+    * one window rank per group over the md5 coin (per-group top-k — the
+    * partial WindowGroupLimit keeps each map task's top `perGroup`
+    * before the exchange, so the shuffle carries k rows per group per
+    * task, not the corpus). Deterministic total order: coin then id. */
+  def sampleStratified(df: DataFrame, idCol: String, groupCol: String,
+                       perGroup: Int, salt: String = "strat"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(bucketHex(col(idCol), salt), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= perGroup)
+      .drop("__rk")
+  }
+
+  /** Query face (`sample_stratified`): 20 docs per source. */
+  def sampleStratifiedQuery(s: SparkSession, dir: String): DataFrame =
+    sampleStratified(Tables(s, dir, "documents"), "doc_id", "source", 20)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("source"), col("doc_id"))
+
   /** Deterministic train/val/test split: the same content-keyed coin,
     * cut at cumulative fractions — every rerun and every engine deals
     * each document to the same fold, and a document can never leak
@@ -127,6 +150,18 @@ object Sample {
        |FROM c, unnest(generate_series(1, copies)) AS t(i)
        |WHERE copies > 0
        |ORDER BY doc_id, copy_idx""".stripMargin
+
+  /** DuckDB oracle for [[sampleStratifiedQuery]] — the same md5 coin and
+    * per-group rank, spelled portably. */
+  val stratifiedOracle: String =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY substring(md5('strat|' || cast(doc_id AS VARCHAR)), 1, 6),
+      |                    doc_id) AS rk
+      |  FROM documents)
+      |SELECT doc_id, source FROM r WHERE rk <= 20
+      |ORDER BY source, doc_id""".stripMargin
 
   /** Query face (`mixture_tokens`): the token BUDGET the demo mixture
     * buys per source — the number a mixture designer actually wants.

@@ -71,4 +71,27 @@ class SampleSpec extends SparkSpec {
       assert(g.map(_._4).sorted.toSeq == (1 to g.head._3).toSeq, s"doc $id copy set")
     }
   }
+
+  test("stratified sample: exact per-group counts, stable under repartitioning") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val got = Sample.sampleStratified(docs, "doc_id", "source", 20)
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    val sizes = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    got.groupBy(_._2).foreach { case (src, members) =>
+      assert(members.size == math.min(20L, sizes(src)),
+        s"source $src must contribute exactly min(20, its size)")
+    }
+    // content-keyed coin: the same documents win regardless of layout
+    val reshuffled = Sample.sampleStratified(
+        docs.repartition(17), "doc_id", "source", 20)
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    assert(reshuffled == got, "sample must be layout-independent")
+    // per-group top-k plans the partial WindowGroupLimit (map-side prune)
+    val df = Sample.sampleStratifiedQuery(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"stratified top-k must prune map-side:\n$plan")
+  }
 }
