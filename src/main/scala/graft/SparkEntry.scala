@@ -50,6 +50,7 @@ object SparkEntry {
     "q23_small_order_revenue" -> (LakeQueries.q23SmallOrderRevenue _),
     // rows-only: DataSketches HLL binaries/estimates are engine-specific
     "sketch_uniques_rollup" -> (LakeQueries.sketchUniquesRollup _),
+    "q24_trailing_revenue" -> (LakeQueries.q24TrailingRevenue _),
     // §2.B ingestion semantics
     "ingest_typecast" -> (IngestQueries.ingestTypecast _),
     "ingest_filename_route" -> (IngestQueries.ingestFilenameRoute _),
@@ -310,6 +311,23 @@ object SparkEntry {
          |SELECT decile, count(*) AS customers, round(sum(rev), 2) AS revenue,
          |       round(min(rev), 2) AS floor_rev
          |FROM d GROUP BY decile ORDER BY decile""".stripMargin),
+    "q24_trailing_revenue" ->
+      """WITH daily AS (
+        |  SELECT cast(o_orderdate AS DATE) AS day,
+        |         sum(o_totalprice) AS rev, count(*) AS orders
+        |  FROM orders GROUP BY 1),
+        |win AS (
+        |  SELECT day, orders, rev,
+        |         sum(rev) OVER w AS rev7,
+        |         count(*) OVER w AS days_in_frame
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY datediff('day', DATE '1970-01-01', day)
+        |               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT strftime(day, '%Y-%m-%d') AS day, orders,
+        |       round(rev, 2) AS revenue,
+        |       round(rev7, 2) AS revenue_7d,
+        |       round(rev7 / days_in_frame, 2) AS avg_daily_7d
+        |FROM win ORDER BY day""".stripMargin,
     "q23_small_order_revenue" ->
       """WITH l AS (
         |  SELECT l_partkey, l_quantity, l_extendedprice, p_brand,

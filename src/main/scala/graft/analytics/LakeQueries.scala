@@ -468,6 +468,29 @@ object LakeQueries {
       .orderBy(col("day"))
   }
 
+  /** A25: trailing-window revenue — daily totals with a 7-day RANGE
+    * frame (sum + avg), the moving-average dashboard query. Scale note:
+    * the window is global-ordered but runs over the PRE-AGGREGATED
+    * daily frame, whose cardinality is calendar-bounded (a few thousand
+    * rows at any corpus size) — the fact table never meets the window;
+    * its only shuffle is the daily groupBy. RANGE (not ROWS) so missing
+    * calendar days shorten the frame identically on both engines. */
+  def q24TrailingRevenue(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice")).as("rev"), count(lit(1)).as("orders"))
+    val w = Window.orderBy(datediff(col("day"), lit("1970-01-01")))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("rev7", sum(col("rev")).over(w))
+      .withColumn("days_in_frame", count(lit(1)).over(w))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("orders"), round(col("rev"), 2).as("revenue"),
+        round(col("rev7"), 2).as("revenue_7d"),
+        round(col("rev7") / col("days_in_frame"), 2).as("avg_daily_7d"))
+      .orderBy(col("day"))
+  }
+
   /** A24: mergeable distinct sketches — the incremental uniques rollup a
     * lake keeps so "uniques over any window" never rescans history. The
     * nightly job builds ONE DataSketches HLL sketch per (day, type)
