@@ -81,4 +81,37 @@ class RandomizedSpec extends SparkSpec {
       assert(got == expect, s"trial $trial")
     }
   }
+
+  test("both connected-components faces equal union-find on random graphs") {
+    val rnd = new scala.util.Random(20250812L)
+    for (trial <- 1 to 4) {
+      val n = 40 + trial * 10
+      val nodes = (1L to n).toSeq
+      // densities from near-forest to blob, plus self-loop/dup noise
+      val m = (n * (0.5 + trial * 0.6)).toInt
+      val edges = Seq.fill(m)((rnd.nextInt(n) + 1L, rnd.nextInt(n) + 1L))
+
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map(nodes.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      val expect = nodes.map { i =>
+        // canonical label = component MIN id
+        val members = nodes.filter(j => find(j) == find(i))
+        i -> members.min
+      }.toMap
+
+      val nodeDf = nodes.toDF("doc_id")
+      val edgeDf = edges.toDF("doc_a", "doc_b")
+      val prop = Cluster.connectedComponents(nodeDf, edgeDf, "doc_id", maxIters = 40)
+        .as[(Long, Long)].collect().toMap
+      val star = Cluster.connectedComponentsStar(nodeDf, edgeDf, "doc_id", maxIters = 40)
+        .as[(Long, Long)].collect().toMap
+      assert(prop == expect, s"trial $trial: propagation vs union-find")
+      assert(star == expect, s"trial $trial: star vs union-find")
+    }
+  }
 }
