@@ -314,19 +314,21 @@ object SparkEntry {
     "q24_trailing_revenue" ->
       """WITH daily AS (
         |  SELECT cast(o_orderdate AS DATE) AS day,
-        |         sum(o_totalprice) AS rev, count(*) AS orders
+        |         cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS rev_c,
+        |         count(*) AS orders
         |  FROM orders GROUP BY 1),
         |win AS (
-        |  SELECT day, orders, rev,
-        |         sum(rev) OVER w AS rev7,
+        |  SELECT day, orders, rev_c,
+        |         cast(sum(rev_c) OVER w AS BIGINT) AS rev7_c,
         |         count(*) OVER w AS days_in_frame
         |  FROM daily
         |  WINDOW w AS (ORDER BY datediff('day', DATE '1970-01-01', day)
         |               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
         |SELECT strftime(day, '%Y-%m-%d') AS day, orders,
-        |       round(rev, 2) AS revenue,
-        |       round(rev7, 2) AS revenue_7d,
-        |       round(rev7 / days_in_frame, 2) AS avg_daily_7d
+        |       rev_c AS revenue_cents,
+        |       rev7_c AS revenue_7d_cents,
+        |       rev7_c // days_in_frame AS avg_daily_7d_cents
         |FROM win ORDER BY day""".stripMargin,
     "q23_small_order_revenue" ->
       """WITH l AS (

@@ -474,20 +474,25 @@ object LakeQueries {
     * daily frame, whose cardinality is calendar-bounded (a few thousand
     * rows at any corpus size) — the fact table never meets the window;
     * its only shuffle is the daily groupBy. RANGE (not ROWS) so missing
-    * calendar days shorten the frame identically on both engines. */
+    * calendar days shorten the frame identically on both engines.
+    * Money is integer CENTS end to end (floor(x*100+0.5) + BIGINT sums,
+    * floor division for the average): per-row `round` of a divided
+    * double flipped a cent at a .005 boundary between engines (caught
+    * by the cross-SF gate at sf0.001 — SURVEY §4). */
   def q24TrailingRevenue(s: SparkSession, dir: String): DataFrame = {
     val daily = t(s, dir, "orders")
       .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum(col("o_totalprice")).as("rev"), count(lit(1)).as("orders"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("rev_c"),
+        count(lit(1)).as("orders"))
     val w = Window.orderBy(datediff(col("day"), lit("1970-01-01")))
       .rangeBetween(-6, 0)
     daily
-      .withColumn("rev7", sum(col("rev")).over(w))
+      .withColumn("rev7_c", sum(col("rev_c")).over(w))
       .withColumn("days_in_frame", count(lit(1)).over(w))
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-        col("orders"), round(col("rev"), 2).as("revenue"),
-        round(col("rev7"), 2).as("revenue_7d"),
-        round(col("rev7") / col("days_in_frame"), 2).as("avg_daily_7d"))
+        col("orders"), col("rev_c").as("revenue_cents"),
+        col("rev7_c").as("revenue_7d_cents"),
+        expr("rev7_c div days_in_frame").as("avg_daily_7d_cents"))
       .orderBy(col("day"))
   }
 
