@@ -51,6 +51,7 @@ object SparkEntry {
     // rows-only: DataSketches HLL binaries/estimates are engine-specific
     "sketch_uniques_rollup" -> (LakeQueries.sketchUniquesRollup _),
     "q24_trailing_revenue" -> (LakeQueries.q24TrailingRevenue _),
+    "q25_cube_revenue" -> (LakeQueries.q25CubeRevenue _),
     // §2.B ingestion semantics
     "ingest_typecast" -> (IngestQueries.ingestTypecast _),
     "ingest_filename_route" -> (IngestQueries.ingestFilenameRoute _),
@@ -311,6 +312,20 @@ object SparkEntry {
          |SELECT decile, count(*) AS customers, round(sum(rev), 2) AS revenue,
          |       round(min(rev), 2) AS floor_rev
          |FROM d GROUP BY decile ORDER BY decile""".stripMargin),
+    "q25_cube_revenue" ->
+      """WITH base AS (
+        |  SELECT n_name, year(o_orderdate) AS yr,
+        |         cast(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT coalesce(n_name, 'ALL') AS nation,
+        |       coalesce(cast(yr AS VARCHAR), 'ALL') AS order_year,
+        |       count(*) AS orders,
+        |       cast(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM base
+        |GROUP BY CUBE (n_name, yr)
+        |ORDER BY nation, order_year""".stripMargin,
     "q24_trailing_revenue" ->
       """WITH daily AS (
         |  SELECT cast(o_orderdate AS DATE) AS day,

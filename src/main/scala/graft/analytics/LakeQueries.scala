@@ -496,6 +496,27 @@ object LakeQueries {
       .orderBy(col("day"))
   }
 
+  /** A26: CUBE revenue — every (nation, order-year) subtotal plus both
+    * marginals and the grand total in ONE pass (Spark's Expand feeds
+    * the same shuffle class as the plain aggregate; 4× the rows of the
+    * base group-by, not 4 scans). Labels coalesce to 'ALL' instead of
+    * exposing grouping bits — engine-portable and what a report reads.
+    * Money in integer cents (§4). */
+  def q25CubeRevenue(s: SparkSession, dir: String): DataFrame = {
+    val joined = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate")).as("yr"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    joined
+      .cube(col("n_name"), col("yr"))
+      .agg(count(lit(1)).as("orders"), sum(col("cents")).as("revenue_cents"))
+      .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("yr").cast("string"), lit("ALL")).as("order_year"),
+        col("orders"), col("revenue_cents"))
+      .orderBy(col("nation"), col("order_year"))
+  }
+
   /** A24: mergeable distinct sketches — the incremental uniques rollup a
     * lake keeps so "uniques over any window" never rescans history. The
     * nightly job builds ONE DataSketches HLL sketch per (day, type)
