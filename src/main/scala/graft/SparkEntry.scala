@@ -76,6 +76,7 @@ object SparkEntry {
     "text_tfidf" -> (TextQueries.textTfidf _),
     "ngram_counts" -> (TextQueries.ngramCounts _),
     "text_contamination" -> (TextQueries.textContamination _),
+    "text_containment" -> (TextQueries.textContainment _),
     // rows-only: GK-sketch results are engine-specific (the scale face)
     "quality_percentile_approx" -> (TextQueries.qualityPercentileApprox _),
     "text_tokens" -> (TextQueries.textTokens _),
@@ -614,6 +615,28 @@ object SparkEntry {
         |       cast(sum(CASE WHEN q >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_good
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
     "meta_profile" -> graft.ingest.Profile.profileOracle,
+    "text_containment" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm
+        |  FROM documents),
+        |toks AS (SELECT doc_id, string_split(norm,' ') AS w FROM d),
+        |bg AS (
+        |  SELECT DISTINCT doc_id, w[i]||' '||w[i+1] AS ngram
+        |  FROM toks, unnest(generate_series(1, len(w)-1)) AS t(i)
+        |  WHERE len(w) >= 2),
+        |bench AS (SELECT doc_id AS item_id, ngram FROM bg WHERE doc_id < 5),
+        |sz AS (SELECT item_id, count(*) AS item_size FROM bench GROUP BY 1),
+        |hits AS (
+        |  SELECT bg.doc_id, bench.item_id, count(*) AS common
+        |  FROM bg JOIN bench USING (ngram)
+        |  WHERE bg.doc_id >= 5
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, item_id, cast(common AS BIGINT) AS common,
+        |       cast(item_size AS BIGINT) AS item_size,
+        |       common * 10000 // item_size AS containment_bp
+        |FROM hits JOIN sz USING (item_id)
+        |WHERE common * 10000 // item_size >= 1000
+        |ORDER BY doc_id, item_id""".stripMargin,
     "text_contamination" ->
       """WITH d AS (
         |  SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm

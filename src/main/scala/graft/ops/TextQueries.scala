@@ -193,6 +193,35 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** C29: benchmark CONTAINMENT decontamination — for each (corpus doc,
+    * benchmark item) pair, the share of the item's distinct n-grams the
+    * doc contains. The C23 hit-count gate asks "does this doc touch the
+    * benchmark at all"; containment is the published decontamination
+    * rule ("drop docs containing ≥X% of an eval item") and needs the
+    * per-ITEM normalizer. Plan: one shingle explode, broadcast of the
+    * (item, ngram) set (benchmarks are eval-sized — always the small
+    * side), per-(doc, item) partial-agg counts, integer basis points
+    * (`common*10000 div item_size` — exact BIGINT; a rounded rational
+    * like n/32 lands exactly on a .5 digit and diverges across
+    * engines). */
+  def textContainment(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir)
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 2)).as("ngram"))
+    val bench = sh.where(col("doc_id") < 5)
+      .select(col("doc_id").as("item_id"), col("ngram"))
+    val itemSize = bench.groupBy(col("item_id")).agg(count(lit(1)).as("item_size"))
+    sh.where(col("doc_id") >= 5)
+      .join(broadcast(bench), Seq("ngram"))
+      .groupBy(col("doc_id"), col("item_id"))
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(itemSize), Seq("item_id"))
+      .withColumn("containment_bp", expr("common * 10000 div item_size"))
+      .where(col("containment_bp") >= 1000)
+      .select(col("doc_id"), col("item_id"), col("common"), col("item_size"),
+        col("containment_bp"))
+      .orderBy(col("doc_id"), col("item_id"))
+  }
+
   /** C10: token counting — whitespace tokens and BPE-ish regex pieces. */
   def textTokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
