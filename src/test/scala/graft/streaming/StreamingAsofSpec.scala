@@ -96,6 +96,35 @@ class StreamingAsofSpec extends SparkSpec {
       s"anchored click must attribute a much-later purchase, got $got")
   }
 
+  test("jittered out-of-order replay still matches the batch face") {
+    // deliver events out of TIME order, bounded by +-3 min of jitter —
+    // under a 10-min watermark delay every event stays admissible, so
+    // the final attributions must be exactly the batch answer even
+    // though clicks and purchases arrive shuffled across micro-batches
+    val events = graft.sources.Tables(spark, sfDir, "events")
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts"), col("event_type"))
+      .as[Row4].collect()
+    val jittered = events.sortBy { r =>
+      val jitterMs = (r._2 * 2654435761L % 360000L) - 180000L // +-3 min
+      r._3.getTime + jitterMs
+    }
+    val chunks = jittered.grouped(math.max(1, jittered.length / 9)).toSeq
+    val streaming = run("asof_jitter") { (stream, q) =>
+      chunks.foreach { c => stream.addData(c.toIndexedSeq); q.processAllAvailable() }
+    }.filter(_._2 != 999999999L)
+      .map(r => r._1 -> (r._4, r._6)).toMap
+    val batch = graft.ops.AsofJoin.asofClickAttribution(spark, sfDir)
+      .select(col("event_id"), col("click_id"), col("gap_s"))
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    assert(streaming == batch,
+      s"jittered replay diverged: ${(batch.toSet diff streaming.toSet).take(3)} / " +
+        s"${(streaming.toSet diff batch.toSet).take(3)}")
+  }
+
   test("incremental replay of the events table matches the batch asof_join face") {
     val events = graft.sources.Tables(spark, sfDir, "events")
       .where(col("event_type").isin("click", "purchase"))
