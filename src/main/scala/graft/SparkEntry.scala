@@ -321,7 +321,7 @@ object SparkEntry {
         |  JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey)
         |SELECT coalesce(n_name, 'ALL') AS nation,
-        |       coalesce(cast(yr AS VARCHAR), 'ALL') AS order_year,
+        |       coalesce(cast(yr AS STRING), 'ALL') AS order_year,
         |       count(*) AS orders,
         |       cast(sum(cents) AS BIGINT) AS revenue_cents
         |FROM base

@@ -26,6 +26,15 @@ object Tables {
     if (nanosTsTables(name)) normalizeNanos(df) else df
   }
 
+  /** Register every lake table as a temp view, making the zone a plain
+    * `spark.sql` catalog — the migration path for the reference's users,
+    * whose query surface IS SQL (Athena/Presto over the cataloged
+    * storing zone, README.md step 7): point this at the zone and their
+    * ANSI SQL runs on Spark unchanged. SqlCatalogSpec proves several of
+    * the oracle queries verbatim-equal to the DataFrame faces. */
+  def registerAll(spark: SparkSession, zoneDir: String): Unit =
+    all.foreach(n => apply(spark, zoneDir, n).createOrReplaceTempView(n))
+
   /** Parquet TIMESTAMP(NANOS) columns arrive as BIGINT epoch-nanos under
     * `spark.sql.legacy.parquet.nanosAsLong=true` (Spark has no ns
     * timestamp type). Normalize them back to µs TimestampType so every
