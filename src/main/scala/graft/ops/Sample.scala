@@ -151,6 +151,23 @@ object Sample {
        |WHERE copies > 0
        |ORDER BY doc_id, copy_idx""".stripMargin
 
+  /** Temperature re-weighting of mixture proportions — the standard
+    * knob for balancing skewed source/language distributions: the
+    * sampled share of group i becomes n_i^(1/T) / Σ n_j^(1/T), i.e.
+    * T=1 keeps natural proportions, larger T flattens toward uniform,
+    * T→0 sharpens toward the biggest group. Returned as per-DOCUMENT
+    * copy weights for [[sampleMixture]], scaled so the expected output
+    * size equals `budget` documents (budget-neutral re-mix). Group
+    * counts are metadata-scale (one row per source). */
+  def temperatureWeights(counts: Map[String, Long], temperature: Double,
+                         budget: Long): Map[String, Double] = {
+    require(temperature > 0, s"temperature must be positive: $temperature")
+    require(counts.values.forall(_ > 0), "group counts must be positive")
+    val powered = counts.view.mapValues(n => math.pow(n.toDouble, 1.0 / temperature))
+    val z = powered.values.sum
+    powered.map { case (g, p) => g -> (p / z) * budget / counts(g) }.toMap
+  }
+
   /** DuckDB oracle for [[sampleStratifiedQuery]] — the same md5 coin and
     * per-group rank, spelled portably. */
   val stratifiedOracle: String =

@@ -72,6 +72,42 @@ class SampleSpec extends SparkSpec {
     }
   }
 
+  test("temperature re-weighting: T=1 identity, large T flattens, budget preserved") {
+    val counts = Map("big" -> 8000L, "mid" -> 1500L, "small" -> 500L)
+    val n = counts.values.sum
+
+    // T=1: natural proportions — every doc keeps weight 1
+    Sample.temperatureWeights(counts, 1.0, n).values.foreach(w =>
+      assert(math.abs(w - 1.0) < 1e-12))
+
+    // larger T: the small group's share must rise monotonically
+    val shares = Seq(1.0, 2.0, 5.0, 100.0).map { t =>
+      val w = Sample.temperatureWeights(counts, t, n)
+      w("small") * counts("small") / n
+    }
+    assert(shares.zip(shares.tail).forall { case (a, b) => a < b },
+      s"small-group share must grow with T: $shares")
+    // T -> inf: shares approach uniform (1/3 each)
+    assert(math.abs(shares.last - 1.0 / 3) < 0.01)
+
+    // budget neutrality at every T: expected docs == budget
+    for (t <- Seq(0.5, 1.0, 3.0)) {
+      val w = Sample.temperatureWeights(counts, t, n)
+      val expected = counts.map { case (g, c) => w(g) * c }.sum
+      assert(math.abs(expected - n) < 1e-6, s"T=$t expected $expected docs")
+    }
+
+    // composes with the mixture sampler: realized output size tracks the
+    // budget (copies are floor(w) + a coin at frac(w))
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val real = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val w = Sample.temperatureWeights(real, 2.0, real.values.sum)
+    val out = Sample.sampleMixture(docs, "doc_id", "source", w).count()
+    assert(math.abs(out - real.values.sum.toDouble) / real.values.sum < 0.15,
+      s"realized $out vs budget ${real.values.sum}")
+  }
+
   test("stratified sample: exact per-group counts, stable under repartitioning") {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
     val got = Sample.sampleStratified(docs, "doc_id", "source", 20)
