@@ -37,7 +37,11 @@ object Bench {
         Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
 
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the sweep — for iterating on one
+    // query's plan without paying the full 80-query sweep each time.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val warmDir = {
       val small = "/root/testdata/sf0.001"
       if (new java.io.File(small).isDirectory) small else sfDir
