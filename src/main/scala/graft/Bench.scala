@@ -39,7 +39,21 @@ object Bench {
 
     // SPARK_GRAFT_ONLY=q1,q2 restricts the sweep — for iterating on one
     // query's plan without paying the full 80-query sweep each time.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // Empty tokens are dropped (a trailing comma or an empty value must
+    // not silently filter the sweep to zero queries), and unknown names
+    // fail fast — a typo'd filter printing total=0.000 with exit 0 reads
+    // like a real result to the tail-capturing harness.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        Console.err.println(
+          s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val warmDir = {
@@ -77,7 +91,10 @@ object Bench {
     val total = timings.values.sum
     def line(qs: String, omitted: Int): String = {
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timings.size},"queries":$qs$om,"errors":$errs,"n_err":${errors.size},"sf":"$sfDir"}"""
+      // A filtered (partial) sweep must be machine-distinguishable from a
+      // full one — its total would otherwise be recorded as the benchmark.
+      val filt = if (only.isDefined) s""","filtered":true""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timings.size},"queries":$qs$om$filt,"errors":$errs,"n_err":${errors.size},"sf":"$sfDir"}"""
     }
     val full = line(queriesJson(timings), 0)
     // Full per-query detail first (for humans / the repo log) ...

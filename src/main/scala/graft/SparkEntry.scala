@@ -399,7 +399,9 @@ object SparkEntry {
         |       round(sum(c_acctbal), 2) AS totacctbal
         |FROM customer
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= DATE '2000-01-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q19_retention" ->
       """WITH ev AS (SELECT user_id, weekofyear(ts) AS wk FROM events),

@@ -431,15 +431,21 @@ object LakeQueries {
   }
 
   /** A20: TPC-H Q22-style prospects — customers with above-average
-    * balance (scalar subquery in the FILTER) and no orders (anti-join),
-    * rolled up per nation. */
+    * balance (scalar subquery in the FILTER) and no RECENT orders
+    * (anti-join against the date-filtered orders scan — Q22's lapsed-
+    * customer semantics), rolled up per nation. The date filter lives
+    * on the orders side of the anti-join, so it pushes to the scan;
+    * every customer in this corpus has SOME order, which made the
+    * no-orders-ever spelling structurally empty (a vacuous gate). */
   def q20Prospects(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer")
     val avgBal = cust.where(col("c_acctbal") > 0)
       .agg(avg(col("c_acctbal")).as("__avg"))
     cust.crossJoin(avgBal)
       .where(col("c_acctbal") > col("__avg"))
-      .join(t(s, dir, "orders").select(col("o_custkey")),
+      .join(t(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("2000-01-01").cast("date"))
+          .select(col("o_custkey")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("numcust"),

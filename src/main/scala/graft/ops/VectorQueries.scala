@@ -27,6 +27,9 @@ import graft.sources.Tables
   * bucket the corpus and only bucket-mates are scored.
   */
 object VectorQueries {
+  /** Vector width of the embeddings table (a corpus schema constant). */
+  val EmbeddingDim = 64
+
   private def emb(s: SparkSession, dir: String) =
     Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
 
@@ -70,14 +73,14 @@ object VectorQueries {
     * corpus's τ=0.35 the recall is spec-bounded in VectorSpec (rows-only
     * CORRECTNESS entry, like C7/C16). */
   def dedupEmbeddingLsh(s: SparkSession, dir: String, tau: Double = 0.35,
-      numTables: Int = 8, bitsPerTable: Int = 2): DataFrame = {
+      numTables: Int = 8, bitsPerTable: Int = 2, dim: Int = EmbeddingDim): DataFrame = {
     // Rescore INSIDE the bucket-join stage and filter tau before the
     // cross-table dedup: a pair colliding in k tables computes its
     // (identical) cosine k times — narrow CPU in the join task — but the
     // dedup exchange then carries only qualifying (ids, label, cos) rows,
     // near output size, instead of every candidate with both 64-dim
     // vectors attached (measured 4.4 s -> sub-second at sf0.1).
-    val banded = bandedCorpus(emb(s, dir), numTables, bitsPerTable)
+    val banded = bandedCorpus(emb(s, dir), numTables, bitsPerTable, dim)
     val a = banded.select(col("vec_id").as("vec_a"), col("label"),
       col("e").as("ea"), col("nrm").as("na"), col("tbl"), col("bucket"))
     val b = banded.select(col("vec_id").as("vec_b"), col("label"),
@@ -97,10 +100,14 @@ object VectorQueries {
     * Input: a [[Vectors.withNorm]] frame with vec_id/label/e/nrm. Output:
     * one row per unordered candidate pair (deduped across tables), with
     * both vectors carried for the exact rescore. */
-  /** Corpus exploded into its (table, bucket) LSH band rows. */
+  /** Corpus exploded into its (table, bucket) LSH band rows. `dim` is a
+    * PARAMETER (a schema decision, like the pivot column list in A13):
+    * probing it with `v.select(size(...)).head()` cost an extra Spark
+    * job + a scan dependency per LSH query just to size the hyperplane
+    * array. Hyperplane generation is driver-side constant folding either
+    * way; the vector width is known when the corpus is. */
   private def bandedCorpus(v: DataFrame, numTables: Int,
-      bitsPerTable: Int): DataFrame = {
-    val dim = v.select(size(col("e"))).head().getInt(0)
+      bitsPerTable: Int, dim: Int): DataFrame = {
     val buckets = (0 until numTables).map { l =>
       struct(lit(l).as("tbl"),
         Vectors.lshBucket(col("e"), Vectors.hyperplanes(bitsPerTable, dim, 142L + l))
@@ -113,8 +120,8 @@ object VectorQueries {
   }
 
   private[graft] def lshCandidates(v: DataFrame, numTables: Int,
-      bitsPerTable: Int): DataFrame = {
-    val banded = bandedCorpus(v, numTables, bitsPerTable)
+      bitsPerTable: Int, dim: Int = EmbeddingDim): DataFrame = {
+    val banded = bandedCorpus(v, numTables, bitsPerTable, dim)
     val a = banded.select(col("vec_id").as("vec_a"), col("label"),
       col("e").as("ea"), col("nrm").as("na"), col("tbl"), col("bucket"))
     val b = banded.select(col("vec_id").as("vec_b"), col("label"),
@@ -145,7 +152,7 @@ object VectorQueries {
     * bucket-mates in any table; exact cosine rescore; top-10 per query.
     * (Rows-only oracle: the plane set is generated Scala-side.) */
   def simSearchLsh(s: SparkSession, dir: String): DataFrame = {
-    val numTables = 4; val bitsPerTable = 6; val dim = 64
+    val numTables = 4; val bitsPerTable = 6; val dim = EmbeddingDim
     val v = emb(s, dir)
     val buckets = (0 until numTables).map { l =>
       struct(lit(l).as("tbl"),

@@ -180,6 +180,30 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("LSH dedup plan construction runs no driver-side Spark job") {
+    // bandedCorpus used to probe the vector width with .head() — an extra
+    // job + a scan dependency per LSH query. dim is a parameter now:
+    // building the plan must launch zero jobs.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // the parquet read itself may cost a schema-inference job — measure
+      // it, then require the full LSH build to add NOTHING on top
+      Vectors.withNorm(graft.sources.Tables(spark, sfDir, "embeddings"), "embedding")
+      Thread.sleep(500) // listener delivery is async; allow it to drain
+      val readJobs = jobs.getAndSet(0)
+      val df = VectorQueries.dedupEmbeddingLsh(spark, sfDir)
+      df.queryExecution.executedPlan // force full planning, still no extra job
+      Thread.sleep(500)
+      assert(jobs.get() <= readJobs,
+        s"plan construction launched ${jobs.get()} job(s) vs $readJobs for the bare read — dim must not be probed with an action")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("LSH top-k returns a subset-scored view consistent with brute force") {
     val bf = VectorQueries.simSearchTopk(spark, sfDir)
       .select("query_id", "vec_id", "cosine")
