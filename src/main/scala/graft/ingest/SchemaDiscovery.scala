@@ -73,7 +73,7 @@ object SchemaDiscovery {
 
   /** Bounded-pool parallel map for footer reads (driver-side metadata
     * work; the pool keeps a 10k-table crawl from serializing). */
-  private def inParallel[A, B](items: Seq[A], parallelism: Int = 8)(f: A => B): Seq[B] =
+  private[ingest] def inParallel[A, B](items: Seq[A], parallelism: Int = 8)(f: A => B): Seq[B] =
     if (items.isEmpty) Seq.empty
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
