@@ -1,0 +1,111 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** The reference's orchestrated daily pipeline as ONE composition — what
+  * Step Functions chains across jobs (reference README architecture:
+  * transformation → sync → crawler; ThreadPool fan-outs at
+  * DATALAKE_TRANSFORMATION_S3_DAILY_JOB.PY:392 and SYNC_..._JOB.PY:119):
+  *
+  *   1. `ingest`      — the landing→storing transformation run
+  *                      ([[IngestJob.run]]: route, ledger gate, parse,
+  *                      partitioned write, failure ledger);
+  *   2. `publish:<t>` — snapshot-commit each storing table
+  *                      ([[Snapshots.write]], append=false): the day's
+  *                      consistent, time-travelable version — readers
+  *                      never see the half-written day;
+  *   3. `sync:<t>`    — storing→user zone `sync --delete` execution
+  *                      ([[ZoneSync.execute]]);
+  *   4. `catalog`     — crawler refresh of the user zone into the
+  *                      persistent catalog ([[LakeCatalog.persist]]).
+  *
+  * PER-LEG FAILURE ISOLATION, the Step Functions catch-per-state
+  * semantics: each leg (and each table within the publish/sync legs)
+  * try/catches into a [[Leg]] record and the day continues — one broken
+  * table must not hold the rest of the lake a day behind. The legs frame
+  * is the run's queryable report, alongside [[IngestJob.RunSummary]]'s
+  * failure ledger.
+  */
+object DailyRun {
+
+  final case class Leg(name: String, status: String, detail: String, error: Option[String])
+
+  final case class DayResult(
+      legs: Seq[Leg],
+      ingest: Option[IngestJob.RunSummary],
+      snapshots: Map[String, Long],          // table -> committed version
+      synced: Map[String, (Long, Long)],     // table -> (copied, deleted)
+      cataloged: Int) {
+    def ok: Boolean = legs.forall(_.status == "ok")
+    def failed: Seq[Leg] = legs.filter(_.status == "failed")
+    def reportFrame(spark: SparkSession): DataFrame = {
+      val schema = StructType(Seq(
+        StructField("leg", StringType, nullable = false),
+        StructField("status", StringType, nullable = false),
+        StructField("detail", StringType, nullable = false),
+        StructField("error", StringType, nullable = true)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          legs.map(l => Row(l.name, l.status, l.detail, l.error.orNull)), 1),
+        schema)
+    }
+  }
+
+  private def attempt[A](name: String, legs: scala.collection.mutable.Buffer[Leg])
+                        (body: => (String, A)): Option[A] =
+    try {
+      val (detail, a) = body
+      legs += Leg(name, "ok", detail, None)
+      Some(a)
+    } catch {
+      case e: Throwable =>
+        legs += Leg(name, "failed", "",
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300)))
+        None
+    }
+
+  /** Data tables currently in the storing zone (the failure ledger is
+    * operational state, not a synced data table). */
+  private def storingTables(storingDir: String): Seq[String] =
+    Option(new java.io.File(storingDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName)
+      .filterNot(_ == FailureLedger.TableName).sorted.toSeq
+
+  def run(spark: SparkSession,
+          landingDir: String, storingDir: String, ledgerPath: String,
+          configs: Map[String, IngestJob.TableConfig],
+          publishRoot: String, userZoneRoot: String,
+          catalogPath: String): DayResult = {
+    val legs = scala.collection.mutable.Buffer[Leg]()
+
+    val summary = attempt("ingest", legs) {
+      val s = IngestJob.run(spark, landingDir, storingDir, ledgerPath, configs)
+      (s"files=${s.processedFiles} skipped=${s.skippedAsProcessed} " +
+        s"failures=${s.failureCounts.values.sum}", s)
+    }
+
+    val tables = storingTables(storingDir)
+    val snapshots = tables.flatMap { t =>
+      attempt(s"publish:$t", legs) {
+        val v = Snapshots.write(
+          spark.read.parquet(s"$storingDir/$t"), s"$publishRoot/$t", append = false)
+        (s"v$v", t -> v)
+      }
+    }.toMap
+
+    val synced = tables.flatMap { t =>
+      attempt(s"sync:$t", legs) {
+        val (c, d) = ZoneSync.execute(spark, s"$storingDir/$t", s"$userZoneRoot/$t")
+        (s"copied=$c deleted=$d", t -> ((c, d)))
+      }
+    }.toMap
+
+    val cataloged = attempt("catalog", legs) {
+      val n = LakeCatalog.persist(spark, userZoneRoot, catalogPath)
+      (s"tables=$n", n)
+    }.getOrElse(0)
+
+    DayResult(legs.toSeq, summary, snapshots, synced, cataloged)
+  }
+}

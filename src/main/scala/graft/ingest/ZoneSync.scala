@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Storing-zone → user-zone sync planning.
   *
@@ -22,6 +22,50 @@ object ZoneSync {
     Plan(
       toCopy = s.join(d, Seq(keyCol), "left_anti"),
       toDelete = d.join(s, Seq(keyCol), "left_anti"))
+  }
+
+  /** Recursive relative-key listing of a directory tree (Hadoop FS, so
+    * any lake URI): (relative path, length). Metadata-scale — the same
+    * listing `aws s3 sync` itself performs. */
+  private def listKeys(fs: org.apache.hadoop.fs.FileSystem,
+                       root: org.apache.hadoop.fs.Path): Seq[(String, Long)] = {
+    if (!fs.exists(root)) return Seq.empty
+    val base = root.toUri.getPath.stripSuffix("/")
+    val it = fs.listFiles(root, true)
+    val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    while (it.hasNext) {
+      val f = it.next()
+      out += ((f.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/"), f.getLen))
+    }
+    out.toSeq
+  }
+
+  /** EXECUTE a `sync --delete` of one table directory (the reference's
+    * shell-out, SYNC_..._JOB.PY:100–116, as a library call): the copy and
+    * delete sets come from the [[plan]] anti-joins over the two listings,
+    * plus sync's size heuristic (same key, different length → re-copy).
+    * The file moves are driver-side metadata work exactly like the
+    * reference's CLI — per-object copies over the FileSystem API; the
+    * collect is one row per out-of-sync FILE, not per byte. Returns
+    * (copied, deleted). */
+  def execute(spark: SparkSession, sourceDir: String, destDir: String): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val srcRoot = new Path(sourceDir); val dstRoot = new Path(destDir)
+    val fs = srcRoot.getFileSystem(conf)
+    val src = listKeys(fs, srcRoot); val dst = listKeys(fs, dstRoot)
+    val p = plan(src.toDF("key", "len"), dst.toDF("key", "len"), "key")
+    val dstLen = dst.toMap
+    val changed = src.filter { case (k, len) => dstLen.get(k).exists(_ != len) }.map(_._1)
+    val toCopy = (p.toCopy.as[String].collect().toSeq ++ changed).sorted
+    val toDelete = p.toDelete.as[String].collect().toSeq.sorted
+    toCopy.foreach { k =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, new Path(srcRoot, k),
+        fs, new Path(dstRoot, k), false, true, conf)
+    }
+    toDelete.foreach(k => fs.delete(new Path(dstRoot, k), false))
+    (toCopy.size.toLong, toDelete.size.toLong)
   }
 
   /** User-zone destination path per sync-config row (the reference's

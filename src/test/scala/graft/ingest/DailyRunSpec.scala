@@ -1,0 +1,87 @@
+package graft.ingest
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+/** Integration: the orchestrated daily pipeline over two consecutive
+  * days (plus a third with an induced mid-pipeline failure), asserting
+  * each zone's state after every day. */
+class DailyRunSpec extends SparkSpec {
+
+  private val configs = Map(
+    "ORDERS" -> IngestJob.TableConfig(Seq("id", "amount", "day"), Seq(4, 2, 6)),
+    "CUST" -> IngestJob.TableConfig(Seq("id", "name"), Seq(4, 1)))
+
+  private def drop(dir: String, name: String, lines: String): Unit =
+    Files.writeString(Paths.get(s"$dir/$name"), lines)
+
+  private def rel(root: String): Set[String] = {
+    def walk(f: java.io.File, prefix: String): Seq[String] =
+      Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap { c =>
+        val p = if (prefix.isEmpty) c.getName else s"$prefix/${c.getName}"
+        if (c.isDirectory) walk(c, p) else Seq(p)
+      }
+    walk(new java.io.File(root), "").toSet
+  }
+
+  test("two consecutive days: ingest → publish → sync → catalog, zones verified") {
+    val landing = tmpDir("dr-landing"); val storing = tmpDir("dr-storing")
+    val ledger = tmpDir("dr-ledger") + "/processed"
+    val publish = tmpDir("dr-publish"); val user = tmpDir("dr-user")
+    val catalog = tmpDir("dr-catalog") + "/catalog"
+
+    // ---- day 1
+    drop(landing, "ORDERS_20240101_080000.CSV", "1,10.5,2024-01-01\n2,20.0,2024-01-01\n")
+    drop(landing, "CUST_20240101_090000.CSV", "7,alice\n")
+    val d1 = DailyRun.run(spark, landing, storing, ledger, configs, publish, user, catalog)
+    assert(d1.ok, s"day 1 must be clean: ${d1.failed}")
+    assert(d1.ingest.get.processed == Map("ORDERS" -> 2L, "CUST" -> 1L))
+    assert(d1.snapshots == Map("ORDERS" -> 1L, "CUST" -> 1L))
+    assert(Snapshots.read(spark, s"$publish/ORDERS").count() == 2)
+    // user zone mirrors the storing zone file-for-file
+    assert(rel(s"$user/ORDERS") == rel(s"$storing/ORDERS"))
+    assert(rel(s"$user/CUST") == rel(s"$storing/CUST"))
+    assert(d1.cataloged == 2)
+    // the persistent catalog serves SQL over the user zone in a fresh session
+    val fresh = spark.newSession()
+    LakeCatalog.attach(fresh, catalog, database = "graft_daily")
+    try {
+      assert(fresh.sql("SELECT count(*) FROM graft_daily.ORDERS").head().getLong(0) == 2)
+      assert(fresh.sql("SELECT count(*) FROM graft_daily.CUST").head().getLong(0) == 1)
+    } finally fresh.sql("DROP DATABASE IF EXISTS graft_daily CASCADE")
+
+    // ---- day 2: one new ORDERS file; CUST unchanged
+    drop(landing, "ORDERS_20240102_080000.CSV", "3,30.0,2024-01-02\n")
+    val d2 = DailyRun.run(spark, landing, storing, ledger, configs, publish, user, catalog)
+    assert(d2.ok, s"day 2 must be clean: ${d2.failed}")
+    assert(d2.ingest.get.processed == Map("ORDERS" -> 1L))
+    assert(d2.ingest.get.skippedAsProcessed == 2, "day-1 files ledger-skip")
+    assert(d2.snapshots == Map("ORDERS" -> 2L, "CUST" -> 2L))
+    assert(Snapshots.read(spark, s"$publish/ORDERS").count() == 3)
+    // time travel: day 1's published version still reads as day 1
+    assert(Snapshots.read(spark, s"$publish/ORDERS", version = Some(1L)).count() == 2)
+    // sync moved only the changed files: CUST was untouched upstream
+    assert(d2.synced("CUST") == ((0L, 0L)), s"unchanged table re-synced: ${d2.synced}")
+    val (copied, _) = d2.synced("ORDERS")
+    assert(copied >= 1 && copied < rel(s"$storing/ORDERS").size,
+      s"sync must copy the new day's files only (copied=$copied)")
+    assert(rel(s"$user/ORDERS") == rel(s"$storing/ORDERS"))
+    assert(spark.read.parquet(s"$user/ORDERS").count() == 3)
+
+    // ---- day 3: induced sync failure on ORDERS; the rest of the day proceeds
+    FsUtil.deleteRecursively(new java.io.File(s"$user/ORDERS"))
+    Files.writeString(Paths.get(s"$user/ORDERS"), "not a directory")
+    drop(landing, "CUST_20240103_090000.CSV", "8,bob\n")
+    val d3 = DailyRun.run(spark, landing, storing, ledger, configs, publish, user, catalog)
+    assert(!d3.ok)
+    assert(d3.failed.map(_.name) == Seq("sync:ORDERS"), s"only the broken leg fails: ${d3.failed}")
+    assert(d3.ingest.get.processed == Map("CUST" -> 1L), "ingest leg unaffected")
+    assert(d3.snapshots == Map("ORDERS" -> 3L, "CUST" -> 3L), "publish legs unaffected")
+    assert(d3.synced.keySet == Set("CUST"), "the healthy sync leg completed")
+    assert(spark.read.parquet(s"$user/CUST").count() == 2)
+    // report frame is queryable
+    val rep = d3.reportFrame(spark)
+    assert(rep.where(org.apache.spark.sql.functions.col("status") === "failed").count() == 1)
+  }
+}
