@@ -108,4 +108,54 @@ class MultimodalSpec extends SparkSpec {
     assert(viaBatch == viaColumns,
       "mapPartitions decoder and columnar stub must emit identical metadata")
   }
+
+  test("real codec: javax.imageio decodes a real PNG's pixels through the plug point") {
+    // craft REAL PNGs with known pixel patterns: 2x2 RGB quadrants and a
+    // solid red 4x3 — encoded by the actual PNG writer, not a stub
+    def png(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val quad = png(2, 2) {
+      case (0, 0) => 0xff0000; case (1, 0) => 0x00ff00
+      case (0, 1) => 0x0000ff; case _ => 0xffffff
+    }
+    val red = png(4, 3)((_, _) => 0xff0000)
+    val d = Seq((1L, quad), (2L, red), (3L, "not an image".getBytes))
+      .toDF("doc_id", "payload")
+
+    val got = Multimodal.decodePixels(d, "doc_id", "payload")()
+      .as[Multimodal.PixelImage].collect().map(p => p.doc_id -> p).toMap
+
+    // exact pixel values back out of the real decoder, row-major RGB
+    assert(got(1L).width == 2 && got(1L).height == 2)
+    assert(got(1L).pixels.toSeq == Seq(
+      0xff, 0x00, 0x00,  0x00, 0xff, 0x00,   // row 0: red, green
+      0x00, 0x00, 0xff,  0xff, 0xff, 0xff    // row 1: blue, white
+    ).map(_.toByte))
+    assert(got(2L).pixels.toSeq == Seq.fill(4 * 3)(Seq(0xff, 0x00, 0x00)).flatten.map(_.toByte))
+    assert(got(3L).fmt == "bin" && got(3L).pixels.isEmpty, "non-image degrades, not fails")
+
+    // the header decoder and the full codec agree on dimensions
+    val hdr = Multimodal.decodePartitions(d.limit(2), "doc_id", "payload")(Multimodal.headerDecoder)
+      .select("doc_id", "fmt", "width", "height")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(hdr(1L) == ((1L, "png", 2L, 2L)) && hdr(2L) == ((2L, "png", 4L, 3L)))
+
+    // decoded pixels feed the mm_features profiling unchanged: the solid
+    // red image's l1-normalized byte histogram is 2/3 zeros (G,B) and
+    // 1/3 0xff (R) — bins 0 and 15
+    val prof = Multimodal.byteFeatures(
+      Multimodal.decodePixels(d, "doc_id", "payload")().where(col("doc_id") === 2L),
+      "pixels")
+      .select(posexplode(col("features")).as(Seq("bin", "share")))
+      .as[(Int, Double)].collect().toMap
+    assert(math.abs(prof(0) - 2.0 / 3) < 1e-9, s"zero-byte share: ${prof(0)}")
+    assert(math.abs(prof(15) - 1.0 / 3) < 1e-9, s"0xff share: ${prof(15)}")
+    assert((1 to 14).forall(b => prof(b) == 0.0))
+  }
 }
