@@ -83,6 +83,9 @@ object SparkEntry {
     "text_repetition" -> (TextQueries.textRepetition _),
     "text_redact" -> (TextQueries.textRedact _),
     "text_fingerprint" -> (TextQueries.textFingerprint _),
+    // sliding token windows + chunk-level (paragraph) dedup over them
+    "text_chunk" -> (TextQueries.textChunk _),
+    "dedup_chunk" -> (TextQueries.dedupChunk _),
     "dedup_ngram_jaccard" -> (DedupQueries.dedupNgramJaccard _),
     "dedup_minhash" -> (DedupQueries.dedupMinhash _),
     "dedup_simhash" -> (DedupQueries.dedupSimhash _),
@@ -111,6 +114,8 @@ object SparkEntry {
     "sample_split" -> (graft.ops.Sample.sampleSplitQuery _),
     "sample_stratified" -> (graft.ops.Sample.sampleStratifiedQuery _),
     "mixture_tokens" -> (graft.ops.Sample.mixtureTokensQuery _),
+    // sharded sequence packing into fixed token budgets
+    "sample_pack" -> (graft.ops.Sample.samplePackQuery _),
     // bucketed interval join: range turned into (key, time-bucket) equi-join
     "range_join" -> (graft.ops.RangeJoin.rangeJoinErrors _),
     // §2.D streaming (batch faces of the streaming transforms)
@@ -778,6 +783,46 @@ object SparkEntry {
         |  FROM documents)
         |SELECT fp, count(*) AS n_docs, min(doc_id) AS keeper, max(doc_id) AS max_doc
         |FROM f GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+    // C30/C31: the chunk rule — windows of 32 tokens at every stride-24
+    // offset that begins inside the doc (generate_series is stop-inclusive
+    // like Spark's sequence); list_slice is 1-based inclusive, clamped,
+    // matching slice(toks, start+1, 32).
+    "text_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+        |e AS (SELECT doc_id, toks, n,
+        |             unnest(generate_series(0, greatest(n-1, 0), 24)) AS start
+        |      FROM n)
+        |SELECT doc_id, cast(start // 24 AS INTEGER) AS chunk_idx,
+        |       cast(least(32, n - start) AS INTEGER) AS chunk_tokens,
+        |       md5(array_to_string(list_slice(toks, start+1, start+32), ' ')) AS chunk_hash
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    "dedup_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, source, toks, len(toks) AS n FROM d),
+        |e AS (SELECT doc_id, source, toks, n,
+        |             unnest(generate_series(0, greatest(n-1, 0), 24)) AS start
+        |      FROM n),
+        |ch AS (SELECT doc_id, source,
+        |              doc_id * 1048576 + start // 24 AS pos_key,
+        |              md5(array_to_string(list_slice(toks, start+1, start+32), ' ')) AS chunk_hash
+        |       FROM e),
+        |k AS (SELECT source, pos_key,
+        |             min(pos_key) OVER (PARTITION BY chunk_hash) AS keeper
+        |      FROM ch)
+        |SELECT source, count(*) AS n_chunks,
+        |       cast(sum(CASE WHEN pos_key <> keeper THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS dup_chunks,
+        |       cast(sum(CASE WHEN pos_key <> keeper THEN 1 ELSE 0 END) AS BIGINT)
+        |         * 10000 // count(*) AS dup_bp
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "sample_pack" -> graft.ops.Sample.packOracle,
     "dedup_ngram_jaccard" -> DedupQueries.jaccardOracle,
     "dedup_minhash" -> DedupQueries.minhashOracle,
     "dedup_cluster" -> DedupQueries.clusterOracle,

@@ -212,4 +212,62 @@ object Sample {
        |       cast(sum(ws * copies) AS BIGINT) AS tokens
        |FROM c WHERE copies > 0
        |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Sequence packing — docs concatenated into fixed token-budget
+    * training sequences (C32).
+    *
+    * Packing is inherently a running sum, and a single global running
+    * sum is a one-partition window — a non-starter at 100 TB. The
+    * production spelling shards first: documents are dealt to `shards`
+    * independent packers by a pure function of their id, each shard
+    * packs its docs in id order by exclusive-cumulative token count, and
+    * a sequence is `(shard, seq_id)`. Shard count is the parallelism
+    * knob — at cluster scale you raise it until each shard's sort fits
+    * an executor; every shard is then an independent (narrow-after-
+    * shuffle) task, and the one exchange is the shard hash partition.
+    *
+    * Contiguous-greedy semantics: a document goes to the sequence its
+    * exclusive cumsum lands in, so a sequence can overrun the budget by
+    * at most its last document (and a document longer than the whole
+    * budget becomes its own overfull sequence) — the standard streaming-
+    * packer contract. Deterministic and layout-independent: keyed on
+    * doc_id only. */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+                    budget: Long, shards: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("shard", pmod(col(idCol), lit(shards.toLong)))
+      .withColumn("cum", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"cum div ${budget}L"))
+  }
+
+  /** Query face (`sample_pack`): documents packed into 256-token
+    * sequences over 16 shards; one row per sequence with its doc count
+    * and token load. */
+  def samplePackQuery(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("tok"))
+    packSequences(d, "doc_id", "tok", budget = 256L, shards = 16)
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
+  /** `sample_pack` oracle: the same shard deal, exclusive running sum,
+    * and budget division in DuckDB's window spelling. */
+  val packOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 16 AS shard,
+      |         cast(len(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS BIGINT) AS tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT shard, tok,
+      |         cast(coalesce(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+      |  FROM d)
+      |SELECT shard, cum // 256 AS seq_id,
+      |       count(*) AS n_docs, cast(sum(tok) AS BIGINT) AS tokens
+      |FROM c GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin
 }

@@ -294,6 +294,61 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Shared C30/C31 chunk frame: one row per sliding token window.
+    *
+    * Chunk rule: windows of `width` tokens starting at every `stride`
+    * offset that begins inside the document (starts 0, S, 2S, … < n) —
+    * fully covering, deterministic, and expressible identically in both
+    * engines (`sequence`/`generate_series` + array slice). Tail windows
+    * shorten to the remaining tokens. The whole thing is a narrow
+    * projection + generator over one scan — no shuffle, so at 100 TB it
+    * is pure map work; only the consumer's aggregation exchanges data. */
+  private[ops] def chunkFrame(s: SparkSession, dir: String,
+                              width: Int, stride: Int): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      Text.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+    d.select(col("doc_id"), col("source"), col("n"), col("toks"),
+        posexplode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(stride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("source"), col("chunk_idx"),
+        least(lit(width), col("n") - col("start")).as("chunk_tokens"),
+        md5(array_join(slice(col("toks"), col("start") + 1, lit(width)), " "))
+          .as("chunk_hash"))
+  }
+
+  /** C30: sliding-window chunking — the context-window preparation step
+    * of a training pipeline (split each document into width-32 token
+    * windows at stride 24, 8-token overlap). Emits one row per chunk
+    * with its token count and content hash. */
+  def textChunk(s: SparkSession, dir: String): DataFrame =
+    chunkFrame(s, dir, width = 32, stride = 24)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+        col("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** C31: chunk-level exact dedup (the paragraph-dedup of CCNet /
+    * RefinedWeb, over C30's windows): a chunk is a duplicate when the
+    * same token window appears earlier in the corpus (position order —
+    * `doc_id * 2^20 + chunk_idx`; chunk counts are bounded far below
+    * 2^20 by document length). Like [[dedupExact]] the only exchange is
+    * one window shuffle on the (uniform) hash, then the per-source
+    * roll-up; duplicate share is reported in integer basis points (an
+    * exact BIGINT — a rounded rational diverges across engines). */
+  def dedupChunk(s: SparkSession, dir: String): DataFrame = {
+    val posKey = (col("doc_id") * lit(1048576L)) + col("chunk_idx")
+    val keeper = min(posKey).over(Window.partitionBy(col("chunk_hash")))
+    chunkFrame(s, dir, width = 32, stride = 24)
+      .withColumn("pos_key", posKey)
+      .withColumn("keeper", keeper)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("pos_key") =!= col("keeper"), 1L).otherwise(0L))
+          .as("dup_chunks"))
+      .withColumn("dup_bp", expr("dup_chunks * 10000 div n_chunks"))
+      .orderBy(col("source"))
+  }
+
   /** C11: duplicate fingerprint groups — md5 of the sorted distinct token
     * set; emits only groups with >1 member (the reorder-dup clusters). */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =

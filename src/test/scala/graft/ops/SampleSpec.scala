@@ -130,4 +130,48 @@ class SampleSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"stratified top-k must prune map-side:\n$plan")
   }
+
+  test("packing matches the per-shard reference packer exactly") {
+    // deterministic synthetic loads incl. docs larger than the budget
+    val docs = (0L until 500L).map(i => (i, 1L + (i * 37L) % 300L))
+      .toDF("doc_id", "tok")
+    val budget = 256L
+    val got = Sample.packSequences(docs, "doc_id", "tok", budget, shards = 8)
+      .select("doc_id", "shard", "seq_id").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // reference: greedy exclusive-cumsum packer per shard, in plain Scala
+    val expected = (0L until 500L).map(i => (i, 1L + (i * 37L) % 300L))
+      .groupBy(_._1 % 8).flatMap { case (shard, ds) =>
+        var cum = 0L
+        ds.sortBy(_._1).map { case (id, tok) =>
+          val bin = cum / budget; cum += tok; id -> ((shard, bin))
+        }
+      }
+    assert(got == expected, "every doc must land in the reference bin")
+  }
+
+  test("packing is layout-independent and conserves tokens") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .select($"doc_id",
+        org.apache.spark.sql.functions.size(Text.tokens($"text")).cast("long").as("tok"))
+    val a = Sample.packSequences(docs, "doc_id", "tok", 256L, 16)
+      .select("doc_id", "shard", "seq_id").as[(Long, Long, Long)].collect().toSet
+    val b = Sample.packSequences(docs.repartition(13), "doc_id", "tok", 256L, 16)
+      .select("doc_id", "shard", "seq_id").as[(Long, Long, Long)].collect().toSet
+    assert(a == b, "packing must be keyed on doc_id only")
+    val seqs = Sample.samplePackQuery(spark, sfDir)
+      .select("tokens").as[Long].collect()
+    val total = docs.agg(org.apache.spark.sql.functions.sum($"tok")).as[Long].head()
+    assert(seqs.sum == total, "packing must conserve the token total")
+    // contiguous-greedy contract: a sequence overruns the budget only by
+    // its final document (every doc's EXCLUSIVE cumsum lies inside the bin)
+    val perSeq = Sample.packSequences(docs, "doc_id", "tok", 256L, 16)
+      .select("shard", "seq_id", "cum", "tok").as[(Long, Long, Long, Long)]
+      .collect().groupBy(t => (t._1, t._2))
+    perSeq.foreach { case ((sh, sq), rows) =>
+      rows.foreach { case (_, _, cum, _) =>
+        assert(cum / 256L == sq, s"doc with cum $cum outside bin ($sh,$sq)")
+      }
+    }
+  }
 }
