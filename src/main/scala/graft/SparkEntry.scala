@@ -86,6 +86,12 @@ object SparkEntry {
     // sliding token windows + chunk-level (paragraph) dedup over them
     "text_chunk" -> (TextQueries.textChunk _),
     "dedup_chunk" -> (TextQueries.dedupChunk _),
+    // cumulative filter-funnel survivor report over the documents corpus
+    "quality_funnel" -> (TextQueries.qualityFunnel _),
+    // (source × lang) dataset card at every rollup level
+    "corpus_stats" -> (TextQueries.corpusStats _),
+    // canonicalization audit with a cross-engine md5 witness
+    "text_normalize" -> (TextQueries.textNormalize _),
     "dedup_ngram_jaccard" -> (DedupQueries.dedupNgramJaccard _),
     "dedup_minhash" -> (DedupQueries.dedupMinhash _),
     "dedup_simhash" -> (DedupQueries.dedupSimhash _),
@@ -823,6 +829,78 @@ object SparkEntry {
         |         * 10000 // count(*) AS dup_bp
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "sample_pack" -> graft.ops.Sample.packOracle,
+    // C33: cumulative funnel — flags from one normalized projection, the
+    // keeper from the dedup hash-window, stages unpivoted from one agg row
+    "quality_funnel" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |         trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, n_chars, md5(norm) AS h,
+        |    cast(len(string_split(norm,' ')) AS DOUBLE) AS n_tok,
+        |    cast(len(list_filter(string_split(norm,' '),
+        |         x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) AS n_stop,
+        |    cast(length(replace(norm,' ','')) AS DOUBLE) AS n_alpha,
+        |    cast(len(list_distinct(string_split(norm,' '))) AS DOUBLE) AS uniq
+        |  FROM d),
+        |f AS (
+        |  SELECT
+        |    CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS f_len,
+        |    CASE WHEN 0.4*least(n_tok/100.0,1.0)
+        |            + 0.3*least((n_stop/n_tok)*10.0,1.0)
+        |            + 0.3*(CASE WHEN n_alpha/n_tok >= 3.0 AND n_alpha/n_tok <= 8.0
+        |                        THEN 1.0 ELSE 0.0 END) >= 0.5
+        |         THEN 1 ELSE 0 END AS f_q,
+        |    CASE WHEN uniq/n_tok >= 0.5 THEN 1 ELSE 0 END AS f_div,
+        |    CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY h)
+        |         THEN 1 ELSE 0 END AS f_uniq
+        |  FROM m),
+        |a AS (
+        |  SELECT count(*) AS total, sum(f_len) AS s1, sum(f_len*f_q) AS s2,
+        |         sum(f_len*f_q*f_div) AS s3, sum(f_len*f_q*f_div*f_uniq) AS s4
+        |  FROM f)
+        |SELECT stage, cast(survivors AS BIGINT) AS survivors,
+        |       cast(dropped AS BIGINT) AS dropped
+        |FROM (
+        |  SELECT '0_all' AS stage, total AS survivors, 0 AS dropped FROM a
+        |  UNION ALL SELECT '1_length', s1, total - s1 FROM a
+        |  UNION ALL SELECT '2_quality', s2, s1 - s2 FROM a
+        |  UNION ALL SELECT '3_diversity', s3, s2 - s3 FROM a
+        |  UNION ALL SELECT '4_unique', s4, s3 - s4 FROM a)
+        |ORDER BY stage""".stripMargin,
+    // C34: dataset card — ROLLUP over (source, lang)
+    "corpus_stats" ->
+      """WITH d AS (
+        |  SELECT source, lang, n_chars,
+        |    cast(len(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' '))
+        |         AS BIGINT) AS ws
+        |  FROM documents)
+        |SELECT coalesce(source,'ALL') AS source, coalesce(lang,'ALL') AS lang,
+        |       count(*) AS docs, cast(sum(n_chars) AS BIGINT) AS chars,
+        |       cast(sum(ws) AS BIGINT) AS tokens,
+        |       round(avg(ws),4) AS avg_tokens
+        |FROM d GROUP BY ROLLUP(source, lang) ORDER BY source, lang""".stripMargin,
+    // C35: canonicalization audit — planted deterministic mess (the corpus
+    // is already canonical), md5 witness over the recovered canonical text
+    "text_normalize" ->
+      """WITH d AS (
+        |  SELECT source, text,
+        |         CASE WHEN doc_id % 3 = 0 THEN '  ' || upper(text)
+        |              WHEN doc_id % 3 = 1 THEN replace(text, ' ', '  ')
+        |              ELSE text END AS t
+        |  FROM documents),
+        |n AS (
+        |  SELECT source, text, t,
+        |         trim(regexp_replace(lower(t),'\s+',' ','g')) AS norm
+        |  FROM d)
+        |SELECT source, count(*) AS docs,
+        |       cast(sum(CASE WHEN norm <> t THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+        |       cast(sum(length(t) - length(norm)) AS BIGINT) AS chars_removed,
+        |       cast(sum(CASE WHEN norm = trim(regexp_replace(lower(text),'\s+',' ','g'))
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS recovered,
+        |       min(md5(norm)) AS sample_hash
+        |FROM n GROUP BY source ORDER BY source""".stripMargin,
     "dedup_ngram_jaccard" -> DedupQueries.jaccardOracle,
     "dedup_minhash" -> DedupQueries.minhashOracle,
     "dedup_cluster" -> DedupQueries.clusterOracle,

@@ -349,6 +349,101 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** C33: quality-filter funnel — the per-stage survivor report every
+    * pretraining pipeline publishes (the C4/RefinedWeb "documents
+    * remaining after each rule" table). Stages apply CUMULATIVELY:
+    * length (n_chars >= 100) → quality (the C9 score >= 0.5) →
+    * diversity (distinct-token ratio >= 0.5, the Gopher repetition
+    * rule) → unique (exact-hash first-occurrence keeper).
+    *
+    * Plan shape at 100 TB: every per-doc flag comes from ONE scan's
+    * narrow projection (the distinct-token ratio uses `array_distinct`
+    * on the token array — per-row work, never an explode+regroup); the
+    * keeper flag is the dedup path's single hash-window shuffle; the
+    * funnel itself is one global aggregate whose stage rows are
+    * unpivoted from the single result row with `stack` — no windows
+    * over the output, no second pass. */
+  def qualityFunnel(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("n_chars"),
+      graft.functions.TokenMarkerStats(col("text")).as("st"),
+      Text.contentHash(col("text")).as("h"),
+      size(array_distinct(Text.tokens(col("text")))).as("uniq"))
+    val nTok = col("st.ws_tokens").cast("double")
+    val stopRatio = col("st.stop").cast("double") / nTok
+    val avgLen = col("st.alpha_len").cast("double") / nTok
+    val q = lit(0.4) * least(nTok / 100.0, lit(1.0)) +
+      lit(0.3) * least(stopRatio * 10.0, lit(1.0)) +
+      lit(0.3) * when(avgLen >= 3.0 && avgLen <= 8.0, 1.0).otherwise(0.0)
+    d.withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .select(
+        when(col("n_chars") >= 100, 1L).otherwise(0L).as("f_len"),
+        when(q >= 0.5, 1L).otherwise(0L).as("f_q"),
+        when(col("uniq").cast("double") / nTok >= 0.5, 1L).otherwise(0L).as("f_div"),
+        when(col("doc_id") === col("keeper"), 1L).otherwise(0L).as("f_uniq"))
+      .agg(count(lit(1)).as("total"),
+        sum(col("f_len")).as("s1"),
+        sum(col("f_len") * col("f_q")).as("s2"),
+        sum(col("f_len") * col("f_q") * col("f_div")).as("s3"),
+        sum(col("f_len") * col("f_q") * col("f_div") * col("f_uniq")).as("s4"))
+      .select(expr(
+        "stack(5, '0_all', total, 0L, '1_length', s1, total - s1, " +
+          "'2_quality', s2, s1 - s2, '3_diversity', s3, s2 - s3, " +
+          "'4_unique', s4, s3 - s4) AS (stage, survivors, dropped)"))
+      .orderBy(col("stage"))
+  }
+
+  /** C34: corpus dataset card — the (source × lang) inventory a mixture
+    * designer reads before setting weights: docs, chars, whitespace
+    * tokens, and mean doc length at every rollup level (per cell, per
+    * source, grand total). One scan, partial-aggregating ROLLUP (the
+    * Expand adds 3 rows per input — map-side combine collapses them
+    * before the one shuffle on the tiny (source, lang) key space). */
+  def corpusStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        graft.functions.TokenMarkerStats(col("text")).as("st"))
+      .select(col("source"), col("lang"), col("n_chars"),
+        col("st.ws_tokens").cast("long").as("ws"))
+      .rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_chars")).as("chars"),
+        sum(col("ws")).as("tokens"),
+        round(avg(col("ws")), 4).as("avg_tokens"))
+      .select(coalesce(col("source"), lit("ALL")).as("source"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("docs"), col("chars"), col("tokens"), col("avg_tokens"))
+      .orderBy(col("source"), col("lang"))
+
+  /** C35: normalization audit — the canonicalization pass (lowercase,
+    * whitespace collapse, trim — [[Text.normalized]], the exact form
+    * the dedup hashes key on) as its own reporting operator. The
+    * synthetic corpus is ALREADY canonical (zero docs would change —
+    * a vacuous gate), so like [[textRedact]] the query first PLANTS
+    * deterministic mess derived from doc_id (leading spaces + uppercase
+    * for doc_id%3==0, doubled inter-word spaces for doc_id%3==1, a
+    * third left clean) — the operator under test is the normalization
+    * itself: per-source docs changed, chars shed, docs RECOVERED to the
+    * original canonical form (proving normalize ∘ denormalize =
+    * identity), and an md5 witness of byte-identical canonical output.
+    * Pure narrow projection + per-source aggregate — no shuffle before
+    * the roll-up at any scale. */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val messy = when(col("doc_id") % 3 === 0, concat(lit("  "), upper(col("text"))))
+      .when(col("doc_id") % 3 === 1, regexp_replace(col("text"), " ", "  "))
+      .otherwise(col("text"))
+    docs(s, dir)
+      .select(col("source"), col("text"), messy.as("t"))
+      .withColumn("norm", Text.normalized(col("t")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("norm") =!= col("t"), 1L).otherwise(0L)).as("changed"),
+        sum((length(col("t")) - length(col("norm"))).cast("long")).as("chars_removed"),
+        sum(when(col("norm") === Text.normalized(col("text")), 1L).otherwise(0L))
+          .as("recovered"),
+        min(md5(col("norm"))).as("sample_hash"))
+      .orderBy(col("source"))
+  }
+
   /** C11: duplicate fingerprint groups — md5 of the sorted distinct token
     * set; emits only groups with >1 member (the reorder-dup clusters). */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =

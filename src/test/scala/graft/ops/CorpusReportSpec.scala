@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** C33 quality_funnel, C34 corpus_stats, C35 text_normalize — the
+  * corpus-reporting operators. Each is cross-checked by a driver-side
+  * recomputation from the raw documents with the same rules. */
+class CorpusReportSpec extends SparkSpec {
+
+  private def docs = graft.sources.Tables(spark, sfDir, "documents")
+
+  test("quality_funnel: monotone survivors, exact stage accounting, brute recount") {
+    val rows = TextQueries.qualityFunnel(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("0_all", "1_length", "2_quality", "3_diversity", "4_unique"))
+    val surv = rows.map(_.getAs[Long]("survivors"))
+    assert(surv.head == docs.count())
+    surv.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, "funnel survivors must be monotone non-increasing")
+    }
+    // dropped at each stage is exactly the survivor delta
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur.getAs[Long]("dropped") ==
+        prev.getAs[Long]("survivors") - cur.getAs[Long]("survivors"))
+    }
+    assert(surv.last > 0, "the full funnel must keep some documents")
+
+    // brute recount of the cumulative rules from raw text
+    val raw = docs.select("doc_id", "text", "n_chars").collect().map { r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("text"), r.getAs[Long]("n_chars"))
+    }
+    val stop = Set("the", "a", "of", "and", "to", "in")
+    def toks(t: String): Array[String] =
+      t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ")
+    def q(t: String): Double = {
+      val w = toks(t)
+      val nTok = w.length.toDouble
+      val stopRatio = w.count(stop) / nTok
+      val avgLen = w.map(_.length).sum / nTok
+      0.4 * math.min(nTok / 100.0, 1.0) + 0.3 * math.min(stopRatio * 10.0, 1.0) +
+        0.3 * (if (avgLen >= 3.0 && avgLen <= 8.0) 1.0 else 0.0)
+    }
+    val keeper = raw.groupBy { case (_, t, _) => toks(t).mkString(" ") }
+      .values.map(_.map(_._1).min).toSet
+    val s1 = raw.filter(_._3 >= 100)
+    val s2 = s1.filter { case (_, t, _) => q(t) >= 0.5 }
+    val s3 = s2.filter { case (_, t, _) =>
+      val w = toks(t); w.distinct.length.toDouble / w.length >= 0.5
+    }
+    val s4 = s3.filter { case (id, _, _) => keeper(id) }
+    assert(surv.toSeq == Seq(raw.length.toLong, s1.length.toLong,
+      s2.length.toLong, s3.length.toLong, s4.length.toLong))
+  }
+
+  test("corpus_stats: rollup levels are consistent and totals match the corpus") {
+    val rows = TextQueries.corpusStats(spark, sfDir).collect()
+    val grand = rows.filter(r => r.getAs[String]("source") == "ALL")
+    assert(grand.length == 1 && grand.head.getAs[String]("lang") == "ALL",
+      "exactly one grand-total row; no (ALL, lang) rows in a rollup")
+    assert(grand.head.getAs[Long]("docs") == docs.count())
+
+    val cells = rows.filter(r =>
+      r.getAs[String]("source") != "ALL" && r.getAs[String]("lang") != "ALL")
+    val subtotals = rows.filter(r =>
+      r.getAs[String]("source") != "ALL" && r.getAs[String]("lang") == "ALL")
+    // every source subtotal equals the sum of its cells, for each measure
+    subtotals.foreach { st =>
+      val mine = cells.filter(_.getAs[String]("source") == st.getAs[String]("source"))
+      assert(mine.nonEmpty)
+      for (c <- Seq("docs", "chars", "tokens"))
+        assert(mine.map(_.getAs[Long](c)).sum == st.getAs[Long](c),
+          s"rollup subtotal mismatch on $c for ${st.getAs[String]("source")}")
+    }
+    assert(cells.map(_.getAs[Long]("docs")).sum == docs.count())
+    // avg is consistent with the sums it summarizes
+    cells.foreach { c =>
+      assert(math.abs(c.getAs[Double]("avg_tokens") -
+        c.getAs[Long]("tokens").toDouble / c.getAs[Long]("docs")) < 5e-5)
+    }
+  }
+
+  test("text_normalize: non-vacuous audit matches a driver-side normalization byte for byte") {
+    val rows = TextQueries.textNormalize(spark, sfDir).collect()
+    val raw = docs.select("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[String]("text")))
+    assert(rows.map(_.getAs[Long]("docs")).sum == raw.length)
+    // the planted mess makes the gate non-vacuous: ~2/3 of docs change
+    assert(rows.map(_.getAs[Long]("changed")).sum > raw.length / 2)
+    def norm(s: String): String = s.toLowerCase.replaceAll("\\s+", " ").trim
+    val bySource = raw.groupBy(_._2)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val mine = bySource(src)
+      val messy = mine.map { case (id, _, t) =>
+        if (id % 3 == 0) "  " + t.toUpperCase
+        else if (id % 3 == 1) t.replace(" ", "  ")
+        else t
+      }
+      val norms = messy.map(norm)
+      assert(r.getAs[Long]("docs") == mine.length.toLong)
+      assert(r.getAs[Long]("changed") ==
+        messy.zip(norms).count { case (t, n) => t != n }.toLong)
+      assert(r.getAs[Long]("chars_removed") ==
+        messy.zip(norms).map { case (t, n) => (t.length - n.length).toLong }.sum)
+      // normalization undoes the planted mess: every doc recovers its
+      // original canonical form
+      assert(r.getAs[Long]("recovered") == mine.length.toLong)
+      assert(norms.toSeq == mine.map { case (_, _, t) => norm(t) }.toSeq)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hashes = norms.map(n =>
+        md.digest(n.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      assert(r.getAs[String]("sample_hash") == hashes.min)
+    }
+  }
+}
