@@ -161,6 +161,41 @@ object Multimodal {
       .toDF()
   }
 
+  /** Nearest-neighbor resize over decoded pixel frames (the standard
+    * thumbnail/normalize step between decode and feature extraction).
+    * Operates on [[decodePixels]] output — plain executor-side loop over
+    * the RGB buffer, no codec round-trip, so a decode→resize→featurize
+    * chain is one narrow mapPartitions pipeline per partition. Rows
+    * whose decode degraded (empty pixels) stay degraded instead of
+    * failing the batch. */
+  def resizePixels(df: DataFrame, toWidth: Int, toHeight: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.as[PixelImage].mapPartitions(_.map { p =>
+      if (p.pixels.isEmpty || p.width <= 0 || p.height <= 0)
+        p.copy(width = 0, height = 0, pixels = Array.empty)
+      else {
+        val w = p.width.toInt; val h = p.height.toInt
+        val out = new Array[Byte](toWidth * toHeight * 3)
+        var i = 0
+        var y = 0
+        while (y < toHeight) {
+          val sy = (y.toLong * h / toHeight).toInt
+          var x = 0
+          while (x < toWidth) {
+            val sx = (x.toLong * w / toWidth).toInt
+            val s = (sy * w + sx) * 3
+            out(i) = p.pixels(s); out(i + 1) = p.pixels(s + 1)
+            out(i + 2) = p.pixels(s + 2)
+            i += 3; x += 1
+          }
+          y += 1
+        }
+        PixelImage(p.doc_id, p.fmt, toWidth.toLong, toHeight.toLong, out)
+      }
+    }).toDF()
+  }
+
   /** Frame sampling: slice an opaque payload into `frameBytes` blocks
     * and keep every `everyN`-th — the video-frame-subsample shape
     * (explode plumbing is real; real codecs would decode each block).

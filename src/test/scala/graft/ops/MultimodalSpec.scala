@@ -158,4 +158,54 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(prof(15) - 1.0 / 3) < 1e-9, s"0xff share: ${prof(15)}")
     assert((1 to 14).forall(b => prof(b) == 0.0))
   }
+
+  test("resizePixels: nearest-neighbor up/downscale with exact pixel values") {
+    def png(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val quad = png(2, 2) {
+      case (0, 0) => 0xff0000; case (1, 0) => 0x00ff00
+      case (0, 1) => 0x0000ff; case _ => 0xffffff
+    }
+    val red = png(4, 3)((_, _) => 0xff0000)
+    val d = Seq((1L, quad), (2L, red), (3L, "not an image".getBytes))
+      .toDF("doc_id", "payload")
+    val decoded = Multimodal.decodePixels(d, "doc_id", "payload")()
+
+    // 2x upscale: each source pixel becomes a 2x2 block of its own color
+    val up = Multimodal.resizePixels(decoded.where(col("doc_id") === 1L), 4, 4)
+      .as[Multimodal.PixelImage].head()
+    assert(up.width == 4 && up.height == 4 && up.pixels.length == 4 * 4 * 3)
+    def rgbAt(p: Multimodal.PixelImage, x: Int, y: Int): Seq[Int] = {
+      val i = (y * p.width.toInt + x) * 3
+      p.pixels.slice(i, i + 3).map(_ & 0xff).toSeq
+    }
+    assert(rgbAt(up, 0, 0) == Seq(0xff, 0, 0) && rgbAt(up, 1, 1) == Seq(0xff, 0, 0))
+    assert(rgbAt(up, 2, 0) == Seq(0, 0xff, 0) && rgbAt(up, 3, 1) == Seq(0, 0xff, 0))
+    assert(rgbAt(up, 0, 2) == Seq(0, 0, 0xff) && rgbAt(up, 1, 3) == Seq(0, 0, 0xff))
+    assert(rgbAt(up, 2, 2) == Seq(0xff, 0xff, 0xff) && rgbAt(up, 3, 3) == Seq(0xff, 0xff, 0xff))
+
+    // downscale a solid image: still solid, exact target dims
+    val down = Multimodal.resizePixels(decoded.where(col("doc_id") === 2L), 2, 2)
+      .as[Multimodal.PixelImage].head()
+    assert(down.width == 2 && down.height == 2)
+    assert(down.pixels.toSeq == Seq.fill(4)(Seq(0xff, 0x00, 0x00)).flatten.map(_.toByte))
+
+    // degraded decodes stay degraded (no crash, no phantom pixels)
+    val bad = Multimodal.resizePixels(decoded.where(col("doc_id") === 3L), 2, 2)
+      .as[Multimodal.PixelImage].head()
+    assert(bad.width == 0 && bad.pixels.isEmpty)
+
+    // resized output feeds featurize unchanged: solid red 2x2 histogram
+    val prof2 = Multimodal.byteFeatures(
+      Multimodal.resizePixels(decoded.where(col("doc_id") === 2L), 2, 2), "pixels")
+      .select(posexplode(col("features")).as(Seq("bin", "share")))
+      .as[(Int, Double)].collect().toMap
+    assert(math.abs(prof2(0) - 2.0 / 3) < 1e-9 && math.abs(prof2(15) - 1.0 / 3) < 1e-9)
+  }
 }
