@@ -92,7 +92,11 @@ object SparkEntry {
     "corpus_stats" -> (TextQueries.corpusStats _),
     // canonicalization audit with a cross-engine md5 witness
     "text_normalize" -> (TextQueries.textNormalize _),
+    // per-source token-distribution drift vs the corpus (integer bp)
+    "corpus_divergence" -> (TextQueries.corpusDivergence _),
     "dedup_ngram_jaccard" -> (DedupQueries.dedupNgramJaccard _),
+    // incremental new-batch-vs-standing-corpus dedup (3 probe faces)
+    "dedup_incremental" -> (DedupQueries.dedupIncremental _),
     "dedup_minhash" -> (DedupQueries.dedupMinhash _),
     "dedup_simhash" -> (DedupQueries.dedupSimhash _),
     "dedup_cluster" -> (DedupQueries.dedupCluster _),
@@ -883,6 +887,30 @@ object SparkEntry {
         |FROM d GROUP BY ROLLUP(source, lang) ORDER BY source, lang""".stripMargin,
     // C35: canonicalization audit — planted deterministic mess (the corpus
     // is already canonical), md5 witness over the recovered canonical text
+    "corpus_divergence" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |         string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w
+        |  FROM documents),
+        |st AS (SELECT source, term, count(*) AS n
+        |       FROM (SELECT source, unnest(w) AS term FROM toks)
+        |       GROUP BY source, term),
+        |srct AS (SELECT source, cast(sum(n) AS BIGINT) AS src_tokens
+        |         FROM st GROUP BY source),
+        |corpus AS (SELECT term, sum(n) AS cn FROM st GROUP BY term),
+        |ct AS (SELECT sum(cn) AS ct FROM corpus),
+        |top AS (SELECT term, cast(cn * 10000 // ct AS BIGINT) AS corpus_bp
+        |        FROM corpus, ct ORDER BY cn DESC, term LIMIT 30),
+        |grid AS (SELECT s.source, s.src_tokens, t.term, t.corpus_bp
+        |         FROM srct s, top t),
+        |probe AS (SELECT g.source, g.src_tokens, g.corpus_bp,
+        |                 coalesce(st.n, 0) * 10000 // g.src_tokens AS src_bp
+        |          FROM grid g
+        |          LEFT JOIN st ON st.source = g.source AND st.term = g.term)
+        |SELECT source, src_tokens,
+        |       cast(sum(src_bp) AS BIGINT) AS top_coverage_bp,
+        |       cast(sum(abs(src_bp - corpus_bp)) AS BIGINT) AS divergence_bp
+        |FROM probe GROUP BY source, src_tokens ORDER BY source""".stripMargin,
     "text_normalize" ->
       """WITH d AS (
         |  SELECT source, text,
@@ -903,6 +931,7 @@ object SparkEntry {
         |FROM n GROUP BY source ORDER BY source""".stripMargin,
     "dedup_ngram_jaccard" -> DedupQueries.jaccardOracle,
     "dedup_minhash" -> DedupQueries.minhashOracle,
+    "dedup_incremental" -> DedupQueries.incrementalOracle,
     "dedup_cluster" -> DedupQueries.clusterOracle,
     // dedup_simhash: rows-only (60-bit banded SimHash isn't expressible in
     // portable DuckDB SQL — no hex->int conversion); covered by ScalaTest.

@@ -49,6 +49,60 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** C36: INCREMENTAL dedup — the daily-batch shape every standing
+    * corpus actually runs: probe only the incoming slice (here docs with
+    * `doc_id % 5 = 4`, the "new batch") against the standing corpus's
+    * indexes, never re-pair the whole corpus. Three probe faces, coarse
+    * to fine: exact content hash, order-insensitive fingerprint, and
+    * MinHash-band collision (the C3 signature — an incoming doc is a
+    * near-dup CANDIDATE when any of its 4 band keys already exists in
+    * the standing corpus's band table).
+    *
+    * Plan shape at 100 TB: the standing side collapses to three
+    * key-distinct index frames (hash set, fingerprint set, band table) —
+    * in production these are materialized once and maintained
+    * incrementally, so a daily run's cost is bounded by the BATCH size
+    * plus one equi-join per index, all on uniformly-distributed md5 keys
+    * (no skew by construction). Nothing ever pairs incoming×incoming or
+    * rescans the standing corpus's text. Per-source report; `dup_exact`
+    * is legitimately 0 below sf0.1 (the synthetic corpus has no exact
+    * dups there — `dedup_exact` reports the same), while the fingerprint
+    * and band faces carry signal at every SF. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val isNew = col("doc_id") % 5 === 4
+    val keyed = d.select(col("doc_id"), col("source"),
+      Text.contentHash(col("text")).as("h"),
+      Text.fingerprint(col("text")).as("fp"),
+      isNew.as("is_new"))
+    val bands = Dedup.lshBands(
+        Dedup.minhashSignature(Dedup.shingleFrame(d, "doc_id", "text", 3),
+          "doc_id", 16), "doc_id", 4, 4)
+      .withColumn("is_new", isNew)
+    val exBands = bands.where(!col("is_new"))
+      .select(col("band_idx"), col("band_key")).distinct()
+    val nearHit = bands.where(col("is_new"))
+      .join(exBands, Seq("band_idx", "band_key"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("m_near", lit(1L))
+    val exH = keyed.where(!col("is_new")).select(col("h")).distinct()
+      .withColumn("m_h", lit(1L))
+    val exFp = keyed.where(!col("is_new")).select(col("fp")).distinct()
+      .withColumn("m_fp", lit(1L))
+    keyed.where(col("is_new"))
+      .join(exH, Seq("h"), "left")
+      .join(exFp, Seq("fp"), "left")
+      .join(nearHit, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("incoming_docs"),
+        sum(coalesce(col("m_h"), lit(0L))).as("dup_exact"),
+        sum(coalesce(col("m_fp"), lit(0L))).as("dup_reorder"),
+        sum(coalesce(col("m_near"), lit(0L))).as("dup_near"),
+        sum(when(col("m_h").isNull && col("m_fp").isNull && col("m_near").isNull,
+          1L).otherwise(0L)).as("new_docs"))
+      .orderBy(col("source"))
+  }
+
   /** Shared oracle-SQL fragment: normalized token array per doc. */
   private val toksCte =
     """toks AS (
@@ -100,6 +154,37 @@ object DedupQueries {
        |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        |  AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** C36 oracle: same band CTEs, split by the batch rule, membership
+    * probes as IN-subqueries. */
+  val incrementalOracle: String =
+    s"""WITH $minhashBandCtes,
+       |keyed AS (
+       |  SELECT doc_id, source,
+       |         md5(trim(regexp_replace(lower(text),'\\s+',' ','g'))) AS h,
+       |         md5(array_to_string(list_sort(list_distinct(
+       |           string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')),' '))),' ')) AS fp,
+       |         doc_id % 5 = 4 AS is_new
+       |  FROM documents),
+       |exb AS (SELECT DISTINCT band_idx, band_key
+       |        FROM bands JOIN keyed USING (doc_id) WHERE NOT is_new),
+       |nearhit AS (SELECT DISTINCT b.doc_id
+       |            FROM bands b JOIN keyed k USING (doc_id)
+       |            JOIN exb ON b.band_idx = exb.band_idx
+       |                    AND b.band_key = exb.band_key
+       |            WHERE k.is_new)
+       |SELECT source, count(*) AS incoming_docs,
+       |  cast(sum(CASE WHEN h IN (SELECT h FROM keyed WHERE NOT is_new)
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS dup_exact,
+       |  cast(sum(CASE WHEN fp IN (SELECT fp FROM keyed WHERE NOT is_new)
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS dup_reorder,
+       |  cast(sum(CASE WHEN doc_id IN (SELECT doc_id FROM nearhit)
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS dup_near,
+       |  cast(sum(CASE WHEN h NOT IN (SELECT h FROM keyed WHERE NOT is_new)
+       |             AND fp NOT IN (SELECT fp FROM keyed WHERE NOT is_new)
+       |             AND doc_id NOT IN (SELECT doc_id FROM nearhit)
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS new_docs
+       |FROM keyed WHERE is_new GROUP BY source ORDER BY source""".stripMargin
 
   /** C17 oracle: reachability via a recursive CTE over the same pairs —
     * every (node, reachable label), min per node = the component label. */

@@ -444,6 +444,43 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** C39: per-source token-distribution DRIFT vs the whole corpus — the
+    * mixture-health check a pipeline runs when a new source (or a new
+    * crawl of an old one) lands: how far does this source's unigram
+    * distribution sit from the corpus it joins? Distance is the L1 gap
+    * in integer basis points over the corpus's top-30 terms (exact
+    * BIGINT arithmetic — a float KL/JS divergence would diverge across
+    * engines in the last digit), with each source's top-30 coverage
+    * reported beside it.
+    *
+    * Plan shape at 100 TB: one token explode into a partial-aggregating
+    * (source, term) count — map-side combine absorbs hot stopword terms;
+    * the cached count frame feeds all three consumers (source totals,
+    * corpus roll-up, probe join) so the explode shuffle runs once; the
+    * top-30 collapses to a broadcast; and the probe grid is
+    * |sources|×30 rows — driver-free, but never bigger than a dim
+    * table. */
+  def corpusDivergence(s: SparkSession, dir: String): DataFrame = {
+    val st = docs(s, dir)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheScope.releaseAfterAction(s, st)
+    val srcTotals = st.groupBy(col("source")).agg(sum(col("n")).as("src_tokens"))
+    val corpus = st.groupBy(col("term")).agg(sum(col("n")).as("cn"))
+    val corpusTotal = corpus.agg(sum(col("cn")).as("ct"))
+    val top = corpus.orderBy(col("cn").desc, col("term")).limit(30)
+      .crossJoin(corpusTotal)
+      .select(col("term"), expr("cn * 10000 div ct").as("corpus_bp"))
+    srcTotals.crossJoin(broadcast(top))
+      .join(st, Seq("source", "term"), "left")
+      .withColumn("src_bp", expr("coalesce(n, 0) * 10000 div src_tokens"))
+      .groupBy(col("source"), col("src_tokens"))
+      .agg(sum(col("src_bp")).as("top_coverage_bp"),
+        sum(abs(col("src_bp") - col("corpus_bp"))).as("divergence_bp"))
+      .orderBy(col("source"))
+  }
+
   /** C11: duplicate fingerprint groups — md5 of the sorted distinct token
     * set; emits only groups with >1 member (the reorder-dup clusters). */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =

@@ -11,6 +11,38 @@ class CorpusReportSpec extends SparkSpec {
 
   private def docs = graft.sources.Tables(spark, sfDir, "documents")
 
+  test("corpus_divergence: integer bp math matches a driver-side recount") {
+    val rows = TextQueries.corpusDivergence(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("top_coverage_bp") <= 10000L)
+      // L1 distance over shares is bounded by 2 (20000 bp)
+      assert(r.getAs[Long]("divergence_bp") <= 20000L)
+    }
+    // brute recount with the same tokenization + integer rules
+    val texts = docs.select(col("source"), col("text"))
+      .as[(String, String)](org.apache.spark.sql.Encoders.product).collect()
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.replaceAll("\\s+", " ").trim.split(' ').toSeq
+    val bySrcTerm = texts.flatMap { case (src, t) => toks(t).map(src -> _) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val srcTotals = bySrcTerm.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val corpus = bySrcTerm.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val ct = corpus.values.sum
+    val top = corpus.toSeq.sortBy { case (term, n) => (-n, term) }.take(30)
+    val expected = srcTotals.toSeq.sortBy(_._1).map { case (src, st) =>
+      val cov = top.map { case (term, _) =>
+        bySrcTerm.getOrElse((src, term), 0L) * 10000L / st }.sum
+      val div = top.map { case (term, cn) =>
+        math.abs(bySrcTerm.getOrElse((src, term), 0L) * 10000L / st -
+          cn * 10000L / ct) }.sum
+      (src, st, cov, div)
+    }
+    val got = rows.map(r => (r.getAs[String]("source"), r.getAs[Long]("src_tokens"),
+      r.getAs[Long]("top_coverage_bp"), r.getAs[Long]("divergence_bp"))).toSeq
+    assert(got == expected)
+  }
+
   test("quality_funnel: monotone survivors, exact stage accounting, brute recount") {
     val rows = TextQueries.qualityFunnel(spark, sfDir).collect()
     assert(rows.map(_.getAs[String]("stage")).toSeq ==

@@ -102,6 +102,46 @@ class DedupSpec extends SparkSpec {
     assert(native == builtin, "native SimHash64 must reproduce the exploded spelling")
   }
 
+  test("dedup_incremental: flags recount via independent plans, non-vacuous") {
+    val rep = DedupQueries.dedupIncremental(spark, sfDir)
+    val rows = rep.collect()
+    assert(rows.nonEmpty)
+    // non-vacuous at the smallest SF: the reorder and band faces fire
+    def tot(c: String) = rows.map(_.getAs[Long](c)).sum
+    assert(tot("dup_reorder") > 0, "planted reordered copies straddle the split")
+    assert(tot("dup_near") > 0, "near-dup candidates straddle the split")
+    assert(tot("new_docs") > 0)
+    // ground truth for the band face from a DIFFERENT plan: the full C3
+    // pair emitter, filtered to pairs crossing the batch split
+    val isNew = (id: Long) => id % 5 == 4
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val nearTruth = pairs.flatMap { case (a, b) =>
+      (if (isNew(a) && !isNew(b)) Seq(a) else Nil) ++
+        (if (isNew(b) && !isNew(a)) Seq(b) else Nil)
+    }.toSet
+    assert(tot("dup_near") == nearTruth.size.toLong,
+      "semi-join band probe must equal the pair-emitter ground truth")
+    // exact + reorder ground truth driver-side from the keyed frame
+    val keyed = docs.select(col("doc_id"),
+        Text.contentHash(col("text")).as("h"), Text.fingerprint(col("text")).as("fp"))
+      .as[(Long, String, String)].collect()
+    val exH = keyed.filter(k => !isNew(k._1)).map(_._2).toSet
+    val exFp = keyed.filter(k => !isNew(k._1)).map(_._3).toSet
+    val inc = keyed.filter(k => isNew(k._1))
+    assert(tot("dup_exact") == inc.count(k => exH(k._2)).toLong)
+    assert(tot("dup_reorder") == inc.count(k => exFp(k._3)).toLong)
+    assert(tot("incoming_docs") == inc.length.toLong)
+    // per-source accounting: new_docs = incoming with NO flag, so the
+    // flagged count per the report can never exceed incoming
+    rows.foreach { r =>
+      assert(r.getAs[Long]("new_docs") <= r.getAs[Long]("incoming_docs"))
+    }
+    val again = DedupQueries.dedupIncremental(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "deterministic across runs")
+  }
+
   test("simhash pairs are within the Hamming bound and deterministic") {
     val pairs = Dedup.simhashCandidates(docs, "doc_id", "text").collect()
     assert(pairs.nonEmpty)
