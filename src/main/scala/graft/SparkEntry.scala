@@ -109,6 +109,10 @@ object SparkEntry {
     "sim_search_ivf" -> (VectorQueries.simSearchIvf _),
     // rows-only: learned clusters, engine-specific (recall spec-bounded)
     "sim_search_ivf_learned" -> (VectorQueries.simSearchIvfLearned _),
+    // rows-only: PQ-ADC search over learned codebooks (recall spec-bounded)
+    "sim_search_pq" -> (graft.ops.ProductQuant.simSearchPq _),
+    // rows-only: SemDeDup within-learned-cluster prune (spec-bounded)
+    "dedup_semantic" -> ((s: SparkSession, d: String) => VectorQueries.dedupSemantic(s, d)),
     "embed_stats" -> (VectorQueries.embedStats _),
     "embed_centroids" -> (VectorQueries.embedCentroids _),
     // rows-only: learned clusters are iterative Scala-side plan logic

@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Product quantization (PQ) ANN — C38, the fourth search family beside
+  * brute force (C6), LSH (C7), and IVF (C16).
+  *
+  * PQ is the MEMORY story for corpus-scale similarity search (Jégou,
+  * Douze, Schmid: "Product Quantization for Nearest Neighbor Search",
+  * IEEE TPAMI 2011): split each vector into M subspaces, learn a small
+  * per-subspace codebook (k-means over subvectors), and store each
+  * vector as M codebook indices. Here 64 float dims (256 B) become
+  * M=8 codes (8 B at k=16) — a 32× compression, which is what lets a
+  * 100 TB embedding corpus's index live in cluster memory while the
+  * float vectors stay in cold parquet.
+  *
+  * Search is asymmetric distance computation (ADC): the query computes
+  * its exact distance to every codebook entry ONCE (M×k doubles), and a
+  * candidate's approximate distance is then M map lookups + a sum over
+  * its codes — the corpus scan never touches a float vector. The short
+  * candidate list is exact-rescored from the raw vectors, like the
+  * other ANN families.
+  *
+  * Everything is deterministic (seed codebooks = the k lowest vec_ids'
+  * subvectors, argmin ties break to the lowest code id), so results are
+  * reproducible run over run — rows-only oracle, recall spec-bounded in
+  * PqSpec like C7/C16.
+  *
+  * Plan shape at 100 TB: training and encoding are the C22 k-means
+  * shapes per subspace — broadcast codebooks, narrow per-row argmin, a
+  * (m, code, dim) partial-agg update — with all M subspaces trained in
+  * ONE frame (the subspace id is just another key column; M passes
+  * would scan the corpus M times). The ADC scan is a broadcast of the
+  * (tiny) query distance tables over the codes frame — one narrow
+  * projection; the only shuffles are the top-k windows on the
+  * (query-bounded) candidate list.
+  */
+object ProductQuant {
+
+  /** Squared L2 between two equal-length double arrays, accumulated in
+    * array order (codegen'd higher-order functions, no UDF). */
+  private def l2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** (vec_id, m, sv): each vector split into `numSub` subvectors of
+    * `subDim` dims — a narrow generate + slice, no shuffle. */
+  private def subFrame(v: DataFrame, numSub: Int, subDim: Int): DataFrame =
+    v.select(col("vec_id"),
+        explode(array((0 until numSub).map(lit): _*)).as("m"), col("e"))
+      .select(col("vec_id"), col("m"),
+        slice(col("e"), col("m") * subDim + 1, lit(subDim)).as("sv"))
+
+  /** Codebook rows (m, code, cv) folded into one broadcast-ready row
+    * per subspace. */
+  private def codebookArr(cb: DataFrame): DataFrame =
+    cb.groupBy(col("m")).agg(collect_list(struct(col("code"), col("cv"))).as("cb"))
+
+  /** Per-row nearest codebook entry: argmin over squared L2, ties to the
+    * lowest code id (struct ordering compares distance first, then
+    * code) — a narrow projection once the codebook is broadcast. */
+  private def assignCode(subs: DataFrame, cbArr: DataFrame): DataFrame =
+    subs.join(broadcast(cbArr), Seq("m"))
+      .withColumn("best", array_min(transform(col("cb"),
+        c => struct(l2(col("sv"), c.getField("cv")).as("d"),
+          c.getField("code").as("code")))))
+      .select(col("vec_id"), col("m"), col("sv"), col("best.code").as("code"))
+
+  /** Train per-subspace codebooks: Lloyd's under squared L2, all M
+    * subspaces in one frame. Seeds are the `k` lowest vec_ids'
+    * subvectors (deterministic, like [[KMeans.fit]]); the codebook
+    * frame is the ONLY thing that iterates and is localCheckpoint'ed
+    * each round so the corpus plan never deepens. Returns (m, code, cv). */
+  def fit(v: DataFrame, numSub: Int, subDim: Int, k: Int, iters: Int): DataFrame = {
+    require(numSub >= 1 && subDim >= 1 && k >= 1 && iters >= 1)
+    val subs = subFrame(v, numSub, subDim)
+    val seeds = v.orderBy(col("vec_id")).limit(k)
+    var cb = subFrame(seeds, numSub, subDim)
+      .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      cb = assignCode(subs, codebookArr(cb))
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("dim", "comp")))
+        .groupBy(col("m"), col("code"), col("dim"))
+        .agg(avg(col("comp")).as("cmean"))
+        .groupBy(col("m"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cmean")))),
+          x => x.getField("cmean")).as("cv"))
+        .localCheckpoint(true)
+    }
+    cb
+  }
+
+  /** Encode the corpus: (vec_id, codes) with codes in subspace order —
+    * the 4-byte representation the ADC scan reads. */
+  def encode(v: DataFrame, cb: DataFrame, numSub: Int, subDim: Int): DataFrame =
+    assignCode(subFrame(v, numSub, subDim), codebookArr(cb))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        x => x.getField("code")).as("codes"))
+
+  /** C38 query face: PQ-ADC top-10 for the query set vec_id < 5.
+    *
+    * Vectors are L2-normalized BEFORE quantization so squared L2 is a
+    * monotone proxy for cosine (‖a−b‖² = 2−2·cos on unit vectors) —
+    * ADC candidate order then agrees with the cosine ranking the exact
+    * rescore (and every other ANN family here) reports. Candidates:
+    * top-100 by ADC distance per query; rescore: exact cosine from the
+    * raw vectors (a broadcast of the 5×100 candidate list — the corpus
+    * never re-shuffles); report top-10. */
+  def simSearchPq(s: SparkSession, dir: String): DataFrame = {
+    val numSub = 8; val subDim = 8; val k = 16
+    val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
+      .select(col("vec_id"), col("e"), col("nrm"))
+    val unit = v.select(col("vec_id"),
+      transform(col("e"), x => x / col("nrm")).as("e"))
+    val cb = fit(unit, numSub, subDim, k, iters = 2)
+    val codes = encode(unit, cb, numSub, subDim)
+    // query-side distance tables: per subspace, map(code -> exact d²)
+    val qtabs = assignCodeTables(subFrame(unit.where(col("vec_id") < 5),
+      numSub, subDim), codebookArr(cb), numSub)
+    val scored = codes.crossJoin(broadcast(qtabs))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("approx_d", aggregate(
+        zip_with(col("codes"), col("dtabs"), (c, t) => element_at(t, c)),
+        lit(0.0), (acc, x) => acc + x))
+    val byAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d"), col("vec_id"))
+    val cand = scored.withColumn("crnk", row_number().over(byAdc))
+      .where(col("crnk") <= 100)
+      .select(col("query_id"), col("vec_id"))
+    val q = v.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val rescored = v.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine",
+        round(Vectors.cosine(col("qe"), col("e"), col("qn"), col("nrm")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    rescored.withColumn("rnk", rank().over(w)).where(col("rnk") <= 10)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rnk"), col("vec_id"))
+  }
+
+  /** Per-query ADC tables: (query_id, dtabs) where dtabs(m) maps each
+    * subspace-m code to the query subvector's exact squared L2 from
+    * that codebook entry. */
+  private def assignCodeTables(qsubs: DataFrame, cbArr: DataFrame,
+      numSub: Int): DataFrame =
+    qsubs.join(broadcast(cbArr), Seq("m"))
+      .withColumn("dtab", map_from_entries(transform(col("cb"),
+        c => struct(c.getField("code"), l2(col("sv"), c.getField("cv"))))))
+      // a struct<m, map> is not orderable, so the per-subspace tables
+      // assemble through a map keyed by m rather than an array_sort
+      .groupBy(col("vec_id"))
+      .agg(map_from_entries(collect_list(struct(col("m"), col("dtab")))).as("tmap"))
+      .select(col("vec_id").as("query_id"),
+        transform(sequence(lit(0), lit(numSub - 1)),
+          i => element_at(col("tmap"), i)).as("dtabs"))
+}

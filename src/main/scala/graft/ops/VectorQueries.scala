@@ -181,6 +181,69 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rnk"), col("vec_id"))
   }
 
+  /** C37: SEMANTIC dedup (the SemDeDup recipe): cluster the corpus with
+    * learned k-means, then prune near-duplicate pairs only WITHIN each
+    * cluster — the published way to make embedding dedup sub-quadratic
+    * on an unlabeled corpus (clusters play the role C5 borrows the label
+    * column for; pairs crossing cluster boundaries are forgone by
+    * design, which is the recall trade that bounds the pair join by
+    * Σ cluster² instead of n²). Prune rule is deterministic: a vector
+    * is pruned when some same-cluster neighbor with a SMALLER vec_id
+    * sits within cosine ≥ τ of it — no iterative clustering needed, and
+    * the keeper set is reproducible run over run.
+    *
+    * Plan shape at 100 TB: the k-means fit is the C22 loop (broadcast-
+    * argmax assign, (cluster,dim) partial-agg update); the final
+    * assignment is one more shuffle-free narrow argmax over the corpus
+    * (NOT a join back to the fit's assignment frame — that would
+    * re-shuffle the corpus on vec_id); the within-cluster pair join is
+    * the C5 grid (each cluster split G×G so a giant cluster becomes G²
+    * independent tasks, never one reducer). Per-cluster report.
+    * Rows-only oracle (learned clusters are iterative Scala-side plan
+    * logic); SemanticDedupSpec pins soundness, in-cluster completeness,
+    * and determinism. */
+  def dedupSemantic(s: SparkSession, dir: String, tau: Double = 0.35,
+      k: Int = 8, iters: Int = 3, grid: Int = 4): DataFrame = {
+    val v = emb(s, dir).select(col("vec_id"), col("e"), col("nrm"))
+    val fit = KMeans.fit(v, k = k, iters = iters)
+    val centsArr = fit.centroids.agg(array_sort(collect_list(
+      struct(col("cluster"), col("ce"), col("cn")))).as("cents"))
+    val assigned = v.crossJoin(broadcast(centsArr))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        graft.functions.NearestCentroids(col("e"), col("cents"), 1)
+          .getItem(0).as("cluster"))
+    val cells = array((0 until grid).map(lit): _*)
+    val a = assigned.select(col("vec_id").as("vec_a"), col("cluster"),
+        col("e").as("ea"), col("nrm").as("na"))
+      .withColumn("ga", pmod(hash(col("vec_a")), lit(grid)))
+      .withColumn("gb", explode(cells))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("cluster"),
+        col("e").as("eb"), col("nrm").as("nb"))
+      .withColumn("gb", pmod(hash(col("vec_b")), lit(grid)))
+      .withColumn("ga", explode(cells))
+    val cos = Vectors.cosine(col("ea"), col("eb"), col("na"), col("nb"))
+    val pairs = a.join(b, Seq("cluster", "ga", "gb"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cos)
+      .where(col("cos") >= tau)
+      .select(col("cluster"), col("vec_a"), col("vec_b"), col("cos"))
+    // pruned = has a smaller-id near neighbor in the same cluster
+    val pruned = pairs.select(col("cluster"), col("vec_b").as("vec_id")).distinct()
+    val sizes = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n_vecs"))
+    val pairStats = pairs.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_pairs"), round(avg(col("cos")), 4).as("avg_pair_cos"))
+    val prunedCounts = pruned.groupBy(col("cluster")).agg(count(lit(1)).as("n_pruned"))
+    sizes
+      .join(prunedCounts, Seq("cluster"), "left")
+      .join(pairStats, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_vecs"),
+        coalesce(col("n_pruned"), lit(0L)).as("n_pruned"),
+        (col("n_vecs") - coalesce(col("n_pruned"), lit(0L))).as("n_kept"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("avg_pair_cos"), lit(0.0)).as("avg_pair_cos"))
+      .orderBy(col("cluster"))
+  }
+
   /** C14: per-label centroids — elementwise mean via posexplode →
     * (label, dim) partial means → per-label centroid stats. The
     * (label, dim) grouping spreads one label's work over dim keys, so a
