@@ -94,6 +94,12 @@ object SparkEntry {
     "text_normalize" -> (TextQueries.textNormalize _),
     // per-source token-distribution drift vs the corpus (integer bp)
     "corpus_divergence" -> (TextQueries.corpusDivergence _),
+    // top-50 vocabulary coverage curve (integer bp)
+    "text_vocab" -> (TextQueries.textVocab _),
+    // per-source document-length histogram (100-char buckets)
+    "corpus_lengths" -> (TextQueries.corpusLengths _),
+    // rows-only: unigram cross-entropy scoring (ln not bit-stable x-engine)
+    "text_perplexity" -> (TextQueries.textPerplexity _),
     "dedup_ngram_jaccard" -> (DedupQueries.dedupNgramJaccard _),
     // incremental new-batch-vs-standing-corpus dedup (3 probe faces)
     "dedup_incremental" -> (DedupQueries.dedupIncremental _),
@@ -891,6 +897,31 @@ object SparkEntry {
         |FROM d GROUP BY ROLLUP(source, lang) ORDER BY source, lang""".stripMargin,
     // C35: canonicalization audit — planted deterministic mess (the corpus
     // is already canonical), md5 witness over the recovered canonical text
+    "text_vocab" ->
+      """WITH toks AS (
+        |  SELECT string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w
+        |  FROM documents),
+        |tc AS (SELECT term, count(*) AS n
+        |       FROM (SELECT unnest(w) AS term FROM toks) GROUP BY term),
+        |tot AS (SELECT sum(n) AS t FROM tc),
+        |top AS (SELECT term, cast(n AS BIGINT) AS n,
+        |               cast(n * 10000 // t AS BIGINT) AS share_bp,
+        |               cast(row_number() OVER (ORDER BY n DESC, term) AS INT) AS rank
+        |        FROM tc, tot ORDER BY n DESC, term LIMIT 50)
+        |SELECT rank, term, n, share_bp,
+        |       cast(sum(share_bp) OVER (ORDER BY rank) AS BIGINT) AS cum_share_bp
+        |FROM top ORDER BY rank""".stripMargin,
+    "corpus_lengths" ->
+      """WITH b AS (SELECT source, n_chars // 100 AS bucket FROM documents),
+        |g AS (SELECT source, bucket, count(*) AS docs FROM b
+        |      GROUP BY source, bucket),
+        |t AS (SELECT source, bucket, docs,
+        |             sum(docs) OVER (PARTITION BY source) AS src_docs FROM g)
+        |SELECT source, cast(bucket AS BIGINT) AS bucket,
+        |       cast(bucket * 100 AS BIGINT) AS lo_chars,
+        |       cast(docs AS BIGINT) AS docs,
+        |       cast(docs * 10000 // src_docs AS BIGINT) AS share_bp
+        |FROM t ORDER BY source, bucket""".stripMargin,
     "corpus_divergence" ->
       """WITH toks AS (
         |  SELECT source,

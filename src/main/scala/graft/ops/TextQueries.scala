@@ -481,6 +481,89 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** C40: vocabulary coverage table — the top-50 corpus terms with each
+    * term's share and the cumulative coverage curve (the table a
+    * tokenizer designer reads to size a vocabulary: how many tokens do
+    * the first N entries cover?). Integer basis points throughout.
+    *
+    * Plan shape at 100 TB: token explode → partial-aggregating term
+    * counts (map-side combine absorbs hot terms) → global top-50 via
+    * agg+limit (two-phase TakeOrdered, never a full sort) → the
+    * rank/cumsum window runs on the LIMIT'd 50-row frame only — a
+    * single-partition window is fine when the input is 50 rows by
+    * construction. */
+  def textVocab(s: SparkSession, dir: String): DataFrame = {
+    val tc = docs(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val tot = tc.agg(sum(col("n")).as("t"))
+    val top = tc.crossJoin(broadcast(tot))
+      .orderBy(col("n").desc, col("term")).limit(50)
+      .select(col("term"), col("n"), expr("n * 10000 div t").as("share_bp"))
+    val w = Window.orderBy(col("n").desc, col("term"))
+    top.withColumn("rank", row_number().over(w))
+      .withColumn("cum_share_bp", sum(col("share_bp"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col("term"), col("n"), col("share_bp"),
+        col("cum_share_bp"))
+      .orderBy(col("rank"))
+  }
+
+  /** C41: document-length histogram per source — the dataset-card length
+    * distribution (fixed 100-char buckets, per-source share in integer
+    * basis points). One narrow projection + a partial-aggregating
+    * groupBy on the tiny (source, bucket) key space; the per-source
+    * share window runs on the aggregated frame (≤ a few rows per
+    * source), never the corpus. */
+  def corpusLengths(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = Window.partitionBy(col("source"))
+    docs(s, dir).select(col("source"), expr("n_chars div 100").as("bucket"))
+      .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("docs"))
+      .withColumn("src_docs", sum(col("docs")).over(perSrc))
+      .select(col("source"), col("bucket"),
+        (col("bucket") * 100).as("lo_chars"), col("docs"),
+        expr("docs * 10000 div src_docs").as("share_bp"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  /** C42: unigram cross-entropy scoring — the CCNet-style perplexity
+    * filter shape: score every document against the corpus's own
+    * unigram language model (H(doc) = −Σ tf·ln p(term) / Σ tf, p from
+    * corpus counts), report the per-source distribution. Low H = made
+    * of common words; high H = rare-word-heavy (or noise). The real
+    * CCNet filters on a 5-gram KenLM; the unigram face keeps the same
+    * pipeline shape — score → per-source distribution → threshold —
+    * with the LM swappable.
+    *
+    * Plan shape at 100 TB: the cached (doc, term, tf) frame feeds both
+    * the LM roll-up and the scoring join, so the explode runs once; the
+    * LM join is a term equi-join (the LM can be vocabulary-sized —
+    * partial aggregation absorbed the hot terms already, and nothing
+    * requires it to broadcast); the corpus total is one agg-to-scalar
+    * broadcast. Rows-only (ln is not bit-stable across engines at the
+    * hash gate's precision); PerplexitySpec recounts driver-side. */
+  def textPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(Text.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheScope.releaseAfterAction(s, tf)
+    val lm = tf.groupBy(col("term")).agg(sum(col("tf")).as("tn"))
+    val tot = lm.agg(sum(col("tn")).as("t"))
+    val perDoc = tf.join(lm, Seq("term")).crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"), col("source"))
+      .agg((-(sum(col("tf") * log(col("tn").cast("double") / col("t"))) /
+        sum(col("tf")))).as("xent"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        round(avg(col("xent")), 4).as("avg_xent"),
+        round(min(col("xent")), 4).as("min_xent"),
+        round(max(col("xent")), 4).as("max_xent"))
+      .orderBy(col("source"))
+  }
+
   /** C11: duplicate fingerprint groups — md5 of the sorted distinct token
     * set; emits only groups with >1 member (the reorder-dup clusters). */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =

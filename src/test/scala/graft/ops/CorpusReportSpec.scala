@@ -43,6 +43,48 @@ class CorpusReportSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("text_vocab: contiguous ranks, exact running coverage, recounted top terms") {
+    val rows = TextQueries.textVocab(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+    // cum column IS the running sum, and coverage never exceeds 10000 bp
+    var run = 0L
+    rows.foreach { r =>
+      run += r.getAs[Long]("share_bp")
+      assert(r.getAs[Long]("cum_share_bp") == run)
+    }
+    assert(run <= 10000L)
+    // counts are non-increasing in rank and recount from the raw corpus
+    val ns = rows.map(_.getAs[Long]("n"))
+    ns.sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => }
+    val texts = docs.select(col("text")).as[String](
+      org.apache.spark.sql.Encoders.STRING).collect()
+    val counts = texts.flatMap(
+        _.toLowerCase.replaceAll("\\s+", " ").trim.split(' '))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      assert(counts(r.getAs[String]("term")) == r.getAs[Long]("n"))
+    }
+  }
+
+  test("corpus_lengths: buckets partition each source exactly") {
+    val rows = TextQueries.corpusLengths(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    val srcDocs = docs.groupBy(col("source")).count()
+      .as[(String, Long)](org.apache.spark.sql.Encoders.product).collect().toMap
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[Long]("docs")).sum == srcDocs(src),
+        s"buckets must partition $src")
+      // integer shares floor-truncate, so they sum to at most 10000
+      val shares = rs.map(_.getAs[Long]("share_bp")).sum
+      assert(shares <= 10000L && shares > 9900L)
+      rs.foreach { r =>
+        assert(r.getAs[Long]("lo_chars") == r.getAs[Long]("bucket") * 100)
+      }
+    }
+  }
+
   test("quality_funnel: monotone survivors, exact stage accounting, brute recount") {
     val rows = TextQueries.qualityFunnel(spark, sfDir).collect()
     assert(rows.map(_.getAs[String]("stage")).toSeq ==
