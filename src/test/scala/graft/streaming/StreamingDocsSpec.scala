@@ -44,6 +44,49 @@ class StreamingDocsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed incremental dedup vs a standing index equals the batch recount") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val standingDocs = docs.where(col("doc_id") % 5 =!= 4)
+    val incoming = docs.where(col("doc_id") % 5 === 4)
+    val standing = StreamingDocs.standingIndex(standingDocs)
+
+    // batch recount: incoming minus standing-hash, minus standing-fp,
+    // minus in-batch same-hash later arrivals (min-id keeper)
+    val keyed = incoming.select(col("doc_id"),
+      graft.ops.Text.contentHash(col("text")).as("h"),
+      graft.ops.Text.fingerprint(col("text")).as("fp"))
+    val afterStanding = keyed
+      .join(standing.select(col("h")).distinct(), Seq("h"), "left_anti")
+      .join(standing.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+    val expected = afterStanding
+      .withColumn("keeper", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .where(col("doc_id") === col("keeper"))
+      .select("doc_id").as[Long].collect().toSet
+
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = incoming.as[(Long, String)].collect().sortBy(_._1)
+      .map { case (id, text) => (id, text, new Timestamp(base + id * 1000)) }
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingDocs.dedupAgainstStream(
+        stream.toDF().toDF("doc_id", "text", "ts"), standing, "ts")
+      .writeStream.format("memory").queryName("inc_dedup")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3))
+        .foreach { c => stream.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val streamed = spark.table("inc_dedup")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == expected,
+        s"faces diverge: ${(expected diff streamed).take(5)} missing, " +
+          s"${(streamed diff expected).take(5)} extra")
+      assert(streamed.size < incoming.count(),
+        "sanity: the standing index must actually reject documents")
+    } finally q.stop()
+  }
+
   test("a duplicate arriving within the watermark window is suppressed") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[(Long, String, Timestamp)]
