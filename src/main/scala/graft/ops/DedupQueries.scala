@@ -71,6 +71,11 @@ object DedupQueries {
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val isNew = col("doc_id") % 5 === 4
+    // NOT cached deliberately: keyed/bands each feed consumers that
+    // filter DISJOINT slices (is_new vs !is_new, pushed into the
+    // scans), so the "repeated" passes together do one corpus's work —
+    // a persist would add a full materialization and save nothing
+    // (measured: 2.8 s either way at sf0.1)
     val keyed = d.select(col("doc_id"), col("source"),
       Text.contentHash(col("text")).as("h"),
       Text.fingerprint(col("text")).as("fp"),
