@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized standing dedup index — the production half of the C36
+  * incremental-dedup shape (and the static side D11's stream probes).
+  *
+  * `dedup_incremental` derives the standing corpus's indexes inline
+  * (fine for a query; the bench number carries the rebuild). A real
+  * daily intake never rebuilds: it maintains the index AS TABLES on
+  * the lake and runs the cycle  probe(batch) → admit survivors →
+  * append their keys. This object is that cycle. Two parquet tables
+  * under one root:
+  *   - `keys`:  (doc_id, h, fp)            — exact hash + reorder
+  *     fingerprint, one row per admitted document
+  *   - `bands`: (doc_id, band_idx, band_key) — the MinHash-LSH band
+  *     table (C3 signature constants)
+  *
+  * Scale shape: probes are the C36 equi-joins on uniform md5 keys,
+  * bounded by O(batch) + the index side's key-distinct collapse;
+  * append writes only the admitted batch's rows (the index grows by
+  * exactly what was admitted — no rewrite, no rescan of history).
+  * The cycle is deterministic and idempotent per batch: re-probing an
+  * already-appended batch flags every document as an exact dup.
+  */
+object IncrementalIndex {
+
+  private def keysOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      Text.contentHash(col(textCol)).as("h"),
+      Text.fingerprint(col(textCol)).as("fp"))
+
+  private def bandsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.lshBands(
+      Dedup.minhashSignature(Dedup.shingleFrame(docs, idCol, textCol, 3),
+        idCol, 16), idCol, 4, 4)
+      .select(col(idCol).as("doc_id"), col("band_idx"), col("band_key"))
+
+  /** Create (overwrite) the index from the current standing corpus. */
+  def write(root: String, docs: DataFrame, idCol: String, textCol: String): Unit = {
+    keysOf(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$root/keys")
+    bandsOf(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$root/bands")
+  }
+
+  /** Append one admitted batch's keys — the only index maintenance a
+    * daily run performs. */
+  def append(root: String, admitted: DataFrame, idCol: String, textCol: String): Unit = {
+    keysOf(admitted, idCol, textCol)
+      .write.mode("append").parquet(s"$root/keys")
+    bandsOf(admitted, idCol, textCol)
+      .write.mode("append").parquet(s"$root/bands")
+  }
+
+  /** Probe a batch against the materialized index: the batch frame plus
+    * flag columns `dup_exact`, `dup_reorder`, `dup_near` (0/1). The
+    * C36 query's semantics against stored tables instead of an inline
+    * derivation. */
+  def probe(s: SparkSession, root: String, batch: DataFrame,
+            idCol: String, textCol: String): DataFrame = {
+    val keys = s.read.parquet(s"$root/keys")
+    val bands = s.read.parquet(s"$root/bands")
+    val keyed = batch
+      .withColumn("__h", Text.contentHash(col(textCol)))
+      .withColumn("__fp", Text.fingerprint(col(textCol)))
+    val nearHit = bandsOf(batch, idCol, textCol)
+      .join(bands.select(col("band_idx"), col("band_key")).distinct(),
+        Seq("band_idx", "band_key"), "left_semi")
+      .select(col("doc_id").as(idCol)).distinct()
+      .withColumn("__near", lit(1))
+    keyed
+      .join(keys.select(col("h").as("__h")).distinct().withColumn("__mh", lit(1)),
+        Seq("__h"), "left")
+      .join(keys.select(col("fp").as("__fp")).distinct().withColumn("__mfp", lit(1)),
+        Seq("__fp"), "left")
+      .join(nearHit, Seq(idCol), "left")
+      .select(batch.columns.map(col) :+
+        coalesce(col("__mh"), lit(0)).as("dup_exact") :+
+        coalesce(col("__mfp"), lit(0)).as("dup_reorder") :+
+        coalesce(col("__near"), lit(0)).as("dup_near"): _*)
+  }
+
+  /** The survivors a daily run admits (and should then [[append]]):
+    * documents with no flag set. */
+  def admit(s: SparkSession, root: String, batch: DataFrame,
+            idCol: String, textCol: String): DataFrame =
+    probe(s, root, batch, idCol, textCol)
+      .where(col("dup_exact") === 0 && col("dup_reorder") === 0 &&
+        col("dup_near") === 0)
+      .drop("dup_exact", "dup_reorder", "dup_near")
+}
