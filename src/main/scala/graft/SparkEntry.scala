@@ -52,6 +52,8 @@ object SparkEntry {
     "sketch_uniques_rollup" -> (LakeQueries.sketchUniquesRollup _),
     "q24_trailing_revenue" -> (LakeQueries.q24TrailingRevenue _),
     "q25_cube_revenue" -> (LakeQueries.q25CubeRevenue _),
+    // TPC-H Q19 shape: disjunctive predicate groups, per-branch revenue
+    "q26_disjunctive_revenue" -> (LakeQueries.q26DisjunctiveRevenue _),
     // §2.B ingestion semantics
     "ingest_typecast" -> (IngestQueries.ingestTypecast _),
     "ingest_filename_route" -> (IngestQueries.ingestFilenameRoute _),
@@ -338,6 +340,26 @@ object SparkEntry {
          |SELECT decile, count(*) AS customers, round(sum(rev), 2) AS revenue,
          |       round(min(rev), 2) AS floor_rev
          |FROM d GROUP BY decile ORDER BY decile""".stripMargin),
+    "q26_disjunctive_revenue" ->
+      """WITH j AS (
+        |  SELECT CASE
+        |           WHEN p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |                AND l_quantity BETWEEN 1 AND 11 THEN 'B1'
+        |           WHEN p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |                AND l_quantity BETWEEN 10 AND 20 THEN 'B2'
+        |           ELSE 'B3' END AS bucket,
+        |         cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |              AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |         AND l_quantity BETWEEN 1 AND 11)
+        |     OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |         AND l_quantity BETWEEN 10 AND 20)
+        |     OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |         AND l_quantity BETWEEN 20 AND 30))
+        |SELECT bucket, count(*) AS line_items,
+        |       cast(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM j GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q25_cube_revenue" ->
       """WITH base AS (
         |  SELECT n_name, year(o_orderdate) AS yr,

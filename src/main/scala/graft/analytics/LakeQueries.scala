@@ -523,6 +523,35 @@ object LakeQueries {
       .orderBy(col("nation"), col("order_year"))
   }
 
+  /** A27: TPC-H Q19 shape — revenue through a DISJUNCTION of
+    * (brand, size-range, quantity-range) predicate groups over the
+    * part⋈lineitem join, reported per branch. The optimizer test this
+    * query exists for: Catalyst must extract each side's common
+    * disjunct (`p_brand IN … ∨ size bounds` to the part scan,
+    * the union of quantity ranges to the lineitem scan) so both
+    * parquet scans carry PushedFilters and the join sees only
+    * candidate rows — a plan where either scan reads its full table
+    * fails the A27 plan spec. Branches are brand-disjoint by
+    * construction, so the bucket CASE is total and unambiguous.
+    * Money in integer cents (§4). */
+  def q26DisjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val b1 = col("p_brand") === "Brand#1" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 11)
+    val b2 = col("p_brand") === "Brand#2" &&
+      col("p_size").between(10, 30) && col("l_quantity").between(10, 20)
+    val b3 = col("p_brand") === "Brand#3" &&
+      col("p_size").between(20, 50) && col("l_quantity").between(20, 30)
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("p_partkey") === col("l_partkey"))
+      .where(b1 || b2 || b3)
+      .select(when(b1, "B1").when(b2, "B2").otherwise("B3").as("bucket"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("cents"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("line_items"), sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("bucket"))
+  }
+
   /** A24: mergeable distinct sketches — the incremental uniques rollup a
     * lake keeps so "uniques over any window" never rescans history. The
     * nightly job builds ONE DataSketches HLL sketch per (day, type)

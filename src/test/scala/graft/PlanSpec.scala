@@ -21,6 +21,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q26: the disjunction pushes to BOTH scans (A27's reason to exist)") {
+    val plan = executed("q26_disjunctive_revenue")
+    // each scan must carry an Or-filter on its own columns — a plan
+    // reading either table in full would ship the whole fact/dim to
+    // the join at 100 TB
+    val scans = plan.split("FileScan").toSeq.tail
+    val partScan = scans.find(_.contains("p_brand")).getOrElse("")
+    val lineScan = scans.find(_.contains("l_quantity")).getOrElse("")
+    assert(partScan.contains("Or(") && partScan.contains("p_brand"),
+      s"part scan lacks the pushed brand/size disjunction:\n$partScan")
+    assert(lineScan.contains("Or(") && lineScan.contains("l_quantity"),
+      s"lineitem scan lacks the pushed quantity disjunction:\n$lineScan")
+  }
+
   test("scan prunes columns: q2 reads only the columns it needs") {
     val plan = executed("q2_revenue_filter")
     // ReadSchema must not include untouched wide columns like l_comment
