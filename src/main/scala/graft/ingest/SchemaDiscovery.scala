@@ -147,6 +147,56 @@ object SchemaDiscovery {
     * `TRANSFERRED_DATE=` layout, written (tiny, deterministic) next to the
     * testdata so the crawler demonstrably discovers tables outside any
     * hardcoded list. Idempotent per sfDir. */
+  /** The weekly DDL-backup run (OUTPUT_METADATA_DDL_WEEKLY_JOB.PY:75–89):
+    * loop the zone ("database") list, export every table's generated
+    * DDL into a TIMESTAMPED backup prefix (`backup/<path>_<now>`
+    * semantics, ref L72), isolating failures PER TABLE — one unreadable
+    * table records an error and the sweep continues (the ref's bare
+    * try/except around each tableDict). Each zone's surviving
+    * (table_name, ddl) set lands at `backupRoot/ddl_<timestamp>/<zone>`
+    * with ErrorIfExists (a backup never clobbers an earlier one — the
+    * ZoneSync.backupConfig rule). Returns the run report:
+    * (zone, table_name, status, detail). */
+  def backupDdl(spark: SparkSession, zones: Seq[(String, String)],
+                backupRoot: String, timestamp: String): DataFrame = {
+    val report = zones.flatMap { case (zoneName, dir) =>
+      val tables = crawl(dir, spark.sessionState.newHadoopConf())
+      if (tables.isEmpty)
+        Seq(Row(zoneName, "", "empty_zone", s"no tables under $dir"))
+      else {
+        val perTable = inParallel(tables) { t =>
+          try Right(t.name ->
+            ddlFor(t.name, spark.read.parquet(t.path).schema, t.partitionCols))
+          catch { case e: Throwable =>
+            Left(t.name -> Option(e.getMessage).getOrElse(e.getClass.getName))
+          }
+        }
+        val ok = perTable.collect { case Right(r) => r }
+        if (ok.nonEmpty) {
+          val ddlSchema = StructType(Seq(
+            StructField("table_name", StringType, nullable = false),
+            StructField("ddl", StringType, nullable = false)))
+          spark.createDataFrame(
+              spark.sparkContext.parallelize(ok.map(r => Row(r._1, r._2)), 1),
+              ddlSchema)
+            .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+            .parquet(s"$backupRoot/ddl_$timestamp/$zoneName")
+        }
+        perTable.map {
+          case Right((name, _)) => Row(zoneName, name, "ok", "")
+          case Left((name, err)) => Row(zoneName, name, "failed", err.take(200))
+        }
+      }
+    }
+    val reportSchema = StructType(Seq(
+      StructField("zone", StringType, nullable = false),
+      StructField("table_name", StringType, nullable = false),
+      StructField("status", StringType, nullable = false),
+      StructField("detail", StringType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(report, 1), reportSchema)
+  }
+
   private def supplementalZone(s: SparkSession, dir: String): String = {
     val zone = s"${sys.props("java.io.tmpdir")}/graft_crawl_zone_${math.abs(dir.hashCode)}"
     val daily = LakeWriter.withTransferredDate(graft.sources.Tables(s, dir, "events"), "ts")

@@ -25,6 +25,40 @@ class SchemaDiscoverySpec extends SparkSpec {
     assert(found.find(_.name == "beta").get.partitionCols == Seq("TRANSFERRED_DATE"))
   }
 
+  test("backupDdl sweeps zones into a timestamped prefix, isolating bad tables") {
+    val zoneA = tmpDir("ddl-zone-a")
+    val zoneB = tmpDir("ddl-zone-b")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$zoneA/good_a.parquet")
+    Seq((2L, "b", "2024-01-01")).toDF("id", "v", "TRANSFERRED_DATE")
+      .write.partitionBy("TRANSFERRED_DATE").parquet(s"$zoneA/part_a")
+    Seq((3L, "c")).toDF("id", "v").write.parquet(s"$zoneB/good_b.parquet")
+    // a table directory that is not parquet — must fail alone
+    val bad = java.nio.file.Paths.get(s"$zoneB/broken.parquet")
+    java.nio.file.Files.createDirectory(bad)
+    java.nio.file.Files.writeString(bad.resolve("part-0.parquet"), "not parquet")
+
+    val root = tmpDir("ddl-backup")
+    val report = SchemaDiscovery.backupDdl(spark,
+        Seq("za" -> zoneA, "zb" -> zoneB), root, "20240101_090000")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(report.contains(("za", "good_a", "ok")))
+    assert(report.contains(("za", "part_a", "ok")))
+    assert(report.contains(("zb", "good_b", "ok")))
+    assert(report.exists { case (z, t, s) => z == "zb" && t == "broken" && s == "failed" },
+      s"the unreadable table must fail alone: $report")
+    // both zones' surviving DDL landed under the timestamped prefix
+    val za = spark.read.parquet(s"$root/ddl_20240101_090000/za")
+      .as[(String, String)].collect().toMap
+    assert(za.keySet == Set("good_a", "part_a"))
+    assert(za("part_a").contains("PARTITIONED BY") && za("good_a").contains("CREATE"))
+    val zb = spark.read.parquet(s"$root/ddl_20240101_090000/zb")
+      .as[(String, String)].collect().toMap
+    assert(zb.keySet == Set("good_b"), "the broken table is absent, not fatal")
+    // a backup never clobbers an earlier one (same timestamp refuses)
+    assertThrows[Exception](SchemaDiscovery.backupDdl(spark,
+      Seq("za" -> zoneA), root, "20240101_090000"))
+  }
+
   test("discover emits one row per column with inferred types and partition flags") {
     val zone = tmpDir("crawler-zone2")
     Seq((1L, 1.5, "2024-01-01")).toDF("id", "amt", "TRANSFERRED_DATE")
