@@ -123,6 +123,8 @@ object SparkEntry {
     "dedup_semantic" -> ((s: SparkSession, d: String) => VectorQueries.dedupSemantic(s, d)),
     "embed_stats" -> (VectorQueries.embedStats _),
     "embed_centroids" -> (VectorQueries.embedCentroids _),
+    // cross-table (documents x embeddings) dataset card per (source, label)
+    "corpus_label_card" -> (VectorQueries.corpusLabelCard _),
     // rows-only: learned clusters are iterative Scala-side plan logic
     "embed_kmeans" -> (graft.ops.KMeans.embedKmeans _),
     "mm_metadata" -> (Multimodal.mmMetadata _),
@@ -640,6 +642,36 @@ object SparkEntry {
         |  FROM s)
         |SELECT lang, predicted, count(*) AS n
         |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "corpus_label_card" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, source,
+        |    cast(len(string_split(norm,' ')) AS DOUBLE) AS n_tok,
+        |    cast(len(list_filter(string_split(norm,' '),
+        |         x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) AS n_stop,
+        |    cast(length(replace(norm,' ','')) AS DOUBLE) AS n_alpha
+        |  FROM d),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    0.4*least(n_tok/100.0,1.0) + 0.3*least((n_stop/n_tok)*10.0,1.0)
+        |      + 0.3*(CASE WHEN n_alpha/n_tok >= 3.0 AND n_alpha/n_tok <= 8.0
+        |                  THEN 1.0 ELSE 0.0 END) AS q
+        |  FROM m),
+        |e AS (
+        |  SELECT vec_id, label, sqrt(list_dot_product(ed, ed)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |               list_transform(embedding, x -> x::DOUBLE) AS ed
+        |        FROM embeddings))
+        |SELECT source, label, count(*) AS docs,
+        |       cast(sum(cast(floor(q*10000 + 0.5) AS BIGINT)) // count(*)
+        |            AS BIGINT) AS avg_quality_bp,
+        |       cast(sum(cast(floor(nrm*10000 + 0.5) AS BIGINT)) // count(*)
+        |            AS BIGINT) AS avg_norm_bp
+        |FROM q JOIN e ON q.doc_id = e.vec_id
+        |GROUP BY source, label ORDER BY source, label""".stripMargin,
     "text_quality" ->
       """WITH d AS (
         |  SELECT source, trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm

@@ -328,6 +328,48 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rnk"), col("vec_id"))
   }
 
+  /** C43: cross-table dataset card — documents ⋈ embeddings on the
+    * shared id, rolled up per (source × label): the composition table a
+    * mixture designer reads when TEXT metadata and EMBEDDING metadata
+    * live in separate lake tables (the multimodal-corpus reality —
+    * every modality's features are their own table keyed by content
+    * id). Reports per-cell doc counts, mean C9 quality, mean embedding
+    * norm.
+    *
+    * Plan shape at 100 TB: both sides project narrow before a single
+    * id equi-join — THE canonical bucketing candidate: written with
+    * `LakeWriter.writeBucketed` on the id both scans co-locate and the
+    * join plans shuffle-free (BucketingSpec pins exactly that plan);
+    * unbucketed, it is one shuffle per side on a unique uniform key.
+    * The (source × label) roll-up is a tiny partial-aggregated key
+    * space. Means are integer BASIS POINTS (per-doc floor(x·10⁴+0.5)
+    * then BIGINT sum ÷ count — the §4 integer-cents rule): many cells
+    * hold a handful of docs, and `round(avg, 4)` of an arbitrary
+    * double hits half-boundaries (measured: one cell at sf0.001
+    * diverged in the 4th digit between engines). */
+  def corpusLabelCard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("source"),
+      graft.functions.TokenMarkerStats(col("text")).as("st"))
+    val nTok = col("st.ws_tokens").cast("double")
+    val stopRatio = col("st.stop").cast("double") / nTok
+    val avgLen = col("st.alpha_len").cast("double") / nTok
+    val q = lit(0.4) * least(nTok / 100.0, lit(1.0)) +
+      lit(0.3) * least(stopRatio * 10.0, lit(1.0)) +
+      lit(0.3) * when(avgLen >= 3.0 && avgLen <= 8.0, 1.0).otherwise(0.0)
+    val dq = d.select(col("doc_id"), col("source"),
+      floor(q * 10000 + 0.5).cast("long").as("q_bp"))
+    val e = emb(s, dir).select(col("vec_id").as("doc_id"), col("label"),
+      floor(col("nrm") * 10000 + 0.5).cast("long").as("nrm_bp"))
+    dq.join(e, Seq("doc_id"))
+      .groupBy(col("source"), col("label"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("q_bp")).as("sq"), sum(col("nrm_bp")).as("sn"))
+      .select(col("source"), col("label"), col("docs"),
+        expr("sq div docs").as("avg_quality_bp"),
+        expr("sn div docs").as("avg_norm_bp"))
+      .orderBy(col("source"), col("label"))
+  }
+
   /** C13: per-label vector statistics (norms + mean component). */
   def embedStats(s: SparkSession, dir: String): DataFrame = {
     val meanComp = aggregate(col("e"), lit(0.0), (acc, x) => acc + x) / size(col("e"))
