@@ -54,6 +54,8 @@ object SparkEntry {
     "q25_cube_revenue" -> (LakeQueries.q25CubeRevenue _),
     // TPC-H Q19 shape: disjunctive predicate groups, per-branch revenue
     "q26_disjunctive_revenue" -> (LakeQueries.q26DisjunctiveRevenue _),
+    // TPC-H Q7 shape: one dim joined in two roles, cross-border predicate
+    "q27_trade_volume" -> (LakeQueries.q27TradeVolume _),
     // §2.B ingestion semantics
     "ingest_typecast" -> (IngestQueries.ingestTypecast _),
     "ingest_filename_route" -> (IngestQueries.ingestFilenameRoute _),
@@ -342,6 +344,19 @@ object SparkEntry {
          |SELECT decile, count(*) AS customers, round(sum(rev), 2) AS revenue,
          |       round(min(rev), 2) AS floor_rev
          |FROM d GROUP BY decile ORDER BY decile""".stripMargin),
+    "q27_trade_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       year(o_orderdate) AS yr, count(*) AS line_items,
+        |       cast(sum(cast(floor(l_extendedprice*(1-l_discount)*100 + 0.5)
+        |                     AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q26_disjunctive_revenue" ->
       """WITH j AS (
         |  SELECT CASE

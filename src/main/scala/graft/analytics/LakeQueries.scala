@@ -552,6 +552,37 @@ object LakeQueries {
       .orderBy(col("bucket"))
   }
 
+  /** A28: TPC-H Q7 shape — cross-border trade volume per directed
+    * (supplier nation → customer nation) pair and year. The shape this
+    * row exists for: ONE dimension (nation, fixed 25 rows) joins the
+    * fact chain in TWO ROLES — once through the supplier side, once
+    * through the customer side — so it broadcasts twice under
+    * different aliases and the cross-border predicate compares the two
+    * roles (`sn.name <> cn.name`). No nation-name literals: at tiny SF
+    * a named pair is empty (10 suppliers span 10 arbitrary nations),
+    * and the full directed-pair matrix is what a trade report reads
+    * anyway. Money in integer cents (§4). */
+  def q27TradeVolume(s: SparkSession, dir: String): DataFrame = {
+    val sn = t(s, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val cn = t(s, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .select(col("supp_nation"), col("cust_nation"),
+        year(col("o_orderdate")).as("yr"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("cents"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("yr"))
+      .agg(count(lit(1)).as("line_items"), sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("yr"))
+  }
+
   /** A24: mergeable distinct sketches — the incremental uniques rollup a
     * lake keeps so "uniques over any window" never rescans history. The
     * nightly job builds ONE DataSketches HLL sketch per (day, type)
