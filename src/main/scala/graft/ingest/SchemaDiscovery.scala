@@ -143,10 +143,6 @@ object SchemaDiscovery {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
-  /** A zone the catalog does NOT know: a derived table plus a partitioned
-    * `TRANSFERRED_DATE=` layout, written (tiny, deterministic) next to the
-    * testdata so the crawler demonstrably discovers tables outside any
-    * hardcoded list. Idempotent per sfDir. */
   /** The weekly DDL-backup run (OUTPUT_METADATA_DDL_WEEKLY_JOB.PY:75–89):
     * loop the zone ("database") list, export every table's generated
     * DDL into a TIMESTAMPED backup prefix (`backup/<path>_<now>`
@@ -197,6 +193,10 @@ object SchemaDiscovery {
       spark.sparkContext.parallelize(report, 1), reportSchema)
   }
 
+  /** A zone the catalog does NOT know: a derived table plus a partitioned
+    * `TRANSFERRED_DATE=` layout, written (tiny, deterministic) next to the
+    * testdata so the crawler demonstrably discovers tables outside any
+    * hardcoded list. Idempotent per sfDir. */
   private def supplementalZone(s: SparkSession, dir: String): String = {
     val zone = s"${sys.props("java.io.tmpdir")}/graft_crawl_zone_${math.abs(dir.hashCode)}"
     val daily = LakeWriter.withTransferredDate(graft.sources.Tables(s, dir, "events"), "ts")

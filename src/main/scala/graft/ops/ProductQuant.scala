@@ -96,7 +96,8 @@ object ProductQuant {
   }
 
   /** Encode the corpus: (vec_id, codes) with codes in subspace order —
-    * the 4-byte representation the ADC scan reads. */
+    * the 8-byte (one byte-aligned code per subspace) representation the
+    * ADC scan reads. */
   def encode(v: DataFrame, cb: DataFrame, numSub: Int, subDim: Int): DataFrame =
     assignCode(subFrame(v, numSub, subDim), codebookArr(cb))
       .groupBy(col("vec_id"))
