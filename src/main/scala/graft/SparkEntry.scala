@@ -56,6 +56,10 @@ object SparkEntry {
     "q26_disjunctive_revenue" -> (LakeQueries.q26DisjunctiveRevenue _),
     // TPC-H Q7 shape: one dim joined in two roles, cross-border predicate
     "q27_trade_volume" -> (LakeQueries.q27TradeVolume _),
+    // TPC-H Q8 shape: part-pruned two-role join, share-of-market window
+    "q28_market_share" -> (LakeQueries.q28MarketShare _),
+    // TPC-H Q9 shape: two-money-term profit arithmetic per nation/year
+    "q29_product_profit" -> (LakeQueries.q29ProductProfit _),
     // §2.B ingestion semantics
     "ingest_typecast" -> (IngestQueries.ingestTypecast _),
     "ingest_filename_route" -> (IngestQueries.ingestFilenameRoute _),
@@ -357,6 +361,43 @@ object SparkEntry {
         |JOIN nation cn ON c_nationkey = cn.n_nationkey
         |WHERE sn.n_name <> cn.n_name
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q29_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS yr,
+        |       count(*) AS line_items,
+        |       cast(sum(cast(floor(l_extendedprice*(1-l_discount)*100 + 0.5)
+        |                     AS BIGINT)
+        |               - cast(floor(p_retailprice*l_quantity*100 + 0.5)
+        |                      AS BIGINT)) AS BIGINT) AS profit_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q28_market_share" ->
+      """WITH vol AS (
+        |  SELECT r_name AS region, year(o_orderdate) AS yr,
+        |         sn.n_name AS supp_nation,
+        |         cast(sum(cast(floor(l_extendedprice*(1-l_discount)*100 + 0.5)
+        |                       AS BIGINT)) AS BIGINT) AS volume_cents,
+        |         count(*) AS line_items
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE p_type = 'ECONOMY'
+        |  GROUP BY 1, 2, 3)
+        |SELECT region, yr, supp_nation, volume_cents,
+        |       cast((volume_cents * 10000)
+        |            // (sum(volume_cents) OVER (PARTITION BY region, yr))
+        |            AS BIGINT) AS share_bp,
+        |       line_items
+        |FROM vol ORDER BY region, yr, supp_nation""".stripMargin,
     "q26_disjunctive_revenue" ->
       """WITH j AS (
         |  SELECT CASE

@@ -583,6 +583,83 @@ object LakeQueries {
       .orderBy(col("supp_nation"), col("cust_nation"), col("yr"))
   }
 
+  /** A29: TPC-H Q8 shape — market share per (customer region, year,
+    * supplier nation) for one part type. The Q8 skeleton: the part
+    * filter prunes the fact scan FIRST (broadcast semi-join, the q22
+    * lesson), the fact chain runs through customer→nation→region on
+    * the demand side and supplier→nation on the supply side (nation in
+    * two roles again, both broadcast), ONE aggregate builds the
+    * (region, yr, nation) volume frame, and the share-of-market is a
+    * window over that already-tiny frame — never a re-aggregate+join
+    * that would duplicate the fact subtree. No nation/region literals
+    * (the q27 lesson: named slices are empty at tiny SF); the full
+    * share matrix is the report a trade desk reads anyway. Money in
+    * integer cents, share in integer basis points via integer
+    * division (§4: both engines truncate identically on positive
+    * longs). */
+  def q28MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part").where(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
+    val cn = t(s, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+    val sn = t(s, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val region = t(s, dir, "region")
+      .select(col("r_regionkey"), col("r_name").as("region"))
+    val vol = t(s, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+      .select(col("region"), year(col("o_orderdate")).as("yr"), col("supp_nation"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("cents"))
+      .groupBy(col("region"), col("yr"), col("supp_nation"))
+      .agg(sum(col("cents")).as("volume_cents"),
+        count(lit(1)).as("line_items"))
+    vol
+      .withColumn("mkt",
+        sum(col("volume_cents")).over(Window.partitionBy(col("region"), col("yr"))))
+      .select(col("region"), col("yr"), col("supp_nation"), col("volume_cents"),
+        expr("(volume_cents * 10000) div mkt").as("share_bp"),
+        col("line_items"))
+      .orderBy(col("region"), col("yr"), col("supp_nation"))
+  }
+
+  /** A30: TPC-H Q9 shape — product profit per (supplier nation, year)
+    * for a part-name family. Q9's profit arithmetic combines TWO
+    * money terms per lineitem (revenue minus cost); the reference
+    * schema has no partsupp/supplycost, so the cost basis is
+    * `p_retailprice * l_quantity` — same multi-fact arithmetic, same
+    * plan skeleton. The LIKE filter can't push as an equality, but it
+    * prunes part BEFORE the fact join (the filtered (key, retailprice)
+    * projection broadcasts — q22's prune, but inner because the cost
+    * term needs the price), so the fact chain only carries matching
+    * lineitems. Both money terms round to integer cents
+    * SEPARATELY before the subtraction (§4: identical double→cents
+    * rounding in both engines, then pure long arithmetic). */
+  def q29ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part").where(col("p_name").like("%widget%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    t(s, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), year(col("o_orderdate")).as("yr"),
+        (floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+          .cast("long") -
+         floor(col("p_retailprice") * col("l_quantity") * 100 + 0.5)
+          .cast("long")).as("profit"))
+      .groupBy(col("nation"), col("yr"))
+      .agg(count(lit(1)).as("line_items"), sum(col("profit")).as("profit_cents"))
+      .orderBy(col("nation"), col("yr"))
+  }
+
   /** A24: mergeable distinct sketches — the incremental uniques rollup a
     * lake keeps so "uniques over any window" never rescans history. The
     * nightly job builds ONE DataSketches HLL sketch per (day, type)

@@ -199,6 +199,18 @@ class PlanSpec extends SparkSpec {
     assert(factScans <= 3, s"per-part total must re-aggregate, not re-scan ($factScans scans)")
   }
 
+  test("q28 prunes the fact scan first, broadcasts all dims, one lineitem scan") {
+    val df = SparkEntry.queries("q28_market_share")(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("LeftSemi"), s"part filter must semi-join the fact:\n$plan")
+    // one scan each: lineitem, part, orders, customer, supplier, nation ×2, region
+    val factScans = "Scan parquet".r.findAllIn(plan).size
+    assert(factScans <= 8, s"share must be a window over the aggregated frame, " +
+      s"not a re-aggregate that duplicates the fact subtree ($factScans scans)")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("IVF assignment is shuffle-free: no corpus exchange keyed on vec_id") {
     val plan = executed("sim_search_ivf")
     // the old join+window spelling exchanged n·k rows on vec_id twice
