@@ -108,6 +108,8 @@ object SparkEntry {
     "corpus_lengths" -> (TextQueries.corpusLengths _),
     // rows-only: unigram cross-entropy scoring (ln not bit-stable x-engine)
     "text_perplexity" -> (TextQueries.textPerplexity _),
+    // rows-only: bigram LM + stupid backoff, trained on the even-doc slice
+    "text_perplexity_bigram" -> (TextQueries.textPerplexityBigram _),
     "dedup_ngram_jaccard" -> (DedupQueries.dedupNgramJaccard _),
     // incremental new-batch-vs-standing-corpus dedup (3 probe faces)
     "dedup_incremental" -> (DedupQueries.dedupIncremental _),

@@ -564,6 +564,75 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** C42a: bigram-LM cross-entropy with stupid backoff — the full CCNet
+    * shape the unigram face (C42) stubs: a language model TRAINED ON A
+    * HELD-IN SLICE (even doc_ids — CCNet trains on Wikipedia, scores
+    * Common Crawl; the parity split is the deterministic stand-in)
+    * scores EVERY document, so held-out docs genuinely hit unseen
+    * bigrams and exercise the backoff path. Stupid backoff (Brants et
+    * al., "Large Language Models in Machine Translation", EMNLP 2007 —
+    * the scheme built for distributed counting at this scale):
+    * S(w2|w1) = c(w1,w2)/c(w1) when the bigram was seen, else
+    * α·c(w2)/N, else α²/N for OOV, α = 0.4. All counts come from ONE
+    * bigram frame over the training slice: c(w1) = Σ_w2 c(w1,w2)
+    * (occurrences as a context), c(w2) = Σ_w1 c(w1,w2) (occurrences
+    * as a target), N = Σ c — self-consistent and exactly reproducible
+    * driver-side (PerplexitySpec recounts the backoff math).
+    *
+    * Plan shape at 100 TB: bigrams come straight out of the token
+    * array (arrays_zip of the array with its own tail — no positional
+    * self-join), one per-doc partial-aggregated tf frame feeds both
+    * the LM roll-up and the scoring join; LM joins are equi-joins on
+    * term keys (vocabulary²-bounded but corpus-capped — never forced
+    * broadcast); the scalar N is the only broadcast. Docs with <2
+    * tokens have no bigram and drop out (documented; none at the test
+    * SFs). Rows-only: ln is not bit-stable across engines. backoff_bp
+    * (share of scored mass that took a backoff route, in basis
+    * points) is integer — the non-vacuity evidence that held-out docs
+    * actually backed off. */
+  def textPerplexityBigram(s: SparkSession, dir: String): DataFrame = {
+    val alpha = 0.4
+    val toks = docs(s, dir)
+      .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("ts"))
+    val grams = toks.select(col("doc_id"), col("source"),
+        explode(arrays_zip(
+          slice(col("ts"), lit(1), greatest(size(col("ts")) - 1, lit(0))),
+          slice(col("ts"), lit(2), greatest(size(col("ts")) - 1, lit(0))))).as("g"))
+      .select(col("doc_id"), col("source"),
+        col("g.0").as("w1"), col("g.1").as("w2"))
+      .groupBy(col("doc_id"), col("source"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheScope.releaseAfterAction(s, grams)
+    val train = grams.where(col("doc_id") % 2 === 0)
+    val c12 = train.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val n = c12.agg(sum(col("c12")).as("n"))
+    val p = col("c12").isNotNull
+    val backoff1 = col("c12").isNull && col("c2").isNotNull
+    val prob =
+      when(p, col("c12").cast("double") / col("c1"))
+        .when(backoff1, lit(alpha) * col("c2") / col("n"))
+        .otherwise(lit(alpha * alpha) / col("n"))
+    val perDoc = grams
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(c2, Seq("w2"), "left")
+      .crossJoin(broadcast(n))
+      .groupBy(col("doc_id"), col("source"))
+      .agg((-(sum(col("tf") * log(prob)) / sum(col("tf")))).as("xent"),
+        sum(when(p, lit(0L)).otherwise(col("tf"))).as("backed"),
+        sum(col("tf")).as("mass"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        round(avg(col("xent")), 4).as("avg_xent"),
+        round(min(col("xent")), 4).as("min_xent"),
+        round(max(col("xent")), 4).as("max_xent"),
+        expr("sum(backed) * 10000 div sum(mass)").as("backoff_bp"))
+      .orderBy(col("source"))
+  }
+
   /** C11: duplicate fingerprint groups — md5 of the sorted distinct token
     * set; emits only groups with >1 member (the reorder-dup clusters). */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =

@@ -51,4 +51,61 @@ class PerplexitySpec extends SparkSpec {
       }
     }
   }
+
+  test("bigram LM with stupid backoff matches a driver-side recount") {
+    val rep = TextQueries.textPerplexityBigram(spark, sfDir).collect()
+    assert(rep.nonEmpty)
+    val texts = graft.sources.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect()
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.replaceAll("\\s+", " ").trim.split(' ').toSeq
+    def bigrams(t: String): Seq[(String, String)] = {
+      val ts = toks(t); ts.zip(ts.drop(1))
+    }
+    // LM counts from the even-doc training slice, all derived from the
+    // ONE bigram count table — exactly the query's accounting.
+    val c12 = texts.filter(_._1 % 2 == 0).flatMap(t => bigrams(t._3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = c12.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val c2 = c12.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = c12.values.sum.toDouble
+    val alpha = 0.4
+    val perDoc = texts.flatMap { case (id, src, t) =>
+      val bg = bigrams(t)
+      if (bg.isEmpty) None
+      else {
+        val h = -bg.map { b =>
+          math.log(
+            if (c12.contains(b)) c12(b).toDouble / c1(b._1)
+            else if (c2.contains(b._2)) alpha * c2(b._2) / n
+            else alpha * alpha / n)
+        }.sum / bg.size
+        val backed = bg.count(b => !c12.contains(b)).toLong
+        Some((src, h, backed, bg.size.toLong))
+      }
+    }
+    val bySrc = perDoc.groupBy(_._1)
+    rep.foreach { r =>
+      val g = bySrc(r.getAs[String]("source"))
+      assert(r.getAs[Long]("docs") == g.size.toLong)
+      val hs = g.map(_._2)
+      assert(math.abs(r.getAs[Double]("avg_xent") - hs.sum / hs.size) <= 2e-4)
+      assert(math.abs(r.getAs[Double]("min_xent") - hs.min) <= 2e-4)
+      assert(math.abs(r.getAs[Double]("max_xent") - hs.max) <= 2e-4)
+      assert(r.getAs[Long]("backoff_bp") ==
+        g.map(_._3).sum * 10000 / g.map(_._4).sum)
+    }
+    // Non-vacuous BOTH ways: backoff fires on held-out docs somewhere,
+    // and the seen-bigram main path dominates everywhere (the LM is not
+    // so sparse that scoring degenerates to the unigram floor).
+    assert(rep.exists(_.getAs[Long]("backoff_bp") > 0), "backoff never fired")
+    rep.foreach(r => assert(r.getAs[Long]("backoff_bp") < 5000))
+    // Held-in docs (even ids, self-scored) never back off; alignment of
+    // texts↔perDoc is sound because no doc dropped (asserted first).
+    assert(texts.forall(t => bigrams(t._3).nonEmpty),
+      "recount covers every doc (no <2-token docs at this SF)")
+    assert(texts.zip(perDoc).filter(_._1._1 % 2 == 0).forall(_._2._3 == 0L),
+      "a training-slice doc hit the backoff path")
+  }
 }
