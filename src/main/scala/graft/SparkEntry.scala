@@ -127,6 +127,8 @@ object SparkEntry {
     "sim_search_ivf_learned" -> (VectorQueries.simSearchIvfLearned _),
     // rows-only: PQ-ADC search over learned codebooks (recall spec-bounded)
     "sim_search_pq" -> (graft.ops.ProductQuant.simSearchPq _),
+    // rows-only: PQ with balanced-permutation subspace allocation (OPQ family)
+    "sim_search_opq" -> (graft.ops.ProductQuant.simSearchOpq _),
     // rows-only: SemDeDup within-learned-cluster prune (spec-bounded)
     "dedup_semantic" -> ((s: SparkSession, d: String) => VectorQueries.dedupSemantic(s, d)),
     "embed_stats" -> (VectorQueries.embedStats _),

@@ -104,6 +104,53 @@ object ProductQuant {
       .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
         x => x.getField("code")).as("codes"))
 
+  /** C38a: balanced dimension allocation — the OPQ idea (Ge, He, Ke,
+    * Sun: "Optimized Product Quantization", CVPR 2013) restricted to
+    * its permutation family: REORDER the dimensions so every subspace
+    * carries an equal share of the corpus's log-variance mass (the
+    * paper's eigenvalue-allocation criterion, applied to the natural
+    * axes — no rotation matrix, so encode stays a pure slice and the
+    * "rotation" ships as 64 ints, not a 64×64 matrix). When variance
+    * is concentrated in a few dims (every real text-embedding family),
+    * a contiguous split hands one codebook all the hard dims and
+    * starves the rest; dealing them greedily (descending variance,
+    * into the least-loaded non-full bucket) balances quantization
+    * error across subspaces. On an isotropic corpus it is a no-op by
+    * construction (all buckets equal) — PqSpec pins both regimes.
+    *
+    * The variance pass is ONE partial-aggregated scan (at 100 TB: run
+    * it on the same sample that trains the codebooks); the collect is
+    * `dim` rows. Shifting log-var by its min makes weights ≥0, which
+    * the least-loaded greedy needs (raw log-variances are negative and
+    * would invert "least loaded"); capacity-equal buckets make the
+    * shift a uniform offset that cancels in the balance. */
+  def balancedPermutation(unit: DataFrame, numSub: Int, subDim: Int): Seq[Int] = {
+    val vars = unit
+      .select(posexplode(col("e")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(var_pop(col("x")).as("v"))
+      .collect().map(r => (r.getAs[Int]("dim"), r.getAs[Double]("v")))
+    require(vars.length == numSub * subDim,
+      s"dim ${vars.length} != $numSub*$subDim")
+    val logs = vars.map { case (i, v) => i -> math.log(v.max(1e-300)) }.toMap
+    val shift = logs.values.min
+    val order = vars.sortBy { case (i, v) => (-v, i) }.map(_._1)
+    val buckets = Array.fill(numSub)(Vector.empty[Int])
+    val sums = Array.fill(numSub)(0.0)
+    order.foreach { i =>
+      val b = (0 until numSub).filter(buckets(_).size < subDim)
+        .minBy(b => (sums(b), b))
+      buckets(b) :+= i
+      sums(b) += logs(i) - shift
+    }
+    buckets.toIndexedSeq.flatten
+  }
+
+  /** Reorder each vector's components by `perm` — a narrow projection
+    * (array of getItem picks), no shuffle. */
+  def permute(v: DataFrame, perm: Seq[Int]): DataFrame =
+    v.select(col("vec_id"),
+      array(perm.map(i => col("e").getItem(i)): _*).as("e"))
+
   /** C38 query face: PQ-ADC top-10 for the query set vec_id < 5.
     *
     * Vectors are L2-normalized BEFORE quantization so squared L2 is a
@@ -113,12 +160,29 @@ object ProductQuant {
     * top-100 by ADC distance per query; rescore: exact cosine from the
     * raw vectors (a broadcast of the 5×100 candidate list — the corpus
     * never re-shuffles); report top-10. */
-  def simSearchPq(s: SparkSession, dir: String): DataFrame = {
-    val numSub = 8; val subDim = 8; val k = 16
-    val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
-      .select(col("vec_id"), col("e"), col("nrm"))
-    val unit = v.select(col("vec_id"),
+  def simSearchPq(s: SparkSession, dir: String): DataFrame =
+    pqTopK(Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
+      .select(col("vec_id"), col("e"), col("nrm")), balance = false)
+
+  /** C38a query face: PQ with the balanced-permutation "rotation" —
+    * same code size, same ADC scan; only the subspace composition
+    * changes. The candidate set (and so recall) improves whenever the
+    * corpus is anisotropic; the final rescore is exact cosine on the
+    * UNPERMUTED vectors (cosine is permutation-invariant, so the two
+    * faces rank identically given the same candidates). */
+  def simSearchOpq(s: SparkSession, dir: String): DataFrame =
+    pqTopK(Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
+      .select(col("vec_id"), col("e"), col("nrm")), balance = true)
+
+  /** Shared PQ/OPQ search over any (vec_id, e, nrm) frame (spec entry
+    * point — PqSpec drives it with a constructed anisotropic corpus). */
+  def pqTopK(v: DataFrame, balance: Boolean,
+      numSub: Int = 8, subDim: Int = 8, k: Int = 16): DataFrame = {
+    val unit0 = v.select(col("vec_id"),
       transform(col("e"), x => x / col("nrm")).as("e"))
+    val unit =
+      if (balance) permute(unit0, balancedPermutation(unit0, numSub, subDim))
+      else unit0
     val cb = fit(unit, numSub, subDim, k, iters = 2)
     val codes = encode(unit, cb, numSub, subDim)
     // query-side distance tables: per subspace, map(code -> exact d²)
