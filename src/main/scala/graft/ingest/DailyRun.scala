@@ -76,7 +76,8 @@ object DailyRun {
           landingDir: String, storingDir: String, ledgerPath: String,
           configs: Map[String, IngestJob.TableConfig],
           publishRoot: String, userZoneRoot: String,
-          catalogPath: String): DayResult = {
+          catalogPath: String,
+          sink: ReportSink = ReportSink.Silent): DayResult = {
     val legs = scala.collection.mutable.Buffer[Leg]()
 
     val summary = attempt("ingest", legs) {
@@ -106,6 +107,17 @@ object DailyRun {
       (s"tables=$n", n)
     }.getOrElse(0)
 
-    DayResult(legs.toSeq, summary, snapshots, synced, cataloged)
+    val result = DayResult(legs.toSeq, summary, snapshots, synced, cataloged)
+    // the orchestration-level notification seam (the reference notifies
+    // per job; the composed day notifies once, on the leg report)
+    ReportSink.safely(sink.onComplete("daily_run",
+      s"DAILY RUN ${result.failed.size} failed / ${result.legs.size} legs\n" +
+        result.legs.map(l => s"${l.name}: ${l.status}" +
+          l.error.map(e => s" ($e)").getOrElse("")).mkString("\n")))
+    if (!result.ok)
+      ReportSink.safely(sink.onFailure("daily_run",
+        result.reportFrame(spark)
+          .where(org.apache.spark.sql.functions.col("status") === "failed")))
+    result
   }
 }

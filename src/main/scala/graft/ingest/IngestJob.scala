@@ -77,7 +77,8 @@ object IngestJob {
     * change. Files whose date no window covers fail OUTOFCONFIG. */
   def runWithConfigTable(spark: SparkSession, landingDir: String,
                          storingDir: String, ledgerPath: String,
-                         config: DataFrame): RunSummary = {
+                         config: DataFrame,
+                         sink: ReportSink = ReportSink.Silent): RunSummary = {
     val parsed = config.select(col("table"), col("start_date"), col("end_date"),
       split(col("headers"), ",").as("headers"),
       transform(split(col("type_codes"), ","),
@@ -91,19 +92,32 @@ object IngestJob {
     val invalidTables = parsed.where(dup).select("table").distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     val summary = runWithLayouts(spark, landingDir, storingDir, ledgerPath,
-      parsed.where(!dup))
-    summary.copy(invalidConfigTables = invalidTables)
+      parsed.where(!dup)).copy(invalidConfigTables = invalidTables)
+    // hooks fire HERE, on the final summary (the inner call got Silent):
+    // a rejected config row is a failure condition too
+    fireHooks(sink, summary)
+    summary
+  }
+
+  /** Fire the [[ReportSink]] hooks for a finished run: completion
+    * always, failure when the run recorded failed files or rejected
+    * config rows. */
+  private def fireHooks(sink: ReportSink, summary: RunSummary): Unit = {
+    ReportSink.safely(sink.onComplete("ingest", summary.report))
+    if (summary.failureCounts.values.sum > 0 || summary.invalidConfigTables.nonEmpty)
+      ReportSink.safely(sink.onFailure("ingest", summary.failures))
   }
 
   /** One daily run with a static layout per table. */
   def run(spark: SparkSession, landingDir: String, storingDir: String,
-          ledgerPath: String, configs: Map[String, TableConfig]): RunSummary = {
+          ledgerPath: String, configs: Map[String, TableConfig],
+          sink: ReportSink = ReportSink.Silent): RunSummary = {
     import spark.implicits._
     val layouts = configs.toSeq
       .map { case (t, c) => (t, java.sql.Date.valueOf("0001-01-01"),
         java.sql.Date.valueOf("9999-12-31"), c.headers, c.typeCodes) }
       .toDF("table", "start_date", "end_date", "headers", "type_codes")
-    runWithLayouts(spark, landingDir, storingDir, ledgerPath, layouts)
+    runWithLayouts(spark, landingDir, storingDir, ledgerPath, layouts, sink)
   }
 
   /** Core run over a LAYOUTS frame: (table, start_date, end_date,
@@ -120,7 +134,8 @@ object IngestJob {
     * FileIndex plans any scan from — and (b) summary counts; per-file
     * classification detail and failure rows never pass through it. */
   def runWithLayouts(spark: SparkSession, landingDir: String, storingDir: String,
-                     ledgerPath: String, layouts: DataFrame): RunSummary = {
+                     ledgerPath: String, layouts: DataFrame,
+                     sink: ReportSink = ReportSink.Silent): RunSummary = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val startTime = nowString()
@@ -236,9 +251,11 @@ object IngestJob {
       Ledger.record(classified.where(col("status") === FailureClassifier.Ok)
         .select("fname"), "fname", ledgerPath)
     }
-    RunSummary(written, skipped, failures,
+    val summary = RunSummary(written, skipped, failures,
       processedFiles = groups.map(_._4.length.toLong).sum,
       failureCounts = failureCounts,
       startTime = startTime, endTime = nowString())
+    fireHooks(sink, summary)
+    summary
   }
 }

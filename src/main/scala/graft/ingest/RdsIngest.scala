@@ -18,6 +18,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object RdsIngest {
 
+  /** Resolve-by-name face (CONVERT_RDS L62–73: the job is handed a
+    * CONNECTION NAME and resolves url + credentials from the catalog at
+    * runtime). The resolver is the caller's secret-store adapter —
+    * credentials never appear in config tables or code, and resolution
+    * happens once, on the driver. */
+  def read(spark: SparkSession, connectionName: String,
+           resolver: String => (String, Properties), table: String): DataFrame = {
+    val (url, props) = resolver(connectionName)
+    read(spark, url, table, props)
+  }
+
   /** Full-table parallel read. `bounds` = (partitionColumn, lower,
     * upper, numPartitions); pass None only for tiny tables (single
     * cursor — the reference's mode). */

@@ -62,10 +62,27 @@ object RdsSweep {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
+  /** Resolve-by-name face — the reference's connection indirection
+    * (CONVERT_RDS_TO_S3_DAILY_JOB.PY:62–73 resolves a named catalog
+    * connection into JDBC url + credentials at runtime). The resolver
+    * is the caller's secret-store adapter (vault, env, a config
+    * table); the library never sees WHERE credentials live, only the
+    * (url, props) they resolve to — resolved ONCE per sweep, on the
+    * driver, never serialized into the plan. */
+  def run(spark: SparkSession, connectionName: String,
+          resolver: String => (String, Properties),
+          config: DataFrame, destRoot: String): DataFrame = {
+    val (url, props) = resolver(connectionName)
+    run(spark, url, config, destRoot, props)
+  }
+
   /** Run the sweep: one leg per config row, never aborting the loop.
-    * Returns the per-table run report. */
+    * Returns the per-table run report. [[ReportSink.onFailure]] fires
+    * with the failed legs when any leg failed (the reference's SNS
+    * seam); onComplete always, with the per-table status lines. */
   def run(spark: SparkSession, url: String, config: DataFrame,
-          destRoot: String, props: Properties = new Properties()): DataFrame = {
+          destRoot: String, props: Properties = new Properties(),
+          sink: ReportSink = ReportSink.Silent): DataFrame = {
     val legs = config.select(
         col("TABLE"), col("PARTITIONED"), col("PARTITIONKEY"), col("NUM_PARTITIONS"))
       .collect().toSeq.sortBy(_.getAs[String]("TABLE"))
@@ -110,7 +127,16 @@ object RdsSweep {
             Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
       }
     }
-    spark.createDataFrame(
+    val frame = spark.createDataFrame(
       spark.sparkContext.parallelize(report, 1), ReportSchema)
+    val lines = report.map(r =>
+      s"${r.getString(0)}: ${r.getString(2)} (${r.getString(1)}, rows=${r.getLong(3)})")
+    ReportSink.safely(sink.onComplete("rds_sweep",
+      s"RDS SWEEP ${report.count(_.getString(2) == "failed")} failed / " +
+        s"${report.size} legs\n" + lines.mkString("\n")))
+    if (report.exists(_.getString(2) == "failed"))
+      ReportSink.safely(sink.onFailure("rds_sweep",
+        frame.where(col("status") === "failed")))
+    frame
   }
 }
