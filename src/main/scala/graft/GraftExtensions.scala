@@ -2,15 +2,18 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.VectorDot
+import graft.functions.{ByteHistogram, MinHashes, NearestCentroids, SimHash64, TokenMarkerStats, VectorDot, WordShingles}
 
 /** Session extensions: registers graft's native expressions in the SQL
-  * function registry so `SELECT vector_dot(a, b)` works from plain SQL.
+  * function registry so the whole kernel set works from plain SQL —
+  * `SELECT simhash64(text), minhashes(word_shingles(text, 3), 16) ...`
+  * — giving the reference's Athena-style SQL users the same operators
+  * the DataFrame faces use (one implementation, two spellings).
   * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
-  * — the Column API ([[graft.functions.VectorDot.apply]]) needs no
-  * registration and works on any session.
+  * — the Column API (each expression's `apply`) needs no registration
+  * and works on any session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -18,16 +21,61 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** SQL scalar args (shingle size, hash count, top-n) arrive as
+    * expressions; the native constructors take Ints. Only foldable
+    * integral literals are accepted — a column-valued size would make
+    * the expression's OUTPUT TYPE data-dependent, which SQL cannot
+    * plan. */
+  private def intArg(e: Expression, fn: String, arg: String): Int = e match {
+    case lit: Literal if lit.foldable =>
+      lit.value match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case s: Short => s.toInt
+        case b: Byte => b.toInt
+        case other =>
+          throw new IllegalArgumentException(
+            s"$fn: $arg must be an integer literal, got $other")
+      }
+    case other =>
+      throw new IllegalArgumentException(
+        s"$fn: $arg must be a literal, got ${other.sql}")
+  }
+
+  private def fn(name: String, clazz: Class[_], arity: String)
+                (builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
+      (children: Seq[Expression]) => {
+        require(arity.split(",").map(_.trim.toInt).contains(children.length),
+          s"$name takes $arity argument(s), got ${children.length}")
+        builder(children)
+      })
 
   /** (identifier, info, builder) triples — the exact shape
     * `SparkSessionExtensions.injectFunction` consumes. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq((
-      FunctionIdentifier("vector_dot"),
-      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "vector_dot takes exactly 2 arguments")
-        VectorDot(children.head, children(1))
-      }))
+    Seq(
+      fn("vector_dot", classOf[VectorDot], "2") { c =>
+        VectorDot(c.head, c(1))
+      },
+      fn("word_shingles", classOf[WordShingles], "2") { c =>
+        WordShingles(c.head, intArg(c(1), "word_shingles", "n"))
+      },
+      fn("minhashes", classOf[MinHashes], "2") { c =>
+        MinHashes(c.head, intArg(c(1), "minhashes", "num_hashes"))
+      },
+      fn("simhash64", classOf[SimHash64], "1") { c =>
+        SimHash64(c.head)
+      },
+      fn("token_marker_stats", classOf[TokenMarkerStats], "1") { c =>
+        TokenMarkerStats(c.head)
+      },
+      fn("nearest_centroids", classOf[NearestCentroids], "3") { c =>
+        NearestCentroids(c.head, c(1), intArg(c(2), "nearest_centroids", "n"))
+      },
+      fn("byte_histogram", classOf[ByteHistogram], "1") { c =>
+        ByteHistogram(c.head)
+      })
 }
