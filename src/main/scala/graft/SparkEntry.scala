@@ -60,6 +60,10 @@ object SparkEntry {
     "q28_market_share" -> (LakeQueries.q28MarketShare _),
     // TPC-H Q9 shape: two-money-term profit arithmetic per nation/year
     "q29_product_profit" -> (LakeQueries.q29ProductProfit _),
+    // TPC-H Q10 shape: returned-item revenue top-20
+    "q30_returned_revenue" -> (LakeQueries.q30ReturnedRevenue _),
+    // TPC-H Q13 shape: customer order-count distribution (left join, 0 bucket)
+    "q31_cust_distribution" -> (LakeQueries.q31CustDistribution _),
     // §2.B ingestion semantics
     "ingest_typecast" -> (IngestQueries.ingestTypecast _),
     "ingest_filename_route" -> (IngestQueries.ingestFilenameRoute _),
@@ -379,6 +383,27 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE p_name LIKE '%widget%'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q30_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name AS nation,
+        |       cast(sum(cast(floor(l_extendedprice*(1-l_discount)*100 + 0.5)
+        |                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       count(*) AS line_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= DATE '1996-01-01'
+        |  AND o_orderdate <  DATE '1996-07-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin,
+    "q31_cust_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) cc
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q28_market_share" ->
       """WITH vol AS (
         |  SELECT r_name AS region, year(o_orderdate) AS yr,

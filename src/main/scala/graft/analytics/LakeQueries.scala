@@ -660,6 +660,56 @@ object LakeQueries {
       .orderBy(col("nation"), col("yr"))
   }
 
+  /** A31: TPC-H Q10 shape — returned-item revenue report: the top-20
+    * customers by revenue lost to returns in one half-year window. The
+    * Q10 skeleton: BOTH fact-side filters push to their parquet scans
+    * (l_returnflag to lineitem, the date range to orders) so the join
+    * carries only the return slice; customer joins on the shuffled key
+    * (grows with SF — never forced broadcast, the A5 rule), nation
+    * broadcasts (fixed dim). Top-20 is orderBy+limit over the
+    * aggregated (customer-sized) frame — Spark plans it as
+    * TakeOrderedAndProject, never a global sort of the fact table.
+    * Money in integer cents; revenue-desc ties break by custkey (§4
+    * determinism rule for top-N). */
+  def q30ReturnedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+    val ord = t(s, dir, "orders")
+      .where(col("o_orderdate") >= lit(ts("1996-01-01")) &&
+        col("o_orderdate") < lit(ts("1996-07-01")))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name").as("nation"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("cents"))
+      .groupBy(col("c_custkey"), col("c_name"), col("nation"))
+      .agg(sum(col("cents")).as("revenue_cents"),
+        count(lit(1)).as("line_items"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** A32: TPC-H Q13 shape — customer order-count distribution with an
+    * exclusion predicate (how many customers placed 0, 1, 2, … orders,
+    * not counting URGENT ones). The Q13 point is the LEFT join that
+    * keeps zero-order customers; the scale-smart spelling aggregates
+    * orders per custkey FIRST (partial-agg absorbs the fact rows;
+    * only one row per active customer shuffles) and left-joins that
+    * tiny frame to the customer key list — never the raw fact table.
+    * Missing matches coalesce to the 0 bucket. The final histogram
+    * groupBy is on the (order-count)-sized key space. */
+  def q31CustDistribution(s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "orders")
+      .where(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    t(s, dir, "customer").select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   /** A24: mergeable distinct sketches — the incremental uniques rollup a
     * lake keeps so "uniques over any window" never rescans history. The
     * nightly job builds ONE DataSketches HLL sketch per (day, type)

@@ -211,6 +211,41 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q30 pushes both fact filters, broadcasts nation, plans a TakeOrdered top-20") {
+    val df = SparkEntry.queries("q30_returned_revenue")(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrdered over the aggregate, not a global sort:\n$plan")
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      s"return-flag filter must reach the lineitem scan:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date window must reach the orders scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q31 aggregates orders per custkey BEFORE the left join (no raw-fact join)") {
+    val df = SparkEntry.queries("q31_cust_distribution")(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // exactly two scans (customer + orders), and the orders side must be
+    // aggregated before joining: the join's build/stream inputs both sit
+    // above HashAggregate nodes, so a plan where the raw orders rows meet
+    // customer directly would show the join BELOW the first aggregate
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 2, s"expected 2 scans, got $scans:\n$plan")
+    // the tree prints top-down, so the per-custkey aggregate sitting
+    // INSIDE the join's subtree appears after the join line
+    val joinAt = plan.indexOf("Join")
+    assert(joinAt >= 0 &&
+      plan.indexOf("HashAggregate(keys=[o_custkey", joinAt) > joinAt,
+      s"orders must pre-aggregate per custkey under the join:\n$plan")
+    assert(plan.contains("Not(EqualTo(o_orderpriority,1-URGENT))"),
+      s"exclusion predicate must reach the orders scan:\n$plan")
+    // the histogram keeps a genuine left join (zero-order bucket)
+    assert(plan.contains("LeftOuter"), s"left join required for the 0 bucket:\n$plan")
+  }
+
   test("IVF assignment is shuffle-free: no corpus exchange keyed on vec_id") {
     val plan = executed("sim_search_ivf")
     // the old join+window spelling exchanged n·k rows on vec_id twice
