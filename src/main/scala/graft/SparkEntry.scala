@@ -131,6 +131,8 @@ object SparkEntry {
     "sim_search_ivf_learned" -> (VectorQueries.simSearchIvfLearned _),
     // rows-only: PQ-ADC search over learned codebooks (recall spec-bounded)
     "sim_search_pq" -> (graft.ops.ProductQuant.simSearchPq _),
+    // rows-only: composed IVF-PQ (residual-coded posting lists, IVFADC)
+    "sim_search_ivfpq" -> (graft.ops.IvfPq.simSearchIvfPq _),
     // rows-only: PQ with balanced-permutation subspace allocation (OPQ family)
     "sim_search_opq" -> (graft.ops.ProductQuant.simSearchOpq _),
     // rows-only: SemDeDup within-learned-cluster prune (spec-bounded)

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** IVF-PQ composed ANN — C44: the coarse partitioner (C16a's learned
+  * IVF) carrying PQ codes in its posting lists, i.e. the architecture
+  * every production-scale vector service actually deploys (Jégou et
+  * al.'s IVFADC; FAISS `IndexIVFPQ`). IVF alone still stores raw
+  * vectors in the lists (memory ∝ corpus × dim); PQ alone still scans
+  * every code (compute ∝ corpus). Composed: a query touches only
+  * `nprobe` posting lists AND each candidate costs M map lookups —
+  * memory ∝ corpus × M bytes, compute ∝ corpus × nprobe / k_coarse.
+  *
+  * RESIDUAL encoding, the IVFADC detail that matters: what gets
+  * PQ-coded is `e − centroid(e)`, not `e`. Residuals concentrate near
+  * zero with most of the between-cluster variance removed, so the same
+  * codebook budget quantizes far finer; one codebook is SHARED across
+  * clusters (the FAISS default — per-cluster books multiply memory by
+  * k_coarse for marginal gain). The query side then needs a distance
+  * table PER (query, probed cluster) — `q − centroid` differs per
+  * probe — which costs nprobe × M × k table entries per query, still
+  * broadcast-tiny.
+  *
+  * Plan shape at 100 TB: build = one KMeans assignment pass + one PQ
+  * train/encode pass over residuals (narrow, broadcast codebooks);
+  * search = posting-list equi-join on the probed cluster ids (the C16
+  * bucket-bounded join), ADC as a per-row zip_with over broadcast
+  * tables, exact rescore only on the top-`rerank` candidate set.
+  * Deterministic like its parents — rows-only entry, recall
+  * spec-bounded in IvfPqSpec.
+  */
+object IvfPq {
+
+  /** Corpus → (cluster, centroid arrays, residual frame). */
+  private def residuals(v: DataFrame, cents: DataFrame): DataFrame = {
+    val centsArr = cents.agg(array_sort(collect_list(
+      struct(col("cluster"), col("ce"), col("cn")))).as("cents"))
+    v.crossJoin(broadcast(centsArr))
+      .withColumn("cluster",
+        graft.functions.NearestCentroids(col("e"), col("cents"), 1).getItem(0))
+      .withColumn("ce", element_at(
+        map_from_entries(transform(col("cents"),
+          c => struct(c.getField("cluster"), c.getField("ce")))), col("cluster")))
+      .select(col("vec_id"), col("cluster"), col("e"), col("nrm"),
+        zip_with(col("e"), col("ce"), (x, y) => x - y).as("r"))
+  }
+
+  /** C44 query face: IVF-PQ top-10 for the query set vec_id < 5.
+    * k_coarse=8 IVF clusters (3 Lloyd rounds), shared residual PQ
+    * codebook (M=8 × 8 dims, k=16, 2 rounds), nprobe=2, top-100 ADC
+    * candidates, exact cosine rescore, top-10. */
+  def simSearchIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val numSub = 8; val subDim = 8; val k = 16; val nprobe = 2
+    val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
+      .select(col("vec_id"), col("e"), col("nrm"))
+    val unit = v.select(col("vec_id"),
+      transform(col("e"), x => x / col("nrm")).as("e"), lit(1.0).as("nrm"))
+
+    val coarse = KMeans.fit(unit, k = 8, iters = 3).centroids
+    val res = residuals(unit, coarse)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheScope.releaseAfterAction(s, res)
+
+    // shared codebook over residuals; postings carry (cluster, codes)
+    val rFrame = res.select(col("vec_id"), col("r").as("e"))
+    val cb = ProductQuant.fit(rFrame, numSub, subDim, k, iters = 2)
+    val postings = ProductQuant.encode(rFrame, cb, numSub, subDim)
+      .join(res.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+
+    // probes: each query's nprobe nearest coarse centroids + its
+    // PER-CLUSTER residual (q − that cluster's centroid)
+    val centsArr = coarse.agg(array_sort(collect_list(
+      struct(col("cluster"), col("ce"), col("cn")))).as("cents"))
+    val qres = unit.where(col("vec_id") < 5)
+      .crossJoin(broadcast(centsArr))
+      .select(col("vec_id").as("query_id"), col("e"),
+        explode(graft.functions.NearestCentroids(col("e"), col("cents"), nprobe))
+          .as("cluster"), col("cents"))
+      .withColumn("ce", element_at(
+        map_from_entries(transform(col("cents"),
+          c => struct(c.getField("cluster"), c.getField("ce")))), col("cluster")))
+      .select(col("query_id"), col("cluster"),
+        zip_with(col("e"), col("ce"), (x, y) => x - y).as("e"))
+
+    // ADC tables per (query, probed cluster): dtabs(m) maps code → d²
+    val qsubs = qres.select(col("query_id"), col("cluster"),
+        explode(array((0 until numSub).map(lit): _*)).as("m"), col("e"))
+      .select(col("query_id"), col("cluster"), col("m"),
+        slice(col("e"), col("m") * subDim + 1, lit(subDim)).as("sv"))
+    val qtabs = qsubs.join(broadcast(ProductQuant.codebookArr(cb)), Seq("m"))
+      .withColumn("dtab", map_from_entries(transform(col("cb"),
+        c => struct(c.getField("code"), ProductQuant.l2(col("sv"), c.getField("cv"))))))
+      .groupBy(col("query_id"), col("cluster"))
+      .agg(map_from_entries(collect_list(struct(col("m"), col("dtab")))).as("tmap"))
+      .select(col("query_id"), col("cluster"),
+        transform(sequence(lit(0), lit(numSub - 1)),
+          i => element_at(col("tmap"), i)).as("dtabs"))
+
+    // bucket-bounded ADC scan: postings meet ONLY their probed queries
+    val scored = postings.join(broadcast(qtabs), Seq("cluster"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("approx_d", aggregate(
+        zip_with(col("codes"), col("dtabs"), (c, t) => element_at(t, c)),
+        lit(0.0), (acc, x) => acc + x))
+    val byAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d"), col("vec_id"))
+    val cand = scored.withColumn("crnk", row_number().over(byAdc))
+      .where(col("crnk") <= 100)
+      .select(col("query_id"), col("vec_id"))
+
+    val q = v.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val rescored = v.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine",
+        round(Vectors.cosine(col("qe"), col("e"), col("qn"), col("nrm")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    rescored.withColumn("rnk", rank().over(w)).where(col("rnk") <= 10)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rnk"), col("vec_id"))
+  }
+}

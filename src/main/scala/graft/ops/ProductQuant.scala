@@ -43,13 +43,13 @@ object ProductQuant {
 
   /** Squared L2 between two equal-length double arrays, accumulated in
     * array order (codegen'd higher-order functions, no UDF). */
-  private def l2(a: Column, b: Column): Column =
+  private[ops] def l2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
   /** (vec_id, m, sv): each vector split into `numSub` subvectors of
     * `subDim` dims — a narrow generate + slice, no shuffle. */
-  private def subFrame(v: DataFrame, numSub: Int, subDim: Int): DataFrame =
+  private[ops] def subFrame(v: DataFrame, numSub: Int, subDim: Int): DataFrame =
     v.select(col("vec_id"),
         explode(array((0 until numSub).map(lit): _*)).as("m"), col("e"))
       .select(col("vec_id"), col("m"),
@@ -57,7 +57,7 @@ object ProductQuant {
 
   /** Codebook rows (m, code, cv) folded into one broadcast-ready row
     * per subspace. */
-  private def codebookArr(cb: DataFrame): DataFrame =
+  private[ops] def codebookArr(cb: DataFrame): DataFrame =
     cb.groupBy(col("m")).agg(collect_list(struct(col("code"), col("cv"))).as("cb"))
 
   /** Per-row nearest codebook entry: argmin over squared L2, ties to the
