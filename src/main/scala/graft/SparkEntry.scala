@@ -114,6 +114,8 @@ object SparkEntry {
     "text_perplexity" -> (TextQueries.textPerplexity _),
     // rows-only: bigram LM + stupid backoff, trained on the even-doc slice
     "text_perplexity_bigram" -> (TextQueries.textPerplexityBigram _),
+    // span-level dedup: recurring L-token windows merged to maximal spans
+    "text_dup_spans" -> (TextQueries.textDupSpans _),
     "dedup_ngram_jaccard" -> (DedupQueries.dedupNgramJaccard _),
     // incremental new-batch-vs-standing-corpus dedup (3 probe faces)
     "dedup_incremental" -> (DedupQueries.dedupIncremental _),
@@ -385,6 +387,39 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE p_name LIKE '%widget%'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "text_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')),' ') AS ts
+        |  FROM documents
+        |), tot AS (
+        |  SELECT source, cast(sum(len(ts)) AS BIGINT) AS total_tokens
+        |  FROM toks GROUP BY source
+        |), grams AS (
+        |  SELECT doc_id, source, i AS pos,
+        |         md5(array_to_string(ts[i:i+7], ' ')) AS h
+        |  FROM toks, unnest(generate_series(1, len(ts) - 7)) u(i)
+        |), dup AS (
+        |  SELECT doc_id, source, pos,
+        |         count(*) OVER (PARTITION BY h) AS c
+        |  FROM grams
+        |), isl AS (
+        |  SELECT doc_id, source, pos,
+        |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM dup WHERE c > 1
+        |), spans AS (
+        |  SELECT doc_id, source, min(pos) AS s, max(pos) AS e
+        |  FROM isl GROUP BY doc_id, source, grp
+        |)
+        |SELECT t.source,
+        |       cast(count(DISTINCT sp.doc_id) AS BIGINT) AS docs_with_dups,
+        |       cast(count(sp.doc_id) AS BIGINT) AS dup_spans,
+        |       cast(coalesce(sum(sp.e - sp.s + 8), 0) AS BIGINT) AS dup_token_mass,
+        |       cast(cast(coalesce(sum(sp.e - sp.s + 8), 0) AS BIGINT) * 10000
+        |            // t.total_tokens AS BIGINT) AS share_bp
+        |FROM tot t LEFT JOIN spans sp ON t.source = sp.source
+        |GROUP BY t.source, t.total_tokens
+        |ORDER BY t.source""".stripMargin,
     "q30_returned_revenue" ->
       """SELECT c_custkey, c_name, n_name AS nation,
         |       cast(sum(cast(floor(l_extendedprice*(1-l_discount)*100 + 0.5)

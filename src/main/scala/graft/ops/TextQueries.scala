@@ -633,6 +633,56 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** C45: duplicated-span detection — the span-level dedup signal from
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL 2022): find text RANGES that recur across the corpus
+    * (boilerplate, templates, quoted chunks), not just whole-document
+    * dups. Their suffix array is replaced by the standard distributed
+    * approximation: hash every L-token window (L=8), keep windows whose
+    * hash recurs anywhere in the corpus, and merge ADJACENT duplicated
+    * window positions per doc into maximal spans (gaps-and-islands:
+    * pos − row_number is constant within a run of consecutive
+    * positions). Every duplicated span of ≥L tokens is caught and its
+    * full token mass reported as the islands' interval union.
+    *
+    * Plan shape at 100 TB: one narrow gram projection (transform over
+    * the token array — the doc never self-joins), ONE shuffle on the
+    * uniform gram hash for the recurrence count, one per-doc window for
+    * the island merge, then a tiny per-source roll-up. All-integer
+    * output (span counts, token mass, share in basis points) — exact
+    * cross-engine, SQL-checked. */
+  def textDupSpans(s: SparkSession, dir: String): DataFrame = {
+    val L = 8
+    val toks = docs(s, dir)
+      .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("ts"))
+    val tot = toks.groupBy(col("source"))
+      .agg(sum(size(col("ts"))).as("total_tokens"))
+    val grams = toks.where(size(col("ts")) >= L)
+      .select(col("doc_id"), col("source"),
+        posexplode(transform(sequence(lit(1), size(col("ts")) - (L - 1)),
+          i => md5(concat_ws(" ", slice(col("ts"), i, lit(L)))))).as(Seq("p0", "h")))
+      .select(col("doc_id"), col("source"), (col("p0") + 1).as("pos"), col("h"))
+    val dup = grams
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .where(col("c") > 1)
+    val spans = dup
+      .withColumn("grp", col("pos") -
+        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("source"), col("grp"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"))
+    val perSrc = spans.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("dwd"),
+        count(lit(1)).as("ds"),
+        sum(col("e") - col("s") + L).as("dtm"))
+    tot.join(perSrc, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("dwd"), lit(0L)).as("docs_with_dups"),
+        coalesce(col("ds"), lit(0L)).as("dup_spans"),
+        coalesce(col("dtm"), lit(0L)).as("dup_token_mass"),
+        expr("coalesce(dtm, 0L) * 10000 div total_tokens").as("share_bp"))
+      .orderBy(col("source"))
+  }
+
   /** C11: duplicate fingerprint groups — md5 of the sorted distinct token
     * set; emits only groups with >1 member (the reorder-dup clusters). */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =

@@ -153,4 +153,47 @@ class DedupSpec extends SparkSpec {
       .select("simhash").as[Long].collect()
     assert(sigs(0) == sigs(1))
   }
+
+  test("duplicated-span report: invariants hold and a planted span is found whole") {
+    val rep = TextQueries.textDupSpans(spark, sfDir).collect()
+    assert(rep.length == 20)
+    rep.foreach { r =>
+      val (spans, mass, bp) = (r.getAs[Long]("dup_spans"),
+        r.getAs[Long]("dup_token_mass"), r.getAs[Long]("share_bp"))
+      assert(mass >= spans * 8, "every span covers at least L=8 tokens")
+      assert(bp >= 0 && bp <= 10000)
+      assert(r.getAs[Long]("docs_with_dups") <= 25, "docs per source at sf0.001")
+    }
+    assert(rep.exists(_.getAs[Long]("dup_spans") > 0), "corpus has recurring spans")
+
+    // planted case: a 12-token chunk shared by two docs inside otherwise
+    // unique text must surface as ONE maximal span of mass 12 per doc
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    def noise(tag: String) = (1 to 10).map(i => s"$tag$i").mkString(" ")
+    val planted = Seq(
+      (1L, s"${noise("a")} $shared ${noise("b")}", "s1"),
+      (2L, s"${noise("c")} $shared ${noise("d")}", "s2"),
+      (3L, noise("e") + " " + noise("f"), "s3"))
+      .toDF("doc_id", "text", "source")
+    // run the same operator over the planted frame via a temp view swap:
+    // textDupSpans reads Tables(dir)/documents, so recount its core here
+    val toks = planted.select(col("doc_id"), col("source"),
+      Text.tokens(col("text")).as("ts"))
+    val grams = toks.select(col("doc_id"), col("source"),
+        posexplode(transform(sequence(lit(1), size(col("ts")) - 7),
+          i => md5(concat_ws(" ", slice(col("ts"), i, lit(8)))))).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    val dup = grams.withColumn("c",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .where(col("c") > 1)
+    val spans = dup.withColumn("grp", col("pos") -
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"))
+      .select(col("doc_id"), (col("e") - col("s") + 8).as("mass"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(spans == Seq((1L, 12L), (2L, 12L)),
+      s"the planted 12-token span must merge to one 12-mass island per doc: $spans")
+  }
 }
