@@ -64,6 +64,10 @@ object SparkEntry {
     "q30_returned_revenue" -> (LakeQueries.q30ReturnedRevenue _),
     // TPC-H Q13 shape: customer order-count distribution (left join, 0 bucket)
     "q31_cust_distribution" -> (LakeQueries.q31CustDistribution _),
+    // TPC-H Q11 shape: HAVING against a scalar subquery over the same agg
+    "q32_value_share" -> (LakeQueries.q32ValueShare _),
+    // TPC-H Q2 shape: correlated-min offer selection per part
+    "q33_min_cost_supplier" -> (LakeQueries.q33MinCostSupplier _),
     // §2.B ingestion semantics
     "ingest_typecast" -> (IngestQueries.ingestTypecast _),
     "ingest_filename_route" -> (IngestQueries.ingestFilenameRoute _),
@@ -100,6 +104,7 @@ object SparkEntry {
     "dedup_chunk" -> (TextQueries.dedupChunk _),
     // cumulative filter-funnel survivor report over the documents corpus
     "quality_funnel" -> (TextQueries.qualityFunnel _),
+    "quality_gopher" -> (TextQueries.qualityGopher _),
     // (source × lang) dataset card at every rollup level
     "corpus_stats" -> (TextQueries.corpusStats _),
     // canonicalization audit with a cross-engine md5 witness
@@ -155,6 +160,7 @@ object SparkEntry {
     "sample_mixture" -> (graft.ops.Sample.sampleMixtureQuery _),
     "sample_split" -> (graft.ops.Sample.sampleSplitQuery _),
     "sample_stratified" -> (graft.ops.Sample.sampleStratifiedQuery _),
+    "sample_cap_source" -> (graft.ops.Sample.sampleCapSourceQuery _),
     "mixture_tokens" -> (graft.ops.Sample.mixtureTokensQuery _),
     // sharded sequence packing into fixed token budgets
     "sample_pack" -> (graft.ops.Sample.samplePackQuery _),
@@ -441,6 +447,37 @@ object SparkEntry {
         |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
         |  GROUP BY c_custkey) cc
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q32_value_share" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |         cast(sum(cast(floor(l_extendedprice*(1-l_discount)*100 + 0.5)
+        |                       AS BIGINT)) AS BIGINT) AS value_cents,
+        |         count(*) AS line_items
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT cast(sum(value_cents) AS BIGINT) AS t,
+        |               count(*) AS np FROM v)
+        |SELECT l_partkey AS partkey, value_cents, line_items,
+        |       cast((value_cents * 10000) // t AS BIGINT) AS share_bp
+        |FROM v, tot
+        |WHERE value_cents * np * 10 > t * 13
+        |ORDER BY value_cents DESC, partkey""".stripMargin,
+    "q33_min_cost_supplier" ->
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         cast(min(cast(floor(l_extendedprice / l_quantity * 100 + 0.5)
+        |                       AS BIGINT)) AS BIGINT) AS cost_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |best AS (
+        |  SELECT *, min(cost_cents) OVER (PARTITION BY l_partkey) AS b
+        |  FROM offers)
+        |SELECT p_partkey AS partkey, p_brand, s_name, n_name AS nation,
+        |       cost_cents
+        |FROM best
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE cost_cents = b
+        |ORDER BY cost_cents DESC, partkey, s_name LIMIT 100""".stripMargin,
     "q28_market_share" ->
       """WITH vol AS (
         |  SELECT r_name AS region, year(o_orderdate) AS yr,
@@ -1021,6 +1058,52 @@ object SparkEntry {
     "sample_pack" -> graft.ops.Sample.packOracle,
     // C33: cumulative funnel — flags from one normalized projection, the
     // keeper from the dedup hash-window, stages unpivoted from one agg row
+    "quality_gopher" ->
+      """WITH d AS (
+        |  SELECT source, trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm
+        |  FROM documents),
+        |t AS (SELECT source, string_split(norm,' ') AS w, len(norm) AS chars
+        |      FROM d),
+        |r AS (SELECT source, len(w) AS n, chars,
+        |        len(list_distinct(w)) AS u,
+        |        len(list_filter(w,
+        |          x -> x IN ('the','a','of','and','to','in'))) AS stop
+        |      FROM t),
+        |f AS (SELECT source,
+        |        CASE WHEN n >= 25 AND n <= 100000 THEN 1 ELSE 0 END AS f_len,
+        |        CASE WHEN 3*n <= chars-n+1 AND 2*(chars-n+1) <= 9*n
+        |             THEN 1 ELSE 0 END AS f_wordlen,
+        |        CASE WHEN stop >= 4 THEN 1 ELSE 0 END AS f_stop,
+        |        CASE WHEN 20*u >= 9*n THEN 1 ELSE 0 END AS f_uniq
+        |      FROM r)
+        |SELECT source, count(*) AS docs,
+        |       cast(sum(f_len) AS BIGINT) AS p_len,
+        |       cast(sum(f_wordlen) AS BIGINT) AS p_wordlen,
+        |       cast(sum(f_stop) AS BIGINT) AS p_stop,
+        |       cast(sum(f_uniq) AS BIGINT) AS p_uniq,
+        |       cast(sum(f_len*f_wordlen*f_stop*f_uniq) AS BIGINT) AS p_all
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "sample_cap_source" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         cast(len(string_split(trim(regexp_replace(lower(text),
+        |           '\s+',' ','g')),' ')) AS BIGINT) AS tok,
+        |         substring(md5('cap|' || cast(doc_id AS VARCHAR)), 1, 6)
+        |           AS coin
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |                                   ORDER BY coin, doc_id) AS rk
+        |      FROM d)
+        |SELECT source, count(*) AS docs,
+        |       cast(sum(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS kept,
+        |       cast(sum(CASE WHEN rk > 15 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS dropped,
+        |       cast(sum(CASE WHEN rk <= 15 THEN tok ELSE 0 END) AS BIGINT)
+        |         AS kept_tokens,
+        |       cast(sum(CASE WHEN rk <= 15 THEN tok ELSE 0 END) * 10000
+        |            // sum(tok) AS BIGINT) AS kept_share_bp
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "quality_funnel" ->
       """WITH d AS (
         |  SELECT doc_id, n_chars,

@@ -710,6 +710,73 @@ object LakeQueries {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** A33: TPC-H Q11 shape — value concentration: parts whose revenue
+    * exceeds 1.3× the MEAN per-part share of the global total
+    * (measured: per-part revenue in this corpus is near-uniform — the
+    * max share is ~1.8× the mean at every SF — so 1.3× keeps the top
+    * ~1–8% and the row set is non-empty at sf0.001/0.01/0.1). Q11's
+    * skeleton is an aggregate gated by a HAVING against a scalar
+    * subquery over the SAME aggregate; spelled scale-free (threshold
+    * relative to the mean share, not Q11's SF-tuned FRACTION
+    * constant) so the row set is non-empty at every SF. Two
+    * aggregates over ONE fact scan: the per-part rollup shuffles on
+    * l_partkey; the global total is a second agg over the already
+    * part-sized frame and comes back as a single broadcast row — the
+    * fact table is never re-scanned for the denominator. The
+    * threshold compare stays in pure long multiplication
+    * (value×np×10 > 13×total — §4: no double division on a comparison
+    * path), and the reported share is integer basis points. */
+  def q32ValueShare(s: SparkSession, dir: String): DataFrame = {
+    val value = t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("cents"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("cents")).as("value_cents"), count(lit(1)).as("line_items"))
+    val total = value.agg(sum(col("value_cents")).as("__total"),
+      count(lit(1)).as("__np"))
+    value.crossJoin(broadcast(total))
+      .where(col("value_cents") * col("__np") * 10 > col("__total") * 13)
+      .select(col("l_partkey").as("partkey"), col("value_cents"),
+        col("line_items"),
+        expr("(value_cents * 10000) div __total").as("share_bp"))
+      .orderBy(col("value_cents").desc, col("partkey"))
+  }
+
+  /** A34: TPC-H Q2 shape — the cheapest supplier per part. The
+    * reference schema has no partsupp, so the part×supplier offer
+    * book is derived from lineitem itself: min unit price
+    * (extendedprice/quantity, rounded to integer cents BEFORE the
+    * min — §4) per (l_partkey, l_suppkey). Q2's correlated MIN
+    * subquery becomes a min-window over the offer frame — the
+    * scale-smart spelling: the fact scan collapses to a
+    * part×supplier-sized frame in its partial agg, the window
+    * re-shuffles only that small frame on l_partkey, and no second
+    * scan or self-join of lineitem ever runs. Supplier joins on the
+    * shuffled key; nation broadcasts; part carries the brand label.
+    * Top-100 by cost is TakeOrderedAndProject over the offer-sized
+    * frame with a total tie-break (cost, partkey, s_name). */
+  def q33MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val offers = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") / col("l_quantity") * 100 + 0.5)
+          .cast("long").as("unit_cents"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("unit_cents")).as("cost_cents"))
+    offers
+      .withColumn("best",
+        min(col("cost_cents")).over(Window.partitionBy(col("l_partkey"))))
+      .where(col("cost_cents") === col("best"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey").as("partkey"), col("p_brand"),
+        col("s_name"), col("n_name").as("nation"), col("cost_cents"))
+      .orderBy(col("cost_cents").desc, col("partkey"), col("s_name"))
+      .limit(100)
+  }
+
   /** A24: mergeable distinct sketches — the incremental uniques rollup a
     * lake keeps so "uniques over any window" never rescans history. The
     * nightly job builds ONE DataSketches HLL sketch per (day, type)

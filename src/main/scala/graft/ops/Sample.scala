@@ -87,6 +87,37 @@ object Sample {
       .select(col("doc_id"), col("source"))
       .orderBy(col("source"), col("doc_id"))
 
+  /** C47: per-source document cap (the RefinedWeb-style "per-domain
+    * cap" composition rule): at most `cap` documents survive per
+    * source, chosen by the lowest content-keyed md5 coins —
+    * deterministic under reruns, engines, and repartitioning like
+    * every sampler here, and immune to ingestion order (a crawl that
+    * happens to deliver one domain first gets no advantage). Same
+    * window-rank plan as [[sampleStratified]] (per-group top-k over
+    * the coin with the partial WindowGroupLimit), but reported as the
+    * before/after audit a mixture designer reads: per-source
+    * population, survivors, dropped overflow, surviving token mass
+    * and its integer-bp share of the source's tokens. */
+  def sampleCapSourceQuery(s: SparkSession, dir: String): DataFrame = {
+    val cap = 15
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("source"),
+      size(Text.tokens(col("text"))).cast("long").as("tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(bucketHex(col("doc_id"), "cap"), col("doc_id"))
+    d.withColumn("__rk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("__rk") <= cap, 1L).otherwise(0L)).as("kept"),
+        sum(when(col("__rk") > cap, 1L).otherwise(0L)).as("dropped"),
+        sum(when(col("__rk") <= cap, col("tok")).otherwise(0L)).as("kept_tokens"),
+        sum(col("tok")).as("__src_tokens"))
+      .select(col("source"), col("docs"), col("kept"), col("dropped"),
+        col("kept_tokens"),
+        expr("(kept_tokens * 10000) div __src_tokens").as("kept_share_bp"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic train/val/test split: the same content-keyed coin,
     * cut at cumulative fractions — every rerun and every engine deals
     * each document to the same fold, and a document can never leak

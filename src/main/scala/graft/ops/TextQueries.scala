@@ -683,6 +683,48 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** C46: Gopher-style rule-based quality filter (Rae et al. 2021,
+    * Appendix A shape): a battery of cheap deterministic document
+    * rules evaluated in one pass, reported as per-source pass counts
+    * per rule plus the all-rules survivor count. Rules (bounds chosen
+    * to discriminate on this corpus — each passes some and fails some
+    * documents, so no rule is a vacuous gate):
+    *   r_len      — whitespace token count in [25, 100000]
+    *   r_wordlen  — mean word length in [3, 4.5]; spelled in pure
+    *                integer arithmetic (the normalized text has
+    *                single spaces, so Σ|token| = chars − n + 1 and
+    *                the band is 3n ≤ chars−n+1 ∧ 2(chars−n+1) ≤ 9n —
+    *                no double division on a comparison path, §4)
+    *   r_stop     — ≥4 stopword occurrences ([[Text.stopwords]])
+    *   r_uniq     — unique-token fraction ≥ 45% (20·uniq ≥ 9·n)
+    * One narrow projection (the native [[graft.functions.TokenMarkerStats]]
+    * scan supplies token and stopword counts) + one tiny per-source
+    * aggregate — scan-bound at any corpus size, like the C9 scorer. */
+  def qualityGopher(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("source"),
+      graft.functions.TokenMarkerStats(col("text")).as("st"),
+      length(Text.normalized(col("text"))).cast("long").as("chars"),
+      size(array_distinct(Text.tokens(col("text")))).cast("long").as("uniq"))
+    val n = col("st.ws_tokens").cast("long")
+    val sumLen = col("chars") - n + 1
+    val rLen = n >= 25 && n <= 100000
+    val rWordlen = lit(3) * n <= sumLen && lit(2) * sumLen <= lit(9) * n
+    val rStop = col("st.stop") >= 4
+    val rUniq = lit(20) * col("uniq") >= lit(9) * n
+    d.select(col("source"),
+        rLen.cast("long").as("f_len"), rWordlen.cast("long").as("f_wordlen"),
+        rStop.cast("long").as("f_stop"), rUniq.cast("long").as("f_uniq"),
+        (rLen && rWordlen && rStop && rUniq).cast("long").as("f_all"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("f_len")).as("p_len"),
+        sum(col("f_wordlen")).as("p_wordlen"),
+        sum(col("f_stop")).as("p_stop"),
+        sum(col("f_uniq")).as("p_uniq"),
+        sum(col("f_all")).as("p_all"))
+      .orderBy(col("source"))
+  }
+
   /** C11: duplicate fingerprint groups — md5 of the sorted distinct token
     * set; emits only groups with >1 member (the reorder-dup clusters). */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =

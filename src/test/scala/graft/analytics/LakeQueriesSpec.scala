@@ -4,6 +4,47 @@ import graft.SparkSpec
 
 class LakeQueriesSpec extends SparkSpec {
 
+  test("q32 value-share: selected parts are exactly those above 1.3x the mean share") {
+    import org.apache.spark.sql.functions._
+    val value = graft.sources.Tables(spark, sfDir, "lineitem")
+      .select(col("l_partkey"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("c"))
+      .groupBy("l_partkey").agg(sum(col("c")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = value.values.sum
+    val np = value.size.toLong
+    val want = value.filter { case (_, v) => v * np * 10 > total * 13 }.keySet
+    val got = LakeQueries.q32ValueShare(spark, sfDir).collect()
+    assert(got.nonEmpty && got.map(_.getLong(0)).toSet == want)
+    // reported share_bp is the integer-bp share of the recounted total
+    got.foreach { r =>
+      assert(r.getLong(1) * 10000 / total == r.getLong(3),
+        s"share_bp mismatch for part ${r.getLong(0)}")
+    }
+  }
+
+  test("q33 min-cost supplier: window face equals a groupBy+join recount") {
+    import org.apache.spark.sql.functions._
+    val offers = graft.sources.Tables(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") / col("l_quantity") * 100 + 0.5)
+          .cast("long").as("u"))
+      .groupBy("l_partkey", "l_suppkey").agg(min(col("u")).as("cost"))
+    val best = offers.groupBy("l_partkey").agg(min(col("cost")).as("b"))
+    val joined = offers.join(best, "l_partkey")
+      .where(col("cost") === col("b"))
+      .join(graft.sources.Tables(spark, sfDir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("s_name"), col("cost"))
+      .orderBy(col("cost").desc, col("l_partkey"), col("s_name"))
+      .limit(100)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val got = LakeQueries.q33MinCostSupplier(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(4))).toSeq
+    assert(got.nonEmpty && got == joined)
+  }
+
   test("q11 from_json native face equals the regexp oracle face row-by-row") {
     val re = LakeQueries.q11JsonProps(spark, sfDir).collect().map(_.toSeq).toSeq
     val native = LakeQueries.q11JsonPropsNative(spark, sfDir).collect().map(_.toSeq).toSeq

@@ -11,6 +11,49 @@ class CorpusReportSpec extends SparkSpec {
 
   private def docs = graft.sources.Tables(spark, sfDir, "documents")
 
+  test("quality_gopher: every rule discriminates and accounting is exact") {
+    val rows = TextQueries.qualityGopher(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val docs = rows.map(_.getLong(1)).sum
+    assert(docs == 500L)
+    // per-source: pass counts bounded by docs, all-rules <= each rule
+    rows.foreach { r =>
+      val (d, cols) = (r.getLong(1), (2 to 6).map(r.getLong))
+      assert(cols.forall(c => c >= 0 && c <= d))
+      assert(cols.take(4).forall(_ >= cols(4)),
+        s"p_all exceeds a single-rule pass count in $r")
+    }
+    // corpus-wide: each rule must pass some and fail some documents —
+    // a rule that never fires (or always fires) is a vacuous gate
+    (2 to 5).foreach { i =>
+      val passed = rows.map(_.getLong(i)).sum
+      assert(passed > 0 && passed < docs, s"rule column $i is vacuous: $passed/$docs")
+    }
+    // driver-side recount: apply the same rule battery to the raw text
+    // with plain Scala string ops and compare the per-source survivors
+    val stop = Set("the", "a", "of", "and", "to", "in")
+    val recount = docs2.map { d =>
+      val norm = d._2.toLowerCase.replaceAll("\\s+", " ").trim
+      val w = norm.split(" ")
+      val n = w.length.toLong
+      val chars = norm.length.toLong
+      val u = w.distinct.length.toLong
+      val st = w.count(stop.contains).toLong
+      val pass = n >= 25 && n <= 100000 &&
+        3 * n <= chars - n + 1 && 2 * (chars - n + 1) <= 9 * n &&
+        st >= 4 && 20 * u >= 9 * n
+      d._1 -> (if (pass) 1L else 0L)
+    }.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    rows.foreach { r =>
+      assert(recount(r.getString(0)) == r.getLong(6),
+        s"p_all recount mismatch for ${r.getString(0)}")
+    }
+  }
+
+  private def docs2: Seq[(String, String)] =
+    docs.select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
   test("corpus_divergence: integer bp math matches a driver-side recount") {
     val rows = TextQueries.corpusDivergence(spark, sfDir).collect()
     assert(rows.nonEmpty)

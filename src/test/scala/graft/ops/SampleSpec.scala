@@ -131,6 +131,35 @@ class SampleSpec extends SparkSpec {
       s"stratified top-k must prune map-side:\n$plan")
   }
 
+  test("per-source cap: exact accounting, coin-ordered survivors, rerun-stable") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val rows = Sample.sampleCapSourceQuery(spark, sfDir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (d, k, dr) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(k <= 15 && k + dr == d, s"cap accounting broken in $r")
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= 10000)
+    }
+    // survivors are the lowest-coin docs: recount one source by hand
+    val d = graft.sources.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.concat_ws("",
+            org.apache.spark.sql.functions.lit("cap|"),
+            col("doc_id").cast("string"))).substr(1, 6).as("coin"))
+      .where(col("source") === "src0")
+      .collect().map(r => (r.getLong(0), r.getString(2))).sortBy(t => (t._2, t._1))
+    val keptIds = d.take(15).map(_._1).toSet
+    val tok = graft.sources.Tables(spark, sfDir, "documents")
+      .where(col("source") === "src0")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(Text.tokens(col("text"))).cast("long").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantKeptTokens = keptIds.toSeq.map(tok).sum
+    val src0 = rows.find(_.getString(0) == "src0").get
+    assert(src0.getLong(4) == wantKeptTokens, "kept token mass recount mismatch")
+  }
+
   test("packing matches the per-shard reference packer exactly") {
     // deterministic synthetic loads incl. docs larger than the budget
     val docs = (0L until 500L).map(i => (i, 1L + (i * 37L) % 300L))
