@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{ByteHistogram, MinHashes, NearestCentroids, SimHash64, TokenMarkerStats, VectorDot, WordShingles}
+import graft.functions.{ByteHistogram, FrequentItems, MinHashes, NearestCentroids, SimHash64, TokenMarkerStats, VectorDot, WordShingles}
 
 /** Session extensions: registers graft's native expressions in the SQL
   * function registry so the whole kernel set works from plain SQL —
@@ -77,5 +77,10 @@ object GraftExtensions {
       },
       fn("byte_histogram", classOf[ByteHistogram], "1") { c =>
         ByteHistogram(c.head)
+      },
+      // aggregate: the analyzer wraps a bare AggregateFunction in its
+      // AggregateExpression when resolving SQL calls
+      fn("frequent_items", classOf[FrequentItems], "2") { c =>
+        FrequentItems(c.head, intArg(c(1), "frequent_items", "k"))
       })
 }

@@ -105,6 +105,9 @@ object SparkEntry {
     // cumulative filter-funnel survivor report over the documents corpus
     "quality_funnel" -> (TextQueries.qualityFunnel _),
     "quality_gopher" -> (TextQueries.qualityGopher _),
+    // no_oracle: Misra-Gries estimates are merge-order dependent;
+    // FrequentItemsSpec asserts the sketch bounds against exact counts
+    "token_topk_sketch" -> (TextQueries.tokenTopkSketch _),
     // (source × lang) dataset card at every rollup level
     "corpus_stats" -> (TextQueries.corpusStats _),
     // canonicalization audit with a cross-engine md5 witness

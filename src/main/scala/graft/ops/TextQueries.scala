@@ -725,6 +725,27 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** C48: approximate token heavy hitters — the top-20 terms by the
+    * native [[graft.functions.FrequentItems]] Misra–Gries sketch
+    * (k=64 counters). The exact spelling ([[textVocab]]) shuffles one
+    * row per distinct term — fine while the vocabulary is small, but a
+    * web-scale corpus has billions of distinct tokens and the exact
+    * top-k becomes a full vocabulary aggregation. The sketch caps every
+    * partial aggregate at 64 counters, so the shuffle carries 64 rows
+    * per map task REGARDLESS of vocabulary size, and the guarantee
+    * (every term with frequency > n/65 survives; estimates are
+    * undercounts by at most n/65) is exactly what mixture/contamination
+    * triage needs. Rows-only: Misra–Gries estimates depend on merge
+    * order, so the spec asserts the bounds instead of hash equality. */
+  def tokenTopkSketch(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("term"))
+      .agg(graft.functions.FrequentItems(col("term"), 64).as("sk"))
+      .select(posexplode(col("sk")).as(Seq("rank0", "e")))
+      .select((col("rank0") + 1).cast("int").as("rank"),
+        col("e.term").as("term"), col("e.est").as("est"))
+      .where(col("rank") <= 20)
+
   /** C11: duplicate fingerprint groups — md5 of the sorted distinct token
     * set; emits only groups with >1 member (the reorder-dup clusters). */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
