@@ -62,6 +62,34 @@ object StreamingDocs {
       .dropDuplicatesWithinWatermark("content_hash")
   }
 
+  /** D13: streaming benchmark decontamination — the C23 contamination
+    * gate run inline on the intake feed, so an eval-set leak is flagged
+    * the moment the document arrives instead of at the nightly sweep.
+    *
+    * STATELESS by construction: benchmarks are eval-sized (always the
+    * tiny side), so the distinct benchmark n-gram set collapses to one
+    * collect_set row that stream-static-joins in as a broadcast, and
+    * the per-document hit count is a higher-order `filter` over the
+    * document's own shingle array — a narrow codegen'd projection, no
+    * streaming aggregation, no watermark, no state store. Occurrence
+    * semantics match the batch face exactly: each shingle OCCURRENCE
+    * that appears in the benchmark counts one hit (the C23 join counts
+    * occurrence rows against the distinct bench side). The static side
+    * is re-planned per micro-batch, so a benchmark refresh is picked up
+    * without a restart. */
+  def decontaminateStream(docs: DataFrame, benchNgrams: DataFrame,
+                          minHits: Int = 3): DataFrame = {
+    val benchSet = benchNgrams
+      .agg(collect_set(col("ngram")).as("__bench"))
+    docs
+      .crossJoin(org.apache.spark.sql.functions.broadcast(benchSet))
+      .withColumn("n_hits",
+        size(filter(graft.ops.Dedup.shingles(col("text"), 2),
+          x => array_contains(col("__bench"), x))))
+      .withColumn("contaminated", col("n_hits") >= minHits)
+      .drop("__bench")
+  }
+
   /** The standing corpus's (content hash, fingerprint) index — one row
     * per document; in production this is the incrementally-maintained
     * lake table the daily batch job also probes. */

@@ -87,6 +87,43 @@ class StreamingDocsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed decontamination flags exactly the batch C23 contaminated set") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    // the C23 split: docs < 5 are the benchmark, the rest are the corpus
+    val bench = docs.where(col("doc_id") < 5)
+      .select(explode(graft.ops.Dedup.shingles(col("text"), 2)).as("ngram"))
+      .distinct()
+    val batch = graft.ops.TextQueries.textContamination(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = docs.where(col("doc_id") >= 5).as[(Long, String)].collect()
+      .sortBy(_._1)
+      .map { case (id, text) => (id, text, new Timestamp(base + id * 1000)) }
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingDocs.decontaminateStream(
+        stream.toDF().toDF("doc_id", "text", "ts"), bench)
+      .writeStream.format("memory").queryName("decontam")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3))
+        .foreach { c => stream.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val out = spark.table("decontam")
+      val streamed = out.where(col("contaminated"))
+        .select("doc_id", "n_hits").as[(Long, Long)]
+        .collect().map { case (id, h) => id -> h }.toMap
+      assert(streamed == batch,
+        s"faces diverge: ${(batch.keySet diff streamed.keySet).take(5)} missing, " +
+          s"${(streamed.keySet diff batch.keySet).take(5)} extra")
+      // every arriving document is emitted exactly once, flagged or not
+      assert(out.count() == rows.length)
+      assert(streamed.nonEmpty && streamed.size < rows.length,
+        "sanity: the gate must flag some and pass some documents")
+    } finally q.stop()
+  }
+
   test("a duplicate arriving within the watermark window is suppressed") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[(Long, String, Timestamp)]
