@@ -1,8 +1,10 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.types.LongType
 
 import graft.functions.{ByteHistogram, FrequentItems, MinHashes, NearestCentroids, SimHash64, TokenMarkerStats, VectorDot, WordShingles}
 
@@ -82,5 +84,32 @@ object GraftExtensions {
       // AggregateExpression when resolving SQL calls
       fn("frequent_items", classOf[FrequentItems], "2") { c =>
         FrequentItems(c.head, intArg(c(1), "frequent_items", "k"))
+      },
+      // Spark's own bloom-filter pair, re-exposed by name: the engine
+      // registers them internal-only (the optimizer's runtime-filter
+      // machinery builds them directly), so SQL users can't spell the
+      // standing-index membership probe graft's incremental dedup is
+      // built on. Estimated-items arrives as an integral literal and is
+      // re-typed to the LongType the aggregate's type check demands.
+      fn("bloom_filter_agg", classOf[BloomFilterAggregate], "1, 2") { c =>
+        if (c.length == 1) new BloomFilterAggregate(c.head)
+        else new BloomFilterAggregate(c.head,
+          Literal(intArg(c(1), "bloom_filter_agg", "est_items").toLong, LongType))
+      },
+      fn("might_contain", classOf[BloomFilterMightContain], "2") { c =>
+        BloomFilterMightContain(c.head, c(1))
       })
+
+  /** Injects the full function set into an EXISTING session's registry —
+    * the runtime face for sessions built without
+    * `spark.sql.extensions=graft.GraftExtensions` (the verify/bench
+    * mains, notebooks attached to a shared cluster). Idempotent:
+    * re-registration replaces the same builders. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    functions.foreach { case (id, info, builder) =>
+      registry.registerFunction(id, info, builder)
+    }
+  }
 }

@@ -127,6 +127,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (DedupQueries.dedupNgramJaccard _),
     // incremental new-batch-vs-standing-corpus dedup (3 probe faces)
     "dedup_incremental" -> (DedupQueries.dedupIncremental _),
+    // Bloom-sketch membership pre-filter ahead of the exact confirm join
+    "dedup_bloom" -> (DedupQueries.dedupBloom _),
     "dedup_minhash" -> (DedupQueries.dedupMinhash _),
     "dedup_simhash" -> (DedupQueries.dedupSimhash _),
     "dedup_cluster" -> (DedupQueries.dedupCluster _),
@@ -1229,6 +1231,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> DedupQueries.jaccardOracle,
     "dedup_minhash" -> DedupQueries.minhashOracle,
     "dedup_incremental" -> DedupQueries.incrementalOracle,
+    "dedup_bloom" -> DedupQueries.bloomOracle,
     "dedup_cluster" -> DedupQueries.clusterOracle,
     // dedup_simhash: rows-only (60-bit banded SimHash isn't expressible in
     // portable DuckDB SQL — no hex->int conversion); covered by ScalaTest.

@@ -108,6 +108,80 @@ object DedupQueries {
       .orderBy(col("source"))
   }
 
+  /** C49: Bloom-filter incremental dedup probe — the C36 membership
+    * check with the standing corpus collapsed to a BLOOM SKETCH before
+    * any join runs. `bloom_filter_agg` (Spark's own mergeable
+    * TypedImperativeAggregate, SQL-exposed via [[graft.GraftExtensions]])
+    * builds the corpus-fingerprint filter in one distributed pass; the
+    * incoming batch probes it with `might_contain` as a SCAN-LOCAL
+    * predicate (the filter arrives as a scalar-subquery result — the
+    * exact mechanism Spark's InjectRuntimeFilter uses for its own
+    * runtime row-filters), so only bloom-positives — true duplicates
+    * plus the εN false-positive margin — ever enter the exact confirm
+    * semi-join. At 100 TB: the standing index's billions of keys become
+    * a few hundred MB of bits broadcast to every task, the batch never
+    * shuffles for the negatives (the overwhelming majority), and the
+    * confirm join's probe side shrinks by ~1/FPP. Blooms can never
+    * false-negative, and the confirm join removes the false positives,
+    * so the result is EXACTLY the plain semi-join's — SQL-checked
+    * against the bloom-free oracle. Keyed on the reorder fingerprint
+    * ([[Text.fingerprint]]), the dup class this corpus exhibits at
+    * every SF. */
+  def dedupBloom(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    bloomKeyed(s, dir).createOrReplaceTempView("bloom_probe_docs")
+    s.sql(s"""
+      WITH corpus AS (SELECT DISTINCT fp FROM bloom_probe_docs WHERE NOT is_new),
+           batch AS (SELECT doc_id, source, fp FROM bloom_probe_docs WHERE is_new),
+           cand AS (
+             SELECT batch.* FROM batch
+             WHERE might_contain(
+               (SELECT bloom_filter_agg(xxhash64(fp), $bloomEstItems) FROM corpus),
+               xxhash64(fp)))
+      SELECT cand.doc_id, cand.source
+      FROM cand LEFT SEMI JOIN corpus ON cand.fp = corpus.fp
+      ORDER BY cand.doc_id""")
+  }
+
+  /** The bloom-positive candidate stage of [[dedupBloom]] alone (no
+    * confirm join) — exposed so the spec can measure the pruning and
+    * the false-positive margin the confirm join pays for. */
+  def dedupBloomCandidates(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    bloomKeyed(s, dir).createOrReplaceTempView("bloom_probe_docs")
+    s.sql(s"""
+      WITH corpus AS (SELECT DISTINCT fp FROM bloom_probe_docs WHERE NOT is_new)
+      SELECT doc_id, source, fp FROM bloom_probe_docs
+      WHERE is_new AND might_contain(
+        (SELECT bloom_filter_agg(xxhash64(fp), $bloomEstItems) FROM corpus),
+        xxhash64(fp))""")
+  }
+
+  /** Sized for the corpus KEY count (distinct fingerprints), not the
+    * row count — over-sizing only lowers the FPP. ~1.2 MB of bits at
+    * this estimate; at a 10^9-key corpus the same expression yields a
+    * ~1.2 GB filter, the documented trade for a shuffle-free negative
+    * path. */
+  private val bloomEstItems = 1 << 20
+
+  private def bloomKeyed(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("source"),
+      Text.fingerprint(col("text")).as("fp"),
+      (col("doc_id") % 5 === 4).as("is_new"))
+
+  /** C49 oracle: the identical membership semantics with no bloom —
+    * a plain IN-subquery over the corpus fingerprints. */
+  val bloomOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         md5(array_to_string(list_sort(list_distinct(
+      |           string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' '))),' ')) AS fp
+      |  FROM documents),
+      |corpus AS (SELECT DISTINCT fp FROM d WHERE doc_id % 5 <> 4)
+      |SELECT doc_id, source FROM d
+      |WHERE doc_id % 5 = 4 AND fp IN (SELECT fp FROM corpus)
+      |ORDER BY doc_id""".stripMargin
+
   /** Shared oracle-SQL fragment: normalized token array per doc. */
   private val toksCte =
     """toks AS (

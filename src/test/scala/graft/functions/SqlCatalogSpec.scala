@@ -98,4 +98,23 @@ class SqlCatalogSpec extends SparkSpec {
       spark.sql("SELECT word_shingles(text, CAST(n_chars AS int)) FROM documents").collect())
     assert(e.getMessage.contains("word_shingles"))
   }
+
+  test("bloom_filter_agg + might_contain: members always hit, non-members mostly miss") {
+    ready
+    // no false negatives: every member key probes true
+    val misses = spark.sql(
+      """WITH b AS (SELECT bloom_filter_agg(xxhash64(text), 4096) f FROM documents)
+        |SELECT count(*) FROM documents
+        |WHERE NOT might_contain((SELECT f FROM b), xxhash64(text))""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(misses == 0L, s"a bloom false-negatived $misses member keys")
+    // false positives are rare at this sizing: probe disjoint keys
+    val fps = spark.sql(
+      """WITH b AS (SELECT bloom_filter_agg(xxhash64(text), 4096) f FROM documents)
+        |SELECT count(*) FROM documents
+        |WHERE might_contain((SELECT f FROM b), xxhash64(concat(text, '!')))""".stripMargin)
+      .collect()(0).getLong(0)
+    val n = spark.table("documents").count()
+    assert(fps <= math.max(2L, n / 20), s"implausible FP rate: $fps of $n")
+  }
 }

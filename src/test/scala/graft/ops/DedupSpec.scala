@@ -196,4 +196,30 @@ class DedupSpec extends SparkSpec {
     assert(spans == Seq((1L, 12L), (2L, 12L)),
       s"the planted 12-token span must merge to one 12-mass island per doc: $spans")
   }
+
+  test("dedup_bloom: bloom+confirm equals the exact probe, candidates bound the FP margin") {
+    val confirmed = DedupQueries.dedupBloom(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq
+    // driver recount of the bloom-free semantics
+    val keyed = docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val corpusFps = keyed.collect { case (id, fp) if id % 5 != 4 => fp }.toSet
+    val want = keyed.collect {
+      case (id, fp) if id % 5 == 4 && corpusFps(fp) => id
+    }.sorted.toSeq
+    assert(confirmed == want, "bloom+confirm diverged from the exact membership probe")
+    assert(confirmed.nonEmpty, "vacuous: no cross-split duplicates at this SF")
+    // the bloom can never false-negative: every confirmed dup is a candidate;
+    // and it must actually prune — candidates far below the batch size
+    val cand = DedupQueries.dedupBloomCandidates(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val batchSize = keyed.count(_._1 % 5 == 4)
+    assert(want.forall(cand), "a true duplicate was bloom-negative (impossible for a bloom)")
+    assert(cand.size < batchSize,
+      s"bloom pruned nothing: ${cand.size} candidates of $batchSize batch docs")
+    // FP margin: at est 2^20 items the FPP is far below 1%, so candidates
+    // should be dups plus at most a handful of false positives
+    assert(cand.size - want.size <= math.max(2, batchSize / 100),
+      s"false-positive margin too large: ${cand.size - want.size}")
+  }
 }
