@@ -108,6 +108,9 @@ object SparkEntry {
     // no_oracle: Misra-Gries estimates are merge-order dependent;
     // FrequentItemsSpec asserts the sketch bounds against exact counts
     "token_topk_sketch" -> (TextQueries.tokenTopkSketch _),
+    // rows-only: iterative learned artifact (BpeSpec proves it equal to
+    // a driver-side reference of the published algorithm)
+    "text_bpe_merges" -> (graft.ops.Bpe.textBpeMerges _),
     // (source × lang) dataset card at every rollup level
     "corpus_stats" -> (TextQueries.corpusStats _),
     // canonicalization audit with a cross-engine md5 witness
@@ -147,6 +150,8 @@ object SparkEntry {
     "sim_search_ivfpq" -> (graft.ops.IvfPq.simSearchIvfPq _),
     // rows-only: PQ with balanced-permutation subspace allocation (OPQ family)
     "sim_search_opq" -> (graft.ops.ProductQuant.simSearchOpq _),
+    // rows-only: int8 scalar-quantized search (recall spec-bounded)
+    "sim_search_sq8" -> (graft.ops.ScalarQuant.simSearchSq8 _),
     // rows-only: SemDeDup within-learned-cluster prune (spec-bounded)
     "dedup_semantic" -> ((s: SparkSession, d: String) => VectorQueries.dedupSemantic(s, d)),
     "embed_stats" -> (VectorQueries.embedStats _),

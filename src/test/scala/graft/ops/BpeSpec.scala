@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference implementation of the published algorithm (get_stats /
+    * merge_vocab): plain Scala over an in-memory word histogram, greedy
+    * left-to-right merging, ties on (count desc, left asc, right asc). */
+  private def referenceBpe(words: Seq[(Seq[String], Long)],
+                           numMerges: Int): Seq[(String, String, Long)] = {
+    var w = words
+    val out = Vector.newBuilder[(String, String, Long)]
+    var continue = true
+    var r = 0
+    while (r < numMerges && continue) {
+      val stats = scala.collection.mutable.Map.empty[(String, String), Long]
+      w.foreach { case (syms, n) =>
+        syms.zip(syms.drop(1)).foreach { p =>
+          stats(p) = stats.getOrElse(p, 0L) + n
+        }
+      }
+      if (stats.isEmpty) continue = false
+      else {
+        val ((a, b), c) = stats.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((a, b, c))
+        w = w.map { case (syms, n) =>
+          val acc = scala.collection.mutable.Buffer.empty[String]
+          syms.foreach { s =>
+            if (acc.nonEmpty && acc.last == a && s == b) {
+              acc.remove(acc.length - 1); acc += (a + b)
+            } else acc += s
+          }
+          (acc.toSeq, n)
+        }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  test("the classic paper example learns the expected first merges") {
+    // Sennrich et al. 2016 §3.2 toy vocabulary
+    val words = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+      .map { case (wd, n) => (wd.map(_.toString) :+ "</w>", n) }
+    val df = words.toDF("syms", "n")
+    val got = Bpe.train(df, 4).map(m => (m.left, m.right, m.count))
+    // (e,s) fires on newest+widest = 9, then (es,t) 9, then (est,</w>) 9
+    assert(got.take(3) == Seq(("e", "s", 9L), ("es", "t", 9L), ("est", "</w>", 9L)),
+      s"unexpected head merges: $got")
+    assert(got == referenceBpe(words, 4))
+  }
+
+  test("corpus merges equal the driver reference exactly, with non-increasing counts") {
+    val hist = Bpe.wordHistogram(spark, sfDir)
+      .as[(Seq[String], Long)].collect().toSeq
+    val want = referenceBpe(hist, 20)
+    val got = Bpe.textBpeMerges(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(got.nonEmpty)
+    assert(got == want, s"distributed trainer diverged from the reference:\n$got\nvs\n$want")
+    // merging only removes or caps pair mass, so the argmax count never rises
+    got.map(_._3).sliding(2).foreach {
+      case Seq(prev, next) => assert(next <= prev, s"count rose: $prev -> $next")
+      case _ =>
+    }
+    // merged symbols surface in later merges (the vocabulary actually grows)
+    val merged = got.map { case (a, b, _) => a + b }.toSet
+    assert(got.drop(1).exists { case (a, b, _) => merged(a) || merged(b) },
+      "no learned symbol was ever reused — merges are not composing")
+  }
+
+  test("mergePair matches greedy left-to-right semantics on runs") {
+    val df = Seq(
+      Seq("x", "x", "x"),
+      Seq("x", "x", "x", "x"),
+      Seq("a", "b", "b"),
+      Seq("c", "a", "b", "c")).toDF("syms")
+    val got = df.select(Bpe.mergePair(col("syms"), "x", "x").as("m")).as[Seq[String]].collect()
+    assert(got(0) == Seq("xx", "x"))
+    assert(got(1) == Seq("xx", "xx"))
+    val got2 = df.select(Bpe.mergePair(col("syms"), "a", "b").as("m")).as[Seq[String]].collect()
+    assert(got2(2) == Seq("ab", "b"))
+    assert(got2(3) == Seq("c", "ab", "c"))
+  }
+}
