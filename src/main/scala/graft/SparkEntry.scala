@@ -171,6 +171,8 @@ object SparkEntry {
     "sample_split" -> (graft.ops.Sample.sampleSplitQuery _),
     "sample_stratified" -> (graft.ops.Sample.sampleStratifiedQuery _),
     "sample_cap_source" -> (graft.ops.Sample.sampleCapSourceQuery _),
+    // E-S weighted sampling without replacement, token-count weights
+    "sample_weighted" -> (graft.ops.Sample.sampleWeightedQuery _),
     "mixture_tokens" -> (graft.ops.Sample.mixtureTokensQuery _),
     // sharded sequence packing into fixed token budgets
     "sample_pack" -> (graft.ops.Sample.samplePackQuery _),
@@ -1114,6 +1116,7 @@ object SparkEntry {
         |       cast(sum(CASE WHEN rk <= 15 THEN tok ELSE 0 END) * 10000
         |            // sum(tok) AS BIGINT) AS kept_share_bp
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "sample_weighted" -> graft.ops.Sample.weightedOracle,
     "quality_funnel" ->
       """WITH d AS (
         |  SELECT doc_id, n_chars,

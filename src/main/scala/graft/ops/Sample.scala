@@ -118,6 +118,46 @@ object Sample {
       .orderBy(col("source"))
   }
 
+  /** C52: weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * 2006): each document draws the content-keyed uniform coin u and
+    * ranks by u^(1/w); the global top-k IS an exact weighted sample
+    * without replacement. Weights here are token counts — the
+    * length-proportional draw a mixture designer uses when token mass,
+    * not document count, is the budget. The coin integer is the SAME
+    * md5 hex bucket every sampler uses, so u = (c+1)/2^24 is an exact
+    * dyadic both engines compute identically, and the only double step
+    * (pow) ranks keys spread ~1/n apart — engine ulp differences can
+    * never reorder them. Scale shape: one narrow projection + a
+    * TakeOrderedAndProject top-k (per-partition heaps merged on the
+    * driver, the distributed E-S merge step) — no shuffle, no window,
+    * no global sort. */
+  def sampleWeightedQuery(s: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("source"),
+      size(Text.tokens(col("text"))).cast("long").as("tok"))
+    val c = conv(bucketHex(col("doc_id"), "wsample"), 16, 10).cast("long")
+    val key = pow((c + 1) / lit((1 << 24).toDouble), lit(1.0) / col("tok"))
+    d.withColumn("__key", key)
+      .orderBy(col("__key").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("source"), col("tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C52 oracle: the identical E-S ranking in DuckDB (hex coin via the
+    * 0x-literal cast; 2^24 divisor keeps u an exact dyadic). */
+  val weightedOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    cast(len(string_split(trim(regexp_replace(lower(text),
+      |      '\s+',' ','g')),' ')) AS BIGINT) AS tok,
+      |    CAST(concat('0x', substr(md5('wsample|'||CAST(doc_id AS VARCHAR)),1,6))
+      |         AS BIGINT) AS c
+      |  FROM documents),
+      |top AS (
+      |  SELECT doc_id, source, tok
+      |  FROM d ORDER BY pow((c+1)/16777216.0, 1.0/tok) DESC, doc_id LIMIT 100)
+      |SELECT doc_id, source, tok FROM top ORDER BY doc_id""".stripMargin
+
   /** Deterministic train/val/test split: the same content-keyed coin,
     * cut at cumulative fractions — every rerun and every engine deals
     * each document to the same fold, and a document can never leak

@@ -160,6 +160,36 @@ class SampleSpec extends SparkSpec {
     assert(src0.getLong(4) == wantKeptTokens, "kept token mass recount mismatch")
   }
 
+  test("weighted sample: E-S recount, length bias real, repartition-stable") {
+    import org.apache.spark.sql.functions.{col, size => fsize}
+    val rows = Sample.sampleWeightedQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.length == 100)
+    // driver recount with the identical formula
+    val all = graft.sources.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), fsize(Text.tokens(col("text"))).cast("long").as("tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def coin(id: Long): Long = {
+      val hex = md.digest(s"wsample|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val want = all.map { case (id, tok) =>
+        (id, tok, math.pow((coin(id) + 1) / 16777216.0, 1.0 / tok))
+      }.sortBy { case (id, _, key) => (-key, id) }.take(100)
+      .map { case (id, tok, _) => (id, tok) }.sortBy(_._1).toSeq
+    assert(rows.toSeq == want, "distributed top-k diverged from the E-S recount")
+    // token-weighted draws must skew long: sample mean above corpus mean
+    val sampleMean = rows.map(_._2).sum.toDouble / rows.length
+    val corpusMean = all.map(_._2).sum.toDouble / all.length
+    assert(sampleMean > corpusMean,
+      s"no length bias: sample mean $sampleMean <= corpus mean $corpusMean")
+    // the coin is content-keyed, so physical layout cannot matter
+    val again = Sample.sampleWeightedQuery(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    assert(again == rows.map(_._1).toSeq)
+  }
+
   test("packing matches the per-shard reference packer exactly") {
     // deterministic synthetic loads incl. docs larger than the budget
     val docs = (0L until 500L).map(i => (i, 1L + (i * 37L) % 300L))
