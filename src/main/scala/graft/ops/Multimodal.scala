@@ -196,6 +196,72 @@ object Multimodal {
     }).toDF()
   }
 
+  /** 64-bit average hash (aHash) of a decoded image: resize to 8×8
+    * (caller runs [[resizePixels]] first or passes any frame whose
+    * pixel count is 64), luma per cell, one bit per cell = luma above
+    * the image's mean. The standard cheap perceptual fingerprint —
+    * brightness/scale/format shifts move few bits, so near-identical
+    * images land within a small Hamming distance. Degraded rows (empty
+    * pixels) hash to 0 and are dropped by [[imageNearDups]]. */
+  def aHash64(p: PixelImage): Long = {
+    if (p.pixels.length != 64 * 3) 0L
+    else {
+      val luma = new Array[Int](64)
+      var i = 0
+      while (i < 64) {
+        val r = p.pixels(i * 3) & 0xff
+        val g = p.pixels(i * 3 + 1) & 0xff
+        val b = p.pixels(i * 3 + 2) & 0xff
+        // integer Rec.601 luma — deterministic, no doubles
+        luma(i) = (299 * r + 587 * g + 114 * b) / 1000
+        i += 1
+      }
+      val mean = luma.sum / 64
+      var h = 0L
+      i = 0
+      while (i < 64) {
+        if (luma(i) > mean) h |= (1L << i)
+        i += 1
+      }
+      h
+    }
+  }
+
+  /** (doc_id, ahash) over a decoded-pixels frame: resize to 8×8 inside
+    * the same narrow mapPartitions chain as the decode, then the
+    * integer aHash — the whole decode→thumbnail→fingerprint pipeline
+    * never shuffles. */
+  def aHashFrame(decoded: DataFrame): DataFrame = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    resizePixels(decoded, 8, 8).as[PixelImage]
+      .map(p => (p.doc_id, aHash64(p)))
+      .toDF("doc_id", "ahash")
+  }
+
+  /** Image near-duplicate pairs by perceptual hash: 4 bands of 16 bits
+    * block the candidates (pigeonhole: Hamming <= 3 of 64 bits shares
+    * at least one band), exact `bit_count` Hamming filters — the
+    * [[Dedup.simhashCandidates]] architecture applied to pixels, so the
+    * join is band-equi, never all-pairs, and scales like the text
+    * SimHash face. Rows that failed to decode (hash 0) are excluded. */
+  def imageNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val live = hashes.where(col("ahash") =!= 0L)
+    val banded = live.select(col("doc_id"), col("ahash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("ahash"), b * 16).bitwiseAND(0xFFFF).as(s"b$b")): _*))
+        .as(Seq("band_idx", "band_val")))
+    val a = banded.select(col("doc_id").as("doc_a"), col("ahash").as("h_a"),
+      col("band_idx"), col("band_val"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("ahash").as("h_b"),
+      col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val")).where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Frame sampling: slice an opaque payload into `frameBytes` blocks
     * and keep every `everyN`-th — the video-frame-subsample shape
     * (explode plumbing is real; real codecs would decode each block).

@@ -208,4 +208,46 @@ class MultimodalSpec extends SparkSpec {
       .as[(Int, Double)].collect().toMap
     assert(math.abs(prof2(0) - 2.0 / 3) < 1e-9 && math.abs(prof2(15) - 1.0 / 3) < 1e-9)
   }
+
+  test("perceptual-hash dedup: near-identical PNGs pair, distinct ones do not") {
+    def png(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // base: left half dark, right half bright (32x32; the 8x8 resize
+    // samples pixels at (4x, 4y))
+    val base = png(32, 32)((x, _) => if (x < 16) 0x101010 else 0xf0f0f0)
+    // near-dup: flip two SAMPLED pixels — at most 2 aHash bits move
+    val near = png(32, 32) { (x, y) =>
+      if ((x, y) == (0, 0) || (x, y) == (4, 4)) 0xf0f0f0
+      else if (x < 16) 0x101010 else 0xf0f0f0
+    }
+    // same scene at double resolution: scale invariance, 0 bits move
+    val scaled = png(64, 64)((x, _) => if (x < 32) 0x101010 else 0xf0f0f0)
+    // distinct: checkerboard at the sampling grid — far in Hamming
+    val other = png(32, 32)((x, y) =>
+      if (((x / 4) + (y / 4)) % 2 == 0) 0x101010 else 0xf0f0f0)
+    val d = Seq((1L, base), (2L, near), (3L, scaled), (4L, other),
+      (5L, "junk bytes".getBytes)).toDF("doc_id", "payload")
+
+    val hashes = Multimodal.aHashFrame(
+      Multimodal.decodePixels(d, "doc_id", "payload")())
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(5L) == 0L, "a failed decode must hash to 0")
+    assert(hs(1L) == hs(3L), "aHash must be resize-invariant for the same scene")
+
+    val pairs = Multimodal.imageNearDups(hashes).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2).toLong)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) <= 3,
+      s"perturbed twin not found: $pairs")
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) == 0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      s"the checkerboard paired with something: $pairs")
+    assert(!pairs.keySet.exists { case (a, b) => a == 5L || b == 5L },
+      "a degraded row leaked into the pair set")
+  }
 }
