@@ -68,6 +68,8 @@ object SparkEntry {
     "q32_value_share" -> (LakeQueries.q32ValueShare _),
     // TPC-H Q2 shape: correlated-min offer selection per part
     "q33_min_cost_supplier" -> (LakeQueries.q33MinCostSupplier _),
+    // user-acquisition curve: first-seen day + cumulative new users
+    "q34_new_users" -> (LakeQueries.q34NewUsers _),
     // §2.B ingestion semantics
     "ingest_typecast" -> (IngestQueries.ingestTypecast _),
     "ingest_filename_route" -> (IngestQueries.ingestFilenameRoute _),
@@ -132,6 +134,8 @@ object SparkEntry {
     "dedup_incremental" -> (DedupQueries.dedupIncremental _),
     // Bloom-sketch membership pre-filter ahead of the exact confirm join
     "dedup_bloom" -> (DedupQueries.dedupBloom _),
+    // inter-source duplication matrix over the MinHash candidate pairs
+    "dedup_source_matrix" -> (DedupQueries.dedupSourceMatrix _),
     "dedup_minhash" -> (DedupQueries.dedupMinhash _),
     "dedup_simhash" -> (DedupQueries.dedupSimhash _),
     "dedup_cluster" -> (DedupQueries.dedupCluster _),
@@ -1240,6 +1244,18 @@ object SparkEntry {
     "dedup_minhash" -> DedupQueries.minhashOracle,
     "dedup_incremental" -> DedupQueries.incrementalOracle,
     "dedup_bloom" -> DedupQueries.bloomOracle,
+    "dedup_source_matrix" -> DedupQueries.sourceMatrixOracle,
+    "q34_new_users" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |         min(cast(floor(epoch(ts)) AS BIGINT) // 86400) AS day
+        |  FROM events GROUP BY 1),
+        |n AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+        |SELECT day, new_users,
+        |       cast(sum(new_users) OVER (ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS cum_users
+        |FROM n ORDER BY day""".stripMargin,
     "dedup_cluster" -> DedupQueries.clusterOracle,
     // dedup_simhash: rows-only (60-bit banded SimHash isn't expressible in
     // portable DuckDB SQL — no hex->int conversion); covered by ScalaTest.

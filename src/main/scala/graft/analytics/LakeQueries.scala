@@ -777,6 +777,27 @@ object LakeQueries {
       .limit(100)
   }
 
+  /** A35: user-acquisition curve — per day, the count of users seen for
+    * the FIRST time and the running total (the growth chart every
+    * product dashboard opens with). Two tiny aggregates: first-seen day
+    * per user (shuffles one row per user), then per-day counts with a
+    * cumulative window over the days-sized frame — the unpartitioned
+    * window is safe BY CONSTRUCTION (≤ a few thousand day rows
+    * regardless of corpus size; the q12 precedent). Integer epoch-day
+    * per the §4 ns-precision rule. */
+  def q34NewUsers(s: SparkSession, dir: String): DataFrame = {
+    val firstDay = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("unix_timestamp(ts) div 86400").as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("day"))
+    val daily = firstDay.groupBy(col("day"))
+      .agg(count(lit(1)).as("new_users"))
+    daily.withColumn("cum_users",
+        sum(col("new_users")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("day"))
+  }
+
   /** A24: mergeable distinct sketches — the incremental uniques rollup a
     * lake keeps so "uniques over any window" never rescans history. The
     * nightly job builds ONE DataSketches HLL sketch per (day, type)

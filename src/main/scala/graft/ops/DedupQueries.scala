@@ -27,6 +27,26 @@ object DedupQueries {
     Dedup.minhashCandidates(docs(s, dir), "doc_id", "text")
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** C54: the inter-source duplication matrix — the dataset-card view
+    * of WHERE the near-duplication lives: C3's MinHash candidate pairs
+    * rolled up per unordered source pair (least/greatest normalizes the
+    * cell), with the diagonal = within-source duplication. The overlap
+    * question a mixture designer asks before weighting two crawls that
+    * might be mirrors of each other. Plan: the band-equi pair join
+    * (never all-pairs) + two broadcast-sized joins to the (doc_id,
+    * source) map + a tiny S² aggregate. */
+  def dedupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    Dedup.minhashCandidates(docs(s, dir), "doc_id", "text")
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** C4: SimHash near-dup pairs at Hamming <= 3 (rows-only oracle). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashCandidates(docs(s, dir), "doc_id", "text")
@@ -232,6 +252,24 @@ object DedupQueries {
        |FROM bands a JOIN bands b
        |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        |  AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** C54 oracle: the generated band CTEs + the same rollup (defined
+    * after [[minhashBandCtes]] — object vals initialize in order). */
+  val sourceMatrixOracle: String =
+    s"""WITH $minhashBandCtes,
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |s AS (SELECT doc_id, source FROM documents)
+       |SELECT least(sa.source, sb.source) AS src_a,
+       |       greatest(sa.source, sb.source) AS src_b,
+       |       count(*) AS pairs
+       |FROM p JOIN s sa ON p.doc_a = sa.doc_id
+       |       JOIN s sb ON p.doc_b = sb.doc_id
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** C36 oracle: same band CTEs, split by the batch rule, membership

@@ -45,6 +45,26 @@ class LakeQueriesSpec extends SparkSpec {
     assert(got.nonEmpty && got == joined)
   }
 
+  test("q34 new users: curve accounts for every user exactly once") {
+    import org.apache.spark.sql.functions._
+    val rows = LakeQueries.q34NewUsers(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // cumulative is the running sum and ends at the distinct user count
+    val running = rows.scanLeft(0L)(_ + _._2).drop(1)
+    assert(rows.map(_._3).toSeq == running.toSeq)
+    val users = graft.sources.Tables(spark, sfDir, "events")
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(rows.last._3 == users, "curve must end at the distinct user count")
+    // each user's first day recounted independently
+    val firstDays = graft.sources.Tables(spark, sfDir, "events")
+      .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("d"))
+      .groupBy("user_id").agg(min(col("d")).as("d"))
+      .groupBy("d").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (d, n, _) => assert(firstDays(d) == n) }
+  }
+
   test("q11 from_json native face equals the regexp oracle face row-by-row") {
     val re = LakeQueries.q11JsonProps(spark, sfDir).collect().map(_.toSeq).toSeq
     val native = LakeQueries.q11JsonPropsNative(spark, sfDir).collect().map(_.toSeq).toSeq

@@ -197,6 +197,21 @@ class DedupSpec extends SparkSpec {
       s"the planted 12-token span must merge to one 12-mass island per doc: $spans")
   }
 
+  test("source matrix cells recount from the pair list and conserve the pair total") {
+    val pairs = DedupQueries.dedupMinhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val srcOf = docs.select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = pairs.groupBy { case (a, b) =>
+        val (sa, sb) = (srcOf(a), srcOf(b))
+        (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+      }.view.mapValues(_.length.toLong).toMap
+    val got = DedupQueries.dedupSourceMatrix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty && got == want)
+    assert(got.values.sum == pairs.length.toLong, "matrix must conserve the pair total")
+  }
+
   test("dedup_bloom: bloom+confirm equals the exact probe, candidates bound the FP margin") {
     val confirmed = DedupQueries.dedupBloom(spark, sfDir)
       .collect().map(_.getLong(0)).toSeq
