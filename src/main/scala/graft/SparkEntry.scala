@@ -70,6 +70,8 @@ object SparkEntry {
     "q33_min_cost_supplier" -> (LakeQueries.q33MinCostSupplier _),
     // user-acquisition curve: first-seen day + cumulative new users
     "q34_new_users" -> (LakeQueries.q34NewUsers _),
+    // 30-min-gap batch sessionization: per-day session card
+    "q35_sessions" -> (LakeQueries.q35Sessions _),
     // §2.B ingestion semantics
     "ingest_typecast" -> (IngestQueries.ingestTypecast _),
     "ingest_filename_route" -> (IngestQueries.ingestFilenameRoute _),
@@ -177,6 +179,8 @@ object SparkEntry {
     "sample_cap_source" -> (graft.ops.Sample.sampleCapSourceQuery _),
     // E-S weighted sampling without replacement, token-count weights
     "sample_weighted" -> (graft.ops.Sample.sampleWeightedQuery _),
+    // mixture/epoch planner: natural vs target share, factor in bp
+    "mixture_plan" -> (graft.ops.Sample.mixturePlan _),
     "mixture_tokens" -> (graft.ops.Sample.mixtureTokensQuery _),
     // sharded sequence packing into fixed token budgets
     "sample_pack" -> (graft.ops.Sample.samplePackQuery _),
@@ -1257,6 +1261,32 @@ object SparkEntry {
         |         AS BIGINT) AS cum_users
         |FROM n ORDER BY day""".stripMargin,
     "dedup_cluster" -> DedupQueries.clusterOracle,
+    "mixture_plan" -> graft.ops.Sample.mixturePlanOracle,
+    "q35_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |         cast(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, sec, event_id,
+        |         CASE WHEN sec - lag(sec) OVER w > 1800
+        |              OR lag(sec) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |g AS (
+        |  SELECT user_id, sec,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM f),
+        |s AS (
+        |  SELECT user_id, sess, min(sec) AS start_sec, max(sec) AS end_sec,
+        |         count(*) AS n_events
+        |  FROM g GROUP BY 1, 2)
+        |SELECT start_sec // 86400 AS day,
+        |       count(*) AS sessions,
+        |       cast(sum(n_events) AS BIGINT) AS events,
+        |       cast(sum(end_sec - start_sec) AS BIGINT) AS total_duration_s,
+        |       cast(max(n_events) AS BIGINT) AS max_events
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // dedup_simhash: rows-only (60-bit banded SimHash isn't expressible in
     // portable DuckDB SQL — no hex->int conversion); covered by ScalaTest.
     "dedup_embedding" ->

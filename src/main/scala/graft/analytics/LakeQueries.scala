@@ -798,6 +798,36 @@ object LakeQueries {
       .orderBy(col("day"))
   }
 
+  /** A36: batch sessionization — the 30-minute-gap session model every
+    * product-analytics stack runs (the batch face of the streaming
+    * sessionizer, [[graft.streaming.Sessionize]]). Plan: ONE shuffle on
+    * user_id feeds both windows (the new-session flag and the running
+    * session ordinal over the same frame) AND the per-session rollup —
+    * (user_id, sess) is a refinement of the window's partitioning, so
+    * the fact never exchanges twice; the day-level card then aggregates
+    * the session-sized frame. All-integer arithmetic (epoch seconds /
+    * epoch days), ties broken on event_id per §4. */
+  def q35Sessions(s: SparkSession, dir: String): DataFrame = {
+    val gapS = 1800L
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("sec"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val flagged = e
+      .withColumn("new_sess",
+        when(coalesce(col("sec") - lag(col("sec"), 1).over(w) > gapS,
+          lit(true)), 1L).otherwise(0L))
+      .withColumn("sess", sum(col("new_sess")).over(w))
+    val sessions = flagged.groupBy(col("user_id"), col("sess"))
+      .agg(min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"),
+        count(lit(1)).as("n_events"))
+    sessions.groupBy(expr("start_sec div 86400").as("day"))
+      .agg(count(lit(1)).as("sessions"),
+        sum(col("n_events")).as("events"),
+        sum(col("end_sec") - col("start_sec")).as("total_duration_s"),
+        max(col("n_events")).as("max_events"))
+      .orderBy(col("day"))
+  }
+
   /** A24: mergeable distinct sketches — the incremental uniques rollup a
     * lake keeps so "uniques over any window" never rescans history. The
     * nightly job builds ONE DataSketches HLL sketch per (day, type)

@@ -158,6 +158,53 @@ object Sample {
       |  FROM d ORDER BY pow((c+1)/16777216.0, 1.0/tok) DESC, doc_id LIMIT 100)
       |SELECT doc_id, source, tok FROM top ORDER BY doc_id""".stripMargin
 
+  /** C55: mixture/epoch planner — the reweighting arithmetic a corpus
+    * designer runs before composing a training mix (the DoReMi /
+    * LLaMA-report table shape): the NATURAL share is each source's
+    * share of the TOKEN budget (what the model actually trains on);
+    * the TARGET here is the equal-per-document mix (each document
+    * contributes equally regardless of verbosity — scale-free, no
+    * tuned literals), and factor_bp = target/natural is the sampling
+    * knob: > 10000 means epoch-repeat the terse source, < 10000
+    * subsample the verbose one — exactly the weight [[sampleColumn]]
+    * expects. All integer basis points; the only corpus-sized work is
+    * the one map-side-combined per-source rollup (S rows out); shares
+    * and factors are windows over the S-sized frame. */
+  def mixturePlan(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(s, dir, "documents")
+      .select(col("source"), size(Text.tokens(col("text"))).cast("long").as("tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("tok")).as("tokens"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy() // S-sized frame: safe by construction
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tok
+      .withColumn("__tok_total", sum(col("tokens")).over(w))
+      .withColumn("__doc_total", sum(col("docs")).over(w))
+      .select(col("source"), col("docs"), col("tokens"),
+        expr("(tokens * 10000) div __tok_total").as("natural_bp"),
+        expr("(docs * 10000) div __doc_total").as("target_bp"),
+        expr("(((docs * 10000) div __doc_total) * 10000) div ((tokens * 10000) div __tok_total)")
+          .as("factor_bp"))
+      .orderBy(col("source"))
+  }
+
+  /** C55 oracle: the identical integer arithmetic in DuckDB. */
+  val mixturePlanOracle: String =
+    """WITH tok AS (
+      |  SELECT source, count(*) AS docs,
+      |    cast(sum(len(string_split(trim(regexp_replace(lower(text),
+      |      '\s+',' ','g')),' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT cast(sum(tokens) AS BIGINT) AS tok_total,
+      |               cast(sum(docs) AS BIGINT) AS doc_total FROM tok)
+      |SELECT source, docs, tokens,
+      |       (tokens * 10000) // tok_total AS natural_bp,
+      |       (docs * 10000) // doc_total AS target_bp,
+      |       (((docs * 10000) // doc_total) * 10000)
+      |         // ((tokens * 10000) // tok_total) AS factor_bp
+      |FROM tok, tot ORDER BY source""".stripMargin
+
   /** Deterministic train/val/test split: the same content-keyed coin,
     * cut at cumulative fractions — every rerun and every engine deals
     * each document to the same fold, and a document can never leak

@@ -65,6 +65,31 @@ class LakeQueriesSpec extends SparkSpec {
     rows.foreach { case (d, n, _) => assert(firstDays(d) == n) }
   }
 
+  test("q35 sessions: day card equals an independent driver sessionizer") {
+    import org.apache.spark.sql.functions._
+    val events = graft.sources.Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // driver reference: per user, sort by (sec, event_id), split at gaps > 1800
+    val sessions = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2)).map(_._3).toVector
+      sorted.tail.foldLeft(Vector(Vector(sorted.head))) { (acc, sec) =>
+        if (sec - acc.last.last <= 1800) acc.init :+ (acc.last :+ sec)
+        else acc :+ Vector(sec)
+      }
+    }
+    val want = sessions.groupBy(_.head / 86400).map { case (d, ss) =>
+      d -> ((ss.size.toLong, ss.map(_.size.toLong).sum,
+        ss.map(v => v.last - v.head).sum, ss.map(_.size.toLong).max))
+    }
+    val got = LakeQueries.q35Sessions(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.nonEmpty && got == want)
+    assert(got.values.map(_._2).sum == events.length.toLong,
+      "every event must land in exactly one session")
+  }
+
   test("q11 from_json native face equals the regexp oracle face row-by-row") {
     val re = LakeQueries.q11JsonProps(spark, sfDir).collect().map(_.toSeq).toSeq
     val native = LakeQueries.q11JsonPropsNative(spark, sfDir).collect().map(_.toSeq).toSeq

@@ -72,6 +72,24 @@ class SampleSpec extends SparkSpec {
     }
   }
 
+  test("mixture plan: shares recount from the corpus and the factor is target/natural") {
+    val rows = Sample.mixturePlan(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val docTotal = rows.map(_._2).sum
+    val tokTotal = rows.map(_._3).sum
+    rows.foreach { case (src, docs, tokens, nat, tgt, fac) =>
+      assert(nat == tokens * 10000 / tokTotal, s"$src natural_bp")
+      assert(tgt == docs * 10000 / docTotal, s"$src target_bp")
+      assert(fac == tgt * 10000 / nat, s"$src factor_bp")
+    }
+    // the plan is non-vacuous: sources differ in verbosity, so at least
+    // one source must be re-weighted away from 1.0 (10000 bp)
+    assert(rows.exists(r => math.abs(r._6 - 10000L) > 100),
+      "every factor within 1% of 1.0 — the planner has nothing to plan")
+  }
+
   test("temperature re-weighting: T=1 identity, large T flattens, budget preserved") {
     val counts = Map("big" -> 8000L, "mid" -> 1500L, "small" -> 500L)
     val n = counts.values.sum
