@@ -115,6 +115,12 @@ object SparkEntry {
     // rows-only: iterative learned artifact (BpeSpec proves it equal to
     // a driver-side reference of the published algorithm)
     "text_bpe_merges" -> (graft.ops.Bpe.textBpeMerges _),
+    // rows-only: encode with the learned merges, top-30 piece histogram
+    // (BpeSpec proves piece-for-piece equality with a reference encode)
+    "text_bpe_encode" -> (graft.ops.Bpe.textBpeEncode _),
+    // rows-only: CCNet head/middle/tail perplexity terciles per source
+    // (PerplexitySpec pins sizes, boundaries, and the partition property)
+    "quality_ccnet" -> (TextQueries.qualityCcnet _),
     // (source × lang) dataset card at every rollup level
     "corpus_stats" -> (TextQueries.corpusStats _),
     // canonicalization audit with a cross-engine md5 witness

@@ -98,6 +98,39 @@ object Bpe {
       .orderBy(col("rank"))
   }
 
+  /** Apply a learned merge list in rank order: each merge is one
+    * [[mergePair]] fold, so the WHOLE encoder is a single narrow
+    * codegen'd projection — no UDF, no driver loop at apply time, and
+    * it composes with any frame that carries symbol arrays. */
+  def encodeColumn(syms: Column, merges: Seq[Merge]): Column =
+    merges.sortBy(_.rank).foldLeft(syms)((c, m) => mergePair(c, m.left, m.right))
+
+  /** C57: subword vocabulary utilization — the corpus word histogram
+    * encoded with the C50-learned merges ([[encodeColumn]]), rolled up
+    * to the top-30 piece histogram (weighted by word frequency, share
+    * in integer bp of ALL piece occurrences). The tokenizer designer's
+    * acceptance view: which learned pieces actually carry corpus mass
+    * once applied — and the proof the trained artifact round-trips
+    * into an encoder. Scale shape: encoding runs over the HISTOGRAM
+    * (vocabulary-sized), never the corpus; the piece rollup is map-side
+    * combined; the total is one agg-to-scalar broadcast; top-30 is
+    * TakeOrderedAndProject. Rows-only (downstream of the learned merge
+    * table); BpeSpec proves the piece histogram equals a driver-side
+    * reference encode piece-for-piece. */
+  def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val words = wordHistogram(s, dir).localCheckpoint(true) // feeds train AND encode
+    val merges = train(words, numMerges = 20)
+    val pieces = words
+      .select(explode(encodeColumn(col("syms"), merges)).as("piece"), col("n"))
+      .groupBy(col("piece")).agg(sum(col("n")).as("count"))
+    val tot = pieces.agg(sum(col("count")).as("t"))
+    pieces.crossJoin(broadcast(tot))
+      .select(col("piece"), col("count"),
+        expr("count * 10000 div t").as("share_bp"))
+      .orderBy(col("count").desc, col("piece"))
+      .limit(30)
+  }
+
   /** The corpus word histogram as symbol arrays: single characters plus
     * the `</w>` end-of-word marker. */
   def wordHistogram(s: SparkSession, dir: String): DataFrame =

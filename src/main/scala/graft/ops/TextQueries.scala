@@ -542,7 +542,16 @@ object TextQueries {
     * requires it to broadcast); the corpus total is one agg-to-scalar
     * broadcast. Rows-only (ln is not bit-stable across engines at the
     * hash gate's precision); PerplexitySpec recounts driver-side. */
-  def textPerplexity(s: SparkSession, dir: String): DataFrame = {
+  def textPerplexity(s: SparkSession, dir: String): DataFrame =
+    xentPerDoc(s, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        round(avg(col("xent")), 4).as("avg_xent"),
+        round(min(col("xent")), 4).as("min_xent"),
+        round(max(col("xent")), 4).as("max_xent"))
+      .orderBy(col("source"))
+
+  /** The shared (doc_id, source, xent) scoring frame behind C42/C56. */
+  private def xentPerDoc(s: SparkSession, dir: String): DataFrame = {
     val tf = docs(s, dir)
       .select(col("doc_id"), col("source"),
         explode(Text.tokens(col("text"))).as("term"))
@@ -552,16 +561,40 @@ object TextQueries {
     CacheScope.releaseAfterAction(s, tf)
     val lm = tf.groupBy(col("term")).agg(sum(col("tf")).as("tn"))
     val tot = lm.agg(sum(col("tn")).as("t"))
-    val perDoc = tf.join(lm, Seq("term")).crossJoin(broadcast(tot))
+    tf.join(lm, Seq("term")).crossJoin(broadcast(tot))
       .groupBy(col("doc_id"), col("source"))
       .agg((-(sum(col("tf") * log(col("tn").cast("double") / col("t"))) /
         sum(col("tf")))).as("xent"))
-    perDoc.groupBy(col("source"))
-      .agg(count(lit(1)).as("docs"),
-        round(avg(col("xent")), 4).as("avg_xent"),
-        round(min(col("xent")), 4).as("min_xent"),
-        round(max(col("xent")), 4).as("max_xent"))
-      .orderBy(col("source"))
+  }
+
+  /** C56: CCNet head/middle/tail buckets — the FILTERING step of CCNet
+    * (Wenzek et al. 2020) downstream of the C42 scorer: per source,
+    * deal documents into perplexity terciles; `head` is the most
+    * fluent third a pipeline keeps, `tail` what it drops or LM-filters
+    * harder. Done the way it must be done at 100 TB: the tercile CUTS
+    * come from a mergeable `percentile_approx` sketch per source
+    * (map-side combined — the corpus never shuffles for ranking) and
+    * documents bucket by comparing to their source's broadcast cuts —
+    * NOT a per-source ntile window, which would sort billions of rows
+    * per source partition. Rows-only (downstream of ln doubles);
+    * PerplexitySpec pins tercile sizes, boundary monotonicity, and the
+    * partition property. */
+  def qualityCcnet(s: SparkSession, dir: String): DataFrame = {
+    val per = xentPerDoc(s, dir)
+    val cuts = per.groupBy(col("source"))
+      .agg(percentile_approx(col("xent"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("cuts"))
+    val bucketed = per.join(broadcast(cuts), Seq("source"))
+      .withColumn("bucket",
+        when(col("xent") <= element_at(col("cuts"), 1), "head")
+          .when(col("xent") <= element_at(col("cuts"), 2), "middle")
+          .otherwise("tail"))
+    bucketed.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("docs"), round(avg(col("xent")), 4).as("avg_xent"))
+      .select(col("source"), col("bucket"), col("docs"),
+        expr("docs * 10000 div sum(docs) over (partition by source)").as("share_bp"),
+        col("avg_xent"))
+      .orderBy(col("source"), col("bucket"))
   }
 
   /** C42a: bigram-LM cross-entropy with stupid backoff — the full CCNet

@@ -73,6 +73,36 @@ class BpeSpec extends SparkSpec {
       "no learned symbol was ever reused — merges are not composing")
   }
 
+  test("encode face equals a reference encode piece-for-piece") {
+    val hist = Bpe.wordHistogram(spark, sfDir)
+      .as[(Seq[String], Long)].collect().toSeq
+    // reference: train, then apply each merge greedily in rank order
+    val merges = referenceBpe(hist, 20)
+    def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
+      val acc = scala.collection.mutable.Buffer.empty[String]
+      syms.foreach { s =>
+        if (acc.nonEmpty && acc.last == a && s == b) {
+          acc.remove(acc.length - 1); acc += (a + b)
+        } else acc += s
+      }
+      acc.toSeq
+    }
+    val encoded = hist.map { case (syms, n) =>
+      (merges.foldLeft(syms) { case (ss, (a, b, _)) => applyMerge(ss, a, b) }, n)
+    }
+    val wantHist = encoded.flatMap { case (ps, n) => ps.map(_ -> n) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val wantTotal = wantHist.values.sum
+    val want = wantHist.toSeq.sortBy { case (p, c) => (-c, p) }.take(30)
+      .map { case (p, c) => (p, c, c * 10000 / wantTotal) }
+    val got = Bpe.textBpeEncode(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"encode diverged:\n$got\nvs\n$want")
+    // the encoder really fired: learned multi-char pieces carry mass
+    assert(got.exists { case (p, _, _) => p.replace("</w>", "").length > 1 },
+      "no multi-character piece in the top-30 — merges never applied")
+  }
+
   test("mergePair matches greedy left-to-right semantics on runs") {
     val df = Seq(
       Seq("x", "x", "x"),

@@ -52,6 +52,34 @@ class PerplexitySpec extends SparkSpec {
     }
   }
 
+  test("ccnet buckets: terciles partition each source with monotone xent bands") {
+    val rows = TextQueries.qualityCcnet(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val srcDocs = graft.sources.Tables(spark, sfDir, "documents")
+      .groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (src, bs) =>
+      val byBucket = bs.map(b => b._2 -> b._3).toMap
+      // the buckets partition the source (every doc in exactly one)
+      assert(bs.map(_._3).sum == srcDocs(src), s"$src: buckets must partition")
+      assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+      // rank-based tercile cuts: each bucket holds about a third
+      val n = srcDocs(src)
+      byBucket.values.foreach(c =>
+        assert(math.abs(c - n / 3.0) <= math.max(2, n / 10.0), s"$src sizes $byBucket"))
+      // shares sum to ~10000 bp (integer-division remainders only)
+      assert(math.abs(bs.map(_._4).sum - 10000L) <= bs.length)
+      // fluency is monotone across the ladder
+      if (Set("head", "middle", "tail").subsetOf(byBucket.keySet)) {
+        val avg = bs.map(x => x._2 -> x._5).toMap
+        assert(avg("head") <= avg("middle") && avg("middle") <= avg("tail"),
+          s"$src avg xent not monotone: $avg")
+      }
+    }
+  }
+
   test("bigram LM with stupid backoff matches a driver-side recount") {
     val rep = TextQueries.textPerplexityBigram(spark, sfDir).collect()
     assert(rep.nonEmpty)
