@@ -72,6 +72,8 @@ object SparkEntry {
     "q34_new_users" -> (LakeQueries.q34NewUsers _),
     // 30-min-gap batch sessionization: per-day session card
     "q35_sessions" -> (LakeQueries.q35Sessions _),
+    // TPC-H Q12 shape: late shipments split urgent/other per ship year
+    "q36_late_shipments" -> (LakeQueries.q36LateShipments _),
     // §2.B ingestion semantics
     "ingest_typecast" -> (IngestQueries.ingestTypecast _),
     "ingest_filename_route" -> (IngestQueries.ingestFilenameRoute _),
@@ -1268,6 +1270,16 @@ object SparkEntry {
         |FROM n ORDER BY day""".stripMargin,
     "dedup_cluster" -> DedupQueries.clusterOracle,
     "mixture_plan" -> graft.ops.Sample.mixturePlanOracle,
+    "q36_late_shipments" ->
+      """SELECT year(l_shipdate) AS ship_year,
+        |  cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS urgent_lines,
+        |  cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS other_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE cast(floor(epoch(l_shipdate)) AS BIGINT)
+        |    - cast(floor(epoch(o_orderdate)) AS BIGINT) > 365 * 86400
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q35_sessions" ->
       """WITH e AS (
         |  SELECT user_id, event_id,

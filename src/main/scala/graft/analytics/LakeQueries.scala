@@ -828,6 +828,32 @@ object LakeQueries {
       .orderBy(col("day"))
   }
 
+  /** A37: TPC-H Q12 shape — late shipments split by order priority: the
+    * lineitem⋈orders equi-join (the canonical orderkey co-partition;
+    * both scans project only their join/filter columns), a cross-table
+    * lateness predicate (ship more than a year after order — it needs
+    * both sides, so it runs AT the join, everything else pushes below),
+    * and Q12's CASE-sum split of urgent-class vs other-class line
+    * counts per ship year. All-integer output. */
+  def q36LateShipments(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Seq("1-URGENT", "2-HIGH")
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"),
+        unix_timestamp(col("l_shipdate")).as("ship_sec"))
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        unix_timestamp(col("o_orderdate")).as("ord_sec"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .where(col("ship_sec") - col("ord_sec") > lit(365L * 86400L))
+      .groupBy(year(col("l_shipdate")).as("ship_year"))
+      .agg(
+        sum(when(col("o_orderpriority").isin(urgent: _*), 1L).otherwise(0L))
+          .as("urgent_lines"),
+        sum(when(col("o_orderpriority").isin(urgent: _*), 0L).otherwise(1L))
+          .as("other_lines"))
+      .orderBy(col("ship_year"))
+  }
+
   /** A24: mergeable distinct sketches — the incremental uniques rollup a
     * lake keeps so "uniques over any window" never rescans history. The
     * nightly job builds ONE DataSketches HLL sketch per (day, type)

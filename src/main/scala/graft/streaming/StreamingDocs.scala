@@ -62,6 +62,43 @@ object StreamingDocs {
       .dropDuplicatesWithinWatermark("content_hash")
   }
 
+  /** D14: the C49 Bloom pre-filter made continuous — the standing
+    * corpus's fingerprint set collapses to ONE bloom-sketch row
+    * (`bloom_filter_agg`, a mergeable single-pass build) that
+    * stream-static-joins in as a broadcast scalar; every arriving
+    * document probes it with `might_contain` as a narrow projection.
+    * Bloom NEGATIVES — the overwhelming majority of a healthy intake —
+    * are admitted with no join and no per-row state at all; only the
+    * bloom-positives (true duplicates plus the εN false-positive
+    * margin) pay the exact fingerprint anti-join confirm, so the
+    * admitted set is EXACTLY the plain stream-static anti-join's
+    * (blooms never false-negative; the confirm removes the FPs). Both
+    * static sides are re-planned per micro-batch: a nightly index
+    * rebuild and its refreshed bloom land live without a restart. At
+    * 100 TB the bloom is a few hundred MB of broadcast bits standing
+    * in for billions of index keys — the difference between every
+    * micro-batch paying a corpus-scale join and only its duplicate
+    * sliver paying one. */
+  def dedupBloomStream(docs: DataFrame, standing: DataFrame,
+                       estItems: Int = 1 << 20): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    // might_contain requires its filter side be a scalar subquery (the
+    // InjectRuntimeFilter contract), so the standing index goes in as a
+    // temp view — same mechanism as the batch face (DedupQueries.dedupBloom).
+    standing.createOrReplaceTempView("bloom_stream_standing")
+    val probed = docs
+      .withColumn("fp", graft.ops.Text.fingerprint(col("text")))
+      .withColumn("__maybe", expr(
+        s"""might_contain(
+           |  (SELECT bloom_filter_agg(xxhash64(fp), $estItems)
+           |   FROM bloom_stream_standing),
+           |  xxhash64(fp))""".stripMargin))
+    probed.where(!col("__maybe")).drop("__maybe")
+      .unionByName(
+        probed.where(col("__maybe")).drop("__maybe")
+          .join(standing.select(col("fp")).distinct(), Seq("fp"), "left_anti"))
+  }
+
   /** D13: streaming benchmark decontamination — the C23 contamination
     * gate run inline on the intake feed, so an eval-set leak is flagged
     * the moment the document arrives instead of at the nightly sweep.

@@ -90,6 +90,31 @@ class LakeQueriesSpec extends SparkSpec {
       "every event must land in exactly one session")
   }
 
+  test("q36 late shipments: CASE split recounts and partitions the late lines") {
+    import org.apache.spark.sql.functions._
+    val urgent = Set("1-URGENT", "2-HIGH")
+    val prio = graft.sources.Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        unix_timestamp(col("o_orderdate")).as("os"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val want = graft.sources.Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), year(col("l_shipdate")).as("y"),
+        unix_timestamp(col("l_shipdate")).as("ss"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .flatMap { case (ok, y, ss) =>
+        val (p, os) = prio(ok)
+        if (ss - os > 365L * 86400L) Some((y, urgent(p))) else None
+      }
+      .groupBy(_._1).map { case (y, g) =>
+        y -> ((g.count(_._2).toLong, g.count(!_._2).toLong))
+      }
+    val got = LakeQueries.q36LateShipments(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.nonEmpty && got == want)
+    assert(got.values.exists(v => v._1 > 0) && got.values.exists(v => v._2 > 0),
+      "both priority classes must appear — otherwise the split is vacuous")
+  }
+
   test("q11 from_json native face equals the regexp oracle face row-by-row") {
     val re = LakeQueries.q11JsonProps(spark, sfDir).collect().map(_.toSeq).toSeq
     val native = LakeQueries.q11JsonPropsNative(spark, sfDir).collect().map(_.toSeq).toSeq

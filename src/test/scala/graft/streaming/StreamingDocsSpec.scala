@@ -87,6 +87,41 @@ class StreamingDocsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed bloom-gated dedup admits exactly the plain anti-join set") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val standingDocs = docs.where(col("doc_id") % 5 =!= 4)
+    val incoming = docs.where(col("doc_id") % 5 === 4)
+    val standing = StreamingDocs.standingIndex(standingDocs)
+
+    // the bloom face must admit EXACTLY the bloom-free anti-join set
+    val expected = incoming
+      .withColumn("fp", graft.ops.Text.fingerprint(col("text")))
+      .join(standing.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = incoming.as[(Long, String)].collect().sortBy(_._1)
+      .map { case (id, text) => (id, text, new Timestamp(base + id * 1000)) }
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingDocs.dedupBloomStream(
+        stream.toDF().toDF("doc_id", "text", "ts"), standing)
+      .writeStream.format("memory").queryName("bloom_admit")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3))
+        .foreach { c => stream.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val streamed = spark.table("bloom_admit")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == expected,
+        s"faces diverge: ${(expected diff streamed).take(5)} missing, " +
+          s"${(streamed diff expected).take(5)} extra")
+      assert(streamed.size < incoming.count(),
+        "sanity: the standing corpus must actually reject duplicates")
+    } finally q.stop()
+  }
+
   test("streamed decontamination flags exactly the batch C23 contaminated set") {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
