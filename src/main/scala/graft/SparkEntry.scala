@@ -146,6 +146,8 @@ object SparkEntry {
     "dedup_bloom" -> (DedupQueries.dedupBloom _),
     // inter-source duplication matrix over the MinHash candidate pairs
     "dedup_source_matrix" -> (DedupQueries.dedupSourceMatrix _),
+    // winnowing-family fingerprints (local-min selection) + pair overlap
+    "dedup_winnow" -> (DedupQueries.dedupWinnow _),
     "dedup_minhash" -> (DedupQueries.dedupMinhash _),
     "dedup_simhash" -> (DedupQueries.dedupSimhash _),
     "dedup_cluster" -> (DedupQueries.dedupCluster _),
@@ -1257,6 +1259,7 @@ object SparkEntry {
     "dedup_incremental" -> DedupQueries.incrementalOracle,
     "dedup_bloom" -> DedupQueries.bloomOracle,
     "dedup_source_matrix" -> DedupQueries.sourceMatrixOracle,
+    "dedup_winnow" -> DedupQueries.winnowOracle,
     "q34_new_users" ->
       """WITH f AS (
         |  SELECT user_id,

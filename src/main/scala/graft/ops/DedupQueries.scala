@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -45,6 +46,46 @@ object DedupQueries {
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("pairs"))
       .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** C58: winnowing-family document fingerprints (Schleimer et al.
+    * SIGMOD 2003, the MOSS scheme) + pair overlap — the plagiarism/
+    * mirror detector that keeps ~1/w of each document's shingle
+    * hashes, chosen content-locally so near-identical passages select
+    * identical fingerprints: a positional 3-gram hash is SELECTED when
+    * it is the minimum of its ±4-position neighborhood (value-based —
+    * no tie-order dependence, so both engines select the same set).
+    * Fingerprint df-capped at 50 (the C2 hot-shingle guard), then the
+    * sparse equi-join counts shared fingerprints per pair. Plan: one
+    * shuffle by doc_id for the selection window, a ~1/9-density
+    * fingerprint set (one per 2w+1 = 9 positions in expectation), an
+    * equi-join that only ever touches selected hashes — never the full
+    * shingle frame. */
+  def dedupWinnow(s: SparkSession, dir: String): DataFrame = {
+    // POSITIONAL shingles (the C45 idiom) — WordShingles would dedup
+    // repeats, and winnowing selection is position-dependent.
+    val sh = docs(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("ts"))
+      .where(size(col("ts")) >= 3)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("ts")) - 2),
+          i => concat_ws(" ", slice(col("ts"), i, lit(3))))).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long").as("h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-4, 4)
+    val sel = sh.withColumn("wmin", min(col("h")).over(win))
+      .where(col("h") === col("wmin"))
+      .select(col("doc_id"), col("h")).distinct()
+    val keep = sel.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= 50).select(col("h"))
+    val kept = sel.join(keep, Seq("h"))
+    kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** C4: SimHash near-dup pairs at Hamming <= 3 (rows-only oracle). */
@@ -253,6 +294,34 @@ object DedupQueries {
        |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        |  AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** C58 oracle: positional shingle hashes, the same ±4 local-minimum
+    * selection (value-based, tie-order-free), df cap, pair overlap. */
+  val winnowOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, i AS pos,
+      |         CAST(concat('0x', substr(md5(w[i]||' '||w[i+1]||' '||w[i+2]),1,12))
+      |              AS BIGINT) AS h
+      |  FROM toks, unnest(generate_series(1, len(w)-2)) AS t(i)
+      |  WHERE len(w) >= 3),
+      |sel AS (
+      |  SELECT DISTINCT doc_id, h FROM (
+      |    SELECT doc_id, h,
+      |           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |             ROWS BETWEEN 4 PRECEDING AND 4 FOLLOWING) AS wmin
+      |    FROM sh)
+      |  WHERE h = wmin),
+      |keep AS (SELECT h FROM sel GROUP BY h HAVING count(*) <= 50),
+      |kept AS (SELECT sel.doc_id, sel.h FROM sel JOIN keep USING (h))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       cast(count(*) AS BIGINT) AS shared
+      |FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** C54 oracle: the generated band CTEs + the same rollup (defined
     * after [[minhashBandCtes]] — object vals initialize in order). */

@@ -197,6 +197,36 @@ class DedupSpec extends SparkSpec {
       s"the planted 12-token span must merge to one 12-mass island per doc: $spans")
   }
 
+  test("winnow fingerprints: driver recount, sane density, pairs found") {
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h12(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(12), 16)
+    }
+    var nShingles = 0L
+    val sel = texts.map { case (id, text) =>
+      val w = text.toLowerCase.replaceAll("\\s+", " ").trim.split(' ')
+      val hs = w.sliding(3).filter(_.length == 3).map(g => h12(g.mkString(" "))).toVector
+      nShingles += hs.length
+      id -> hs.zipWithIndex.collect { case (h, i)
+        if h == hs.slice(math.max(0, i - 4), i + 5).min => h }.toSet
+    }.toMap
+    val df = sel.toSeq.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val kept = sel.view.mapValues(_.filter(df(_) <= 50)).toMap
+    val want = (for {
+      (a, ha) <- kept.toSeq; (b, hb) <- kept.toSeq if a < b
+      shared = (ha intersect hb).size if shared >= 3
+    } yield (a, b) -> shared.toLong).toMap
+    val got = DedupQueries.dedupWinnow(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty && got == want)
+    // local-min-of-9 selection keeps roughly 1/9 of positions
+    val density = sel.values.map(_.size.toLong).sum.toDouble / nShingles
+    assert(density > 0.05 && density < 0.25, s"fingerprint density $density")
+  }
+
   test("source matrix cells recount from the pair list and conserve the pair total") {
     val pairs = DedupQueries.dedupMinhash(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
