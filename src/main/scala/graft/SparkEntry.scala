@@ -74,6 +74,8 @@ object SparkEntry {
     "q35_sessions" -> (LakeQueries.q35Sessions _),
     // TPC-H Q12 shape: late shipments split urgent/other per ship year
     "q36_late_shipments" -> (LakeQueries.q36LateShipments _),
+    // mixed-granularity GROUPING SETS: nation x yr + region x yr, one pass
+    "q37_grouping_sets" -> (LakeQueries.q37GroupingSets _),
     // §2.B ingestion semantics
     "ingest_typecast" -> (IngestQueries.ingestTypecast _),
     "ingest_filename_route" -> (IngestQueries.ingestFilenameRoute _),
@@ -1260,6 +1262,22 @@ object SparkEntry {
     "dedup_bloom" -> DedupQueries.bloomOracle,
     "dedup_source_matrix" -> DedupQueries.sourceMatrixOracle,
     "dedup_winnow" -> DedupQueries.winnowOracle,
+    "q37_grouping_sets" ->
+      """WITH base AS (
+        |  SELECT n_name, r_name, year(o_orderdate) AS yr,
+        |         cast(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey)
+        |SELECT CASE WHEN GROUPING(n_name) = 0 THEN 'nation'
+        |            ELSE 'region' END AS level,
+        |       coalesce(n_name, r_name) AS name, yr,
+        |       count(*) AS orders,
+        |       cast(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM base
+        |GROUP BY GROUPING SETS ((n_name, yr), (r_name, yr))
+        |ORDER BY level, name, yr""".stripMargin,
     "q34_new_users" ->
       """WITH f AS (
         |  SELECT user_id,

@@ -523,6 +523,34 @@ object LakeQueries {
       .orderBy(col("nation"), col("order_year"))
   }
 
+  /** A38: mixed-granularity GROUPING SETS — the one grouping shape
+    * CUBE (A26) and ROLLUP (A7) can't express: two DIFFERENT report
+    * granularities, (nation × year) and (region × year), computed in
+    * ONE Expand pass over one scan of the joined frame — the
+    * dashboard-refresh trick that halves the nightly report job. The
+    * level tag comes from which dim column survived the set (the
+    * GROUPING() idiom spelled as nullability — names never collide
+    * across levels because the tag disambiguates). Integer cents. */
+  def q37GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val joined = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("r_name"), year(col("o_orderdate")).as("yr"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    joined
+      .groupingSets(
+        Seq(Seq(col("n_name"), col("yr")), Seq(col("r_name"), col("yr"))),
+        col("n_name"), col("r_name"), col("yr"))
+      .agg(count(lit(1)).as("orders"), sum(col("cents")).as("revenue_cents"))
+      .select(
+        when(col("n_name").isNotNull, lit("nation")).otherwise(lit("region"))
+          .as("level"),
+        coalesce(col("n_name"), col("r_name")).as("name"),
+        col("yr"), col("orders"), col("revenue_cents"))
+      .orderBy(col("level"), col("name"), col("yr"))
+  }
+
   /** A27: TPC-H Q19 shape — revenue through a DISJUNCTION of
     * (brand, size-range, quantity-range) predicate groups over the
     * part⋈lineitem join, reported per branch. The optimizer test this

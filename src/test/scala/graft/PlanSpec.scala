@@ -263,4 +263,23 @@ class PlanSpec extends SparkSpec {
     assert(dataShuffles == 1,
       s"lag window, session agg and user agg must share one user_id shuffle:\n$plan")
   }
+
+  test("q35 sessions: session rollup reuses the user_id window shuffle") {
+    val plan = executed("q35_sessions")
+    // (user_id, sess) clustering is satisfied by the window's user_id
+    // hash partitioning, so the only OTHER exchange is the tiny
+    // day-level aggregate over the session-sized frame.
+    val dataShuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(dataShuffles == 2,
+      s"expected user_id shuffle (windows + session rollup) + day agg only:\n$plan")
+  }
+
+  test("q37 grouping sets: both report granularities come from ONE Expand pass") {
+    val plan = executed("q37_grouping_sets")
+    assert("Expand".r.findAllIn(plan).size == 1,
+      s"grouping sets must expand once, not once per set:\n$plan")
+    // one scan of orders feeds both granularities
+    assert("orders.parquet".r.findAllIn(plan).size == 1,
+      s"the fact must be scanned exactly once:\n$plan")
+  }
 }

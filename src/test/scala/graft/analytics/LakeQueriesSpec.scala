@@ -90,6 +90,28 @@ class LakeQueriesSpec extends SparkSpec {
       "every event must land in exactly one session")
   }
 
+  test("q37 grouping sets: equals the union of the two one-level aggregates") {
+    import org.apache.spark.sql.functions._
+    val joined = graft.sources.Tables(spark, sfDir, "orders")
+      .join(graft.sources.Tables(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.sources.Tables(spark, sfDir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(graft.sources.Tables(spark, sfDir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("r_name"), year(col("o_orderdate")).as("yr"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    def level(tag: String, key: String) = joined
+      .groupBy(col(key), col("yr"))
+      .agg(count(lit(1)).as("orders"), sum(col("cents")).as("rev"))
+      .collect().map(r => (tag, r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val want = (level("nation", "n_name") ++ level("region", "r_name")).toSet
+    val got = LakeQueries.q37GroupingSets(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty && got.toSet == want)
+    assert(got.exists(_._1 == "nation") && got.exists(_._1 == "region"))
+  }
+
   test("q36 late shipments: CASE split recounts and partitions the late lines") {
     import org.apache.spark.sql.functions._
     val urgent = Set("1-URGENT", "2-HIGH")
