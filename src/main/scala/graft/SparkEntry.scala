@@ -86,6 +86,8 @@ object SparkEntry {
     "ingest_schema_merge" -> (IngestQueries.ingestSchemaMerge _),
     "ingest_partition_derive" -> (IngestQueries.ingestPartitionDerive _),
     "sync_zone_diff" -> (IngestQueries.syncZoneDiff _),
+    // data expectations: pk/fk/domain checks over a planted landed batch
+    "meta_expectations" -> (IngestQueries.metaExpectations _),
     // CDC upsert: MERGE INTO as keyed window + one full-outer equi-join
     "ingest_upsert" -> (IngestQueries.ingestUpsert _),
     "meta_schema_discovery" -> (SchemaDiscovery.metaSchemaDiscovery _),
@@ -1291,6 +1293,50 @@ object SparkEntry {
         |FROM n ORDER BY day""".stripMargin,
     "dedup_cluster" -> DedupQueries.clusterOracle,
     "mixture_plan" -> graft.ops.Sample.mixturePlanOracle,
+    "meta_expectations" ->
+      """WITH lo AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 103 = 0 THEN o_custkey + 1000000000
+        |              ELSE o_custkey END AS o_custkey
+        |  FROM (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 107 <> 0
+        |        UNION ALL
+        |        SELECT o_orderkey, o_custkey FROM orders
+        |        WHERE o_orderkey % 107 <> 0 AND o_orderkey % 101 = 0)),
+        |ll AS (
+        |  SELECT l_orderkey,
+        |         CASE WHEN l_orderkey % 97 = 0 THEN -l_quantity
+        |              ELSE l_quantity END AS l_quantity,
+        |         CASE WHEN l_orderkey % 95 = 0 THEN l_discount + 2.0
+        |              ELSE l_discount END AS l_discount
+        |  FROM lineitem),
+        |lc AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 89 = 0 THEN '' ELSE c_name END AS c_name
+        |  FROM customer)
+        |SELECT 'pk_orders_unique' AS check_name,
+        |  cast((SELECT count(*) FROM (SELECT o_orderkey FROM lo
+        |        GROUP BY 1 HAVING count(*) > 1) q) AS BIGINT) AS violations,
+        |  cast((SELECT count(*) FROM lo) AS BIGINT) AS total
+        |UNION ALL SELECT 'fk_lineitem_orders',
+        |  cast((SELECT count(*) FROM ll
+        |        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM lo)) AS BIGINT),
+        |  cast((SELECT count(*) FROM ll) AS BIGINT)
+        |UNION ALL SELECT 'fk_orders_customer',
+        |  cast((SELECT count(*) FROM lo
+        |        WHERE o_custkey NOT IN (SELECT c_custkey FROM lc)) AS BIGINT),
+        |  cast((SELECT count(*) FROM lo) AS BIGINT)
+        |UNION ALL SELECT 'dom_discount_range',
+        |  cast((SELECT count(*) FROM ll
+        |        WHERE l_discount < 0 OR l_discount > 1) AS BIGINT),
+        |  cast((SELECT count(*) FROM ll) AS BIGINT)
+        |UNION ALL SELECT 'dom_quantity_positive',
+        |  cast((SELECT count(*) FROM ll WHERE l_quantity <= 0) AS BIGINT),
+        |  cast((SELECT count(*) FROM ll) AS BIGINT)
+        |UNION ALL SELECT 'dom_customer_name',
+        |  cast((SELECT count(*) FROM lc
+        |        WHERE c_name IS NULL OR c_name = '') AS BIGINT),
+        |  cast((SELECT count(*) FROM lc) AS BIGINT)
+        |ORDER BY check_name""".stripMargin,
     "q36_late_shipments" ->
       """SELECT year(l_shipdate) AS ship_year,
         |  cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')

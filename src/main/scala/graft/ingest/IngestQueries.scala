@@ -188,4 +188,59 @@ object IngestQueries {
       .select(lit("DELETE").as("action"), col("n"), col("min_key"), col("max_key"))
     copy.unionAll(del).orderBy(col("action"))
   }
+
+  /** B13: data expectations — the constraint-validation gate a lake runs
+    * after every ingest (the Delta-Live-Tables-expectations / dbt-test
+    * shape): each expectation is one aggregate or anti-join over the
+    * landed table, reported as (check, violations, total) so the run
+    * report can gate promotion to the user zone. Checks chosen to cover
+    * the three constraint families: KEY uniqueness (duplicate
+    * o_orderkey), REFERENTIAL integrity (lineitem→orders,
+    * orders→customer orphans — anti-joins on the co-partition keys),
+    * and DOMAIN validity (discount ∈ [0,1], non-positive quantity,
+    * empty customer name). Every check is independently
+    * pushdown-friendly; the union is check-count-sized. */
+  def metaExpectations(s: SparkSession, dir: String): DataFrame = {
+    // A "landed batch" with DETERMINISTIC planted violations (the B5
+    // pattern — clean testdata would make every check vacuously 0):
+    // %101 orders land twice (dup pk), %107 orders are missing (their
+    // lineitems orphaned), %103 orders point at a customer that does
+    // not exist (fk orphan), %97 lineitems carry a negative quantity,
+    // %95 a discount above 1, %89 customers an empty name.
+    val o0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .where(col("o_orderkey") % 107 =!= 0)
+    val orders = o0.unionAll(o0.where(col("o_orderkey") % 101 === 0))
+      .withColumn("o_custkey",
+        when(col("o_orderkey") % 103 === 0, col("o_custkey") + 1000000000L)
+          .otherwise(col("o_custkey")))
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        when(col("l_orderkey") % 97 === 0, -col("l_quantity"))
+          .otherwise(col("l_quantity")).as("l_quantity"),
+        when(col("l_orderkey") % 95 === 0, col("l_discount") + 2.0)
+          .otherwise(col("l_discount")).as("l_discount"))
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 89 === 0, lit("")).otherwise(col("c_name"))
+          .as("c_name"))
+    def row(name: String, violations: DataFrame, total: DataFrame): DataFrame =
+      violations.agg(count(lit(1)).as("violations"))
+        .crossJoin(total.agg(count(lit(1)).as("total")))
+        .select(lit(name).as("check_name"), col("violations"), col("total"))
+    val dupKeys = orders.groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("c")).where(col("c") > 1)
+    val liOrphans = li.join(orders.select(col("o_orderkey")),
+      col("l_orderkey") === col("o_orderkey"), "left_anti")
+    val custOrphans = orders.join(cust.select(col("c_custkey")),
+      col("o_custkey") === col("c_custkey"), "left_anti")
+    row("pk_orders_unique", dupKeys, orders)
+      .unionAll(row("fk_lineitem_orders", liOrphans, li))
+      .unionAll(row("fk_orders_customer", custOrphans, orders))
+      .unionAll(row("dom_discount_range",
+        li.where(col("l_discount") < 0 || col("l_discount") > 1), li))
+      .unionAll(row("dom_quantity_positive", li.where(col("l_quantity") <= 0), li))
+      .unionAll(row("dom_customer_name",
+        cust.where(col("c_name").isNull || col("c_name") === ""), cust))
+      .orderBy(col("check_name"))
+  }
 }

@@ -22,6 +22,28 @@ class IngestLibSpec extends SparkSpec {
     assert(p2 == Set("f4"))
   }
 
+  test("meta_expectations: every planted violation class fires with exact counts") {
+    import org.apache.spark.sql.functions._
+    val rows = IngestQueries.metaExpectations(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet == Set("pk_orders_unique", "fk_lineitem_orders",
+      "fk_orders_customer", "dom_discount_range", "dom_quantity_positive",
+      "dom_customer_name"))
+    // every planted class must actually fire — an all-zero gate is vacuous
+    rows.foreach { case (c, (v, t0)) =>
+      assert(v > 0, s"$c found no violations"); assert(v < t0, s"$c flagged everything")
+    }
+    // exact recounts for the two join-shaped checks
+    val keys = graft.sources.Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey")).as[Long].collect().toSet
+    val landed = keys.filter(_ % 107 != 0)
+    assert(rows("pk_orders_unique")._1 == landed.count(_ % 101 == 0).toLong)
+    val liOrphans = graft.sources.Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey")).as[Long].collect()
+      .count(k => !landed.contains(k)).toLong
+    assert(rows("fk_lineitem_orders")._1 == liOrphans)
+  }
+
   test("CsvIngest.readCsv applies headers and the type dictionary") {
     val dir = tmpDir("csv")
     java.nio.file.Files.writeString(
