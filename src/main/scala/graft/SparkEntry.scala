@@ -180,6 +180,8 @@ object SparkEntry {
     "corpus_label_card" -> (VectorQueries.corpusLabelCard _),
     // rows-only: learned clusters are iterative Scala-side plan logic
     "embed_kmeans" -> (graft.ops.KMeans.embedKmeans _),
+    // rows-only: k-means clusters labeled by their top terms (topic card)
+    "corpus_topics" -> (graft.ops.KMeans.corpusTopics _),
     "mm_metadata" -> (Multimodal.mmMetadata _),
     "mm_features" -> (Multimodal.mmFeatures _),
     // §2.E library surface demo: salted join over a synthetically hot key

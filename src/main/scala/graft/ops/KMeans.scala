@@ -98,4 +98,49 @@ object KMeans {
         round(max(col("cn")), 4).as("centroid_norm"))
       .orderBy(col("cluster"))
   }
+
+  /** C59: corpus topic cards — the "what is actually IN this corpus"
+    * view a dataset card leads with: the k-means clusters over the
+    * embedding space, each labeled by its top-5 CHARACTERISTIC terms
+    * from the text side (the C43 cross-modal id join: embeddings and
+    * documents share the id). Terms rank by LIFT — in-cluster document
+    * share over corpus document share (the c-TF-IDF idea BERTopic
+    * popularized): ubiquitous terms sink to lift ≈ 1 on their own, so
+    * no stopword cutoff can empty a cluster's label set, and every
+    * cluster always surfaces its most distinctive vocabulary. Ties on
+    * (count desc, term) per §4. Plan: the cluster fit is
+    * metadata-bound (k centroid rows broadcast per round); labeling is
+    * one distinct-token explode, a vocabulary-sized df rollup, an id
+    * equi-join to the assignments (the canonical bucketing candidate),
+    * and the C28 partial-WindowGroupLimit top-5 per cluster — no
+    * global sort. Rows-only (downstream of the learned clustering);
+    * spec recounts the lift arithmetic and the partition property. */
+  def corpusTopics(s: SparkSession, dir: String): DataFrame = {
+    val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
+      .select(col("vec_id"), col("e"), col("nrm"))
+    val f = fit(v, k = 8, iters = 4)
+    val assign = f.assignments.select(col("vec_id").as("doc_id"), col("cluster"))
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(Text.tokens(col("text")))).as("term"))
+    val total = Tables(s, dir, "documents").agg(count(lit(1)).as("nd"))
+    val dfAll = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val sizes = assign.groupBy(col("cluster")).agg(count(lit(1)).as("n_docs"))
+    val counts = toks.join(assign, Seq("doc_id"))
+      .groupBy(col("cluster"), col("term"))
+      .agg(count(lit(1)).as("docs_with_term"))
+      .join(dfAll, Seq("term"))
+      .join(broadcast(sizes), Seq("cluster"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift", round(col("docs_with_term").cast("double") * col("nd")
+        / (col("df") * col("n_docs")), 4))
+    import org.apache.spark.sql.expressions.Window
+    counts
+      .withColumn("rank", row_number().over(Window.partitionBy(col("cluster"))
+        .orderBy(col("lift").desc, col("docs_with_term").desc, col("term"))))
+      .where(col("rank") <= 5)
+      .select(col("cluster"), col("n_docs"), col("rank"),
+        col("term"), col("docs_with_term"), col("lift"))
+      .orderBy(col("cluster"), col("rank"))
+  }
 }

@@ -57,6 +57,37 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("corpus topics: every cluster labeled, lift recounts, partition holds") {
+    val rows = graft.ops.KMeans.corpusTopics(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // lift ranking can never empty a label set: all 8 clusters surface
+    val byC = rows.groupBy(_._1)
+    assert(byC.size == 8, s"clusters missing labels: ${byC.keySet}")
+    byC.foreach { case (c, g) =>
+      val sorted = g.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to sorted.length).toSeq, s"cluster $c ranks")
+      assert(sorted.length <= 5)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 >= b._6, s"cluster $c lift rose with rank")
+        case _ =>
+      }
+    }
+    val texts = graft.sources.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    // cluster sizes partition the corpus
+    assert(byC.map(_._2.head._2).sum == texts.length.toLong)
+    // lift arithmetic recounts from the corpus df
+    def toks(t: String): Set[String] =
+      t.toLowerCase.replaceAll("\\s+", " ").trim.split(' ').toSet
+    val df = texts.flatMap(t => toks(t._2)).groupBy(identity).view.mapValues(_.size).toMap
+    rows.foreach { case (c, nd, _, term, cnt, lift) =>
+      val want = math.rint(cnt.toDouble * texts.length / (df(term) * nd) * 1e4) / 1e4
+      assert(math.abs(lift - want) <= 1e-9, s"cluster $c '$term' lift $lift vs $want")
+    }
+  }
+
   test("duplicate-heavy input with k larger than distinct directions survives") {
     val rows = (0L until 12L).map(i => i -> Seq(1.0, 0.0)) // one direction only
     val f = KMeans.fit(frame(rows), k = 4, iters = 3)
