@@ -184,7 +184,11 @@ object Sample {
       .select(col("source"), col("docs"), col("tokens"),
         expr("(tokens * 10000) div __tok_total").as("natural_bp"),
         expr("(docs * 10000) div __doc_total").as("target_bp"),
-        expr("(((docs * 10000) div __doc_total) * 10000) div ((tokens * 10000) div __tok_total)")
+        // greatest(...,1): a source under 1 bp of the token budget must
+        // not divide by zero — its factor saturates instead (both
+        // engines spell the identical floor, so parity holds)
+        expr("(((docs * 10000) div __doc_total) * 10000)" +
+          " div greatest((tokens * 10000) div __tok_total, 1)")
           .as("factor_bp"))
       .orderBy(col("source"))
   }
@@ -202,7 +206,7 @@ object Sample {
       |       (tokens * 10000) // tok_total AS natural_bp,
       |       (docs * 10000) // doc_total AS target_bp,
       |       (((docs * 10000) // doc_total) * 10000)
-      |         // ((tokens * 10000) // tok_total) AS factor_bp
+      |         // greatest((tokens * 10000) // tok_total, 1) AS factor_bp
       |FROM tok, tot ORDER BY source""".stripMargin
 
   /** Deterministic train/val/test split: the same content-keyed coin,
