@@ -170,6 +170,9 @@ object SparkEntry {
     "sim_search_ivfpq" -> (graft.ops.IvfPq.simSearchIvfPq _),
     // rows-only: PQ with balanced-permutation subspace allocation (OPQ family)
     "sim_search_opq" -> (graft.ops.ProductQuant.simSearchOpq _),
+    // rows-only: full-rotation OPQ (PCA eigenvalue-allocation init +
+    // Procrustes refinement; descent + recall spec-bounded)
+    "sim_search_opq_rot" -> (graft.ops.Opq.simSearchOpqRot _),
     // rows-only: int8 scalar-quantized search (recall spec-bounded)
     "sim_search_sq8" -> (graft.ops.ScalarQuant.simSearchSq8 _),
     // rows-only: SemDeDup within-learned-cluster prune (spec-bounded)

@@ -63,7 +63,7 @@ object ProductQuant {
   /** Per-row nearest codebook entry: argmin over squared L2, ties to the
     * lowest code id (struct ordering compares distance first, then
     * code) — a narrow projection once the codebook is broadcast. */
-  private def assignCode(subs: DataFrame, cbArr: DataFrame): DataFrame =
+  private[ops] def assignCode(subs: DataFrame, cbArr: DataFrame): DataFrame =
     subs.join(broadcast(cbArr), Seq("m"))
       .withColumn("best", array_min(transform(col("cb"),
         c => struct(l2(col("sv"), c.getField("cv")).as("d"),
@@ -82,18 +82,23 @@ object ProductQuant {
     var cb = subFrame(seeds, numSub, subDim)
       .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      cb = assignCode(subs, codebookArr(cb))
-        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("dim", "comp")))
-        .groupBy(col("m"), col("code"), col("dim"))
-        .agg(avg(col("comp")).as("cmean"))
-        .groupBy(col("m"), col("code"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cmean")))),
-          x => x.getField("cmean")).as("cv"))
-        .localCheckpoint(true)
-    }
+    for (_ <- 1 to iters) cb = lloydRound(subs, cb).localCheckpoint(true)
     cb
   }
+
+  /** One Lloyd round in code space: reassign every subvector to its
+    * nearest codebook entry, then recompute each entry as its assigned
+    * mean. Both halves are monotone in Σ‖sv − cv‖², which is what lets
+    * [[Opq.refine]] warm-start codebooks across rotation updates and
+    * keep the OPQ objective non-increasing. */
+  private[ops] def lloydRound(subs: DataFrame, cb: DataFrame): DataFrame =
+    assignCode(subs, codebookArr(cb))
+      .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("dim", "comp")))
+      .groupBy(col("m"), col("code"), col("dim"))
+      .agg(avg(col("comp")).as("cmean"))
+      .groupBy(col("m"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cmean")))),
+        x => x.getField("cmean")).as("cv"))
 
   /** Encode the corpus: (vec_id, codes) with codes in subspace order —
     * the 8-byte (one byte-aligned code per subspace) representation the
@@ -133,16 +138,30 @@ object ProductQuant {
       s"dim ${vars.length} != $numSub*$subDim")
     val logs = vars.map { case (i, v) => i -> math.log(v.max(1e-300)) }.toMap
     val shift = logs.values.min
-    val order = vars.sortBy { case (i, v) => (-v, i) }.map(_._1)
+    balancedBuckets(IndexedSeq.tabulate(vars.length)(i => logs(i) - shift),
+      numSub, subDim,
+      order = vars.sortBy { case (i, v) => (-v, i) }.map(_._1)).flatten
+  }
+
+  /** Greedy balanced allocation shared by the permutation face above and
+    * [[Opq.pcaAllocRotation]]'s eigenvalue allocation: deal items in
+    * `order` (callers pass descending weight, ties to the lower index)
+    * into `numSub` capacity-`subDim` buckets, always into the
+    * least-loaded non-full bucket (ties to the lower bucket).
+    * `weights(i)` must be ≥0 — negative weights would invert "least
+    * loaded". Returns the bucket contents in deal order. */
+  private[ops] def balancedBuckets(weights: IndexedSeq[Double], numSub: Int,
+      subDim: Int, order: Seq[Int]): Seq[Seq[Int]] = {
+    require(weights.forall(_ >= 0.0), "balancedBuckets needs non-negative weights")
     val buckets = Array.fill(numSub)(Vector.empty[Int])
     val sums = Array.fill(numSub)(0.0)
     order.foreach { i =>
       val b = (0 until numSub).filter(buckets(_).size < subDim)
         .minBy(b => (sums(b), b))
       buckets(b) :+= i
-      sums(b) += logs(i) - shift
+      sums(b) += weights(i)
     }
-    buckets.toIndexedSeq.flatten
+    buckets.toIndexedSeq
   }
 
   /** Reorder each vector's components by `perm` — a narrow projection
@@ -177,13 +196,23 @@ object ProductQuant {
   /** Shared PQ/OPQ search over any (vec_id, e, nrm) frame (spec entry
     * point — PqSpec drives it with a constructed anisotropic corpus). */
   def pqTopK(v: DataFrame, balance: Boolean,
-      numSub: Int = 8, subDim: Int = 8, k: Int = 16): DataFrame = {
+      numSub: Int = 8, subDim: Int = 8, k: Int = 16, cand: Int = 100): DataFrame = {
     val unit0 = v.select(col("vec_id"),
       transform(col("e"), x => x / col("nrm")).as("e"))
     val unit =
       if (balance) permute(unit0, balancedPermutation(unit0, numSub, subDim))
       else unit0
-    val cb = fit(unit, numSub, subDim, k, iters = 2)
+    adcSearch(v, unit, fit(unit, numSub, subDim, k, iters = 2), numSub, subDim, cand)
+  }
+
+  /** ADC candidate scan + exact rescore over any already-transformed
+    * (permuted/rotated) unit frame and trained codebook. The transform
+    * only shapes the CANDIDATE set; the rescore reads the RAW vectors
+    * in `v` (cosine is invariant under any orthogonal transform, so all
+    * PQ faces rank identical candidates identically). Shared by the
+    * permutation face above and [[Opq.opqTopK]]. */
+  private[ops] def adcSearch(v: DataFrame, unit: DataFrame, cb: DataFrame,
+      numSub: Int, subDim: Int, cand: Int = 100): DataFrame = {
     val codes = encode(unit, cb, numSub, subDim)
     // query-side distance tables: per subspace, map(code -> exact d²)
     val qtabs = assignCodeTables(subFrame(unit.where(col("vec_id") < 5),
@@ -195,12 +224,12 @@ object ProductQuant {
         lit(0.0), (acc, x) => acc + x))
     val byAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_d"), col("vec_id"))
-    val cand = scored.withColumn("crnk", row_number().over(byAdc))
-      .where(col("crnk") <= 100)
+    val cands = scored.withColumn("crnk", row_number().over(byAdc))
+      .where(col("crnk") <= cand)
       .select(col("query_id"), col("vec_id"))
     val q = v.where(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
-    val rescored = v.join(broadcast(cand), Seq("vec_id"))
+    val rescored = v.join(broadcast(cands), Seq("vec_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("cosine",
         round(Vectors.cosine(col("qe"), col("e"), col("qn"), col("nrm")), 4))
