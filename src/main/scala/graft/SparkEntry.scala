@@ -185,6 +185,8 @@ object SparkEntry {
     "corpus_label_card" -> (VectorQueries.corpusLabelCard _),
     // rows-only: learned clusters are iterative Scala-side plan logic
     "embed_kmeans" -> (graft.ops.KMeans.embedKmeans _),
+    // rows-only: PCA variance-explained curve (eigensolve; spec-recounted)
+    "embed_pca" -> (graft.ops.Pca.embedPca _),
     // rows-only: k-means clusters labeled by their top terms (topic card)
     "corpus_topics" -> (graft.ops.KMeans.corpusTopics _),
     "mm_metadata" -> (Multimodal.mmMetadata _),
