@@ -69,8 +69,10 @@ object QualityModel {
 
   /** One-pass feature frame: HashingTF(256) over whitespace tokens +
     * the TokenMarkerStats scalars (token count, stopword ratio, mean
-    * alpha token length, regex-token ratio), assembled into `feat`. */
-  private[ops] def featurize(df: DataFrame): DataFrame = {
+    * alpha token length, regex-token ratio), assembled into `feat`.
+    * Narrow/stateless by construction, so it runs unchanged on a
+    * STREAMING frame — the D15 face scores intake with it. */
+  private[graft] def featurize(df: DataFrame): DataFrame = {
     val st = graft.functions.TokenMarkerStats(col("text"))
     val nTok = greatest(col("st.ws_tokens").cast("double"), lit(1.0))
     val base = df
@@ -88,15 +90,21 @@ object QualityModel {
       .transform(tf.transform(base))
   }
 
+  private def lr = new LogisticRegression()
+    .setFeaturesCol("feat").setLabelCol("label")
+    .setMaxIter(30).setRegParam(0.01).setElasticNetParam(0.0)
+
+  /** Fit the gate model on the train split — the artifact every scoring
+    * face (batch card, D15 stream) broadcasts; KBs of coefficients. */
+  def fitGate(s: SparkSession, dir: String): org.apache.spark.ml.classification.LogisticRegressionModel =
+    lr.fit(featurize(labeled(s, dir)).where(col("split") === "train"))
+
   /** Fit on the train split, return every row scored with
     * P(natural | features). Deterministic: LR from a zero start under
     * L-BFGS has no random state; the only float jitter is aggregation
     * order, spec-bounded. */
   private[ops] def scored(s: SparkSession, dir: String): DataFrame = {
     val all = featurize(labeled(s, dir)).localCheckpoint(true)
-    val lr = new LogisticRegression()
-      .setFeaturesCol("feat").setLabelCol("label")
-      .setMaxIter(30).setRegParam(0.01).setElasticNetParam(0.0)
     val model = lr.fit(all.where(col("split") === "train"))
     model.transform(all)
       .select(col("doc_id"), col("source"), col("label"), col("split"),
