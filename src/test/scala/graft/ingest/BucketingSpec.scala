@@ -64,4 +64,47 @@ class BucketingSpec extends SparkSpec {
       assert(agg.count() == 50)
     } finally spark.sql("DROP TABLE IF EXISTS b_events")
   }
+
+  test("the TPC-H Q13 shape over bucketed base tables shuffles only the histogram") {
+    // A32's plan on plain parquet shuffles twice on custkey (orders
+    // partial-agg + the join). With customer AND orders bucketed on
+    // the key, both collapse: the groupBy reads co-located buckets,
+    // the left join is bucket-aligned, and the only Exchange left is
+    // the final histogram regroup on the tiny (order-count) key space
+    // — the 100 TB layout this fact/dim pair should be written in.
+    import org.apache.spark.sql.functions._
+    val customer = graft.sources.Tables(spark, sfDir, "customer").select("c_custkey")
+    val orders = graft.sources.Tables(spark, sfDir, "orders")
+      .select("o_custkey", "o_orderpriority")
+    LakeWriter.writeBucketed(customer, "b_q13_cust", "c_custkey", 8,
+      sortCols = Seq("c_custkey"))
+    LakeWriter.writeBucketed(orders, "b_q13_orders", "o_custkey", 8,
+      sortCols = Seq("o_custkey"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def shape(cust: org.apache.spark.sql.DataFrame,
+                ord: org.apache.spark.sql.DataFrame) = {
+        val perCust = ord.where(col("o_orderpriority") =!= "1-URGENT")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        cust.select(col("c_custkey"))
+          .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+          .select(coalesce(col("n"), lit(0L)).as("c_count"))
+          .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      }
+      val bucketed = shape(spark.table("b_q13_cust"), spark.table("b_q13_orders"))
+      val plan = bucketed.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1, s"only the histogram may shuffle:\n$plan")
+      assert("Bucketed: true".r.findAllIn(plan).size == 2,
+        s"both sides must read as bucketed scans:\n$plan")
+      val got = bucketed.collect().map(_.toString).toSeq
+      val want = shape(customer, orders).collect().map(_.toString).toSeq
+      assert(got == want, "bucketed face must return the exact A32 rows")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_q13_cust")
+      spark.sql("DROP TABLE IF EXISTS b_q13_orders")
+    }
+  }
 }
