@@ -207,6 +207,7 @@ object SparkEntry {
     "mixture_tokens" -> (graft.ops.Sample.mixtureTokensQuery _),
     // sharded sequence packing into fixed token budgets
     "sample_pack" -> (graft.ops.Sample.samplePackQuery _),
+    "sample_curriculum" -> (graft.ops.Sample.sampleCurriculum _),
     // bucketed interval join: range turned into (key, time-bucket) equi-join
     "range_join" -> (graft.ops.RangeJoin.rangeJoinErrors _),
     // §2.D streaming (batch faces of the streaming transforms)
@@ -1099,6 +1100,7 @@ object SparkEntry {
         |         * 10000 // count(*) AS dup_bp
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "sample_pack" -> graft.ops.Sample.packOracle,
+    "sample_curriculum" -> graft.ops.Sample.curriculumOracle,
     // C33: cumulative funnel — flags from one normalized projection, the
     // keeper from the dedup hash-window, stages unpivoted from one agg row
     "quality_gopher" ->

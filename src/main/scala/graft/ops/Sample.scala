@@ -377,6 +377,73 @@ object Sample {
       .orderBy(col("shard"), col("seq_id"))
   }
 
+  /** C62 (`sample_curriculum`): curriculum staging — order the corpus
+    * by a difficulty proxy and cut it into quartile stages, the
+    * easy→hard schedule curriculum-training pipelines feed from
+    * (Bengio et al., "Curriculum Learning", ICML 2009 — stage 1 =
+    * shortest words / least lexical diversity first).
+    *
+    * The proxy stays in INTEGER milli-units (chars-per-token and
+    * type-token-ratio via bigint `div` — §4: no double division on a
+    * comparison path), so stage boundaries hash identically in every
+    * engine; the quartile cutpoints are ONE exact-percentile aggregate
+    * broadcast back over the corpus (the A18 no-global-ntile shape —
+    * interpolation fractions are exact binary quarters, so the
+    * cut-compare is ulp-safe cross-engine). Per stage: docs, token
+    * budget, and the difficulty band. */
+  def sampleCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"),
+      trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
+      .select(col("doc_id"), length(col("norm")).cast("long").as("chars"),
+        split(col("norm"), " ").as("toks"))
+      .select(col("doc_id"), col("chars"),
+        size(col("toks")).cast("long").as("ws"),
+        size(array_distinct(col("toks"))).cast("long").as("dst"))
+      .select(col("doc_id"), col("ws"),
+        (expr("chars * 1000 div ws") + expr("dst * 2000 div ws")).as("d_milli"))
+    val cuts = d.agg(expr(
+      "percentile(d_milli, array(0.25D, 0.5D, 0.75D))").as("cuts"))
+    d.crossJoin(broadcast(cuts))
+      .select(col("ws"), col("d_milli"),
+        (lit(1) + when(col("d_milli") > element_at(col("cuts"), 1), 1).otherwise(0)
+          + when(col("d_milli") > element_at(col("cuts"), 2), 1).otherwise(0)
+          + when(col("d_milli") > element_at(col("cuts"), 3), 1).otherwise(0))
+          .as("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("docs"), sum(col("ws")).as("tokens"),
+        min(col("d_milli")).as("d_min"), max(col("d_milli")).as("d_max"))
+      .orderBy(col("stage"))
+  }
+
+  /** `sample_curriculum` oracle: identical integer proxy + quartile
+    * staging in DuckDB. */
+  val curriculumOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |         cast(length(norm) AS BIGINT) AS chars,
+      |         cast(len(string_split(norm,' ')) AS BIGINT) AS ws,
+      |         cast(len(list_distinct(string_split(norm,' '))) AS BIGINT) AS dst
+      |  FROM d),
+      |p AS (
+      |  SELECT doc_id, ws, chars * 1000 // ws + dst * 2000 // ws AS d_milli
+      |  FROM m),
+      |cut AS (
+      |  SELECT [quantile_cont(d_milli, 0.25), quantile_cont(d_milli, 0.5),
+      |          quantile_cont(d_milli, 0.75)] AS cuts FROM p),
+      |st AS (
+      |  SELECT ws, d_milli,
+      |         1 + (CASE WHEN d_milli > cuts[1] THEN 1 ELSE 0 END)
+      |           + (CASE WHEN d_milli > cuts[2] THEN 1 ELSE 0 END)
+      |           + (CASE WHEN d_milli > cuts[3] THEN 1 ELSE 0 END) AS stage
+      |  FROM p CROSS JOIN cut)
+      |SELECT stage, count(*) AS docs, cast(sum(ws) AS BIGINT) AS tokens,
+      |       min(d_milli) AS d_min, max(d_milli) AS d_max
+      |FROM st GROUP BY stage ORDER BY stage""".stripMargin
+
   /** `sample_pack` oracle: the same shard deal, exclusive running sum,
     * and budget division in DuckDB's window spelling. */
   val packOracle: String =

@@ -251,4 +251,27 @@ class SampleSpec extends SparkSpec {
       }
     }
   }
+
+  test("curriculum stages: quartile-balanced, difficulty-ordered, exhaustive") {
+    val rows = Sample.sampleCurriculum(spark, sfDir)
+      .select("stage", "docs", "tokens", "d_min", "d_max")
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3, 4), "all four stages present")
+    val total = graft.sources.Tables(spark, sfDir, "documents").count()
+    assert(rows.map(_._2).sum == total, "every document is staged exactly once")
+    // stages are difficulty-ordered: band floors strictly ascend and
+    // bands never overlap (max of stage k <= min of stage k+1)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 <= b._4, s"stage ${a._1} band overlaps ${b._1}: ${a._5} > ${b._4}")
+    }
+    // quartile balance: no stage is empty or holds more than half
+    rows.foreach { case (st, docs, toks, _, _) =>
+      assert(docs > 0 && docs <= total / 2 + 1, s"stage $st holds $docs of $total")
+      assert(toks > 0)
+    }
+    val again = Sample.sampleCurriculum(spark, sfDir)
+      .select("stage", "docs", "tokens", "d_min", "d_max")
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.toSeq == again.toSeq, "deterministic")
+  }
 }
