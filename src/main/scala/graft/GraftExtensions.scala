@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expre
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.types.LongType
 
-import graft.functions.{ByteHistogram, FrequentItems, MinHashes, NearestCentroids, SimHash64, TokenMarkerStats, VectorDot, WordShingles}
+import graft.functions.{ByteHistogram, FrequentItems, KmvSketch, MinHashes, NearestCentroids, SimHash64, TokenMarkerStats, VectorDot, WordShingles}
 
 /** Session extensions: registers graft's native expressions in the SQL
   * function registry so the whole kernel set works from plain SQL —
@@ -84,6 +84,9 @@ object GraftExtensions {
       // AggregateExpression when resolving SQL calls
       fn("frequent_items", classOf[FrequentItems], "2") { c =>
         FrequentItems(c.head, intArg(c(1), "frequent_items", "k"))
+      },
+      fn("kmv_sketch", classOf[KmvSketch], "2") { c =>
+        KmvSketch(c.head, intArg(c(1), "kmv_sketch", "k"))
       },
       // Spark's own bloom-filter pair, re-exposed by name: the engine
       // registers them internal-only (the optimizer's runtime-filter

@@ -154,7 +154,11 @@ object SparkEntry {
     "dedup_source_matrix" -> (DedupQueries.dedupSourceMatrix _),
     // winnowing-family fingerprints (local-min selection) + pair overlap
     "dedup_winnow" -> (DedupQueries.dedupWinnow _),
+    // rows-only: KMV-sketch cross-source overlap estimates (KmvSpec bounds error)
+    "corpus_overlap_kmv" -> (DedupQueries.corpusOverlapKmv _),
     "dedup_minhash" -> (DedupQueries.dedupMinhash _),
+    // edit-distance confirmation of the MinHash candidates (two-stage fuzzy dedup)
+    "dedup_edit" -> (DedupQueries.dedupEdit _),
     "dedup_simhash" -> (DedupQueries.dedupSimhash _),
     "dedup_cluster" -> (DedupQueries.dedupCluster _),
     "dedup_embedding" -> ((s: SparkSession, d: String) => VectorQueries.dedupEmbedding(s, d)),
@@ -1271,6 +1275,7 @@ object SparkEntry {
         |FROM n GROUP BY source ORDER BY source""".stripMargin,
     "dedup_ngram_jaccard" -> DedupQueries.jaccardOracle,
     "dedup_minhash" -> DedupQueries.minhashOracle,
+    "dedup_edit" -> DedupQueries.editOracle,
     "dedup_incremental" -> DedupQueries.incrementalOracle,
     "dedup_bloom" -> DedupQueries.bloomOracle,
     "dedup_source_matrix" -> DedupQueries.sourceMatrixOracle,

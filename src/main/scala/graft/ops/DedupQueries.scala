@@ -88,6 +88,71 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** C62: edit-distance-VERIFIED near-dup pairs — the two-stage shape
+    * production fuzzy dedup actually ships (candidate generation by
+    * sketch, confirmation by true string distance): C3's MinHash band
+    * candidates are re-joined to the normalized texts and confirmed by
+    * Levenshtein distance at <= 2.5% of the longer text (pure integer
+    * predicate: dist*1000 <= max_len*25 — no float rounding to drift
+    * between engines). MinHash alone admits band collisions and
+    * token-set coincidences; the DP distance is the ground-truth check
+    * that the bytes really are one edit-burst apart.
+    *
+    * Plan shape at 100 TB: the O(L^2) DP runs ONLY on the LSH-bounded
+    * candidate list (never all-pairs), reached by two equi-joins on
+    * doc_id that co-shuffle with the candidate frame; `levenshtein` is
+    * a codegen'd built-in, and for long-document corpora Spark's
+    * 3-arg `levenshtein(l, r, threshold)` early-exit variant bounds
+    * each DP at O(threshold * L) — kept exact here for oracle parity. */
+  def dedupEdit(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir).select(col("doc_id"), Text.normalized(col("text")).as("t"))
+    Dedup.minhashCandidates(docs(s, dir), "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"))
+      .join(t.select(col("doc_id").as("doc_a"), col("t").as("ta")), "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"), col("t").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("dist"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long").as("max_len"))
+      .where(col("dist") * 1000 <= col("max_len") * 25)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** C64: cross-source overlap matrix from KMV SKETCHES — the question
+    * C54 answers by joining near-dup pairs, answered here with NO JOIN
+    * over content at all: one pass builds a k-minimum-values sketch of
+    * each source's 3-gram shingle set ([[graft.functions.KmvSketch]]),
+    * then every source pair's shingle-set Jaccard, union and
+    * intersection sizes are ESTIMATED from the k-long sketch arrays
+    * alone. The mixture-design probe for "are these two crawls
+    * mirrors?" that still works when each source is 10 TB: the content
+    * never shuffles (map-side partial sketches merge to k longs per
+    * source, merge-order independent so the result is bit-stable), and
+    * the pairwise stage runs on an S-row frame (S = source count) —
+    * the S² work is on 256-element arrays, not documents. Estimates,
+    * not exact counts → rows-only; KmvSpec bounds the error vs the
+    * exact per-pair Jaccard and proves repartition-stability. */
+  def corpusOverlapKmv(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val sk = docs(s, dir)
+      .select(col("source"), explode(Dedup.shingles(col("text"), 3)).as("sh"))
+      .select(col("source"), xxhash64(col("sh")).as("h"))
+      .groupBy(col("source"))
+      .agg(graft.functions.KmvSketch(col("h"), k).as("kmv"))
+    val a = sk.select(col("source").as("src_a"), col("kmv").as("ka"))
+    val b = sk.select(col("source").as("src_b"), col("kmv").as("kb"))
+    val jac = graft.functions.KmvSketch.jaccardEstimate(col("ka"), col("kb"), k)
+    val uni = graft.functions.KmvSketch.distinctEstimate(
+      graft.functions.KmvSketch.unionSketch(col("ka"), col("kb"), k), k)
+    // S×S over the sketch frame: broadcast-tiny by construction (one
+    // row per source), the audited exception to the no-cartesian rule
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(jac, 4).as("est_jaccard"),
+        round(uni).cast("long").as("est_union"),
+        round(jac * uni).cast("long").as("est_shared"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** C4: SimHash near-dup pairs at Hamming <= 3 (rows-only oracle). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashCandidates(docs(s, dir), "doc_id", "text")
@@ -322,6 +387,27 @@ object DedupQueries {
       |FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
       |GROUP BY 1, 2 HAVING count(*) >= 3
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** C62 oracle: the generated band CTEs + DuckDB's own `levenshtein`
+    * (both engines implement the classic unit-cost edit distance) with
+    * the identical integer threshold predicate. */
+  val editOracle: String =
+    s"""WITH $minhashBandCtes,
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |t AS (SELECT doc_id, trim(regexp_replace(lower(text),'\\s+',' ','g')) AS t
+       |      FROM documents)
+       |SELECT doc_a, doc_b,
+       |       CAST(levenshtein(x.t, y.t) AS BIGINT) AS dist,
+       |       CAST(greatest(len(x.t), len(y.t)) AS BIGINT) AS max_len
+       |FROM cand JOIN t x ON cand.doc_a = x.doc_id
+       |          JOIN t y ON cand.doc_b = y.doc_id
+       |WHERE levenshtein(x.t, y.t) * 1000 <= greatest(len(x.t), len(y.t)) * 25
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** C54 oracle: the generated band CTEs + the same rollup (defined
     * after [[minhashBandCtes]] — object vals initialize in order). */

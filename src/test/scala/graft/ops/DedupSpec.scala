@@ -227,6 +227,40 @@ class DedupSpec extends SparkSpec {
     assert(density > 0.05 && density < 0.25, s"fingerprint density $density")
   }
 
+  test("dedup_edit: driver DP recount, threshold splits, subset of candidates") {
+    def lev(a: String, b: String): Int = {
+      val (n, m) = (a.length, b.length)
+      var prev = Array.tabulate(m + 1)(identity)
+      var cur = new Array[Int](m + 1)
+      for (i <- 1 to n) {
+        cur(0) = i
+        for (j <- 1 to m) {
+          val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+        }
+        val t = prev; prev = cur; cur = t
+      }
+      prev(m)
+    }
+    val norm = docs.select(col("doc_id"), Text.normalized(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(cand.nonEmpty)
+    val want = cand.flatMap { case (a, b) =>
+      val d = lev(norm(a), norm(b)).toLong
+      val ml = math.max(norm(a).length, norm(b).length).toLong
+      if (d * 1000 <= ml * 25) Some((a, b) -> (d, ml)) else None
+    }.toMap
+    val got = DedupQueries.dedupEdit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == want, "Spark levenshtein confirm diverged from the driver DP")
+    // the threshold must actually discriminate at this SF: some candidates
+    // confirm, some are rejected — otherwise the confirm stage is vacuous
+    assert(got.nonEmpty, "no candidate confirmed (threshold too tight)")
+    assert(got.size < cand.length, "every candidate confirmed (threshold too loose)")
+  }
+
   test("source matrix cells recount from the pair list and conserve the pair total") {
     val pairs = DedupQueries.dedupMinhash(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
