@@ -143,6 +143,8 @@ object SparkEntry {
     "text_perplexity" -> (TextQueries.textPerplexity _),
     // rows-only: bigram LM + stupid backoff, trained on the even-doc slice
     "text_perplexity_bigram" -> (TextQueries.textPerplexityBigram _),
+    // rows-only: 8-bit KenLM-style quantized LM face (QuantLmSpec pins drift)
+    "text_perplexity_quantized" -> (TextQueries.textPerplexityQuantized _),
     // span-level dedup: recurring L-token windows merged to maximal spans
     "text_dup_spans" -> (TextQueries.textDupSpans _),
     "dedup_ngram_jaccard" -> (DedupQueries.dedupNgramJaccard _),

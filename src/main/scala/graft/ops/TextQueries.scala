@@ -625,23 +625,7 @@ object TextQueries {
     * actually backed off. */
   def textPerplexityBigram(s: SparkSession, dir: String): DataFrame = {
     val alpha = 0.4
-    val toks = docs(s, dir)
-      .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("ts"))
-    val grams = toks.select(col("doc_id"), col("source"),
-        explode(arrays_zip(
-          slice(col("ts"), lit(1), greatest(size(col("ts")) - 1, lit(0))),
-          slice(col("ts"), lit(2), greatest(size(col("ts")) - 1, lit(0))))).as("g"))
-      .select(col("doc_id"), col("source"),
-        col("g.0").as("w1"), col("g.1").as("w2"))
-      .groupBy(col("doc_id"), col("source"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    CacheScope.releaseAfterAction(s, grams)
-    val train = grams.where(col("doc_id") % 2 === 0)
-    val c12 = train.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c12"))
-    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-    val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
-    val n = c12.agg(sum(col("c12")).as("n"))
+    val (grams, c12, c1, c2, n) = bigramLm(s, dir)
     val p = col("c12").isNotNull
     val backoff1 = col("c12").isNull && col("c2").isNotNull
     val prob =
@@ -663,6 +647,77 @@ object TextQueries {
         round(min(col("xent")), 4).as("min_xent"),
         round(max(col("xent")), 4).as("max_xent"),
         expr("sum(backed) * 10000 div sum(mass)").as("backoff_bp"))
+      .orderBy(col("source"))
+  }
+
+  /** Shared C42a/C42b machinery: the persisted per-doc bigram tf frame
+    * and the held-in-slice (even doc_ids) LM count frames
+    * (c(w1,w2), c(w1), c(w2), N) — see [[textPerplexityBigram]]'s doc
+    * for the plan-shape argument. */
+  private def bigramLm(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("ts"))
+    val grams = toks.select(col("doc_id"), col("source"),
+        explode(arrays_zip(
+          slice(col("ts"), lit(1), greatest(size(col("ts")) - 1, lit(0))),
+          slice(col("ts"), lit(2), greatest(size(col("ts")) - 1, lit(0))))).as("g"))
+      .select(col("doc_id"), col("source"),
+        col("g.0").as("w1"), col("g.1").as("w2"))
+      .groupBy(col("doc_id"), col("source"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheScope.releaseAfterAction(s, grams)
+    val train = grams.where(col("doc_id") % 2 === 0)
+    val c12 = train.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val n = c12.agg(sum(col("c12")).as("n"))
+    (grams, c12, c1, c2, n)
+  }
+
+  /** C42b: the C42a bigram LM scored through a KENLM-STYLE QUANTIZED
+    * table ([[LmQuant]]: 8-bit equal-frequency codebooks, the
+    * `build_binary -q8` shape) — the memory face of LM filtering at
+    * 100 TB: the seen-bigram and unigram-backoff log-prob columns each
+    * collapse to one byte per entry plus a 256-double codebook, an 8×
+    * shrink of the table a scoring join must carry, while the OOV
+    * constant stays exact (a single value needs no code). Reports, per
+    * source, the quantized and full-precision cross-entropies side by
+    * side with the absolute drift — the evidence that the 8× smaller
+    * table preserves the filtering decision. Rows-only (ln doubles);
+    * QuantLmSpec pins the drift bound, codebook size, and that the
+    * full-precision column reproduces C42a exactly. */
+  def textPerplexityQuantized(s: SparkSession, dir: String): DataFrame = {
+    val alpha = 0.4
+    val (grams, c12, c1, c2, n) = bigramLm(s, dir)
+    val seen = LmQuant.quantize(
+        c12.join(c1, Seq("w1"))
+          .select(col("w1"), col("w2"),
+            log(col("c12").cast("double") / col("c1")).as("lp")),
+        "lp", bits = 8)
+      .select(col("w1"), col("w2"), col("lp").as("lp_s"), col("q").as("q_s"))
+    val uni = LmQuant.quantize(
+        c2.crossJoin(broadcast(n))
+          .select(col("w2"), log(lit(alpha) * col("c2") / col("n")).as("lp")),
+        "lp", bits = 8)
+      .select(col("w2"), col("lp").as("lp_u"), col("q").as("q_u"))
+    val oov = n.select(log(lit(alpha * alpha) / col("n")).as("lp_oov"))
+    val lpFull = coalesce(col("lp_s"), col("lp_u"), col("lp_oov"))
+    val lpQ = coalesce(col("q_s"), col("q_u"), col("lp_oov"))
+    val perDoc = grams
+      .join(seen, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w2"), "left")
+      .crossJoin(broadcast(oov))
+      .groupBy(col("doc_id"), col("source"))
+      .agg((-(sum(col("tf") * lpQ) / sum(col("tf")))).as("xq"),
+        (-(sum(col("tf") * lpFull) / sum(col("tf")))).as("xf"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        round(avg(col("xq")), 4).as("avg_xent_q8"),
+        round(avg(col("xf")), 4).as("avg_xent"),
+        round(avg(abs(col("xq") - col("xf"))), 4).as("avg_abs_dev"),
+        round(max(abs(col("xq") - col("xf"))), 4).as("max_abs_dev"))
       .orderBy(col("source"))
   }
 
