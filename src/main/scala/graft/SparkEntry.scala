@@ -208,6 +208,8 @@ object SparkEntry {
     "sample_cap_source" -> (graft.ops.Sample.sampleCapSourceQuery _),
     // E-S weighted sampling without replacement, token-count weights
     "sample_weighted" -> (graft.ops.Sample.sampleWeightedQuery _),
+    // rows-only: DSIR importance resampling (DsirSpec recounts weights + selection)
+    "dsir_select" -> (graft.ops.Sample.dsirSelectQuery _),
     // mixture/epoch planner: natural vs target share, factor in bp
     "mixture_plan" -> (graft.ops.Sample.mixturePlan _),
     "mixture_tokens" -> (graft.ops.Sample.mixtureTokensQuery _),

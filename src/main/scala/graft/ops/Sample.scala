@@ -118,6 +118,91 @@ object Sample {
       .orderBy(col("source"))
   }
 
+  /** C63: DSIR — Data Selection via Importance Resampling (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): pick raw documents whose hashed-n-gram distribution
+    * looks like a TARGET corpus (their setup: target = Wikipedia, raw =
+    * Common Crawl; here the deterministic stand-in is target = the
+    * `lang = 'en'` slice, raw = everything). The published recipe,
+    * Spark-first:
+    *
+    *  1. features = unigrams + bigrams hashed into B buckets
+    *     (`pmod(xxhash64(gram), B)` — their "hashed n-gram" trick: the
+    *     bucket table is CONSTANT-sized no matter the vocabulary);
+    *  2. two smoothed bag-of-buckets models from ONE aggregate pass:
+    *     p (target) and q (raw), add-one smoothing;
+    *  3. per-doc importance log-weight  log w = Σ_b c_b·(ln p_b − ln q_b)
+    *     via a BROADCAST join of the per-doc bucket counts against the
+    *     B-row log-ratio table;
+    *  4. Gumbel top-k — their sampling-without-replacement step — with
+    *     the Gumbel noise g = −ln(−ln u) drawn from the repo's
+    *     content-keyed md5 coin, so the "random" resample is a pure
+    *     function of content: rerun-, engine- and partition-stable.
+    *
+    * Plan shape at 100 TB: narrow explode → one partial-aggregated
+    * shuffle on (doc, bucket) → broadcast ratio join (B rows) → one
+    * per-doc aggregate → TakeOrderedAndProject top-k (per-partition
+    * heaps; the corpus never globally sorts). Rows-only (ln doubles);
+    * DsirSpec recounts the weights and selection driver-side and pins
+    * the target-enrichment property. */
+  def dsirSelectQuery(s: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    val u = (conv(bucketHex(col("doc_id"), "dsir"), 16, 10).cast("long") + 1) /
+      lit(((1 << 24) + 1).toDouble)
+    val gumbel = -log(-log(u))
+    dsirScores(Tables(s, dir, "documents"), col("lang") === "en", DsirBuckets)
+      .withColumn("__score", col("logw") + gumbel)
+      .orderBy(col("__score").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("source"), col("lang"),
+        round(col("logw"), 4).as("logw"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C63's hashed-feature bucket count — shared constant so the batch
+    * face, the streaming gate fit, and the specs agree. */
+  val DsirBuckets = 1024
+
+  /** Unigrams + bigrams of `text` (the DSIR feature set). */
+  def dsirGrams(text: Column): Column = {
+    val ts = Text.tokens(text)
+    val tail = greatest(size(ts) - 1, lit(0))
+    concat(ts, zip_with(slice(ts, lit(1), tail), slice(ts, lit(2), tail),
+      (a, b) => concat_ws(" ", a, b)))
+  }
+
+  /** The (b, lr) log-ratio table plus totals behind DSIR: smoothed
+    * target vs raw bag-of-buckets models from one aggregate pass over
+    * the exploded hashed features. Columns: b, t, r, lr (plus tt, rt
+    * carried for the smoothing default). */
+  def dsirRatioTable(d: DataFrame, isTarget: Column, buckets: Int): DataFrame = {
+    val grams = d.select(isTarget.as("is_t"), explode(dsirGrams(col("text"))).as("g"))
+      .select(col("is_t"), pmod(xxhash64(col("g")), lit(buckets.toLong)).as("b"))
+    val tab = grams.groupBy(col("b"))
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("t"),
+        count(lit(1)).as("r"))
+    val tots = tab.agg(sum(col("t")).as("tt"), sum(col("r")).as("rt"))
+    tab.crossJoin(broadcast(tots))
+      .select(col("b"), col("t"), col("r"), col("tt"), col("rt"),
+        (log((col("t") + 1).cast("double") / (col("tt") + buckets)) -
+          log((col("r") + 1).cast("double") / (col("rt") + buckets))).as("lr"))
+  }
+
+  /** Per-doc DSIR importance log-weights over `d` (needs doc_id,
+    * source, lang, text): Σ_b c_b·lr_b via a broadcast join of the
+    * per-doc bucket counts against the B-row ratio table. */
+  def dsirScores(d: DataFrame, isTarget: Column, buckets: Int): DataFrame = {
+    val cb = d.select(col("doc_id"), col("source"), col("lang"),
+        explode(dsirGrams(col("text"))).as("g"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        pmod(xxhash64(col("g")), lit(buckets.toLong)).as("b"))
+      .groupBy(col("doc_id"), col("source"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val ratio = dsirRatioTable(d, isTarget, buckets).select(col("b"), col("lr"))
+    cb.join(broadcast(ratio), Seq("b"))
+      .groupBy(col("doc_id"), col("source"), col("lang"))
+      .agg(sum(col("c") * col("lr")).as("logw"))
+  }
+
   /** C52: weighted sampling WITHOUT replacement (Efraimidis–Spirakis
     * 2006): each document draws the content-keyed uniform coin u and
     * ranks by u^(1/w); the global top-k IS an exact weighted sample

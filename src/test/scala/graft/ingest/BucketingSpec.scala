@@ -65,6 +65,59 @@ class BucketingSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS b_events")
   }
 
+  test("the TPC-H Q10 shape over orderkey-bucketed facts never exchanges on orderkey") {
+    // A31's plan on plain parquet shuffles lineitem AND orders on
+    // orderkey for the fact-fact join. With both facts bucketed on
+    // the orderkey (the canonical co-partition this pair should be
+    // written in at 100 TB — the same layout serves Q4/Q12/Q18/Q21),
+    // that join reads co-located buckets and the only exchanges left
+    // are the custkey join + per-customer aggregate, whose input is
+    // already filtered to the date window.
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+    val ord = graft.sources.Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    LakeWriter.writeBucketed(li, "b_q10_li", "l_orderkey", 8,
+      sortCols = Seq("l_orderkey"))
+    LakeWriter.writeBucketed(ord, "b_q10_ord", "o_orderkey", 8,
+      sortCols = Seq("o_orderkey"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val cust = graft.sources.Tables(spark, sfDir, "customer")
+        .select("c_custkey", "c_name")
+      def shape(l: org.apache.spark.sql.DataFrame,
+                o: org.apache.spark.sql.DataFrame) =
+        l.where(col("l_returnflag") === "R")
+          .join(o.where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+            col("o_orderdate") < lit("1996-07-01").cast("timestamp_ntz")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"),
+            floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+              .cast("long").as("cents"))
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(sum(col("cents")).as("revenue_cents"), count(lit(1)).as("line_items"))
+          .orderBy(col("revenue_cents").desc, col("c_custkey"))
+          .limit(20)
+      val bucketed = shape(spark.table("b_q10_li"), spark.table("b_q10_ord"))
+      val plan = bucketed.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"the fact-fact join must be bucket-aligned, not shuffled:\n$plan")
+      assert("Bucketed: true".r.findAllIn(plan).size == 2,
+        s"both fact scans must read as bucketed:\n$plan")
+      val got = bucketed.collect().map(_.toString).toSeq
+      val want = shape(li, ord).collect().map(_.toString).toSeq
+      assert(got == want && got.nonEmpty,
+        "bucketed face must return the exact parquet-face rows")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_q10_li")
+      spark.sql("DROP TABLE IF EXISTS b_q10_ord")
+    }
+  }
+
   test("the TPC-H Q13 shape over bucketed base tables shuffles only the histogram") {
     // A32's plan on plain parquet shuffles twice on custkey (orders
     // partial-agg + the join). With customer AND orders bucketed on
