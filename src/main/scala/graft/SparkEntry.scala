@@ -127,6 +127,8 @@ object SparkEntry {
     // rows-only: CCNet head/middle/tail perplexity terciles per source
     // (PerplexitySpec pins sizes, boundaries, and the partition property)
     "quality_ccnet" -> (TextQueries.qualityCcnet _),
+    // rows-only: two-phase annealing mixture plan (MixtureAnnealSpec reconciles)
+    "mixture_anneal" -> (TextQueries.mixtureAnneal _),
     // rows-only: learned quality gate (spark.ml LR; AUC/determinism spec-bounded)
     "quality_classifier" -> (graft.ops.QualityModel.qualityClassifier _),
     // (source × lang) dataset card at every rollup level

@@ -133,11 +133,16 @@ object DedupQueries {
     * exact per-pair Jaccard and proves repartition-stability. */
   def corpusOverlapKmv(s: SparkSession, dir: String): DataFrame = {
     val k = 256
+    // the S-row sketch frame feeds BOTH sides of the pairwise join — a
+    // scoped persist runs the corpus pass once (PlanSpec pins the single
+    // content shuffle); the cache is S×k longs, metadata-scale
     val sk = docs(s, dir)
       .select(col("source"), explode(Dedup.shingles(col("text"), 3)).as("sh"))
       .select(col("source"), xxhash64(col("sh")).as("h"))
       .groupBy(col("source"))
       .agg(graft.functions.KmvSketch(col("h"), k).as("kmv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheScope.releaseAfterAction(s, sk)
     val a = sk.select(col("source").as("src_a"), col("kmv").as("ka"))
     val b = sk.select(col("source").as("src_b"), col("kmv").as("kb"))
     val jac = graft.functions.KmvSketch.jaccardEstimate(col("ka"), col("kb"), k)

@@ -29,10 +29,15 @@ object LmQuant {
                accuracy: Int = 10000): DataFrame = {
     require(bits >= 1 && bits <= 16, s"quantize needs 1..16 bits, got $bits")
     val nBins = 1 << bits
+    // the input feeds three consumers (cut sketch, codebook aggregate,
+    // final join) — a scoped persist runs the LM derivation once, and
+    // the cache is LM-bounded (vocabulary-scale), never corpus-bounded
+    val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheScope.releaseAfterAction(df.sparkSession, in)
     val fracs = (1 until nBins).map(i => lit(i.toDouble / nBins))
-    val cuts = df.agg(
+    val cuts = in.agg(
       percentile_approx(col(lpCol), array(fracs: _*), lit(accuracy)).as("__cuts"))
-    val binned = df.crossJoin(broadcast(cuts))
+    val binned = in.crossJoin(broadcast(cuts))
       .withColumn("bin", size(filter(col("__cuts"), c => c < col(lpCol))))
       .drop("__cuts")
     val codebook = binned.groupBy(col("bin")).agg(avg(col(lpCol)).as("q"))

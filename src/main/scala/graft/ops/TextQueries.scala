@@ -597,6 +597,44 @@ object TextQueries {
       .orderBy(col("source"), col("bucket"))
   }
 
+  /** C65: two-phase CURRICULUM ("annealing") mixture plan — the
+    * end-of-training recipe recent open recipes describe (MiniCPM's
+    * two-stage schedule, Llama 3's final-phase quality upweighting):
+    * a `main` phase trains on every document at natural per-source
+    * share, then an `anneal` phase narrows to the highest-quality
+    * slice — here the HEAD perplexity tercile per source, C56's own
+    * bucketing — and re-shares within what survives. Output is the
+    * phase × source plan table a trainer consumes: docs, token mass,
+    * and integer-bp share of the phase's tokens.
+    *
+    * Plan shape: the C42 scoring frame + per-source tercile cuts
+    * (mergeable percentile sketch, broadcast — never a rank window
+    * over the corpus), a narrow bucket comparison, and two tiny
+    * phase×source rollups from ONE pass over the scored frame
+    * (phases spelled as an explode over the membership flags, so the
+    * corpus is not re-scanned per phase). Rows-only (downstream of
+    * ln + sketch cuts); MixtureAnnealSpec cross-checks the anneal
+    * counts against C56's head bucket and pins share arithmetic. */
+  def mixtureAnneal(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("doc_id"),
+      size(Text.tokens(col("text"))).cast("long").as("tok"))
+    val per = xentPerDoc(s, dir).join(toks, Seq("doc_id"))
+    val cuts = per.groupBy(col("source"))
+      .agg(percentile_approx(col("xent"), lit(1.0 / 3), lit(10000)).as("head_cut"))
+    val phased = per.join(broadcast(cuts), Seq("source"))
+      .select(col("source"), col("tok"),
+        explode(when(col("xent") <= col("head_cut"),
+            array(lit("main"), lit("anneal")))
+          .otherwise(array(lit("main")))).as("phase"))
+    val perPhase = Window.partitionBy(col("phase"))
+    phased.groupBy(col("phase"), col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("tok")).as("tokens"))
+      .withColumn("phase_tokens", sum(col("tokens")).over(perPhase))
+      .select(col("phase"), col("source"), col("docs"), col("tokens"),
+        expr("tokens * 10000 div phase_tokens").as("share_bp"))
+      .orderBy(col("phase"), col("source"))
+  }
+
   /** C42a: bigram-LM cross-entropy with stupid backoff — the full CCNet
     * shape the unigram face (C42) stubs: a language model TRAINED ON A
     * HELD-IN SLICE (even doc_ids — CCNet trains on Wikipedia, scores

@@ -282,4 +282,39 @@ class PlanSpec extends SparkSpec {
     assert("orders.parquet".r.findAllIn(plan).size == 1,
       s"the fact must be scanned exactly once:\n$plan")
   }
+
+  test("dedup_edit: the Levenshtein confirm stays equi-join-bounded (no cartesian)") {
+    val plan = executed("dedup_edit")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the DP confirm must run on the LSH candidate list via equi-joins only:\n$plan")
+    assert(plan.contains("levenshtein"),
+      "the confirm predicate must be the codegen'd built-in")
+  }
+
+  test("corpus_overlap_kmv: the corpus pass runs once; the S^2 stage is sketch-sized") {
+    val plan = executed("corpus_overlap_kmv")
+    // both pairwise sides must read the ONE persisted sketch frame (the
+    // corpus explode+aggregate executes once, at cache materialization)
+    assert("InMemoryTableScan".r.findAllIn(plan).size == 2,
+      s"both join sides must read the cached sketch frame:\n$plan")
+    // above the cache reads (the pairwise region) nothing may shuffle
+    // content: the only exchanges are the broadcast of one sketch side
+    // and the final S^2-sized output sort
+    val pairwiseRegion = plan.substring(0, plan.indexOf("InMemoryTableScan"))
+    assert(!pairwiseRegion.contains("Exchange hashpartitioning"),
+      s"the pairwise stage must not re-shuffle content:\n$plan")
+    assert(pairwiseRegion.contains("BroadcastNestedLoopJoin"),
+      "the S^2 stage joins broadcast-tiny sketch frames")
+  }
+
+  test("dsir_select: top-k plans as TakeOrdered, ratio table broadcasts") {
+    val plan = executed("dsir_select")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the Gumbel top-k must be a per-partition-heap TakeOrdered, not a global sort:\n$plan")
+    // the 1024-row log-ratio table joins by broadcast — the corpus-side
+    // bucket counts never shuffle for it
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the B-row ratio table must broadcast into the scoring join:\n$plan")
+  }
 }
