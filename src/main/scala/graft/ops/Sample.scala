@@ -462,7 +462,7 @@ object Sample {
       .orderBy(col("shard"), col("seq_id"))
   }
 
-  /** C62 (`sample_curriculum`): curriculum staging — order the corpus
+  /** C66 (`sample_curriculum`): curriculum staging — order the corpus
     * by a difficulty proxy and cut it into quartile stages, the
     * easy→hard schedule curriculum-training pipelines feed from
     * (Bengio et al., "Curriculum Learning", ICML 2009 — stage 1 =
