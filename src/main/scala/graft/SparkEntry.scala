@@ -34,6 +34,8 @@ object SparkEntry {
     "q9_cust_no_orders" -> (LakeQueries.q9CustNoOrders _),
     "q10_event_gaps" -> (LakeQueries.q10EventGaps _),
     "q11_json_props" -> (LakeQueries.q11JsonProps _),
+    // Tukey-fence value-anomaly card per event type (IRREGULAR for values)
+    "q38_event_anomaly" -> (LakeQueries.q38EventAnomaly _),
     "q12_promo_revenue" -> (LakeQueries.q12PromoRevenue _),
     "q13_event_pivot" -> (LakeQueries.q13EventPivot _),
     "q14_top_supplier" -> (LakeQueries.q14TopSupplier _),
@@ -333,6 +335,23 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n, cast(sum(k) AS BIGINT) AS k_sum,
         |       round(avg(k),4) AS k_avg, round(sum(value),2) AS value_sum
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q38_event_anomaly" ->
+      """WITH q AS (
+        |  SELECT event_type, count(*) AS events,
+        |         quantile_cont(value, 0.25) AS q25,
+        |         quantile_cont(value, 0.75) AS q75,
+        |         quantile_cont(value, 0.75)
+        |           + (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) * 3 AS fence
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, q.events, round(q.q25, 4) AS q25,
+        |       round(q.q75, 4) AS q75, round(q.fence, 4) AS fence,
+        |       cast(sum(CASE WHEN e.value > q.fence THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS anomalies,
+        |       cast(sum(CASE WHEN e.value > q.fence THEN 1 ELSE 0 END) * 10000
+        |         // q.events AS BIGINT) AS anomaly_bp
+        |FROM events e JOIN q USING (event_type)
+        |GROUP BY e.event_type, q.events, q.q25, q.q75, q.fence
+        |ORDER BY e.event_type""".stripMargin,
     "q12_promo_revenue" ->
       """WITH j AS (
         |  SELECT p_type,

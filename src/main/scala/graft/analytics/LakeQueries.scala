@@ -923,6 +923,42 @@ object LakeQueries {
         round(sum(col("value")), 2).as("value_sum"))
       .orderBy(col("event_type"))
 
+  /** A39: value-anomaly card per event type — the reference's IRREGULAR
+    * classification (DATALAKE_TRANSFORMATION_S3_DAILY_JOB.PY:102–107)
+    * generalized from "row shape is wrong" to "row VALUE is wrong": an
+    * event is anomalous when its value clears the Tukey outer fence
+    * q75 + 3·IQR of its own type's distribution. The monitoring card a
+    * lake emits per ingest day so a mis-scaled feed (cents-vs-dollars,
+    * a stuck sensor) is caught at the zone boundary, not by a consumer.
+    *
+    * Parity (SURVEY §4): exact `percentile` at 0.25/0.75 — quarter
+    * fractions interpolate between order statistics with exact dyadic
+    * weights, so Spark and DuckDB's quantile_cont produce identical
+    * doubles (the C66 precedent), and the fence compare is ulp-safe.
+    * Plan: one per-type exact-percentile aggregate (type-count-sized),
+    * broadcast back over one events scan for the flag count. At 100 TB
+    * the same card swaps in the mergeable `percentile_approx` sketch
+    * (the A18/A18a pattern — exact face kept as the oracle gate). */
+  def q38EventAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val q = t(s, dir, "events").groupBy(col("event_type"))
+      .agg(count(lit(1)).as("events"),
+        percentile(col("value"), lit(0.25)).as("q25"),
+        percentile(col("value"), lit(0.75)).as("q75"))
+      .withColumn("fence", col("q75") + (col("q75") - col("q25")) * 3)
+    t(s, dir, "events").select(col("event_type"), col("value"))
+      .join(broadcast(q), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(first(col("events")).as("events"),
+        round(first(col("q25")), 4).as("q25"),
+        round(first(col("q75")), 4).as("q75"),
+        round(first(col("fence")), 4).as("fence"),
+        sum(when(col("value") > col("fence"), 1L).otherwise(0L)).as("anomalies"))
+      .select(col("event_type"), col("events"), col("q25"), col("q75"),
+        col("fence"), col("anomalies"),
+        expr("anomalies * 10000 div events").as("anomaly_bp"))
+      .orderBy(col("event_type"))
+  }
+
   /** A11: JSON property extraction from events.props + agg (regexp-based
     * so the oracle needs no JSON extension). */
   def q11JsonProps(s: SparkSession, dir: String): DataFrame =
