@@ -171,6 +171,8 @@ object SparkEntry {
     // rows-only: LSH-blocked scale face of C5 (recall spec-bounded)
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => VectorQueries.dedupEmbeddingLsh(s, d)),
     "sim_search_topk" -> (VectorQueries.simSearchTopk _),
+    // rows-only: IVF-blocked all-corpus kNN graph (KnnGraphSpec bounds recall)
+    "knn_graph" -> (VectorQueries.knnGraph _),
     "sim_search_lsh" -> (VectorQueries.simSearchLsh _),
     // rows-only: centroid assignment is Scala-side plan logic
     "sim_search_ivf" -> (VectorQueries.simSearchIvf _),

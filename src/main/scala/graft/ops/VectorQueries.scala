@@ -370,6 +370,49 @@ object VectorQueries {
       .orderBy(col("source"), col("label"))
   }
 
+  /** C68: k-NN GRAPH over the whole embedding corpus — every vector's
+    * top-3 cosine neighbors, the primitive graph-based curation needs
+    * (SemDeDup-style cluster pruning, kNN label propagation, graph
+    * connectivity audits) that the threshold-pair faces (C5/C37) can't
+    * provide: a fixed OUT-DEGREE per node, no similarity floor.
+    *
+    * Built the only way an all-corpus kNN build survives 100 TB —
+    * IVF-cell blocking, never all-pairs: k-means cells are learned
+    * ([[KMeans.fit]], the C16a machinery), every vector MULTI-ASSIGNS
+    * to its 3 nearest cells (the recall lever: a vector near a cell
+    * boundary meets all its sides), pairs form only within a cell
+    * (equi-join on the cell id), cross-cell duplicates collapse by
+    * groupBy, and the per-vector top-3 ranks with a window whose
+    * partial WindowGroupLimit keeps each map task's top-3 before the
+    * exchange. Cell count scales with corpus size in production (k ∝
+    * √n or a per-cell size cap re-splits hot cells) so per-cell pair
+    * work stays bounded. Rows-only; KnnGraphSpec measures recall
+    * against the exact graph and pins determinism + the no-cartesian
+    * plan shape. */
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val v = emb(s, dir).select(col("vec_id"), col("e"), col("nrm"))
+    val fit = KMeans.fit(v, k = 8, iters = 3)
+    val centsArr = fit.centroids.select(col("cluster"), col("ce"), col("cn"))
+      .agg(array_sort(collect_list(
+        struct(col("cluster"), col("ce"), col("cn")))).as("cents"))
+    val assigned = v.crossJoin(broadcast(centsArr))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        explode(graft.functions.NearestCentroids(col("e"), col("cents"), 3))
+          .as("cluster"))
+    val a = assigned.select(col("cluster"), col("vec_id").as("src"),
+      col("e").as("se"), col("nrm").as("sn"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("dst"),
+      col("e").as("de"), col("nrm").as("dn"))
+    val pairs = a.join(b, Seq("cluster")).where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        (Vectors.dot(col("se"), col("de")) / (col("sn") * col("dn"))).as("cos"))
+      .groupBy(col("src"), col("dst")).agg(max(col("cos")).as("cos"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    pairs.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+      .select(col("src"), col("rank"), col("dst"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("src"), col("rank"))
+  }
+
   /** C13: per-label vector statistics (norms + mean component). */
   def embedStats(s: SparkSession, dir: String): DataFrame = {
     val meanComp = aggregate(col("e"), lit(0.0), (acc, x) => acc + x) / size(col("e"))
