@@ -77,7 +77,9 @@ object DailyRun {
           configs: Map[String, IngestJob.TableConfig],
           publishRoot: String, userZoneRoot: String,
           catalogPath: String,
-          sink: ReportSink = ReportSink.Silent): DayResult = {
+          sink: ReportSink = ReportSink.Silent,
+          valueAudits: Seq[(String, String)] = Nil,
+          auditMaxBp: Long = 500): DayResult = {
     val legs = scala.collection.mutable.Buffer[Leg]()
 
     val summary = attempt("ingest", legs) {
@@ -101,6 +103,31 @@ object DailyRun {
         (s"copied=$c deleted=$d", t -> ((c, d)))
       }
     }.toMap
+
+    // value-audit legs (the A39 fence as a promotion gate, the B13
+    // expectations posture applied to VALUES): each audited (table,
+    // column) computes its Tukey outer fence over the day's storing
+    // table and fails its OWN leg when the anomaly rate clears
+    // `auditMaxBp` — a mis-scaled feed is flagged in the day report
+    // while the rest of the lake still promotes (per-leg isolation)
+    valueAudits.foreach { case (t, c) =>
+      attempt(s"audit:$t.$c", legs) {
+        import org.apache.spark.sql.functions._
+        val v = spark.read.parquet(s"$storingDir/$t")
+          .select(col(c).cast("double").as("v")).where(col("v").isNotNull)
+        val st = v.agg(count(lit(1)).as("n"),
+            percentile(col("v"), lit(0.25)).as("q25"),
+            percentile(col("v"), lit(0.75)).as("q75"))
+          .collect()(0)
+        val (n, q25, q75) = (st.getLong(0), st.getDouble(1), st.getDouble(2))
+        val fence = q75 + (q75 - q25) * 3
+        val anomalies = v.where(col("v") > fence).count()
+        val bp = anomalies * 10000 / math.max(n, 1L)
+        require(bp <= auditMaxBp,
+          s"anomaly_bp=$bp exceeds $auditMaxBp (fence=$fence, $anomalies of $n rows)")
+        (s"anomalies=$anomalies of $n (bp=$bp, fence=$fence)", ())
+      }
+    }
 
     val cataloged = attempt("catalog", legs) {
       val n = LakeCatalog.persist(spark, userZoneRoot, catalogPath)

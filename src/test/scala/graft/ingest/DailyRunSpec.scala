@@ -84,4 +84,34 @@ class DailyRunSpec extends SparkSpec {
     val rep = d3.reportFrame(spark)
     assert(rep.where(org.apache.spark.sql.functions.col("status") === "failed").count() == 1)
   }
+
+  test("value-audit legs gate promotion on the A39 fence, isolated per leg") {
+    val landing = tmpDir("dra-landing"); val storing = tmpDir("dra-storing")
+    val ledger = tmpDir("dra-ledger") + "/processed"
+    val publish = tmpDir("dra-publish"); val user = tmpDir("dra-user")
+    val catalog = tmpDir("dra-catalog") + "/catalog"
+
+    // day 1: well-behaved amounts -> audit leg ok
+    drop(landing, "ORDERS_20240101_080000.CSV",
+      (1 to 20).map(i => s"$i,${10 + i % 3}.0,2024-01-01").mkString("\n") + "\n")
+    val d1 = DailyRun.run(spark, landing, storing, ledger, configs, publish, user,
+      catalog, valueAudits = Seq(("ORDERS", "amount")))
+    assert(d1.ok, s"clean day must pass its audit: ${d1.failed}")
+    val audit1 = d1.legs.find(_.name == "audit:ORDERS.amount").get
+    assert(audit1.status == "ok" && audit1.detail.contains("anomalies=0"))
+
+    // day 2: a mis-scaled feed (cents-vs-dollars on a few rows) -> the
+    // audit leg fails with the rate in its error; every OTHER leg of the
+    // day still completes (per-leg isolation)
+    drop(landing, "ORDERS_20240102_080000.CSV",
+      "21,1200.0,2024-01-02\n22,9900.0,2024-01-02\n23,11.0,2024-01-02\n")
+    val d2 = DailyRun.run(spark, landing, storing, ledger, configs, publish, user,
+      catalog, valueAudits = Seq(("ORDERS", "amount")))
+    assert(!d2.ok)
+    assert(d2.failed.map(_.name) == Seq("audit:ORDERS.amount"),
+      s"only the audit leg may fail: ${d2.failed}")
+    assert(d2.failed.head.error.get.contains("anomaly_bp="))
+    assert(d2.snapshots.contains("ORDERS") && d2.cataloged == 1,
+      "publish/sync/catalog legs must complete despite the failed audit")
+  }
 }

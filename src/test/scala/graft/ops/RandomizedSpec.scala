@@ -114,4 +114,42 @@ class RandomizedSpec extends SparkSpec {
       assert(star == expect, s"trial $trial: star vs union-find")
     }
   }
+
+  test("kmv_sketch equals the exact k smallest distinct hashes on random inputs") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(90210)
+    for (trial <- 1 to 5) {
+      val k = Seq(2, 16, 64)(rnd.nextInt(3))
+      // duplicates + a skewed range so sub-k and at-k cases both occur
+      val vals = (1 to 40 + rnd.nextInt(400)).map(_ => rnd.nextInt(120).toLong)
+      val df = vals.toDF("v").repartition(1 + rnd.nextInt(6))
+        .select(xxhash64(col("v")).as("h"))
+      val got = df.agg(graft.functions.KmvSketch(col("h"), k))
+        .as[Seq[Long]].head()
+      val expect = vals.toDF("v").select(xxhash64(col("v")).as("h"))
+        .as[Long].collect().distinct.sorted.take(k).toSeq
+      assert(got == expect, s"trial $trial (k=$k): sketch vs exact k-min")
+    }
+  }
+
+  test("LmQuant bins are monotone and codebook-consistent on random inputs") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(5150)
+    for (trial <- 1 to 3) {
+      val bits = 2 + rnd.nextInt(5)
+      val vals = (1 to 200 + rnd.nextInt(2000)).map(_ => -rnd.nextDouble() * 20)
+      val q = LmQuant.quantize(vals.toDF("lp"), "lp", bits)
+        .select("lp", "bin", "q").as[(Double, Int, Double)].collect()
+      assert(q.map(_._2).distinct.length <= (1 << bits))
+      val sorted = q.sortBy(_._1)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._2 <= b._2; case _ => true
+      }, s"trial $trial: a larger value landed in a smaller bin")
+      q.groupBy(_._2).foreach { case (bin, rows) =>
+        val mean = rows.map(_._1).sum / rows.length
+        assert(math.abs(rows.head._3 - mean) < 1e-9,
+          s"trial $trial bin $bin: codebook value is not the member mean")
+      }
+    }
+  }
 }
