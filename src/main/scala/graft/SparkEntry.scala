@@ -162,6 +162,8 @@ object SparkEntry {
     "dedup_winnow" -> (DedupQueries.dedupWinnow _),
     // rows-only: KMV-sketch cross-source overlap estimates (KmvSpec bounds error)
     "corpus_overlap_kmv" -> (DedupQueries.corpusOverlapKmv _),
+    // content-level corpus version diff (added/removed/modified/unchanged card)
+    "corpus_diff" -> (graft.ingest.CorpusDiff.corpusDiffQuery _),
     "dedup_minhash" -> (DedupQueries.dedupMinhash _),
     // edit-distance confirmation of the MinHash candidates (two-stage fuzzy dedup)
     "dedup_edit" -> (DedupQueries.dedupEdit _),
@@ -1303,6 +1305,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> DedupQueries.jaccardOracle,
     "dedup_minhash" -> DedupQueries.minhashOracle,
     "dedup_edit" -> DedupQueries.editOracle,
+    "corpus_diff" -> graft.ingest.CorpusDiff.oracle,
     "dedup_incremental" -> DedupQueries.incrementalOracle,
     "dedup_bloom" -> DedupQueries.bloomOracle,
     "dedup_source_matrix" -> DedupQueries.sourceMatrixOracle,
