@@ -36,6 +36,8 @@ object SparkEntry {
     "q11_json_props" -> (LakeQueries.q11JsonProps _),
     // Tukey-fence value-anomaly card per event type (IRREGULAR for values)
     "q38_event_anomaly" -> (LakeQueries.q38EventAnomaly _),
+    // day-over-trailing-median volume monitor (the VOLUME companion to A39)
+    "q39_volume_spike" -> (LakeQueries.q39VolumeSpike _),
     "q12_promo_revenue" -> (LakeQueries.q12PromoRevenue _),
     "q13_event_pivot" -> (LakeQueries.q13EventPivot _),
     "q14_top_supplier" -> (LakeQueries.q14TopSupplier _),
@@ -356,6 +358,24 @@ object SparkEntry {
         |FROM events e JOIN q USING (event_type)
         |GROUP BY e.event_type, q.events, q.q25, q.q75, q.fence
         |ORDER BY e.event_type""".stripMargin,
+    "q39_volume_spike" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT a.event_type, a.day, a.n,
+        |         count(*) AS trail_days,
+        |         quantile_cont(b.n, 0.5) AS med
+        |  FROM d a JOIN d b
+        |    ON a.event_type = b.event_type
+        |   AND b.day >= a.day - INTERVAL 7 DAY AND b.day < a.day
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 4)
+        |SELECT event_type, day, n AS events, trail_days,
+        |       CAST(med * 2 AS BIGINT) AS trail_med_x2,
+        |       n * 20000 // CAST(med * 2 AS BIGINT) AS ratio_bp,
+        |       CAST(n * 20000 // CAST(med * 2 AS BIGINT) >= 20000 AS INT)
+        |         AS is_spike
+        |FROM t ORDER BY event_type, day""".stripMargin,
     "q12_promo_revenue" ->
       """WITH j AS (
         |  SELECT p_type,

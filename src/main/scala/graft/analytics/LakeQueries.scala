@@ -959,6 +959,44 @@ object LakeQueries {
       .orderBy(col("event_type"))
   }
 
+  /** A40 core over any (event_type, day, n) daily-count frame: each
+    * day's volume against its own type's TRAILING-7-day median. The
+    * trailing median comes from a bounded self-join of the DAY frame
+    * (days × types rows — metadata-scale however large the corpus; the
+    * fact table aggregates first, the A32 lesson), needs ≥4 trailing
+    * days (early days drop), and the ratio is pure integer arithmetic:
+    * 2×median of integer counts is always an integer, so
+    * ratio_bp = n·20000 div (2·median) is engine-exact. */
+  def volumeSpikeCard(daily: DataFrame, spikeBp: Long = 20000): DataFrame = {
+    val a = daily.select(col("event_type"), col("day").as("d"), col("n"))
+    val b = daily.select(col("event_type"), col("day").as("pd"), col("n").as("pn"))
+    a.join(b, Seq("event_type"))
+      .where(datediff(col("d"), col("pd")).between(1, 7))
+      .groupBy(col("event_type"), col("d"), col("n"))
+      .agg(count(lit(1)).as("trail_days"),
+        percentile(col("pn"), lit(0.5)).as("med"))
+      .where(col("trail_days") >= 4)
+      .select(col("event_type"), col("d").as("day"), col("n").as("events"),
+        col("trail_days"),
+        (col("med") * 2).cast("long").as("trail_med_x2"),
+        expr("n * 20000 div cast(med * 2 as bigint)").as("ratio_bp"))
+      .withColumn("is_spike", (col("ratio_bp") >= spikeBp).cast("int"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** A40: day-over-trailing-median volume monitor per event type — the
+    * VOLUME companion to A39's value fence (a stalled producer or a
+    * replayed feed moves row COUNTS before it moves values). Reports
+    * every (type, day)'s ratio to its trailing-7-day median in integer
+    * bp plus the 2× spike flag; this synthetic feed is Poisson-flat
+    * at the gate SF (ratios ~0.8–1.3× at sf0.01; tiny-SF small-count
+    * days can legitimately cross 2× on noise), and LakeQueriesSpec
+    * plants a spike to prove the flag fires. */
+  def q39VolumeSpike(s: SparkSession, dir: String): DataFrame =
+    volumeSpikeCard(t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")))
+
   /** A11: JSON property extraction from events.props + agg (regexp-based
     * so the oracle needs no JSON extension). */
   def q11JsonProps(s: SparkSession, dir: String): DataFrame =

@@ -143,4 +143,33 @@ class LakeQueriesSpec extends SparkSpec {
     assert(re.nonEmpty)
     assert(native == re, s"faces diverge:\n native=$native\n regexp=$re")
   }
+
+  test("q39 volume card: ratio arithmetic recounts; a planted 5x spike fires") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val card = LakeQueries.q39VolumeSpike(spark, sfDir).collect()
+    assert(card.nonEmpty)
+    card.foreach { r =>
+      assert(r.getAs[Long]("trail_days") >= 4)
+      // exact arithmetic: ratio_bp recomputes from the row's own fields
+      assert(r.getAs[Long]("ratio_bp") ==
+        r.getAs[Long]("events") * 20000 / r.getAs[Long]("trail_med_x2"))
+    }
+    // the flag is purely derived (small-count days at tiny SFs can
+    // legitimately cross 2x on Poisson noise, so never pin "no spikes")
+    card.foreach { r =>
+      assert((r.getAs[Int]("is_spike") == 1) == (r.getAs[Long]("ratio_bp") >= 20000))
+    }
+    // planted case: 10 flat days then a 5x day — the spike day (and only
+    // it) must flag, against a trailing median that ignores the spike
+    val daily = ((1 to 10).map(i => ("t", s"2024-02-${"%02d".format(i)}", 100L))
+      .toSeq :+ (("t", "2024-02-11", 500L)))
+      .toDF("event_type", "day0", "n")
+      .select(col("event_type"), to_date(col("day0")).as("day"), col("n"))
+    val planted = LakeQueries.volumeSpikeCard(daily).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        ((r.getAs[Long]("ratio_bp"), r.getAs[Int]("is_spike")))).toMap
+    assert(planted("2024-02-11") == ((50000L, 1)), s"5x day must flag: $planted")
+    assert(planted.filter(_._1 != "2024-02-11").values.forall(_._2 == 0))
+  }
 }
