@@ -132,6 +132,30 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("CorpusDiff.diff equals driver set arithmetic on random versions") {
+    val rnd = new scala.util.Random(31337)
+    for (trial <- 1 to 5) {
+      val ids = (1L to 60L).filter(_ => rnd.nextBoolean())
+      val oldIds = ids.filter(_ => rnd.nextInt(10) > 1)
+      val newIds = ids.filter(_ => rnd.nextInt(10) > 1)
+      val edited = ids.filter(_ => rnd.nextInt(4) == 0).toSet
+      val o = oldIds.map(i => (i, s"g${i % 3}", s"h$i")).toDF("id", "g", "h")
+      val n = newIds.map(i =>
+        (i, s"g${i % 3}", if (edited(i)) s"h${i}x" else s"h$i")).toDF("id", "g", "h")
+      val got = graft.ingest.CorpusDiff.diff(o, n, "id", "g", "h")
+        .as[(Long, String, String)].collect().map(r => r._1 -> r._3).toMap
+      val want = (oldIds ++ newIds).distinct.map { i =>
+        i -> ((oldIds.contains(i), newIds.contains(i)) match {
+          case (true, true) => if (edited(i)) "modified" else "unchanged"
+          case (false, true) => "added"
+          case (true, false) => "removed"
+          case _ => sys.error("unreachable")
+        })
+      }.toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("LmQuant bins are monotone and codebook-consistent on random inputs") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(5150)
