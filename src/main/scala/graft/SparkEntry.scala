@@ -171,6 +171,8 @@ object SparkEntry {
     "dedup_edit" -> (DedupQueries.dedupEdit _),
     "dedup_simhash" -> (DedupQueries.dedupSimhash _),
     "dedup_cluster" -> (DedupQueries.dedupCluster _),
+    // quality-aware keeper per dup cluster (argmax C9 score, not min-id)
+    "dedup_keeper_quality" -> (DedupQueries.dedupKeeperQuality _),
     "dedup_embedding" -> ((s: SparkSession, d: String) => VectorQueries.dedupEmbedding(s, d)),
     // rows-only: LSH-blocked scale face of C5 (recall spec-bounded)
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => VectorQueries.dedupEmbeddingLsh(s, d)),
@@ -1326,6 +1328,7 @@ object SparkEntry {
     "dedup_minhash" -> DedupQueries.minhashOracle,
     "dedup_edit" -> DedupQueries.editOracle,
     "corpus_diff" -> graft.ingest.CorpusDiff.oracle,
+    "dedup_keeper_quality" -> DedupQueries.keeperQualityOracle,
     "dedup_incremental" -> DedupQueries.incrementalOracle,
     "dedup_bloom" -> DedupQueries.bloomOracle,
     "dedup_source_matrix" -> DedupQueries.sourceMatrixOracle,

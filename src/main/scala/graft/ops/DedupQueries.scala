@@ -180,6 +180,41 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** C70: QUALITY-AWARE keeper selection for near-dup clusters — which
+    * copy to keep is a real decision (dup clusters mix a clean original
+    * with truncated/mangled mirrors), and the C17 min-id rule is only
+    * the deterministic default. Here every multi-member cluster keeps
+    * its HIGHEST-QUALITY member (the C9 score, doc_id tie-break) and
+    * the card reports where that differs from min-id (it does for ~1/4
+    * of this corpus's clusters — spec-pinned non-vacuous). Parity note:
+    * the score is IEEE-exact arithmetic on integer token stats, so both
+    * engines rank identically; the window runs per cluster (bounded by
+    * the largest dup cluster, never the corpus). */
+  def dedupKeeperQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashCandidates(d, "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"))
+    val cc = Cluster.connectedComponents(d.select(col("doc_id")), pairs, "doc_id")
+      .withColumnRenamed("id", "doc_id")
+    val sized = cc.withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .where(col("cluster_size") >= 2)
+    val q = TextQueries.qualityScores(s, dir).select(col("doc_id"), col("q"))
+    val ranked = sized.join(q, Seq("doc_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cluster_id")).orderBy(col("q").desc, col("doc_id"))))
+    ranked.where(col("rk") === 1)
+      .select(col("cluster_id"), col("cluster_size").cast("long").as("cluster_size"),
+        col("doc_id").as("keeper_doc"),
+        // integer bp via floor(x+0.5) — pure double arithmetic, identical
+        // in both engines (round-to-4dp is decimal-vs-binary ambiguous at
+        // half boundaries: 0.84025 rounded 0.8402 vs 0.8403 cross-engine)
+        floor(col("q") * 10000 + 0.5).cast("long").as("keeper_q_bp"),
+        (col("cluster_size") - 1).cast("long").as("dropped"),
+        (col("doc_id") =!= col("cluster_id")).cast("int").as("beats_min_id"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** C36: INCREMENTAL dedup — the daily-batch shape every standing
     * corpus actually runs: probe only the incoming slice (here docs with
     * `doc_id % 5 = 4`, the "new batch") against the standing corpus's
@@ -485,4 +520,47 @@ object DedupQueries {
        |       CASE WHEN cl.doc_id = cl.cluster_id THEN 1 ELSE 0 END AS is_keeper
        |FROM cl JOIN sz USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
+  /** C70 oracle: the recursive-CTE clusters + the C9 score formula +
+    * the same per-cluster rank. */
+  val keeperQualityOracle: String =
+    s"""WITH RECURSIVE $minhashBandCtes,
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS lbl FROM documents
+       |  UNION
+       |  SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+       |cl AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl
+       |       GROUP BY cluster_id HAVING count(*) >= 2),
+       |qm AS (
+       |  SELECT doc_id,
+       |    cast(len(string_split(norm,' ')) AS DOUBLE) AS n_tok,
+       |    cast(len(list_filter(string_split(norm,' '),
+       |         x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) AS n_stop,
+       |    cast(length(replace(norm,' ','')) AS DOUBLE) AS n_alpha
+       |  FROM (SELECT doc_id, trim(regexp_replace(lower(text),'\\s+',' ','g')) AS norm
+       |        FROM documents)),
+       |q AS (
+       |  SELECT doc_id,
+       |    0.4*least(n_tok/100.0,1.0) + 0.3*least((n_stop/n_tok)*10.0,1.0)
+       |      + 0.3*(CASE WHEN n_alpha/n_tok >= 3.0 AND n_alpha/n_tok <= 8.0
+       |                  THEN 1.0 ELSE 0.0 END) AS q
+       |  FROM qm),
+       |r AS (
+       |  SELECT cl.cluster_id, sz.cluster_size, cl.doc_id, q.q,
+       |         row_number() OVER (PARTITION BY cl.cluster_id
+       |                            ORDER BY q.q DESC, cl.doc_id) AS rk
+       |  FROM cl JOIN sz USING (cluster_id) JOIN q USING (doc_id))
+       |SELECT cluster_id, cluster_size, doc_id AS keeper_doc,
+       |       CAST(floor(q * 10000 + 0.5) AS BIGINT) AS keeper_q_bp,
+       |       cluster_size - 1 AS dropped,
+       |       CAST(doc_id <> cluster_id AS INT) AS beats_min_id
+       |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin
 }

@@ -74,17 +74,19 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
-  /** Shared per-doc quality-score projection (the C9 formula). */
-  private def qualityScores(s: SparkSession, dir: String): DataFrame = {
+  /** Shared per-doc quality-score projection (the C9 formula; doc_id
+    * carried so C70's keeper selection can rank within clusters). */
+  private[ops] def qualityScores(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-      .select(col("source"), graft.functions.TokenMarkerStats(col("text")).as("st"))
+      .select(col("doc_id"), col("source"),
+        graft.functions.TokenMarkerStats(col("text")).as("st"))
     val nTok = col("st.ws_tokens").cast("double")
     val stopRatio = col("st.stop").cast("double") / nTok
     val avgLen = col("st.alpha_len").cast("double") / nTok
     val score = lit(0.4) * least(nTok / 100.0, lit(1.0)) +
       lit(0.3) * least(stopRatio * 10.0, lit(1.0)) +
       lit(0.3) * when(avgLen >= 3.0 && avgLen <= 8.0, 1.0).otherwise(0.0)
-    d.select(col("source"), score.as("q"))
+    d.select(col("doc_id"), col("source"), score.as("q"))
   }
 
   /** C19: per-source quality percentile cutoffs (p25/p50/p90) — the

@@ -261,6 +261,31 @@ class DedupSpec extends SparkSpec {
     assert(got.size < cand.length, "every candidate confirmed (threshold too loose)")
   }
 
+  test("quality keeper: argmax within each cluster, non-vacuously different from min-id") {
+    val keepers = DedupQueries.dedupKeeperQuality(spark, sfDir).collect()
+    assert(keepers.nonEmpty)
+    val clusters = DedupQueries.dedupCluster(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+      .filter(_._2.size >= 2)
+    assert(keepers.map(_.getLong(0)).toSet == clusters.keySet,
+      "one keeper row per multi-member cluster")
+    val q = TextQueries.qualityScores(spark, sfDir)
+      .select(col("doc_id"), col("q")).as[(Long, Double)].collect().toMap
+    keepers.foreach { r =>
+      val (cid, keeper) = (r.getLong(0), r.getAs[Long]("keeper_doc"))
+      val members = clusters(cid)
+      assert(members.contains(keeper))
+      // argmax with doc_id tie-break, driver-recounted
+      val want = members.toSeq.sortBy(d => (-q(d), d)).head
+      assert(keeper == want, s"cluster $cid: keeper $keeper vs recount $want")
+      assert((r.getAs[Int]("beats_min_id") == 1) == (keeper != cid))
+      assert(r.getAs[Long]("dropped") == members.size - 1)
+    }
+    assert(keepers.count(_.getAs[Int]("beats_min_id") == 1) > 0,
+      "quality must beat min-id somewhere, or the operator is vacuous")
+  }
+
   test("source matrix cells recount from the pair list and conserve the pair total") {
     val pairs = DedupQueries.dedupMinhash(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
