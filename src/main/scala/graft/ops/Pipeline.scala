@@ -68,6 +68,26 @@ object Pipeline {
     docs.join(keepers, Seq(idCol), "left_semi")
   }
 
+  /** The C70 posture threaded into the pipeline: clusters like
+    * [[dropNearDupsClustered]], but each component keeps its
+    * HIGHEST-scoring member under `score` (doc_id tie-break) instead of
+    * the min id — the clean original survives, not whichever copy was
+    * ingested first. Same plan plus one score projection and a
+    * cluster-bounded rank. */
+  def dropNearDupsByScore(docs: DataFrame, idCol: String, textCol: String,
+                          score: org.apache.spark.sql.Column): DataFrame = {
+    val pairs = Dedup.minhashCandidates(docs, idCol, textCol)
+      .select(col("doc_a"), col("doc_b"))
+    val cc = Cluster.connectedComponents(docs.select(col(idCol)), pairs, idCol)
+      .withColumnRenamed("id", idCol)
+    val ranked = docs.select(col(idCol), score.as("__q")).join(cc, Seq(idCol))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("__q").desc, col(idCol))))
+    docs.join(ranked.where(col("__rk") === 1).select(col(idCol)),
+      Seq(idCol), "left_semi")
+  }
+
   /** Full cleaning pass; returns (cleaned corpus, per-stage counts).
     * Each stage is persisted so the four stage counts and the returned
     * frame execute every stage ONCE (not re-deriving quality → exact →

@@ -53,6 +53,34 @@ class PipelineSpec extends SparkSpec {
     assert(kept.subsetOf(greedy), "clustered keepers are a subset of greedy survivors")
   }
 
+  test("score-keeper near-dup stage keeps the C70 keeper set, same coverage") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val st = graft.functions.TokenMarkerStats(col("text"))
+    val nTok = col("st.ws_tokens").cast("double")
+    val q = lit(0.4) * least(col("st.ws_tokens").cast("double") / 100.0, lit(1.0)) +
+      lit(0.3) * least(col("st.stop").cast("double") / nTok * 10.0, lit(1.0)) +
+      lit(0.3) * when((col("st.alpha_len").cast("double") / nTok).between(3.0, 8.0),
+        1.0).otherwise(0.0)
+    val kept = Pipeline.dropNearDupsByScore(
+        docs.withColumn("st", st), "doc_id", "text", q)
+      .select("doc_id").as[Long].collect().toSet
+    // reference: C70's keeper per multi-member cluster + every singleton
+    val keepers = DedupQueries.dedupKeeperQuality(spark, sfDir).collect()
+      .map(_.getAs[Long]("keeper_doc")).toSet
+    val clustered = DedupQueries.dedupCluster(spark, sfDir).collect()
+      .filter(_.getAs[Long]("cluster_size") >= 2).map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    val want = (all -- clustered) ++ keepers
+    assert(kept == want,
+      s"diff: ${(kept diff want) ++ (want diff kept)}")
+    // same SURVIVOR COUNT as min-id clustering (one keeper per cluster),
+    // different members where quality beats min-id
+    val minId = Pipeline.dropNearDupsClustered(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.size == minId.size && kept != minId)
+  }
+
   test("exportTrainingData ships a fold-partitioned, leak-free corpus") {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
     val out = java.nio.file.Files.createTempDirectory("graft_export").toString + "/corpus"
