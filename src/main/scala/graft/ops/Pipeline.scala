@@ -18,7 +18,11 @@ object Pipeline {
   /** Minimum quality score (see [[TextQueries.textQuality]] formula). */
   val MinQuality = 0.5
 
-  /** Quality gate: tokens/stopword/length folded score >= `minQ`. */
+  /** Quality gate: tokens/stopword/length folded score >= `minQ`.
+    * NULL text scores 0 and drops — without the explicit guard,
+    * Spark's null-SKIPPING `least` would hand a null-stats row
+    * maximum credit on two of the three score terms (0.7 total) and
+    * pass it; TextEdgeSpec pins the fix. */
   def qualityFilter(docs: DataFrame, textCol: String,
                     minQ: Double = MinQuality): DataFrame = {
     val st = graft.functions.TokenMarkerStats(col(textCol))
@@ -29,7 +33,7 @@ object Pipeline {
       lit(0.3) * least(stopRatio * 10.0, lit(1.0)) +
       lit(0.3) * when(avgLen >= 3.0 && avgLen <= 8.0, 1.0).otherwise(0.0)
     docs.withColumn("__st", st)
-      .where(score >= minQ)
+      .where(col("__st").isNotNull && score >= minQ)
       .drop("__st")
   }
 

@@ -22,7 +22,12 @@ object Text {
   /** Stable content id: md5 of the normalized text. */
   def contentHash(text: Column): Column = md5(normalized(text))
 
-  /** Tokens of the normalized text (never empty-string tokens). */
+  /** Tokens of the normalized text. Whitespace collapsing means no
+    * empty-string tokens can appear INSIDE the array, but a fully
+    * empty/whitespace document yields `[""]` (one empty token, size 1)
+    * — deliberately matching DuckDB's `string_split('', ' ')` so every
+    * oracle sees identical token counts on degenerate rows; null text
+    * propagates null. TextEdgeSpec pins all three behaviors. */
   def tokens(text: Column): Column = split(normalized(text), " ")
 
   /** Count of BPE-ish pieces: alnum runs or single non-alnum glyphs —

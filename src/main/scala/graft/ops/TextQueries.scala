@@ -75,7 +75,11 @@ object TextQueries {
   }
 
   /** Shared per-doc quality-score projection (the C9 formula; doc_id
-    * carried so C70's keeper selection can rank within clusters). */
+    * carried so C70's keeper selection can rank within clusters).
+    * NULL text scores 0.0 — Spark's null-skipping `least` would
+    * otherwise hand null stats 0.7 (Pipeline.qualityFilter has the
+    * same guard; the testdata corpus contains no nulls, so the gates
+    * are unaffected — this is the 100 TB crawl defense). */
   private[ops] def qualityScores(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
       .select(col("doc_id"), col("source"),
@@ -86,7 +90,8 @@ object TextQueries {
     val score = lit(0.4) * least(nTok / 100.0, lit(1.0)) +
       lit(0.3) * least(stopRatio * 10.0, lit(1.0)) +
       lit(0.3) * when(avgLen >= 3.0 && avgLen <= 8.0, 1.0).otherwise(0.0)
-    d.select(col("doc_id"), col("source"), score.as("q"))
+    d.select(col("doc_id"), col("source"),
+      when(col("st").isNull, lit(0.0)).otherwise(score).as("q"))
   }
 
   /** C19: per-source quality percentile cutoffs (p25/p50/p90) — the
