@@ -32,10 +32,20 @@ object Vectors {
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 
-  /** Corpus with `e` (double vector) and `nrm` columns added. */
-  def withNorm(df: DataFrame, vecCol: String): DataFrame = {
+  /** Corpus with `e` (double vector) and `nrm` columns added.
+    * DEGENERATE vectors — null or zero-norm (a failed encoder's output,
+    * absent from testdata but guaranteed in a real 100 TB corpus) — are
+    * dropped by default: a zero norm makes every cosine a division by
+    * zero, which under Spark 4's ANSI default THROWS and kills the
+    * whole job (probed; VectorEdgeSpec pins the guard). They cannot
+    * participate in any similarity operator anyway; pass
+    * `dropDegenerate = false` for raw pass-through. */
+  def withNorm(df: DataFrame, vecCol: String,
+               dropDegenerate: Boolean = true): DataFrame = {
     val e = toDouble(col(vecCol))
-    df.withColumn("e", e).withColumn("nrm", norm(col("e")))
+    val framed = df.withColumn("e", e).withColumn("nrm", norm(col("e")))
+    if (dropDegenerate) framed.where(col("nrm").isNotNull && col("nrm") > 0)
+    else framed
   }
 
   /** Deterministic ±1 random-hyperplane set: `numPlanes` planes of `dim`
