@@ -36,6 +36,8 @@ object SparkEntry {
     "q11_json_props" -> (LakeQueries.q11JsonProps _),
     // Tukey-fence value-anomaly card per event type (IRREGULAR for values)
     "q38_event_anomaly" -> (LakeQueries.q38EventAnomaly _),
+    // rows-only: GK-sketch face of the anomaly card (AnomalyApproxSpec bounds drift)
+    "q38_event_anomaly_approx" -> (LakeQueries.q38EventAnomalyApprox _),
     // day-over-trailing-median volume monitor (the VOLUME companion to A39)
     "q39_volume_spike" -> (LakeQueries.q39VolumeSpike _),
     "q12_promo_revenue" -> (LakeQueries.q12PromoRevenue _),

@@ -959,6 +959,35 @@ object LakeQueries {
       .orderBy(col("event_type"))
   }
 
+  /** A39a: the 100 TB face of [[q38EventAnomaly]] — identical card
+    * shape with the quartiles from the mergeable GK sketch
+    * (`percentile_approx`, map-side combined, bounded aggregate memory
+    * per type regardless of group size) instead of the exact sort-based
+    * `percentile` that buffers every value of a type in one task. The
+    * A8/A8a treatment applied to the anomaly fence: exact face = the
+    * oracle gate, approx face = what actually runs at scale. Rows-only;
+    * AnomalyApproxSpec bounds the fence divergence and the flagged-count
+    * drift against the exact face. */
+  def q38EventAnomalyApprox(s: SparkSession, dir: String): DataFrame = {
+    val q = t(s, dir, "events").groupBy(col("event_type"))
+      .agg(count(lit(1)).as("events"),
+        percentile_approx(col("value"), lit(0.25), lit(10000)).as("q25"),
+        percentile_approx(col("value"), lit(0.75), lit(10000)).as("q75"))
+      .withColumn("fence", col("q75") + (col("q75") - col("q25")) * 3)
+    t(s, dir, "events").select(col("event_type"), col("value"))
+      .join(broadcast(q), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(first(col("events")).as("events"),
+        round(first(col("q25")), 4).as("q25"),
+        round(first(col("q75")), 4).as("q75"),
+        round(first(col("fence")), 4).as("fence"),
+        sum(when(col("value") > col("fence"), 1L).otherwise(0L)).as("anomalies"))
+      .select(col("event_type"), col("events"), col("q25"), col("q75"),
+        col("fence"), col("anomalies"),
+        expr("anomalies * 10000 div events").as("anomaly_bp"))
+      .orderBy(col("event_type"))
+  }
+
   /** A40 core over any (event_type, day, n) daily-count frame: each
     * day's volume against its own type's TRAILING-7-day median. The
     * trailing median comes from a bounded self-join of the DAY frame
