@@ -182,4 +182,27 @@ class IngestJobSpec extends SparkSpec {
     assert(merged.where($"id" === 1L).select("note").head().isNullAt(0),
       "old-layout rows null-fill the new column")
   }
+
+  test("zero-byte and whitespace-only landing files classify UNMATCH, never crash") {
+    // the degenerate files a real landing zone accumulates (truncated
+    // uploads, heartbeat artifacts) — the run must classify them into
+    // the failure ledger and keep going, not die mid-sweep
+    val landing = tmpDir("ije-landing"); val storing = tmpDir("ije-storing")
+    val ledger = tmpDir("ije-ledger") + "/processed"
+    drop(landing, "ORDERS_20240101_080000.CSV", "")          // zero-byte
+    drop(landing, "ORDERS_20240101_080001.CSV", "\n\n\n")    // only newlines
+    drop(landing, "ORDERS_20240101_080002.CSV", "1,10.5,2024-01-01\n")
+    val r = IngestJob.run(spark, landing, storing, ledger, configs)
+    assert(r.processed == Map("ORDERS" -> 1L), "the healthy file still lands")
+    val fails = r.failures.select("fname", "status").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(fails == Set(
+      ("ORDERS_20240101_080000.CSV", FailureClassifier.Unmatch),
+      ("ORDERS_20240101_080001.CSV", FailureClassifier.Unmatch)),
+      s"degenerate files must classify as header mismatches: $fails")
+    // and they are ledgered: a re-run re-attempts nothing, skips all
+    val r2 = IngestJob.run(spark, landing, storing, ledger, configs)
+    assert(r2.processed.isEmpty && r2.skippedAsProcessed == 1,
+      "only the successful file ledgers; failures retry by design")
+  }
 }
