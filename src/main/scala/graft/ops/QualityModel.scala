@@ -71,13 +71,20 @@ object QualityModel {
     * the TokenMarkerStats scalars (token count, stopword ratio, mean
     * alpha token length, regex-token ratio), assembled into `feat`.
     * Narrow/stateless by construction, so it runs unchanged on a
-    * STREAMING frame — the D15 face scores intake with it. */
+    * STREAMING frame — the D15 face scores intake with it.
+    * NULL text coalesces to "" BEFORE featurization: spark.ml's
+    * HashingTF UDF throws an NPE on a null token array, which on the
+    * streaming face would kill the whole intake query the moment one
+    * null document arrives (probed; StreamingQualitySpec pins the
+    * guard) — a null doc now featurizes as empty content and scores
+    * like the junk it is. */
   private[graft] def featurize(df: DataFrame): DataFrame = {
-    val st = graft.functions.TokenMarkerStats(col("text"))
+    val txt = coalesce(col("text"), lit(""))
+    val st = graft.functions.TokenMarkerStats(txt)
     val nTok = greatest(col("st.ws_tokens").cast("double"), lit(1.0))
     val base = df
       .withColumn("st", st)
-      .withColumn("tokens", split(col("text"), "\\s+"))
+      .withColumn("tokens", split(txt, "\\s+"))
       .withColumn("f_ntok", least(col("st.ws_tokens").cast("double") / 100.0, lit(3.0)))
       .withColumn("f_stop", col("st.stop").cast("double") / nTok)
       .withColumn("f_alen", least(col("st.alpha_len").cast("double") / nTok, lit(30.0)))

@@ -12,6 +12,22 @@ import graft.ops.QualityModel
 class StreamingQualitySpec extends SparkSpec {
   import spark.implicits._
 
+  test("null and empty arrivals score as junk instead of killing the query") {
+    // HashingTF's UDF NPEs on a null token array — before the featurize
+    // coalesce guard, ONE null document crashed the whole intake stream
+    val model = QualityModel.fitGate(spark, sfDir)
+    val edge = Seq((9001L, null.asInstanceOf[String]), (9002L, ""),
+      (9003L, "the cluster sorts and shuffles all of the data in a batch"))
+      .toDF("doc_id", "text")
+    val scored = StreamingQuality.scoreStream(edge, model)
+      .select(col("doc_id"), col("q_score")).as[(Long, Double)].collect().toMap
+    assert(scored.keySet == Set(9001L, 9002L, 9003L), "no row may be lost or crash")
+    assert(scored(9001L) < 0.5 && scored(9002L) < 0.5,
+      s"contentless docs must score below the gate: $scored")
+    assert(StreamingQuality.gateStream(edge, model)
+      .select("doc_id").as[Long].collect().toSet == Set(9003L))
+  }
+
   test("streamed scoring equals the batch face and keeps no state") {
     val model = QualityModel.fitGate(spark, sfDir)
     val docs = graft.sources.Tables(spark, sfDir, "documents")
