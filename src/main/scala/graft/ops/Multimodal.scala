@@ -47,14 +47,19 @@ object Multimodal {
   /** The real-decoder plug point: per-partition batch iteration over
     * (id, payload) pairs. `decoder` sees raw bytes and returns typed
     * metadata; partitioning/encoders/batching are the production shape —
-    * only the default decoder body is a stub. */
+    * only the default decoder body is a stub. NULL payloads (failed
+    * fetches — guaranteed in a real binary corpus) normalize to empty
+    * bytes HERE, so every plugged decoder inherits the guard instead of
+    * each one NPE-ing its task on the first missing object (probed;
+    * MultimodalSpec pins it). */
   def decodePartitions(df: DataFrame, idCol: String, binCol: String)
                       (decoder: (Long, Array[Byte]) => MediaMeta): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => decoder(id, bytes) })
+      .mapPartitions(_.map { case (id, bytes) =>
+        decoder(id, if (bytes == null) Array.empty else bytes) })
       .toDF()
   }
 

@@ -95,6 +95,26 @@ class MultimodalSpec extends SparkSpec {
     assert(got(5L) == (("bin", 0L, 0L)))
   }
 
+  test("null/empty/garbage payloads decode to fallbacks, never kill the batch") {
+    import spark.implicits._
+    // a failed fetch (null), a zero-byte object, a one-byte object, junk
+    val bins = Seq(
+      (1L, null.asInstanceOf[Array[Byte]]),
+      (2L, Array.empty[Byte]),
+      (3L, Array[Byte](0x42)),
+      (4L, "totally not an image".getBytes("UTF-8")))
+      .toDF("media_id", "content")
+    val metas = Multimodal.decodePartitions(bins, "media_id", "content")(
+        Multimodal.headerDecoder)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("byte_len"), r.getAs[String]("fmt")))).toMap
+    assert(metas.keySet == Set(1L, 2L, 3L, 4L), "every row survives")
+    assert(metas(1L) == ((0L, "bin")), "null payload normalizes to empty -> fallback")
+    assert(metas(2L) == ((0L, "bin")))
+    assert(metas(3L)._2 == "bin" && metas(4L)._2 == "bin",
+      "unknown magic falls back instead of failing the task")
+  }
+
   test("decodePartitions plumbing matches the columnar stub decode") {
     val d = graft.sources.Tables(spark, sfDir, "documents").limit(20)
       .select(col("doc_id"), col("text"))
