@@ -768,7 +768,9 @@ object SparkEntry {
         |       strftime(min(o_orderdate),'%Y-%m-%d') AS min_day,
         |       strftime(max(o_orderdate),'%Y-%m-%d') AS max_day
         |FROM orders
-        |WHERE o_orderdate > (SELECT max(o_orderdate) FROM orders
+        |WHERE (SELECT max(o_orderdate) FROM orders
+        |       WHERE o_orderkey % 5 = 0) IS NULL
+        |   OR o_orderdate > (SELECT max(o_orderdate) FROM orders
         |                     WHERE o_orderkey % 5 = 0)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "ingest_failure_classify" ->

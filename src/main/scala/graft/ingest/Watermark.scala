@@ -14,10 +14,18 @@ import org.apache.spark.sql.functions._
   * predicate pushes down into the remote query.
   */
 object Watermark {
-  /** Rows of `source` strictly above the max of `ingested(keyCol)`. */
+  /** Rows of `source` strictly above the max of `ingested(keyCol)`;
+    * an EMPTY ingested side means FIRST RUN and keeps everything. The
+    * reference's literal SQL (`key > (SELECT max(key)...)`) silently
+    * returns zero rows against an empty catalog — the null-comparison
+    * footgun — because its first load arrives via a different branch;
+    * a library caller gets the explicit rule instead (the JDBC path,
+    * [[RdsIngest.readIncremental]], already encodes it via Option). */
   def newerThanMax(source: DataFrame, ingested: DataFrame, keyCol: String): DataFrame = {
     val wm = ingested.agg(max(col(keyCol)).as("__wm"))
-    source.crossJoin(broadcast(wm)).where(col(keyCol) > col("__wm")).drop("__wm")
+    source.crossJoin(broadcast(wm))
+      .where(col("__wm").isNull || col(keyCol) > col("__wm"))
+      .drop("__wm")
   }
 
   /** The reference's non-partitioned-table branch (CONVERT_RDS_TO_S3_DAILY

@@ -100,6 +100,17 @@ class IngestLibSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(9L, 12L))
   }
 
+  test("Watermark.newerThanMax first run (empty ingested) keeps everything") {
+    // the reference's literal `key > (SELECT max(key)...)` silently
+    // returns ZERO rows against an empty catalog (null comparison) —
+    // a library caller's day one must ingest the full source instead
+    val source = Seq(1L, 5L, 9L).toDF("k")
+    val ingested = Seq.empty[Long].toDF("k")
+    assert(Watermark.newerThanMax(source, ingested, "k")
+      .as[Long].collect().toSet == Set(1L, 5L, 9L),
+      "an empty standing table means first run, not 'nothing is newer'")
+  }
+
   test("Watermark.fullRefresh replaces the destination snapshot") {
     val dst = tmpDir("refresh") + "/table"
     Watermark.fullRefresh(Seq(1L, 2L).toDF("k"), dst)
