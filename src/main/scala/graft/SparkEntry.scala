@@ -1491,13 +1491,16 @@ object SparkEntry {
         |  SELECT label, list_transform(embedding, x -> x::DOUBLE) AS e
         |  FROM embeddings),
         |m AS (SELECT label, sqrt(list_dot_product(e, e)) AS nrm,
-        |             list_sum(e)/len(e) AS mean_c FROM v)
+        |             list_sum(e)/len(e) AS mean_c FROM v),
+        |f AS (SELECT label, nrm, mean_c,
+        |             (nrm IS NULL OR nrm <= 0) AS deg FROM m)
         |SELECT label, count(*) AS n,
-        |       round(avg(nrm), 4) AS avg_norm,
-        |       round(min(nrm), 4) AS min_norm,
-        |       round(max(nrm), 4) AS max_norm,
-        |       round(avg(mean_c), 4) AS avg_mean_comp
-        |FROM m GROUP BY label ORDER BY label""".stripMargin,
+        |       count(*) FILTER (WHERE deg) AS n_degenerate,
+        |       round(avg(nrm) FILTER (WHERE NOT deg), 4) AS avg_norm,
+        |       round(min(nrm) FILTER (WHERE NOT deg), 4) AS min_norm,
+        |       round(max(nrm) FILTER (WHERE NOT deg), 4) AS max_norm,
+        |       round(avg(mean_c) FILTER (WHERE NOT deg), 4) AS avg_mean_comp
+        |FROM f GROUP BY label ORDER BY label""".stripMargin,
     // meta_schema_discovery / meta_ddl_export: rows-only (schema
     // inference output has no SQL-queryable oracle source).
     "mm_metadata" ->

@@ -140,10 +140,13 @@ object KmvSketch {
     slice(array_sort(array_union(a, b)), 1, k)
 
   /** Jaccard estimate: the fraction of the union sketch's values
-    * present in BOTH input sketches (Beyer et al. 2007, §5.2). */
+    * present in BOTH input sketches (Beyer et al. 2007, §5.2).
+    * Two empty sketches (a source whose documents all shingle to
+    * nothing) estimate 0.0, not 0/0 = NaN. */
   def jaccardEstimate(a: Column, b: Column, k: Int): Column = {
     val x = unionSketch(a, b, k)
-    size(filter(x, v => array_contains(a, v) && array_contains(b, v)))
-      .cast("double") / size(x)
+    when(size(x) === 0, lit(0.0)).otherwise(
+      size(filter(x, v => array_contains(a, v) && array_contains(b, v)))
+        .cast("double") / size(x))
   }
 }

@@ -95,6 +95,6 @@ object CorpusDiff {
       |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id),
       |c AS (SELECT source, status, count(*) AS docs FROM d GROUP BY 1, 2)
       |SELECT source, status, docs,
-      |       docs * 10000 // sum(docs) OVER (PARTITION BY source) AS share_bp
+      |       CAST(docs * 10000 // sum(docs) OVER (PARTITION BY source) AS BIGINT) AS share_bp
       |FROM c ORDER BY source, status""".stripMargin
 }

@@ -119,13 +119,20 @@ object DailyRun {
             percentile(col("v"), lit(0.25)).as("q25"),
             percentile(col("v"), lit(0.75)).as("q75"))
           .collect()(0)
-        val (n, q25, q75) = (st.getLong(0), st.getDouble(1), st.getDouble(2))
-        val fence = q75 + (q75 - q25) * 3
-        val anomalies = v.where(col("v") > fence).count()
-        val bp = anomalies * 10000 / math.max(n, 1L)
-        require(bp <= auditMaxBp,
-          s"anomaly_bp=$bp exceeds $auditMaxBp (fence=$fence, $anomalies of $n rows)")
-        (s"anomalies=$anomalies of $n (bp=$bp, fence=$fence)", ())
+        val n = st.getLong(0)
+        // empty table / all-null column: percentile returns null — a
+        // defined no-data outcome for the leg, not a fence computation
+        if (n == 0 || st.isNullAt(1) || st.isNullAt(2)) {
+          ("no rows to audit", ())
+        } else {
+          val (q25, q75) = (st.getDouble(1), st.getDouble(2))
+          val fence = q75 + (q75 - q25) * 3
+          val anomalies = v.where(col("v") > fence).count()
+          val bp = anomalies * 10000 / math.max(n, 1L)
+          require(bp <= auditMaxBp,
+            s"anomaly_bp=$bp exceeds $auditMaxBp (fence=$fence, $anomalies of $n rows)")
+          (s"anomalies=$anomalies of $n (bp=$bp, fence=$fence)", ())
+        }
       }
     }
 

@@ -45,11 +45,16 @@ object ZoneSync {
     * delete sets come from the [[plan]] anti-joins over the two listings,
     * plus sync's size heuristic (same key, different length → re-copy).
     * The file moves are driver-side metadata work exactly like the
-    * reference's CLI — per-object copies over the FileSystem API; the
-    * collect is one row per out-of-sync FILE, not per byte. Returns
+    * reference's CLI — per-object copies over the FileSystem API — but
+    * the key sets are STREAMED from the plan one partition at a time
+    * (`toLocalIterator`), never fully materialized on the driver: at a
+    * 100 TB zone the out-of-sync set can be ~10⁷ keys, and the driver
+    * only ever holds one partition's worth while applying. Order stays
+    * deterministic (global sort before iteration). Returns
     * (copied, deleted). */
   def execute(spark: SparkSession, sourceDir: String, destDir: String): (Long, Long) = {
-    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    import org.apache.spark.sql.functions.col
     import spark.implicits._
     val conf = spark.sessionState.newHadoopConf()
     val srcRoot = new Path(sourceDir); val dstRoot = new Path(destDir)
@@ -58,14 +63,25 @@ object ZoneSync {
     val p = plan(src.toDF("key", "len"), dst.toDF("key", "len"), "key")
     val dstLen = dst.toMap
     val changed = src.filter { case (k, len) => dstLen.get(k).exists(_ != len) }.map(_._1)
-    val toCopy = (p.toCopy.as[String].collect().toSeq ++ changed).sorted
-    val toDelete = p.toDelete.as[String].collect().toSeq.sorted
-    toCopy.foreach { k =>
-      org.apache.hadoop.fs.FileUtil.copy(fs, new Path(srcRoot, k),
-        fs, new Path(dstRoot, k), false, true, conf)
+    // missing-at-destination (anti-join) ∪ same-key-different-size: the
+    // two sets are disjoint by construction, so the union is dup-free
+    val toCopy = p.toCopy.select(col("key")).union(changed.toDF("key"))
+      .orderBy(col("key")).as[String].toLocalIterator()
+    var copied = 0L
+    while (toCopy.hasNext) {
+      val k = toCopy.next()
+      FileUtil.copy(fs, new Path(srcRoot, k), fs, new Path(dstRoot, k),
+        false, true, conf)
+      copied += 1
     }
-    toDelete.foreach(k => fs.delete(new Path(dstRoot, k), false))
-    (toCopy.size.toLong, toDelete.size.toLong)
+    val toDelete = p.toDelete.select(col("key")).orderBy(col("key"))
+      .as[String].toLocalIterator()
+    var deleted = 0L
+    while (toDelete.hasNext) {
+      fs.delete(new Path(dstRoot, toDelete.next()), false)
+      deleted += 1
+    }
+    (copied, deleted)
   }
 
   /** User-zone destination path per sync-config row (the reference's

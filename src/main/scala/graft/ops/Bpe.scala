@@ -47,15 +47,101 @@ object Bpe {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
           .otherwise(concat(acc, array(s))))
 
+  /** A training run's output plus how many driver round-trips (collects
+    * / counts) it took — the latency tax a real cluster pays per round. */
+  final case class Trained(merges: Seq[Merge], collects: Int)
+
   /** Learns up to `numMerges` merges from a (syms: array<string>,
     * n: long) word histogram. Ties break on (count desc, left asc,
     * right asc) — fully deterministic across reruns, partitionings,
-    * and engines. Stops early when no adjacent pair remains. */
-  def train(words: DataFrame, numMerges: Int): Seq[Merge] = {
+    * and engines. Stops early when no adjacent pair remains.
+    *
+    * Driver round-trips are bounded, not one-per-merge: when the word
+    * histogram fits on the driver (vocabulary-scale — even a 100 TB
+    * corpus has a bounded distinct-word set, but the threshold guards
+    * the adversarial case) it is collected ONCE and the merge loop
+    * finishes driver-side ([[driverTrain]], 2 round-trips total);
+    * otherwise the distributed loop accepts a provably-safe BATCH of
+    * merges per collect ([[trainDistributed]]). Both paths produce the
+    * exact sequential merge table (BpeSpec pins equality). */
+  def train(words: DataFrame, numMerges: Int): Seq[Merge] =
+    trainStats(words, numMerges).merges
+
+  /** [[train]] with the round-trip count surfaced. */
+  def trainStats(words: DataFrame, numMerges: Int,
+                 driverFinishRows: Long = 100000L): Trained = {
     require(numMerges >= 1, s"numMerges must be positive: $numMerges")
-    var w = words.localCheckpoint(true)
+    val sp = words.sparkSession
+    import sp.implicits._
+    if (words.count() <= driverFinishRows) {
+      val hist = words.select(col("syms"), col("n"))
+        .as[(Seq[String], Long)].collect().toSeq
+      Trained(driverTrain(hist, numMerges), collects = 2)
+    } else trainDistributed(words, numMerges)
+  }
+
+  /** Exact sequential BPE (get_stats / merge_vocab) over an in-memory
+    * histogram — the driver-side finisher for vocabulary-scale inputs.
+    * Same greedy semantics and (count desc, left asc, right asc)
+    * tie-break as the distributed path. */
+  def driverTrain(hist: Seq[(Seq[String], Long)], numMerges: Int): Seq[Merge] = {
+    var w = hist
+    val out = Vector.newBuilder[Merge]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val stats = scala.collection.mutable.Map.empty[(String, String), Long]
+      w.foreach { case (syms, n) =>
+        syms.iterator.zip(syms.iterator.drop(1)).foreach { p =>
+          stats(p) = stats.getOrElse(p, 0L) + n
+        }
+      }
+      if (stats.isEmpty) done = true
+      else {
+        val ((a, b), c) = stats.minBy { case ((x, y), m) => (-m, x, y) }
+        out += Merge(rank, a, b, c)
+        w = w.map { case (syms, n) =>
+          val acc = scala.collection.mutable.Buffer.empty[String]
+          syms.foreach { s =>
+            if (acc.nonEmpty && acc.last == a && s == b) {
+              acc.remove(acc.length - 1); acc += (a + b)
+            } else acc += s
+          }
+          (acc.toSeq, n)
+        }
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  /** The distributed merge loop, batched: each round collects the
+    * top-`batchK` pair counts once and accepts a PREFIX of them whose
+    * sequential outcome is provable from the snapshot alone, so one
+    * round-trip yields several merges with output identical to the
+    * one-merge-per-collect loop.
+    *
+    * A candidate (a_i, b_i, c_i) is accepted after already-accepted
+    * (a_j, b_j) iff
+    *  - its own count is untouched by merge j: b_i ≠ a_j (no
+    *    "x a_j b_j" steal of its left token), a_i ≠ b_j (no
+    *    "a_j b_j y" steal of its right token), and neither symbol
+    *    collides with the new symbol a_j+b_j; and
+    *  - c_i strictly exceeds every count a pair NEWLY CREATED by merge
+    *    j can have: (x, a_j b_j) occurrences each come from a snapshot
+    *    "x a_j" adjacency and (a_j b_j, y) from a "b_j y" one, so the
+    *    snapshot counts of those two families (uncollected pairs are
+    *    ≤ the k-th collected count) bound every newcomer.
+    * The batch stops at the first candidate failing either test —
+    * accepted merges form a contiguous prefix of the snapshot order,
+    * which is exactly what the sequential algorithm would emit. */
+  def trainDistributed(words: DataFrame, numMerges: Int,
+                       batchK: Int = 512): Trained = {
+    require(numMerges >= 1, s"numMerges must be positive: $numMerges")
+    var w = words.select(col("syms"), col("n")).localCheckpoint(true)
     val merges = Vector.newBuilder[Merge]
     var rank = 1
+    var collects = 0
     var done = false
     while (rank <= numMerges && !done) {
       val top = w
@@ -66,19 +152,47 @@ object Bpe {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("n")).as("c"))
         .orderBy(col("c").desc, col("a"), col("b"))
-        .limit(1).collect()
+        .limit(batchK).collect()
+      collects += 1
       if (top.isEmpty) done = true
       else {
-        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += Merge(rank, a, b, c)
-        val next = w.select(mergePair(col("syms"), a, b).as("syms"), col("n"))
-          .localCheckpoint(true)
+        val snap = top.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        // pairs beyond the collected K can carry at most the K-th count
+        val uncollectedCap = if (snap.length < batchK) 0L else snap.last._3
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var newPairCap = Long.MinValue
+        var stop = false
+        snap.foreach { case (a, b, c) =>
+          if (!stop && rank + accepted.size <= numMerges) {
+            val conflict = accepted.exists { case (aj, bj, _) =>
+              val m = aj + bj
+              b == aj || a == bj || a == m || b == m
+            }
+            if (conflict || (accepted.nonEmpty && c <= newPairCap)) stop = true
+            else {
+              accepted += ((a, b, c))
+              val familyMax = snap.iterator.collect {
+                case (x, y, cc) if (x, y) != (a, b) && (y == a || x == b) => cc
+              }.foldLeft(0L)(math.max)
+              // an (x,x) self-merge can also chain into (xx,xx); cap at c
+              val selfCap = if (a == b) c else 0L
+              newPairCap = math.max(newPairCap,
+                math.max(uncollectedCap, math.max(familyMax, selfCap)))
+            }
+          } else stop = true
+        }
+        accepted.foreach { case (a, b, c) =>
+          merges += Merge(rank, a, b, c); rank += 1
+        }
+        val folded = accepted.foldLeft(col("syms")) { case (cc, (a, b, _)) =>
+          mergePair(cc, a, b)
+        }
+        val next = w.select(folded.as("syms"), col("n")).localCheckpoint(true)
         w.unpersist()
         w = next
-        rank += 1
       }
     }
-    merges.result()
+    Trained(merges.result(), collects)
   }
 
   /** C50: the learned merge table over the documents corpus — rank,

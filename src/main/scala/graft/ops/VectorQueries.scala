@@ -413,17 +413,25 @@ object VectorQueries {
       .orderBy(col("src"), col("rank"))
   }
 
-  /** C13: per-label vector statistics (norms + mean component). */
+  /** C13: per-label vector statistics (norms + mean component).
+    * Unlike the similarity faces, this REPORT face keeps degenerate
+    * (null / zero-norm) vectors visible: `n` counts every row and
+    * `n_degenerate` counts the failed-encoder outputs, so a bad
+    * embedding feed shows up in the card instead of silently shrinking
+    * it; the norm/component stats are over the healthy rows only. */
   def embedStats(s: SparkSession, dir: String): DataFrame = {
     val meanComp = aggregate(col("e"), lit(0.0), (acc, x) => acc + x) / size(col("e"))
-    emb(s, dir)
-      .select(col("label"), col("nrm"), meanComp.as("mean_c"))
+    val deg = col("nrm").isNull || col("nrm") <= 0
+    Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding",
+        dropDegenerate = false)
+      .select(col("label"), col("nrm"), meanComp.as("mean_c"), deg.as("deg"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("nrm")), 4).as("avg_norm"),
-        round(min(col("nrm")), 4).as("min_norm"),
-        round(max(col("nrm")), 4).as("max_norm"),
-        round(avg(col("mean_c")), 4).as("avg_mean_comp"))
+        count(when(col("deg"), lit(1))).as("n_degenerate"),
+        round(avg(when(!col("deg"), col("nrm"))), 4).as("avg_norm"),
+        round(min(when(!col("deg"), col("nrm"))), 4).as("min_norm"),
+        round(max(when(!col("deg"), col("nrm"))), 4).as("max_norm"),
+        round(avg(when(!col("deg"), col("mean_c"))), 4).as("avg_mean_comp"))
       .orderBy(col("label"))
   }
 }

@@ -93,6 +93,24 @@ class IngestLibSpec extends SparkSpec {
     assert(p.toDelete.as[String].collect().toSet == Set("d"))
   }
 
+  test("ZoneSync.execute streams the apply: missing+changed copied, dest-only deleted, idempotent") {
+    import java.nio.file.{Files, Paths}
+    val src = tmpDir("zs-src"); val dst = tmpDir("zs-dst")
+    Files.writeString(Paths.get(s"$src/a.parquet"), "aaaa")
+    Files.createDirectories(Paths.get(s"$src/sub"))
+    Files.writeString(Paths.get(s"$src/sub/b.parquet"), "bbbb")
+    Files.writeString(Paths.get(s"$src/c.parquet"), "cc")
+    Files.writeString(Paths.get(s"$dst/c.parquet"), "stale-longer") // same key, new size
+    Files.writeString(Paths.get(s"$dst/gone.parquet"), "zz")        // dest-only
+    val (copied, deleted) = ZoneSync.execute(spark, src, dst)
+    assert((copied, deleted) == ((3L, 1L)), s"got ($copied, $deleted)")
+    assert(Files.readString(Paths.get(s"$dst/c.parquet")) == "cc")
+    assert(Files.readString(Paths.get(s"$dst/sub/b.parquet")) == "bbbb")
+    assert(!Files.exists(Paths.get(s"$dst/gone.parquet")))
+    // second run finds the zones converged
+    assert(ZoneSync.execute(spark, src, dst) == ((0L, 0L)))
+  }
+
   test("Watermark.newerThanMax keeps only rows above the ingested max") {
     val source = Seq(1L, 5L, 9L, 12L).toDF("k")
     val ingested = Seq(1L, 5L).toDF("k")

@@ -103,6 +103,38 @@ class BpeSpec extends SparkSpec {
       "no multi-character piece in the top-30 — merges never applied")
   }
 
+  test("batched distributed trainer equals the sequential reference in few collects") {
+    val words = Bpe.wordHistogram(spark, sfDir)
+    val hist = words.as[(Seq[String], Long)].collect().toSeq
+    val want = referenceBpe(hist, 20)
+    val t = Bpe.trainDistributed(words, 20)
+    assert(t.merges.map(m => (m.left, m.right, m.count)) == want,
+      s"batched trainer diverged:\n${t.merges}\nvs\n$want")
+    // the whole point of batching: strictly fewer round-trips than
+    // one-per-merge (the conservative accept rule still makes progress)
+    assert(t.collects < 20, s"batching never helped: ${t.collects} collects for 20 merges")
+    // ranks are 1..n contiguous
+    assert(t.merges.map(_.rank) == (1 to t.merges.size))
+  }
+
+  test("hybrid train finishes driver-side in 2 round-trips on a collectable histogram") {
+    val words = Bpe.wordHistogram(spark, sfDir)
+    val t = Bpe.trainStats(words, 20)
+    assert(t.collects == 2, s"expected driver finish (2 round-trips), got ${t.collects}")
+    val hist = words.as[(Seq[String], Long)].collect().toSeq
+    assert(t.merges.map(m => (m.left, m.right, m.count)) == referenceBpe(hist, 20))
+    // forced-distributed threshold: same answer when the driver path is disallowed
+    val forced = Bpe.trainStats(words, 6, driverFinishRows = 0L)
+    assert(forced.merges.map(m => (m.left, m.right, m.count)) == referenceBpe(hist, 6))
+  }
+
+  test("batched trainer on the paper example matches the reference") {
+    val words = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+      .map { case (wd, n) => (wd.map(_.toString) :+ "</w>", n) }
+    val t = Bpe.trainDistributed(words.toDF("syms", "n"), 4)
+    assert(t.merges.map(m => (m.left, m.right, m.count)) == referenceBpe(words, 4))
+  }
+
   test("mergePair matches greedy left-to-right semantics on runs") {
     val df = Seq(
       Seq("x", "x", "x"),
