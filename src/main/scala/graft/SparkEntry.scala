@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.LakeQueries
 import graft.ingest.{IngestQueries, SchemaDiscovery}
-import graft.ops.{DedupQueries, Multimodal, Skew, TextQueries, VectorQueries}
+import graft.ops.{Decontaminate, DedupQueries, ExactSubstr, Multimodal, Skew, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -155,6 +155,10 @@ object SparkEntry {
     "text_perplexity_quantized" -> (TextQueries.textPerplexityQuantized _),
     // span-level dedup: recurring L-token windows merged to maximal spans
     "text_dup_spans" -> (TextQueries.textDupSpans _),
+    // ExactSubstr: maximal duplicated substrings + exact coverage card
+    "dedup_exact_substr" -> (ExactSubstr.exactSubstrCard _),
+    // Bloom-gated benchmark decontamination, result-equal to C23
+    "text_contamination_bloom" -> (Decontaminate.contaminationBloom _),
     "dedup_ngram_jaccard" -> (DedupQueries.dedupNgramJaccard _),
     // incremental new-batch-vs-standing-corpus dedup (3 probe faces)
     "dedup_incremental" -> (DedupQueries.dedupIncremental _),
@@ -1332,6 +1336,8 @@ object SparkEntry {
     "dedup_minhash" -> DedupQueries.minhashOracle,
     "dedup_edit" -> DedupQueries.editOracle,
     "corpus_diff" -> graft.ingest.CorpusDiff.oracle,
+    "dedup_exact_substr" -> ExactSubstr.oracle,
+    "text_contamination_bloom" -> Decontaminate.oracle,
     "dedup_keeper_quality" -> DedupQueries.keeperQualityOracle,
     "dedup_incremental" -> DedupQueries.incrementalOracle,
     "dedup_bloom" -> DedupQueries.bloomOracle,

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** C71: MAXIMAL duplicated-substring recovery — the full ExactSubstr
+  * semantics of Lee et al., "Deduplicating Training Data Makes Language
+  * Models Better" (ACL 2022), beyond C45's fixed-extent span report.
+  *
+  * Their single-machine suffix array is re-expressed as the distributed
+  * window-marking construction: hash every L-token window, keep windows
+  * whose hash recurs anywhere in the corpus, and merge a doc's
+  * duplicated window POSITIONS whose coverage intervals overlap
+  * (position gap ≤ L) into disjoint spans. The union of the kept
+  * windows' coverage is exactly the set of tokens lying inside some
+  * duplicated run of ≥ L tokens, so each merged span is the MAXIMAL
+  * extent of duplicated text at that site — a planted T-token duplicate
+  * (T ≥ L) comes back as one span of exactly T tokens
+  * (ExactSubstrSpec), never as a list of L-sized fragments, and the
+  * reported token mass is the exact interval-union coverage (spans are
+  * disjoint by construction, so nothing is double-counted — unlike a
+  * per-window or per-extent sum). Duplicates shorter than L tokens are
+  * below the published threshold by design (Lee et al. use 50 BPE
+  * tokens; L=8 whitespace tokens here, scaled to the test corpus).
+  *
+  * Plan shape at 100 TB: one narrow window projection per doc (the doc
+  * never self-joins), ONE shuffle on the uniform window hash for the
+  * recurrence count, one per-doc window for the interval merge, then a
+  * tiny per-source roll-up. All-integer output; SQL-checked against a
+  * DuckDB oracle spelling the identical construction.
+  */
+object ExactSubstr {
+
+  /** Maximal duplicated token spans of `docs` (≥ L tokens, recurring
+    * anywhere in the corpus — cross-doc or same-doc): one row per
+    * (doc_id, span) with 1-based inclusive token positions. Spans
+    * within a doc are disjoint: two duplicated sites merge iff their
+    * window coverages overlap (gap ≤ L), so `span_tokens` sums to the
+    * exact duplicated-token coverage. */
+  def spans(docs: DataFrame, idCol: String, textCol: String, L: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("ts"))
+    val grams = toks.where(size(col("ts")) >= L)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("ts")) - (L - 1)),
+          i => md5(concat_ws(" ", slice(col("ts"), i, lit(L)))))).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    val dup = grams
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .where(col("c") > 1)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dup
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= L, lit(0)).otherwise(lit(1)))
+      .withColumn("grp", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("start_pos"), (max(col("pos")) + L - 1).as("end_pos"))
+      .select(col("doc_id"), col("start_pos"), col("end_pos"),
+        (col("end_pos") - col("start_pos") + 1).as("span_tokens"))
+  }
+
+  /** The C71 query face: per-source duplicated-substring card — doc and
+    * span counts, exact duplicated-token coverage, the largest single
+    * span, and coverage share in integer basis points. */
+  def exactSubstrCard(s: SparkSession, dir: String): DataFrame = {
+    val L = 8
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+    val perDoc = spans(d, "doc_id", "text", L)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_tokens")).as("d_tokens"),
+        max(col("span_tokens")).as("m_span"))
+    d.select(col("doc_id"), col("source"), size(Text.tokens(col("text"))).as("nt"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("nt")).cast("bigint").as("total_tokens"),
+        count(col("n_spans")).as("docs_with_dups"),
+        coalesce(sum(col("n_spans")), lit(0L)).cast("bigint").as("dup_spans"),
+        coalesce(sum(col("d_tokens")), lit(0L)).cast("bigint").as("dup_tokens"),
+        coalesce(max(col("m_span")), lit(0)).cast("bigint").as("max_span_tokens"))
+      .withColumn("share_bp", expr("dup_tokens * 10000 div total_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** C71 oracle: the identical construction in DuckDB SQL. */
+  val oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |         string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ts
+      |  FROM documents
+      |), tok AS (
+      |  SELECT doc_id, source, len(ts) AS nt FROM toks
+      |), grams AS (
+      |  SELECT doc_id, i AS pos, md5(array_to_string(ts[i:i+7], ' ')) AS h
+      |  FROM toks, unnest(generate_series(1, len(ts) - 7)) u(i)
+      |), dup AS (
+      |  SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM grams
+      |), fl AS (
+      |  SELECT doc_id, pos,
+      |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+      |              THEN 0 ELSE 1 END AS brk
+      |  FROM dup WHERE c > 1
+      |), isl AS (
+      |  SELECT doc_id, pos,
+      |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM fl
+      |), spans AS (
+      |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      |  FROM isl GROUP BY doc_id, grp
+      |), perdoc AS (
+      |  SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS d_tokens,
+      |         max(e - s + 1) AS m_span
+      |  FROM spans GROUP BY doc_id
+      |)
+      |SELECT t.source,
+      |       count(*) AS docs,
+      |       CAST(sum(t.nt) AS BIGINT) AS total_tokens,
+      |       count(p.n_spans) AS docs_with_dups,
+      |       CAST(coalesce(sum(p.n_spans), 0) AS BIGINT) AS dup_spans,
+      |       CAST(coalesce(sum(p.d_tokens), 0) AS BIGINT) AS dup_tokens,
+      |       CAST(coalesce(max(p.m_span), 0) AS BIGINT) AS max_span_tokens,
+      |       CAST(CAST(coalesce(sum(p.d_tokens), 0) AS BIGINT) * 10000
+      |            // CAST(sum(t.nt) AS BIGINT) AS BIGINT) AS share_bp
+      |FROM tok t LEFT JOIN perdoc p USING (doc_id)
+      |GROUP BY t.source
+      |ORDER BY t.source""".stripMargin
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ExactSubstrSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val L = 8
+
+  /** Globally-unique filler tokens: any window touching filler is unique. */
+  private def filler(tag: String, n: Int): Seq[String] =
+    (0 until n).map(i => s"$tag$i")
+
+  test("a planted T-token duplicate comes back as ONE span of exactly T tokens") {
+    val plant = (0 until 30).map(i => s"plant$i")
+    val a = (filler("ua", 12) ++ plant ++ filler("ub", 15)).mkString(" ")
+    val b = (filler("vc", 7) ++ plant ++ filler("vd", 20)).mkString(" ")
+    val c = filler("we", 40).mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val got = ExactSubstr.spans(docs, "doc_id", "text", L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // one maximal span per planted doc, nothing in the unique doc
+    assert(got.toSeq == Seq(
+      (1L, 13, 42, 30),   // plant occupies tokens 13..42 of doc 1
+      (2L, 8, 37, 30)),   // and 8..37 of doc 2
+      s"unexpected spans: ${got.toSeq}")
+    // the recovered span IS the planted substring, token for token
+    val toksA = a.split(" ")
+    assert(toksA.slice(12, 42).toSeq == plant)
+  }
+
+  test("duplicates shorter than L are below the detection threshold") {
+    val small = (0 until L - 1).map(i => s"sp$i")
+    val a = (filler("xa", 10) ++ small ++ filler("xb", 10)).mkString(" ")
+    val b = (filler("yc", 10) ++ small ++ filler("yd", 10)).mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    assert(ExactSubstr.spans(docs, "doc_id", "text", L).count() == 0)
+  }
+
+  test("nearby duplicated sites merge into one span with exact union coverage") {
+    // two L-token plants separated by a gap smaller than L: their window
+    // coverages overlap, so they merge into one disjoint span and the
+    // token mass counts the overlap region once
+    val p1 = (0 until L).map(i => s"pa$i")
+    val p2 = (0 until L).map(i => s"pb$i")
+    val gap = 3
+    val a = (filler("fa", 10) ++ p1 ++ filler("fg", gap) ++ p2 ++ filler("fb", 10)).mkString(" ")
+    val b = (filler("hc", 20) ++ p1 ++ filler("hg", gap) ++ p2 ++ filler("hd", 5)).mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val got = ExactSubstr.spans(docs, "doc_id", "text", L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(3)))
+    // span covers p1 + gap windows? the gap tokens themselves are unique,
+    // but positions differ by L+gap... whether the two sites merge depends
+    // on the position gap vs L; with gap=3 < L the dup window positions
+    // are 11 and 11+L+gap=22, difference 11 > L → two separate spans of
+    // exactly L tokens each, and coverage counts each site once
+    assert(got.toSeq == Seq((1L, L), (1L, L), (2L, L), (2L, L)),
+      s"unexpected spans: ${got.toSeq}")
+  }
+
+  test("adjacent plants (gap <= L in window positions) merge into one maximal span") {
+    // back-to-back plants: windows straddling the junction are ALSO
+    // duplicated (both docs carry the junction), so the whole region is
+    // one maximal duplicated substring of 2L tokens
+    val p1 = (0 until L).map(i => s"qa$i")
+    val p2 = (0 until L).map(i => s"qb$i")
+    val a = (filler("ja", 10) ++ p1 ++ p2 ++ filler("jb", 10)).mkString(" ")
+    val b = (filler("kc", 4) ++ p1 ++ p2 ++ filler("kd", 12)).mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val got = ExactSubstr.spans(docs, "doc_id", "text", L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(3)))
+    assert(got.toSeq == Seq((1L, 2 * L), (2L, 2 * L)),
+      s"expected one merged 2L span per doc: ${got.toSeq}")
+  }
+
+  test("the per-source card reconciles with the span frame") {
+    val card = ExactSubstr.exactSubstrCard(spark, sfDir).collect()
+    assert(card.nonEmpty)
+    card.foreach { r =>
+      val (total, dup, bp) = (r.getLong(2), r.getLong(5), r.getLong(7))
+      assert(dup <= total, s"coverage exceeds corpus: $r")
+      assert(bp == dup * 10000 / total, s"share_bp mismatch: $r")
+      assert(r.getLong(6) <= dup, s"max span exceeds total coverage: $r")
+      assert(r.getLong(3) <= r.getLong(1), s"docs_with_dups > docs: $r")
+    }
+  }
+}
