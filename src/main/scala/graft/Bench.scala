@@ -61,6 +61,12 @@ object Bench {
       if (new java.io.File(small).isDirectory) small else sfDir
     }
     names.foreach(materialize(_, warmDir)) // warm-up: not timed
+    // artifact warm-up: *_cached faces measure the SERVE path, so their
+    // persisted models/indexes are built at the bench SF before timing
+    // (invoking the face trains + persists eagerly; the plan is dropped)
+    names.filter(_.endsWith("_cached"))
+      .foreach(n => try SparkEntry.queries(n)(spark, sfDir)
+        catch { case _: Throwable => () })
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()

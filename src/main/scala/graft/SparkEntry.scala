@@ -130,9 +130,13 @@ object SparkEntry {
     // rows-only: encode with the learned merges, top-30 piece histogram
     // (BpeSpec proves piece-for-piece equality with a reference encode)
     "text_bpe_encode" -> (graft.ops.Bpe.textBpeEncode _),
+    // C57a: encode against the persisted merge table (recurring cost face)
+    "text_bpe_encode_cached" -> (graft.ops.Bpe.textBpeEncodeCached _),
     // rows-only: CCNet head/middle/tail perplexity terciles per source
     // (PerplexitySpec pins sizes, boundaries, and the partition property)
     "quality_ccnet" -> (TextQueries.qualityCcnet _),
+    // C56a: CCNet bucketing against the persisted LM + cuts
+    "quality_ccnet_cached" -> (TextQueries.qualityCcnetCached _),
     // rows-only: two-phase annealing mixture plan (MixtureAnnealSpec reconciles)
     "mixture_anneal" -> (TextQueries.mixtureAnneal _),
     // rows-only: learned quality gate (spark.ml LR; AUC/determinism spec-bounded)
@@ -153,6 +157,8 @@ object SparkEntry {
     "text_perplexity_bigram" -> (TextQueries.textPerplexityBigram _),
     // rows-only: 8-bit KenLM-style quantized LM face (QuantLmSpec pins drift)
     "text_perplexity_quantized" -> (TextQueries.textPerplexityQuantized _),
+    // C42c: scoring against the persisted 8-bit LM tables
+    "text_perplexity_quantized_cached" -> (TextQueries.textPerplexityQuantizedCached _),
     // span-level dedup: recurring L-token windows merged to maximal spans
     "text_dup_spans" -> (TextQueries.textDupSpans _),
     // ExactSubstr: maximal duplicated substrings + exact coverage card
@@ -194,11 +200,15 @@ object SparkEntry {
     "sim_search_pq" -> (graft.ops.ProductQuant.simSearchPq _),
     // rows-only: composed IVF-PQ (residual-coded posting lists, IVFADC)
     "sim_search_ivfpq" -> (graft.ops.IvfPq.simSearchIvfPq _),
+    // C44a: search against the persisted IVF-PQ index
+    "sim_search_ivfpq_cached" -> (graft.ops.IvfPq.simSearchIvfPqCached _),
     // rows-only: PQ with balanced-permutation subspace allocation (OPQ family)
     "sim_search_opq" -> (graft.ops.ProductQuant.simSearchOpq _),
     // rows-only: full-rotation OPQ (PCA eigenvalue-allocation init +
     // Procrustes refinement; descent + recall spec-bounded)
     "sim_search_opq_rot" -> (graft.ops.Opq.simSearchOpqRot _),
+    // C38c: OPQ search against the persisted rotation + codebook
+    "sim_search_opq_cached" -> (graft.ops.Opq.simSearchOpqCached _),
     // rows-only: int8 scalar-quantized search (recall spec-bounded)
     "sim_search_sq8" -> (graft.ops.ScalarQuant.simSearchSq8 _),
     // rows-only: SemDeDup within-learned-cluster prune (spec-bounded)

@@ -245,6 +245,37 @@ object Bpe {
       .limit(30)
   }
 
+  /** C57a: the C57 encode face against a PERSISTED merge table — the
+    * production tokenizer shape (train the vocabulary once, ship the
+    * merge list, encode every batch against it). First invocation
+    * trains + persists the merges ([[ArtifactStore]]); warm invocations
+    * load the 20-row table and run only the narrow encode projection +
+    * rollup. BpeSpec pins equality to the inline face. */
+  def textBpeEncodeCached(s: SparkSession, dir: String): DataFrame = {
+    val words = wordHistogram(s, dir)
+    if (!ArtifactStore.has(s, dir, "bpe_merges")) {
+      import s.implicits._
+      val merges = train(words.localCheckpoint(true), numMerges = 20)
+      ArtifactStore.save(
+        merges.map(m => (m.rank, m.left, m.right, m.count))
+          .toDF("rank", "left", "right", "count"),
+        dir, "bpe_merges")
+    }
+    val merges = ArtifactStore.load(s, dir, "bpe_merges")
+      .orderBy(col("rank")).collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val pieces = words
+      .select(explode(encodeColumn(col("syms"), merges)).as("piece"), col("n"))
+      .groupBy(col("piece")).agg(sum(col("n")).as("count"))
+    val tot = pieces.agg(sum(col("count")).as("t"))
+    pieces.crossJoin(broadcast(tot))
+      .select(col("piece"), col("count"),
+        expr("count * 10000 div t").as("share_bp"))
+      .orderBy(col("count").desc, col("piece"))
+      .limit(30)
+  }
+
   /** The corpus word histogram as symbol arrays: single characters plus
     * the `</w>` end-of-word marker. */
   def wordHistogram(s: SparkSession, dir: String): DataFrame =

@@ -49,28 +49,68 @@ object IvfPq {
         zip_with(col("e"), col("ce"), (x, y) => x - y).as("r"))
   }
 
+  /** The corpus frames every face shares: raw (for rescore) + unit. */
+  private def frames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
+      .select(col("vec_id"), col("e"), col("nrm"))
+    val unit = v.select(col("vec_id"),
+      transform(col("e"), x => x / col("nrm")).as("e"), lit(1.0).as("nrm"))
+    (v, unit)
+  }
+
+  /** Index build: coarse centroids, shared residual codebook, postings
+    * (vec_id, codes, cluster). One KMeans pass + one PQ train/encode
+    * pass over residuals. */
+  private def buildIndex(s: SparkSession, unit: DataFrame,
+      numSub: Int, subDim: Int, k: Int): (DataFrame, DataFrame, DataFrame) = {
+    val coarse = KMeans.fit(unit, k = 8, iters = 3).centroids
+    val res = residuals(unit, coarse)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheScope.releaseAfterAction(s, res)
+    val rFrame = res.select(col("vec_id"), col("r").as("e"))
+    val cb = ProductQuant.fit(rFrame, numSub, subDim, k, iters = 2)
+    val postings = ProductQuant.encode(rFrame, cb, numSub, subDim)
+      .join(res.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+    (coarse, cb, postings)
+  }
+
   /** C44 query face: IVF-PQ top-10 for the query set vec_id < 5.
     * k_coarse=8 IVF clusters (3 Lloyd rounds), shared residual PQ
     * codebook (M=8 × 8 dims, k=16, 2 rounds), nprobe=2, top-100 ADC
     * candidates, exact cosine rescore, top-10. */
   def simSearchIvfPq(s: SparkSession, dir: String): DataFrame = {
-    val numSub = 8; val subDim = 8; val k = 16; val nprobe = 2
-    val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
-      .select(col("vec_id"), col("e"), col("nrm"))
-    val unit = v.select(col("vec_id"),
-      transform(col("e"), x => x / col("nrm")).as("e"), lit(1.0).as("nrm"))
+    val numSub = 8; val subDim = 8; val k = 16
+    val (v, unit) = frames(s, dir)
+    val (coarse, cb, postings) = buildIndex(s, unit, numSub, subDim, k)
+    search(v, unit, coarse, cb, postings, numSub, subDim, nprobe = 2)
+  }
 
-    val coarse = KMeans.fit(unit, k = 8, iters = 3).centroids
-    val res = residuals(unit, coarse)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    CacheScope.releaseAfterAction(s, res)
+  /** C44a: the PERSISTED-INDEX face — centroids, codebook, and posting
+    * lists parquet-persisted on first build ([[ArtifactStore]]); every
+    * search runs against the stored index, isolating the recurring
+    * serve cost from inline index construction. Results identical to
+    * [[simSearchIvfPq]] (IvfPqSpec pins equality cold and warm). */
+  def simSearchIvfPqCached(s: SparkSession, dir: String): DataFrame = {
+    val numSub = 8; val subDim = 8; val k = 16
+    val (v, unit) = frames(s, dir)
+    if (!ArtifactStore.has(s, dir, "ivfpq_coarse", "ivfpq_cb", "ivfpq_postings")) {
+      val (coarse, cb, postings) = buildIndex(s, unit, numSub, subDim, k)
+      ArtifactStore.save(coarse, dir, "ivfpq_coarse")
+      ArtifactStore.save(cb, dir, "ivfpq_cb")
+      ArtifactStore.save(postings, dir, "ivfpq_postings")
+    }
+    search(v, unit,
+      ArtifactStore.load(s, dir, "ivfpq_coarse"),
+      ArtifactStore.load(s, dir, "ivfpq_cb"),
+      ArtifactStore.load(s, dir, "ivfpq_postings"),
+      numSub, subDim, nprobe = 2)
+  }
 
-    // shared codebook over residuals; postings carry (cluster, codes)
-    val rFrame = res.select(col("vec_id"), col("r").as("e"))
-    val cb = ProductQuant.fit(rFrame, numSub, subDim, k, iters = 2)
-    val postings = ProductQuant.encode(rFrame, cb, numSub, subDim)
-      .join(res.select(col("vec_id"), col("cluster")), Seq("vec_id"))
-
+  /** The serve path: probe selection, per-(query, cluster) ADC tables,
+    * bucket-bounded ADC scan, exact rescore. */
+  private def search(v: DataFrame, unit: DataFrame, coarse: DataFrame,
+      cb: DataFrame, postings: DataFrame,
+      numSub: Int, subDim: Int, nprobe: Int): DataFrame = {
     // probes: each query's nprobe nearest coarse centroids + its
     // PER-CLUSTER residual (q − that cluster's centroid)
     val centsArr = coarse.agg(array_sort(collect_list(

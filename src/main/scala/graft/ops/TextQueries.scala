@@ -557,21 +557,39 @@ object TextQueries {
         round(max(col("xent")), 4).as("max_xent"))
       .orderBy(col("source"))
 
-  /** The shared (doc_id, source, xent) scoring frame behind C42/C56. */
-  private def xentPerDoc(s: SparkSession, dir: String): DataFrame = {
+  /** The per-doc term-frequency frame the unigram-LM faces score. */
+  private def tfFrame(s: SparkSession, dir: String): DataFrame = {
     val tf = docs(s, dir)
       .select(col("doc_id"), col("source"),
         explode(Text.tokens(col("text"))).as("term"))
+      // an empty doc splits to one "" pseudo-token; it is not a term —
+      // zero-token docs drop out of LM scoring entirely (defined), they
+      // don't score against a phantom symbol
+      .where(col("term") =!= "")
       .groupBy(col("doc_id"), col("source"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     CacheScope.releaseAfterAction(s, tf)
-    val lm = tf.groupBy(col("term")).agg(sum(col("tf")).as("tn"))
-    val tot = lm.agg(sum(col("tn")).as("t"))
+    tf
+  }
+
+  /** Cross-entropy of each doc against an explicit (term, tn) unigram
+    * table with total-count frame `tot` — the recurring scoring pass,
+    * separable from LM training so the C56a face can run it against
+    * persisted tables. */
+  private def xentFrom(tf: DataFrame, lm: DataFrame, tot: DataFrame): DataFrame =
     tf.join(lm, Seq("term")).crossJoin(broadcast(tot))
       .groupBy(col("doc_id"), col("source"))
       .agg((-(sum(col("tf") * log(col("tn").cast("double") / col("t"))) /
         sum(col("tf")))).as("xent"))
+
+  /** The shared (doc_id, source, xent) scoring frame behind C42/C56:
+    * corpus-self-trained unigram LM. */
+  private def xentPerDoc(s: SparkSession, dir: String): DataFrame = {
+    val tf = tfFrame(s, dir)
+    val lm = tf.groupBy(col("term")).agg(sum(col("tf")).as("tn"))
+    val tot = lm.agg(sum(col("tn")).as("t"))
+    xentFrom(tf, lm, tot)
   }
 
   /** C56: CCNet head/middle/tail buckets — the FILTERING step of CCNet
@@ -591,10 +609,48 @@ object TextQueries {
     val cuts = per.groupBy(col("source"))
       .agg(percentile_approx(col("xent"),
         array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("cuts"))
+    ccnetCard(per, cuts)
+  }
+
+  /** C56a: C56 against a PERSISTED scorer — the production CCNet shape
+    * (the LM and tercile cuts are trained once on a reference slice and
+    * shipped; every incoming batch is scored and bucketed against the
+    * STORED tables). First invocation persists the unigram LM, its
+    * total, and the per-source cuts ([[graft.ops.ArtifactStore]]); warm
+    * invocations run only the scoring join + bucket compare.
+    * PerplexitySpec pins equality to the inline face. */
+  def qualityCcnetCached(s: SparkSession, dir: String): DataFrame = {
+    val tf = tfFrame(s, dir)
+    if (!ArtifactStore.has(s, dir, "ccnet_lm", "ccnet_n", "ccnet_cuts")) {
+      val lm = tf.groupBy(col("term")).agg(sum(col("tf")).as("tn"))
+      val tot = lm.agg(sum(col("tn")).as("t"))
+      val per = xentFrom(tf, lm, tot)
+      ArtifactStore.save(lm, dir, "ccnet_lm")
+      ArtifactStore.save(tot, dir, "ccnet_n")
+      ArtifactStore.save(per.groupBy(col("source"))
+        .agg(percentile_approx(col("xent"),
+          array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("cuts")),
+        dir, "ccnet_cuts")
+    }
+    val s2 = tf.sparkSession
+    ccnetCard(
+      xentFrom(tf, ArtifactStore.load(s2, dir, "ccnet_lm"),
+        ArtifactStore.load(s2, dir, "ccnet_n")),
+      ArtifactStore.load(s2, dir, "ccnet_cuts"))
+  }
+
+  /** The bucket-and-roll-up tail shared by C56/C56a: deal docs into
+    * head/middle/tail by their source's broadcast cuts, report counts,
+    * integer-bp shares, and mean xent. */
+  private def ccnetCard(per: DataFrame, cuts: DataFrame): DataFrame = {
+    // The cuts ARE data values (a doc's own xent). A recomputed xent can
+    // drift in its final ulps with cache/join order, which would flip
+    // that boundary doc's bucket run-to-run; comparing at 10 dp absorbs
+    // ulp drift without changing any real decision.
     val bucketed = per.join(broadcast(cuts), Seq("source"))
       .withColumn("bucket",
-        when(col("xent") <= element_at(col("cuts"), 1), "head")
-          .when(col("xent") <= element_at(col("cuts"), 2), "middle")
+        when(round(col("xent"), 10) <= round(element_at(col("cuts"), 1), 10), "head")
+          .when(round(col("xent"), 10) <= round(element_at(col("cuts"), 2), 10), "middle")
           .otherwise("tail"))
     bucketed.groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("docs"), round(avg(col("xent")), 4).as("avg_xent"))
@@ -630,7 +686,8 @@ object TextQueries {
       .agg(percentile_approx(col("xent"), lit(1.0 / 3), lit(10000)).as("head_cut"))
     val phased = per.join(broadcast(cuts), Seq("source"))
       .select(col("source"), col("tok"),
-        explode(when(col("xent") <= col("head_cut"),
+        // rounded cut compare for the same ulp-drift reason as ccnetCard
+        explode(when(round(col("xent"), 10) <= round(col("head_cut"), 10),
             array(lit("main"), lit("anneal")))
           .otherwise(array(lit("main")))).as("phase"))
     val perPhase = Window.partitionBy(col("phase"))
@@ -734,8 +791,39 @@ object TextQueries {
     * QuantLmSpec pins the drift bound, codebook size, and that the
     * full-precision column reproduces C42a exactly. */
   def textPerplexityQuantized(s: SparkSession, dir: String): DataFrame = {
-    val alpha = 0.4
     val (grams, c12, c1, c2, n) = bigramLm(s, dir)
+    val (seen, uni, oov) = quantTables(c12, c1, c2, n)
+    scoreQuantized(grams, seen, uni, oov)
+  }
+
+  /** C42c: C42b scored against PERSISTED quantized LM tables — the
+    * production shape (train the LM once, ship the 8-bit tables, score
+    * every batch against them). First invocation builds + persists the
+    * seen/uni/oov tables ([[graft.ops.ArtifactStore]]); warm
+    * invocations never execute the count aggregates at all (the table
+    * plans stay lazy), so this bench entry measures the recurring
+    * scoring join alone. QuantLmSpec pins equality to the inline
+    * face. */
+  def textPerplexityQuantizedCached(s: SparkSession, dir: String): DataFrame = {
+    val (grams, c12, c1, c2, n) = bigramLm(s, dir)
+    if (!ArtifactStore.has(s, dir, "qlm_seen", "qlm_uni", "qlm_oov")) {
+      val (seen, uni, oov) = quantTables(c12, c1, c2, n)
+      ArtifactStore.save(seen, dir, "qlm_seen")
+      ArtifactStore.save(uni, dir, "qlm_uni")
+      ArtifactStore.save(oov, dir, "qlm_oov")
+    }
+    scoreQuantized(grams,
+      ArtifactStore.load(s, dir, "qlm_seen"),
+      ArtifactStore.load(s, dir, "qlm_uni"),
+      ArtifactStore.load(s, dir, "qlm_oov"))
+  }
+
+  /** The 8-bit LM tables from the bigram counts: seen-bigram and
+    * unigram-backoff log-probs each quantized to a byte + codebook,
+    * the OOV constant exact. */
+  private def quantTables(c12: DataFrame, c1: DataFrame, c2: DataFrame,
+      n: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val alpha = 0.4
     val seen = LmQuant.quantize(
         c12.join(c1, Seq("w1"))
           .select(col("w1"), col("w2"),
@@ -748,6 +836,13 @@ object TextQueries {
         "lp", bits = 8)
       .select(col("w2"), col("lp").as("lp_u"), col("q").as("q_u"))
     val oov = n.select(log(lit(alpha * alpha) / col("n")).as("lp_oov"))
+    (seen, uni, oov)
+  }
+
+  /** The recurring scoring pass: per-doc quantized + full cross-entropy
+    * from the LM tables, rolled up per source. */
+  private def scoreQuantized(grams: DataFrame, seen: DataFrame, uni: DataFrame,
+      oov: DataFrame): DataFrame = {
     val lpFull = coalesce(col("lp_s"), col("lp_u"), col("lp_oov"))
     val lpQ = coalesce(col("q_s"), col("q_u"), col("lp_oov"))
     val perDoc = grams

@@ -420,7 +420,10 @@ object VectorQueries {
     * embedding feed shows up in the card instead of silently shrinking
     * it; the norm/component stats are over the healthy rows only. */
   def embedStats(s: SparkSession, dir: String): DataFrame = {
-    val meanComp = aggregate(col("e"), lit(0.0), (acc, x) => acc + x) / size(col("e"))
+    // empty-array guard: size 0 would be an ANSI divide-by-zero; such a
+    // row is degenerate anyway and lands in n_degenerate
+    val meanComp = when(size(col("e")) === 0, lit(null).cast("double"))
+      .otherwise(aggregate(col("e"), lit(0.0), (acc, x) => acc + x) / size(col("e")))
     val deg = col("nrm").isNull || col("nrm") <= 0
     Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding",
         dropDegenerate = false)

@@ -71,6 +71,60 @@ class SkewSpec extends SparkSpec {
     assert(saltCount == 8, "1000 distinct hot-key rows must hit all 8 salts")
   }
 
+  test("hot-key generator (20% on one key): salting divides the max reducer load, runtimes measured") {
+    import org.apache.spark.sql.functions._
+    val n = 400000L
+    val hot = n / 5 // one key carries 20% of all rows
+    val large = spark.range(n).select(
+      when($"id" < hot, lit(0L)).otherwise(pmod($"id", lit(997L)) + 1L).as("k"),
+      $"id".as("v"))
+    val small = spark.range(1000).select($"id".as("k"), ($"id" * 7).as("w"))
+
+    // deterministic skew evidence at the right granularity: the
+    // indivisible unit of a shuffle join is the KEY GROUP (one key
+    // cannot split across reducers without salting — the 80k-row hot
+    // group IS the straggler). Salting divides exactly that; partition-
+    // level balance of the resulting cells is ordinary balls-in-bins
+    // that AQE rebalancing evens out.
+    def maxGroup(keys: org.apache.spark.sql.Column*): Long =
+      large.groupBy(keys: _*).count().agg(max("count")).collect()(0).getLong(0)
+    val saltCol = pmod(coalesce(xxhash64($"k", $"v").cast("long"), lit(0L)), lit(16L))
+    val unsaltedMax = maxGroup($"k")
+    val saltedMax = maxGroup($"k", saltCol)
+    assert(unsaltedMax == hot, s"largest join group must be the hot key: $unsaltedMax")
+    // 16 salts cut the 20% hot group ~16x; 8x allows hash unevenness
+    assert(saltedMax * 8 <= unsaltedMax,
+      s"salting must divide the largest join group >=8x: $saltedMax vs $unsaltedMax")
+
+    // runtime face-off with broadcast + AQE skew-handling disabled, so
+    // the shuffle join actually exhibits (and salting actually fixes)
+    // the straggler; AqeSkewSpec covers the AQE alternative
+    val conf = spark.conf
+    val savedBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedSkew = conf.get("spark.sql.adaptive.skewJoin.enabled")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      def timeIt(df: => org.apache.spark.sql.DataFrame): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val c = df.count()
+        (c, (System.nanoTime() - t0) / 1e9)
+      }
+      val (cPlain, tPlain) = timeIt(large.join(small, Seq("k")))
+      val (cSalted, tSalted) = timeIt(Skew.saltedJoin(large, small, "k", 16))
+      assert(cPlain == cSalted, s"row counts diverged: $cPlain vs $cSalted")
+      info(f"unsalted sort-merge join: $tPlain%.2f s; salted(16): $tSalted%.2f s " +
+        f"(max reducer load $unsaltedMax -> $saltedMax rows)")
+      // at this scale the win is modest locally; the bound only guards
+      // against salting being a net loss by overhead
+      assert(tSalted < tPlain * 3,
+        f"salted join unexpectedly slow: $tSalted%.2f s vs $tPlain%.2f s")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+      conf.set("spark.sql.adaptive.skewJoin.enabled", savedSkew)
+    }
+  }
+
   test("skew_salted_join query: salt is in the join keys and invisible in results") {
     import org.apache.spark.sql.functions._
     val df = Skew.skewSaltedJoin(spark, sfDir)
