@@ -163,6 +163,8 @@ object SparkEntry {
     "text_dup_spans" -> (TextQueries.textDupSpans _),
     // ExactSubstr: maximal duplicated substrings + exact coverage card
     "dedup_exact_substr" -> (ExactSubstr.exactSubstrCard _),
+    // keep-one removal of duplicated spans, measured on cleaned tokens
+    "text_remove_dup_spans" -> (ExactSubstr.removeDupSpansCard _),
     // Bloom-gated benchmark decontamination, result-equal to C23
     "text_contamination_bloom" -> (Decontaminate.contaminationBloom _),
     "dedup_ngram_jaccard" -> (DedupQueries.dedupNgramJaccard _),
@@ -1347,6 +1349,7 @@ object SparkEntry {
     "dedup_edit" -> DedupQueries.editOracle,
     "corpus_diff" -> graft.ingest.CorpusDiff.oracle,
     "dedup_exact_substr" -> ExactSubstr.oracle,
+    "text_remove_dup_spans" -> ExactSubstr.removeOracle,
     "text_contamination_bloom" -> Decontaminate.oracle,
     "dedup_keeper_quality" -> DedupQueries.keeperQualityOracle,
     "dedup_incremental" -> DedupQueries.incrementalOracle,

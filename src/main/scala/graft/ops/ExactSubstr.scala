@@ -84,6 +84,110 @@ object ExactSubstr {
       .orderBy(col("source"))
   }
 
+  /** C73: the REMOVAL face — Lee et al. don't just report duplicated
+    * substrings, they cut them, keeping ONE occurrence corpus-wide.
+    * Spans group by exact token content (md5 of the span's tokens); the
+    * first occurrence in (doc_id, start) order is the keeper, every
+    * other occurrence is cut from its doc's token stream. A span whose
+    * merged content matches nothing else (asymmetric island merging can
+    * produce content-unique spans around overlapping dup sites) is
+    * conservatively KEPT — text is only deleted when an identical kept
+    * copy provably exists elsewhere.
+    *
+    * Returns (doc_id, ts: original tokens, ts_clean: kept tokens). The
+    * per-token cut test is `exists` over the doc's cut-span list —
+    * bounded by spans-per-doc, which the island merge keeps small. */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String, L: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("ts"))
+    val withContent = spans(docs, idCol, textCol, L)
+      .join(toks, Seq("doc_id"))
+      .withColumn("h",
+        md5(concat_ws(" ", slice(col("ts"), col("start_pos"), col("span_tokens")))))
+    val dupContent = Window.partitionBy(col("h"))
+    val firstCopy = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("start_pos"))
+    val cuts = withContent
+      .withColumn("copies", count(lit(1)).over(dupContent))
+      .withColumn("rk", row_number().over(firstCopy))
+      .where(col("copies") > 1 && col("rk") > 1)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start_pos").as("s"), col("end_pos").as("e"))).as("cut"))
+    toks.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ts"),
+        when(col("cut").isNull, col("ts")).otherwise(
+          filter(col("ts"), (_, i) => !exists(col("cut"),
+            sp => i + 1 >= sp.getField("s") && i + 1 <= sp.getField("e"))))
+          .as("ts_clean"))
+  }
+
+  /** The C73 query face: per-source removal card — what keep-one span
+    * removal would cut, measured on the actually-cleaned token streams
+    * (not inferred from span arithmetic). */
+  def removeDupSpansCard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+    val cleaned = removeDupSpans(d, "doc_id", "text", L = 8)
+      .select(col("doc_id"), size(col("ts")).as("nt"), size(col("ts_clean")).as("nc"))
+    d.select(col("doc_id"), col("source"))
+      .join(cleaned, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        count(when(col("nc") < col("nt"), lit(1))).as("docs_cut"),
+        sum(col("nt")).cast("bigint").as("tokens_before"),
+        sum(col("nc")).cast("bigint").as("tokens_after"))
+      .withColumn("removed_bp",
+        expr("(tokens_before - tokens_after) * 10000 div tokens_before"))
+      .orderBy(col("source"))
+  }
+
+  /** C73 oracle: spans + content keeper + removed-mass arithmetic in
+    * DuckDB (the cleaned token count is tokens − Σ cut-span lengths —
+    * cut spans are disjoint per doc, so the subtraction is exact). */
+  val removeOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |         string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ts
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, i AS pos, md5(array_to_string(ts[i:i+7], ' ')) AS h
+      |  FROM toks, unnest(generate_series(1, len(ts) - 7)) u(i)
+      |), dup AS (
+      |  SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM grams
+      |), fl AS (
+      |  SELECT doc_id, pos,
+      |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+      |              THEN 0 ELSE 1 END AS brk
+      |  FROM dup WHERE c > 1
+      |), isl AS (
+      |  SELECT doc_id, pos,
+      |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM fl
+      |), spans AS (
+      |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      |  FROM isl GROUP BY doc_id, grp
+      |), contentd AS (
+      |  SELECT sp.doc_id, sp.s, sp.e,
+      |         md5(array_to_string(t.ts[sp.s:sp.e], ' ')) AS h
+      |  FROM spans sp JOIN toks t USING (doc_id)
+      |), cut AS (
+      |  SELECT doc_id, e - s + 1 AS cut_len
+      |  FROM (SELECT doc_id, s, e,
+      |               count(*) OVER (PARTITION BY h) AS copies,
+      |               row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rk
+      |        FROM contentd)
+      |  WHERE copies > 1 AND rk > 1
+      |), perdoc AS (
+      |  SELECT doc_id, sum(cut_len) AS removed FROM cut GROUP BY doc_id
+      |)
+      |SELECT t.source,
+      |       count(*) AS docs,
+      |       count(p.removed) AS docs_cut,
+      |       CAST(sum(len(t.ts)) AS BIGINT) AS tokens_before,
+      |       CAST(sum(len(t.ts)) - coalesce(sum(p.removed), 0) AS BIGINT) AS tokens_after,
+      |       CAST(CAST(coalesce(sum(p.removed), 0) AS BIGINT) * 10000
+      |            // CAST(sum(len(t.ts)) AS BIGINT) AS BIGINT) AS removed_bp
+      |FROM toks t LEFT JOIN perdoc p USING (doc_id)
+      |GROUP BY t.source
+      |ORDER BY t.source""".stripMargin
+
   /** C71 oracle: the identical construction in DuckDB SQL. */
   val oracle: String =
     """WITH toks AS (

@@ -78,6 +78,39 @@ class ExactSubstrSpec extends SparkSpec {
       s"expected one merged 2L span per doc: ${got.toSeq}")
   }
 
+  test("removal keeps exactly one copy: first doc intact, second doc cut to its fillers") {
+    val plant = (0 until 30).map(i => s"rplant$i")
+    val fa = filler("rua", 12); val fb = filler("rub", 15)
+    val fc = filler("rvc", 7); val fd = filler("rvd", 20)
+    val docs = Seq(
+      (1L, (fa ++ plant ++ fb).mkString(" ")),
+      (2L, (fc ++ plant ++ fd).mkString(" ")),
+      (3L, filler("rwe", 40).mkString(" "))).toDF("doc_id", "text")
+    val got = ExactSubstr.removeDupSpans(docs, "doc_id", "text", L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](2).toList))
+    // doc 1 is the (doc_id, start)-first copy: untouched
+    assert(got(0)._2 == (fa ++ plant ++ fb).toList)
+    // doc 2's copy is cut: only its unique fillers remain
+    assert(got(1)._2 == (fc ++ fd).toList, s"doc 2 not cleaned: ${got(1)._2}")
+    // the unique doc is untouched
+    assert(got(2)._2 == filler("rwe", 40).toList)
+  }
+
+  test("removal card reconciles with the cleaned streams") {
+    val card = ExactSubstr.removeDupSpansCard(spark, sfDir).collect()
+    assert(card.nonEmpty)
+    card.foreach { r =>
+      val (docs, cut, before, after, bp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(after <= before && cut <= docs, s"inconsistent card: $r")
+      assert(bp == (before - after) * 10000 / before, s"removed_bp off: $r")
+    }
+    // something was actually removed somewhere at this SF (the corpus
+    // carries recurring boilerplate — C45/C71 both find it)
+    assert(card.exists(r => r.getLong(3) > r.getLong(4)), "removal was vacuous")
+  }
+
   test("the per-source card reconciles with the span frame") {
     val card = ExactSubstr.exactSubstrCard(spark, sfDir).collect()
     assert(card.nonEmpty)
