@@ -165,6 +165,8 @@ object SparkEntry {
     "dedup_exact_substr" -> (ExactSubstr.exactSubstrCard _),
     // keep-one removal of duplicated spans, measured on cleaned tokens
     "text_remove_dup_spans" -> (ExactSubstr.removeDupSpansCard _),
+    // span-level incremental dedup: new batch vs standing window index
+    "dedup_incremental_spans" -> (ExactSubstr.incrementalSpansCard _),
     // Bloom-gated benchmark decontamination, result-equal to C23
     "text_contamination_bloom" -> (Decontaminate.contaminationBloom _),
     "dedup_ngram_jaccard" -> (DedupQueries.dedupNgramJaccard _),
@@ -1350,6 +1352,7 @@ object SparkEntry {
     "corpus_diff" -> graft.ingest.CorpusDiff.oracle,
     "dedup_exact_substr" -> ExactSubstr.oracle,
     "text_remove_dup_spans" -> ExactSubstr.removeOracle,
+    "dedup_incremental_spans" -> ExactSubstr.incrementalOracle,
     "text_contamination_bloom" -> Decontaminate.oracle,
     "dedup_keeper_quality" -> DedupQueries.keeperQualityOracle,
     "dedup_incremental" -> DedupQueries.incrementalOracle,

@@ -41,17 +41,28 @@ object ExactSubstr {
     * window coverages overlap (gap ≤ L), so `span_tokens` sums to the
     * exact duplicated-token coverage. */
   def spans(docs: DataFrame, idCol: String, textCol: String, L: Int): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("ts"))
-    val grams = toks.where(size(col("ts")) >= L)
+    val grams = windowHashes(docs, idCol, textCol, L)
+    val dup = grams
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .where(col("c") > 1)
+    mergeIslands(dup, L)
+  }
+
+  /** Every L-token window of every doc as (doc_id, pos, h) — 1-based
+    * window start position, md5 window hash. */
+  def windowHashes(docs: DataFrame, idCol: String, textCol: String, L: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("ts"))
+      .where(size(col("ts")) >= L)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(1), size(col("ts")) - (L - 1)),
           i => md5(concat_ws(" ", slice(col("ts"), i, lit(L)))))).as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
-    val dup = grams
-      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("h"))))
-      .where(col("c") > 1)
+
+  /** Merge a doc's marked window positions whose coverage intervals
+    * overlap (gap ≤ L) into disjoint maximal spans. */
+  private def mergeIslands(marked: DataFrame, L: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    dup
+    marked
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(byDoc) <= L, lit(0)).otherwise(lit(1)))
       .withColumn("grp", sum(col("brk")).over(byDoc))
@@ -60,6 +71,87 @@ object ExactSubstr {
       .select(col("doc_id"), col("start_pos"), col("end_pos"),
         (col("end_pos") - col("start_pos") + 1).as("span_tokens"))
   }
+
+  /** C74 core: maximal spans of BATCH text already present in the
+    * STANDING corpus — the daily-intake face of ExactSubstr. The
+    * standing side collapses to its distinct window-hash set (the
+    * index [[IncrementalIndex]] materializes as a table); batch windows
+    * probe it with a semi-join bounded by O(batch windows), and only
+    * batch docs island-merge. History is never re-paired with itself. */
+  def incrementalSpans(batch: DataFrame, standingHashes: DataFrame,
+      idCol: String, textCol: String, L: Int): DataFrame =
+    mergeIslands(
+      windowHashes(batch, idCol, textCol, L)
+        .join(standingHashes.select(col("h")).distinct(), Seq("h"), "left_semi"),
+      L)
+
+  /** The C74 query face: new batch = doc_id ≡ 4 (mod 5) (the C36/C49
+    * split), standing corpus = the rest; per-source card of how much
+    * incoming text is recycled from history. */
+  def incrementalSpansCard(s: SparkSession, dir: String): DataFrame = {
+    val L = 8
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+    val isNew = col("doc_id") % 5 === 4
+    val perDoc = incrementalSpans(d.where(isNew),
+        windowHashes(d.where(!isNew), "doc_id", "text", L), "doc_id", "text", L)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_tokens")).as("d_tokens"))
+    d.where(isNew)
+      .select(col("doc_id"), col("source"), size(Text.tokens(col("text"))).as("nt"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("new_docs"),
+        sum(col("nt")).cast("bigint").as("new_tokens"),
+        count(col("n_spans")).as("docs_hit"),
+        coalesce(sum(col("n_spans")), lit(0L)).cast("bigint").as("dup_spans"),
+        coalesce(sum(col("d_tokens")), lit(0L)).cast("bigint").as("recycled_tokens"))
+      .withColumn("recycled_bp",
+        expr("recycled_tokens * 10000 div new_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** C74 oracle: the same probe + island merge in DuckDB. */
+  val incrementalOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |         string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ts
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, i AS pos, md5(array_to_string(ts[i:i+7], ' ')) AS h
+      |  FROM toks, unnest(generate_series(1, len(ts) - 7)) u(i)
+      |), standing AS (
+      |  SELECT DISTINCT h FROM grams WHERE doc_id % 5 <> 4
+      |), hit AS (
+      |  SELECT g.doc_id, g.pos FROM grams g
+      |  WHERE g.doc_id % 5 = 4 AND g.h IN (SELECT h FROM standing)
+      |), fl AS (
+      |  SELECT doc_id, pos,
+      |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+      |              THEN 0 ELSE 1 END AS brk
+      |  FROM hit
+      |), isl AS (
+      |  SELECT doc_id, pos,
+      |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM fl
+      |), spans AS (
+      |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      |  FROM isl GROUP BY doc_id, grp
+      |), perdoc AS (
+      |  SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS d_tokens
+      |  FROM spans GROUP BY doc_id
+      |)
+      |SELECT t.source,
+      |       count(*) AS new_docs,
+      |       CAST(sum(len(t.ts)) AS BIGINT) AS new_tokens,
+      |       count(p.n_spans) AS docs_hit,
+      |       CAST(coalesce(sum(p.n_spans), 0) AS BIGINT) AS dup_spans,
+      |       CAST(coalesce(sum(p.d_tokens), 0) AS BIGINT) AS recycled_tokens,
+      |       CAST(CAST(coalesce(sum(p.d_tokens), 0) AS BIGINT) * 10000
+      |            // CAST(sum(len(t.ts)) AS BIGINT) AS BIGINT) AS recycled_bp
+      |FROM toks t LEFT JOIN perdoc p USING (doc_id)
+      |WHERE t.doc_id % 5 = 4
+      |GROUP BY t.source
+      |ORDER BY t.source""".stripMargin
 
   /** The C71 query face: per-source duplicated-substring card — doc and
     * span counts, exact duplicated-token coverage, the largest single

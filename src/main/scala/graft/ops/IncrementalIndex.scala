@@ -90,4 +90,33 @@ object IncrementalIndex {
       .where(col("dup_exact") === 0 && col("dup_reorder") === 0 &&
         col("dup_near") === 0)
       .drop("dup_exact", "dup_reorder", "dup_near")
+
+  // ---- span-level index (the C74 standing table) --------------------
+
+  private val SpanL = 8
+
+  /** Create (overwrite) the `wins` table: the standing corpus's
+    * DISTINCT L-token window hashes — the third index table, powering
+    * span-level probes ([[probeSpans]]) the way `keys`/`bands` power
+    * document-level ones. Distinct-collapsed at write time so the
+    * table size is bounded by unique content, not corpus length. */
+  def writeSpanIndex(root: String, docs: DataFrame, idCol: String, textCol: String): Unit =
+    ExactSubstr.windowHashes(docs, idCol, textCol, SpanL)
+      .select(col("h")).distinct()
+      .write.mode("overwrite").parquet(s"$root/wins")
+
+  /** Append an admitted batch's window hashes. Append-only like the
+    * other tables; duplicate hash rows are harmless (probes semi-join). */
+  def appendSpanIndex(root: String, admitted: DataFrame, idCol: String, textCol: String): Unit =
+    ExactSubstr.windowHashes(admitted, idCol, textCol, SpanL)
+      .select(col("h")).distinct()
+      .write.mode("append").parquet(s"$root/wins")
+
+  /** Maximal spans of batch text already present in the standing corpus
+    * (C74 against the materialized table instead of an inline
+    * derivation): (doc_id, start_pos, end_pos, span_tokens). */
+  def probeSpans(s: SparkSession, root: String, batch: DataFrame,
+                 idCol: String, textCol: String): DataFrame =
+    ExactSubstr.incrementalSpans(batch, s.read.parquet(s"$root/wins"),
+      idCol, textCol, SpanL)
 }

@@ -111,6 +111,50 @@ class ExactSubstrSpec extends SparkSpec {
     assert(card.exists(r => r.getLong(3) > r.getLong(4)), "removal was vacuous")
   }
 
+  test("incremental spans: recycled batch text is found against the standing set only") {
+    val boiler = (0 until 20).map(i => s"boil$i")
+    val standing = Seq(
+      (1L, (filler("sa", 10) ++ boiler ++ filler("sb", 10)).mkString(" ")),
+      (2L, filler("sc", 30).mkString(" "))).toDF("doc_id", "text")
+    // batch doc 10 recycles the standing boilerplate; doc 11 is fresh;
+    // docs 10 and 11 also SHARE a 12-token chunk that history has never
+    // seen — batch-internal duplication must NOT flag against history
+    val shared = (0 until 12).map(i => s"share$i")
+    val batch = Seq(
+      (10L, (filler("ba", 5) ++ boiler ++ filler("bb", 4) ++ shared).mkString(" ")),
+      (11L, (filler("bc", 15) ++ shared ++ filler("bd", 6)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = ExactSubstr.incrementalSpans(batch,
+        ExactSubstr.windowHashes(standing, "doc_id", "text", L), "doc_id", "text", L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(3))).toSeq
+    // exactly one span: doc 10's boilerplate (starts after 5 filler
+    // tokens), full 20 tokens; the shared-but-new chunk is silent
+    assert(got == Seq((10L, 6, 20)), s"unexpected incremental spans: $got")
+  }
+
+  test("span index round-trip: write, probe, append, idempotent re-probe") {
+    val boiler = (0 until 20).map(i => s"ixboil$i")
+    val standing = Seq(
+      (1L, (filler("ixa", 10) ++ boiler ++ filler("ixb", 10)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, (filler("ixc", 5) ++ boiler ++ filler("ixd", 9)).mkString(" ")),
+      (11L, filler("ixe", 30).mkString(" "))).toDF("doc_id", "text")
+    val root = tmpDir("spanix") + "/index"
+    IncrementalIndex.writeSpanIndex(root, standing, "doc_id", "text")
+    val hit = IncrementalIndex.probeSpans(spark, root, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toSeq
+    assert(hit == Seq((10L, 20)), s"probe off: $hit")
+    // append the fresh doc; its text is now history — re-probing it
+    // flags it whole, the recycler is unchanged
+    IncrementalIndex.appendSpanIndex(root,
+      batch.where(org.apache.spark.sql.functions.col("doc_id") === 11L),
+      "doc_id", "text")
+    val again = IncrementalIndex.probeSpans(spark, root, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toSeq.sorted
+    assert(again == Seq((10L, 20), (11L, 30)), s"post-append probe off: $again")
+  }
+
   test("the per-source card reconciles with the span frame") {
     val card = ExactSubstr.exactSubstrCard(spark, sfDir).collect()
     assert(card.nonEmpty)
