@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Pipeline, Text}
@@ -133,4 +133,63 @@ object StreamingDocs {
   def standingIndex(docs: DataFrame): DataFrame =
     docs.select(Text.contentHash(col("text")).as("h"),
       Text.fingerprint(col("text")).as("fp"))
+
+  /** D19: streaming span-recycle flag — C74's batch-vs-history span
+    * probe run inline on the intake feed, flagging per arriving
+    * document how many of its tokens lie inside a window history has
+    * already seen.
+    *
+    * STATELESS by construction: the standing window-hash set (corpus-
+    * scale — billions of hashes at 100 TB, far past D13's collect_set
+    * trick) collapses at stream CONSTRUCTION time into one Bloom sketch
+    * embedded as a binary LITERAL, so every document's probe is a
+    * higher-order `filter` over its own window array followed by an
+    * interval-union fold — a narrow projection, no join, no watermark,
+    * no state store. The trade, stated: the sketch is fixed at start
+    * (an index refresh needs a stream restart — unlike D14's per-
+    * micro-batch re-plan — because `might_contain` requires a constant
+    * or scalar-subquery filter side and a subquery cannot sit inside a
+    * lambda), and Bloom false positives can only ADD coverage, so the
+    * flag is CONSERVATIVE: it never under-reports recycling, and the
+    * nightly exact C74 sweep settles the margin. StreamingDocsSpec
+    * replays the corpus and pins per-doc equality with the exact batch
+    * face at a generous sketch size. */
+  def spanRecycleStream(docs: DataFrame, standingWins: DataFrame,
+                        L: Int = 8, estItems: Long = 1L << 20): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    val bloomBytes = standingWins
+      .agg(expr(s"bloom_filter_agg(xxhash64(h), ${estItems}L)").as("b"))
+      .collect()(0).getAs[Array[Byte]](0)
+    require(bloomBytes != null,
+      "standing window set is empty — build the span index first")
+    def mightContain(b: Column, v: Column): Column =
+      org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.GraftBridge.expression(b),
+          org.apache.spark.sql.GraftBridge.expression(v)))
+    val bloom = lit(bloomBytes)
+    // ascending window start positions whose L-gram history has seen
+    val winIdx = when(size(col("__ts")) >= L,
+      sequence(lit(1), size(col("__ts")) - (L - 1)))
+      .otherwise(array().cast("array<int>"))
+    docs
+      .withColumn("__ts", Text.tokens(col("text")))
+      .withColumn("__hits", filter(winIdx, i =>
+        mightContain(bloom,
+          xxhash64(md5(concat_ws(" ", slice(col("__ts"), i, lit(L))))))))
+      .withColumn("total_tokens", size(col("__ts")))
+      // exact interval-union coverage of the hit windows: fold over the
+      // ascending positions tracking (covered, last end)
+      .withColumn("recycled_tokens", aggregate(col("__hits"),
+        struct(lit(0).as("cov"), lit(0).as("last")),
+        (acc, i) => struct(
+          (acc.getField("cov") + i + lit(L - 1) -
+            greatest(acc.getField("last"), i - 1)).as("cov"),
+          (i + lit(L - 1)).as("last")),
+        acc => acc.getField("cov")))
+      .withColumn("recycled_bp",
+        when(col("total_tokens") === 0, lit(0L))
+          .otherwise(expr("recycled_tokens * 10000 div total_tokens")))
+      .drop("__ts", "__hits")
+  }
 }

@@ -180,4 +180,43 @@ class StreamingDocsSpec extends SparkSpec {
         s"same-hash doc 2 must drop, distinct doc 3 must pass: $got")
     } finally q.stop()
   }
+
+  test("streamed span-recycle flag equals the exact batch C74 coverage per doc") {
+    import graft.ops.ExactSubstr
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val standing = docs.where(col("doc_id") % 5 =!= 4)
+    val incoming = docs.where(col("doc_id") % 5 === 4)
+    val wins = ExactSubstr.windowHashes(standing, "doc_id", "text", 8)
+
+    // exact batch recount: per-incoming-doc recycled coverage (0 when
+    // no span hits)
+    val exact = ExactSubstr.incrementalSpans(incoming, wins, "doc_id", "text", 8)
+      .groupBy(col("doc_id")).agg(sum(col("span_tokens")).as("cov"))
+      .as[(Long, Long)].collect().toMap
+
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingDocs.spanRecycleStream(
+        stream.toDF().toDF("doc_id", "text"), wins)
+      .select("doc_id", "recycled_tokens", "total_tokens", "recycled_bp")
+      .writeStream.format("memory").queryName("span_recycle")
+      .outputMode("append").start()
+    try {
+      val rows = incoming.as[(Long, String)].collect().toIndexedSeq
+      rows.grouped(math.max(1, rows.length / 3))
+        .foreach { c => stream.addData(c); q.processAllAvailable() }
+      val streamed = spark.table("span_recycle").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+      assert(streamed.size == rows.size, "every arriving doc gets a flag row")
+      streamed.foreach { case (id, (cov, tot, bp)) =>
+        assert(cov.toLong == exact.getOrElse(id, 0L),
+          s"doc $id: streamed coverage $cov != exact ${exact.getOrElse(id, 0L)}")
+        assert(cov <= tot && bp == cov.toLong * 10000 / math.max(tot, 1),
+          s"inconsistent flag row for doc $id: cov=$cov tot=$tot bp=$bp")
+      }
+      // non-vacuous: the corpus recycles something
+      assert(streamed.values.exists(_._1 > 0), "no recycling found — vacuous")
+    } finally q.stop()
+  }
 }
