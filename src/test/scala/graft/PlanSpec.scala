@@ -317,4 +317,44 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"the B-row ratio table must broadcast into the scoring join:\n$plan")
   }
+
+  test("ExactSubstr family: no cartesian, scans pruned to the text columns") {
+    for (q <- Seq("dedup_exact_substr", "text_remove_dup_spans",
+        "dedup_incremental_spans")) {
+      val plan = executed(q)
+      assert(!plan.contains("CartesianProduct"), s"$q grew a cartesian:\n$plan")
+      // the documents scan must not read lang/n_chars the faces never use
+      val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+      assert(!readSchemas.contains("n_chars"), s"$q reads n_chars it never uses")
+    }
+  }
+
+  test("dedup_incremental_spans probes with a semi-join (history never re-pairs)") {
+    val plan = executed("dedup_incremental_spans")
+    assert(plan.contains("LeftSemi"),
+      s"the standing-set probe must be a semi-join:\n$plan")
+  }
+
+  test("text_contamination_bloom: scan-local might_contain ahead of the confirm join") {
+    val plan = executed("text_contamination_bloom")
+    assert(plan.contains("might_contain"),
+      s"the bloom prefilter must appear in the physical plan:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"the exact confirm must remain a semi-join:\n$plan")
+  }
+
+  test("cached serve faces read their persisted artifacts, not retrain plans") {
+    // force artifacts to exist, then check the SERVE plan scans them
+    graft.ops.ArtifactStore.rootOverride = Some(tmpDir("planspec-artifacts"))
+    try {
+      for ((q, artifact) <- Seq(
+          "sim_search_ivfpq_cached" -> "ivfpq_postings",
+          "text_perplexity_quantized_cached" -> "qlm_seen",
+          "quality_ccnet_cached" -> "ccnet_lm")) {
+        val plan = executed(q)
+        assert(plan.contains(artifact),
+          s"$q serve plan must scan the persisted $artifact table:\n$plan")
+      }
+    } finally graft.ops.ArtifactStore.rootOverride = None
+  }
 }
