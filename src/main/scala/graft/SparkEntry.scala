@@ -167,6 +167,8 @@ object SparkEntry {
     "text_remove_dup_spans" -> (ExactSubstr.removeDupSpansCard _),
     // span-level incremental dedup: new batch vs standing window index
     "dedup_incremental_spans" -> (ExactSubstr.incrementalSpansCard _),
+    // source-pair provenance matrix of duplicated span content
+    "dedup_span_provenance" -> (ExactSubstr.spanProvenanceCard _),
     // Bloom-gated benchmark decontamination, result-equal to C23
     "text_contamination_bloom" -> (Decontaminate.contaminationBloom _),
     "dedup_ngram_jaccard" -> (DedupQueries.dedupNgramJaccard _),
@@ -1353,6 +1355,7 @@ object SparkEntry {
     "dedup_exact_substr" -> ExactSubstr.oracle,
     "text_remove_dup_spans" -> ExactSubstr.removeOracle,
     "dedup_incremental_spans" -> ExactSubstr.incrementalOracle,
+    "dedup_span_provenance" -> ExactSubstr.provenanceOracle,
     "text_contamination_bloom" -> Decontaminate.oracle,
     "dedup_keeper_quality" -> DedupQueries.keeperQualityOracle,
     "dedup_incremental" -> DedupQueries.incrementalOracle,

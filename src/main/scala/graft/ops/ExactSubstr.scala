@@ -230,6 +230,79 @@ object ExactSubstr {
       .orderBy(col("source"))
   }
 
+  /** C75: span PROVENANCE — the source-pair attribution of duplicated
+    * text (C54's duplication matrix at SPAN granularity): for every
+    * duplicated span CONTENT, which source pairs share it and how much
+    * token mass rides on it. The mixture-design question behind it:
+    * before weighting two crawls, know whether their overlap is whole
+    * documents (C54 flags that) or recycled boilerplate threading
+    * through otherwise-distinct documents (only a span-level matrix
+    * sees that).
+    *
+    * Plan shape: the C71 span frame + a content hash, collapsed to one
+    * row per (content, source) with its occurrence count — then the
+    * pair join runs on CONTENT GROUPS (bounded by sources-per-content,
+    * never corpus size). Diagonal cells require ≥2 occurrences within
+    * the source. */
+  def spanProvenanceCard(s: SparkSession, dir: String): DataFrame = {
+    val L = 8
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+    val toks = d.select(col("doc_id"), Text.tokens(col("text")).as("ts"))
+    val occ = spans(d, "doc_id", "text", L)
+      .join(toks, Seq("doc_id"))
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("span_tokens"),
+        md5(concat_ws(" ", slice(col("ts"), col("start_pos"), col("span_tokens")))).as("h"))
+      .groupBy(col("h"), col("source"))
+      .agg(count(lit(1)).as("c"), max(col("span_tokens")).as("toklen"))
+    val a = occ.select(col("h"), col("source").as("src_a"), col("c"), col("toklen"))
+    val b = occ.select(col("h"), col("source").as("src_b"))
+    a.join(b, Seq("h"))
+      .where(col("src_a") < col("src_b") ||
+        (col("src_a") === col("src_b") && col("c") >= 2))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_spans"),
+        sum(col("toklen")).cast("bigint").as("shared_tokens"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** C75 oracle: the identical span → content → source-pair derivation. */
+  val provenanceOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |         string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ts
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, i AS pos, md5(array_to_string(ts[i:i+7], ' ')) AS h
+      |  FROM toks, unnest(generate_series(1, len(ts) - 7)) u(i)
+      |), dup AS (
+      |  SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM grams
+      |), fl AS (
+      |  SELECT doc_id, pos,
+      |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+      |              THEN 0 ELSE 1 END AS brk
+      |  FROM dup WHERE c > 1
+      |), isl AS (
+      |  SELECT doc_id, pos,
+      |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM fl
+      |), spans AS (
+      |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      |  FROM isl GROUP BY doc_id, grp
+      |), occ AS (
+      |  SELECT md5(array_to_string(t.ts[sp.s:sp.e], ' ')) AS h,
+      |         t.source, count(*) AS c, max(sp.e - sp.s + 1) AS toklen
+      |  FROM spans sp JOIN toks t USING (doc_id)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |       count(*) AS shared_spans,
+      |       CAST(sum(a.toklen) AS BIGINT) AS shared_tokens
+      |FROM occ a JOIN occ b ON a.h = b.h
+      |WHERE a.source < b.source OR (a.source = b.source AND a.c >= 2)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** C73 oracle: spans + content keeper + removed-mass arithmetic in
     * DuckDB (the cleaned token count is tokens − Σ cut-span lengths —
     * cut spans are disjoint per doc, so the subtraction is exact). */

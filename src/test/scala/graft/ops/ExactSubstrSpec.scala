@@ -155,6 +155,29 @@ class ExactSubstrSpec extends SparkSpec {
     assert(again == Seq((10L, 20), (11L, 30)), s"post-append probe off: $again")
   }
 
+  test("span provenance: the planted boilerplate attributes to exactly its source pairs") {
+    val boiler = (0 until 16).map(i => s"pvboil$i")
+    val other = (0 until 10).map(i => s"pvoth$i")
+    val docs = Seq(
+      // boiler shared across sources A and B; 'other' twice WITHIN A
+      (1L, "A", (filler("pva", 8) ++ boiler ++ filler("pvb", 5)).mkString(" ")),
+      (2L, "B", (filler("pvc", 11) ++ boiler ++ filler("pvd", 9)).mkString(" ")),
+      (3L, "A", (filler("pve", 6) ++ other ++ filler("pvf", 7)).mkString(" ")),
+      (4L, "A", (filler("pvg", 9) ++ other ++ filler("pvh", 4)).mkString(" ")),
+      (5L, "C", filler("pvi", 40).mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val dir = tmpDir("provzone")
+    docs.withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = ExactSubstr.spanProvenanceCard(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // (A,B): one 16-token content shared cross-source;
+    // (A,A): one 10-token content recurring within A; C appears nowhere
+    assert(got == Seq(("A", "A", 1L, 10L), ("A", "B", 1L, 16L)),
+      s"provenance matrix off: $got")
+  }
+
   test("the per-source card reconciles with the span frame") {
     val card = ExactSubstr.exactSubstrCard(spark, sfDir).collect()
     assert(card.nonEmpty)
