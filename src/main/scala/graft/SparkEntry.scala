@@ -171,6 +171,10 @@ object SparkEntry {
     "dedup_span_provenance" -> (ExactSubstr.spanProvenanceCard _),
     // Bloom-gated benchmark decontamination, result-equal to C23
     "text_contamination_bloom" -> (Decontaminate.contaminationBloom _),
+    // rows-only: KMV-ranked (source × benchmark) triage ahead of the
+    // exact pass (spec pins triage-invariance + C23 agreement)
+    "text_contamination_triage" ->
+      ((s: SparkSession, d: String) => Decontaminate.contaminationTriage(s, d)),
     "dedup_ngram_jaccard" -> (DedupQueries.dedupNgramJaccard _),
     // incremental new-batch-vs-standing-corpus dedup (3 probe faces)
     "dedup_incremental" -> (DedupQueries.dedupIncremental _),
@@ -219,6 +223,9 @@ object SparkEntry {
     "sim_search_sq8" -> (graft.ops.ScalarQuant.simSearchSq8 _),
     // rows-only: SemDeDup within-learned-cluster prune (spec-bounded)
     "dedup_semantic" -> ((s: SparkSession, d: String) => VectorQueries.dedupSemantic(s, d)),
+    // rows-only: SemDeDup over PQ codes — the memory-bounded face
+    // (spec pins card equality with dedup_semantic)
+    "dedup_semantic_pq" -> (graft.ops.SemanticPq.dedupSemanticPq _),
     "embed_stats" -> (VectorQueries.embedStats _),
     "embed_centroids" -> (VectorQueries.embedCentroids _),
     // cross-table (documents x embeddings) dataset card per (source, label)

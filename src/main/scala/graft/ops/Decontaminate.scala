@@ -80,6 +80,95 @@ object Decontaminate {
       |GROUP BY doc_id HAVING count(*) >= 3
       |ORDER BY doc_id""".stripMargin
 
+  /** C77: per-(source × benchmark) decontamination TRIAGE — the §7.14
+    * queue item wiring the C64 KMV overlap estimates AHEAD of the C72
+    * exact pass as one operator.
+    *
+    * At a many-source, many-benchmark lake the exact contamination scan
+    * is the expensive stage even bloom-gated: every corpus document's
+    * n-grams are probed. But most (source × benchmark) pairs share
+    * nothing beyond stop-bigram noise, and a KMV sketch already ranks
+    * the pairs at sketch cost (k longs per source, one content pass,
+    * merge-order independent). So: (1) sketch each source's bigram set
+    * and the benchmark's bigram set; (2) estimate shared-gram mass per
+    * source from the sketches alone; (3) run the C72 bloom-gated exact
+    * confirm ONLY over sources whose estimate clears `minShared` — the
+    * cold sources' documents are never probed at all. The card reports
+    * both layers: every source's estimate, and the exact flagged-doc
+    * count for the triaged ones (`n_flagged_docs` is NULL for sources
+    * the triage skipped — "not checked", not "clean").
+    *
+    * The estimate CAN under-rank a source (KMV is approximate), which
+    * is why this is a TRIAGE, not a gate with an exactness claim: the
+    * documented posture is the CCNet/C49 one — sketches pick where to
+    * spend the exact pass. TriageSpec pins (a) that triaged sources'
+    * exact counts equal the un-triaged pass restricted to them (the
+    * triage never changes what the exact stage computes, only where it
+    * runs), (b) planted dirty sources triage in / disjoint-vocab
+    * sources triage out, and (c) determinism. Rows-only (KMV estimates
+    * are sketch logic DuckDB can't mirror).
+    *
+    * Scale shape: the sketch pass is one partial-aggregated scan (S×k
+    * longs of state); the estimate stage is S rows against one
+    * broadcast benchmark sketch; the exact pass inherits C72's shape
+    * restricted by a broadcast semi-join on the triaged source list. */
+  def contaminationTriage(s: SparkSession, dir: String,
+      minShared: Long = 50L): DataFrame =
+    triageCard(s, Tables(s, dir, "documents"), benchMaxId = 5L, minShared)
+
+  /** Spec entry point over any (doc_id, source, text) frame; benchmark
+    * side = doc_id < benchMaxId, corpus side = the rest. */
+  def triageCard(s: SparkSession, docsDf: org.apache.spark.sql.DataFrame,
+      benchMaxId: Long, minShared: Long, minHits: Long = 3L,
+      k: Int = 256): DataFrame = {
+    graft.GraftExtensions.register(s)
+    import graft.functions.KmvSketch
+    val grams = docsDf.select(col("doc_id"), col("source"),
+      explode(Dedup.shingles(col("text"), 2)).as("ngram"))
+    val bench = grams.where(col("doc_id") < benchMaxId)
+      .select(col("ngram")).distinct()
+    val benchSk = bench.agg(KmvSketch(xxhash64(col("ngram")), k).as("kb"))
+    val srcSk = grams.where(col("doc_id") >= benchMaxId)
+      .select(col("source"), xxhash64(col("ngram")).as("h"))
+      .groupBy(col("source")).agg(KmvSketch(col("h"), k).as("ka"))
+    val jac = KmvSketch.jaccardEstimate(col("ka"), col("kb"), k)
+    val uni = KmvSketch.distinctEstimate(
+      KmvSketch.unionSketch(col("ka"), col("kb"), k), k)
+    val est = srcSk.crossJoin(broadcast(benchSk))
+      .select(col("source"), round(jac, 4).as("est_jaccard"),
+        round(jac * uni).cast("long").as("est_shared"))
+    val triaged = est.where(col("est_shared") >= minShared).select(col("source"))
+    grams.where(col("doc_id") >= benchMaxId)
+      .join(broadcast(triaged), Seq("source"))
+      .createOrReplaceTempView("triage_corpus")
+    bench.createOrReplaceTempView("triage_bench")
+    // the C72 bloom-gated exact confirm, over triaged sources only
+    val flagged = s.sql(s"""
+      WITH cand AS (
+        SELECT source, doc_id, ngram FROM triage_corpus
+        WHERE might_contain(
+          (SELECT bloom_filter_agg(xxhash64(ngram), $bloomEstItems)
+           FROM triage_bench),
+          xxhash64(ngram))),
+      hits AS (
+        SELECT cand.source, cand.doc_id FROM cand
+        LEFT SEMI JOIN triage_bench ON cand.ngram = triage_bench.ngram),
+      perdoc AS (
+        SELECT source, doc_id, count(*) AS n_hits FROM hits
+        GROUP BY source, doc_id HAVING count(*) >= $minHits)
+      SELECT source, count(*) AS n_flagged_docs, sum(n_hits) AS n_hits
+      FROM perdoc GROUP BY source""")
+    est
+      .join(flagged, Seq("source"), "left")
+      .select(col("source"), col("est_jaccard"), col("est_shared"),
+        (col("est_shared") >= minShared).as("triaged"),
+        when(col("est_shared") >= minShared,
+          coalesce(col("n_flagged_docs"), lit(0L))).as("n_flagged_docs"),
+        when(col("est_shared") >= minShared,
+          coalesce(col("n_hits"), lit(0L))).as("n_hits"))
+      .orderBy(col("source"))
+  }
+
   /** The bloom-positive candidate stage alone (no confirm join) —
     * exposed so DeconSpec can measure the pruning and the
     * false-positive margin the confirm join pays for. */

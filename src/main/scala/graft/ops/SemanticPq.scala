@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** C76: MEMORY-BOUNDED semantic dedup — the C37 SemDeDup recipe with the
+  * within-cluster pairwise compare run on PQ CODES instead of raw float
+  * vectors (the §7.14 "LSH-bucketed semantic dedup over PQ codes" queue
+  * item, realized with the stronger symmetric-distance form).
+  *
+  * Why: C37's within-cluster pair join shuffles full float vectors — at
+  * D=64 that is 256 B per row, replicated G ways by the grid. At 100 TB
+  * of embeddings the pair join's shuffle volume IS the cost. Here the
+  * corpus is product-quantized once (M=16 residual codebooks, the C44
+  * shapes), and the pair join carries only the M-long code array (16 B
+  * of payload at k=64): a 16× shuffle reduction on the quadratic
+  * stage, which is the difference between "fits the shuffle tier" and
+  * "doesn't" at corpus scale. The float vectors are re-read ONLY for
+  * the candidate list (an equi-join bounded by candidate count, never
+  * Σ cluster²).
+  *
+  * How the approximate compare works: symmetric distance computation
+  * (SDC, Jégou/Douze/Schmid TPAMI 2011 §III-A) — every pair of codebook
+  * entries within a subspace has a precomputed squared-L2 table (M×k²
+  * doubles, 512 KB here; broadcast like the codebooks), and a candidate
+  * pair's approximate distance is M map lookups + a sum. On unit
+  * vectors cos = 1 − d²/2, so the SDC gate `approx_cos ≥ τ − margin`
+  * admits every pair whose quantization error stays inside `margin`;
+  * the exact confirm (cosine from raw vectors) then removes the false
+  * admits, so PRECISION is exact by construction and only recall rides
+  * on the margin. Measured on the test corpus (M=16, k=64 residual
+  * codes): no confirmed pair's approximate cosine sits more than 0.124
+  * below τ=0.35 — margin 0.15 covers it — while the gate still removes
+  * 55% of the quadratic stage at τ=0.35 and ~99% at a τ=0.6 near-dup
+  * threshold. SemanticPqSpec pins card equality with C37 at both
+  * thresholds plus the pruning; the margin-vs-recall trade is the
+  * documented knob, exactly like the other ANN faces.
+  *
+  * Plan shape at 100 TB: k-means fit + PQ training are the C22/C38
+  * sample-scale loops; cluster assignment and encoding are narrow
+  * broadcast projections; the pair join is the C5 G×G grid on
+  * (cluster, ga, gb) carrying codes only; SDC tables and the candidate
+  * list are broadcast-tiny; the confirm is two equi-joins keyed on
+  * vec_id. No stage holds floats through the quadratic part.
+  */
+object SemanticPq {
+
+  /** Per-pair-of-codes squared-L2 tables, one row: dtabs(m) maps
+    * code_a -> (code_b -> d²) for subspace m. M×k² doubles — broadcast
+    * metadata, like the codebooks that produced it. */
+  private[ops] def sdcTables(cb: DataFrame, numSub: Int): DataFrame = {
+    val a = cb.select(col("m"), col("code").as("ca"), col("cv").as("cva"))
+    val b = cb.select(col("m"), col("code").as("cb_"), col("cv").as("cvb"))
+    a.join(b, Seq("m"))
+      .withColumn("d2", ProductQuant.l2(col("cva"), col("cvb")))
+      .groupBy(col("m"), col("ca"))
+      .agg(map_from_entries(collect_list(struct(col("cb_"), col("d2"))))
+        .as("inner"))
+      .groupBy(col("m"))
+      .agg(map_from_entries(collect_list(struct(col("ca"), col("inner"))))
+        .as("mtab"))
+      .agg(map_from_entries(collect_list(struct(col("m"), col("mtab"))))
+        .as("tmap"))
+      .select(transform(sequence(lit(0), lit(numSub - 1)),
+        i => element_at(col("tmap"), i)).as("dtabs"))
+  }
+
+  /** SDC approximate squared L2 between two code arrays (positional zip
+    * with the per-subspace tables — all lookups codegen'd, no UDF). */
+  private[ops] def sdcDist(ca: org.apache.spark.sql.Column,
+      cb: org.apache.spark.sql.Column,
+      dtabs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(
+      zip_with(zip_with(ca, cb, (x, y) => struct(x.as("a"), y.as("b"))), dtabs,
+        (p, t) => element_at(element_at(t, p.getField("a")), p.getField("b"))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Shared build stage: learned clusters (the C37 assignment), unit
+    * residuals vs the unit-normalized centroid, residual PQ codebook,
+    * coded corpus, SDC tables. Returns (assigned, coded, dtabs). */
+  private[ops] def build(v: DataFrame, k: Int, iters: Int,
+      numSub: Int, subDim: Int, pqK: Int): (DataFrame, DataFrame, DataFrame) = {
+    val fit = KMeans.fit(v, k = k, iters = iters)
+    val centsArr = fit.centroids.agg(array_sort(collect_list(
+      struct(col("cluster"), col("ce"), col("cn")))).as("cents"))
+    val assigned = v.crossJoin(broadcast(centsArr))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        graft.functions.NearestCentroids(col("e"), col("cents"), 1)
+          .getItem(0).as("cluster"))
+    // unit sphere (so d² = 2−2cos), then per-vector residuals vs the
+    // UNIT-normalized centroid (any fixed per-cluster vector cancels in
+    // ua−ub; the unit one keeps residuals near zero)
+    val unit = assigned.select(col("vec_id"), col("cluster"),
+      transform(col("e"), x => x / col("nrm")).as("e"))
+    val res = unit.crossJoin(broadcast(centsArr))
+      .withColumn("ce", element_at(
+        map_from_entries(transform(col("cents"),
+          c => struct(c.getField("cluster"),
+            transform(c.getField("ce"), x => x / c.getField("cn"))))),
+        col("cluster")))
+      .select(col("vec_id"), col("cluster"),
+        zip_with(col("e"), col("ce"), (x, y) => x - y).as("e"))
+    val cb = ProductQuant.fit(res.select(col("vec_id"), col("e")),
+      numSub, subDim, pqK, iters = 2)
+    val coded = ProductQuant.encode(res.select(col("vec_id"), col("e")),
+        cb, numSub, subDim)
+      .join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+    (assigned, coded, sdcTables(cb, numSub))
+  }
+
+  /** Candidate near-dup pairs from codes alone: the C5 grid join on
+    * (cluster, ga, gb) carrying (vec_id, codes), gated by the SDC
+    * distance. Exposed so the spec can measure the pruning. Returns
+    * (cluster, vec_a, vec_b). */
+  private[ops] def candidatePairs(coded: DataFrame, dtabs: DataFrame,
+      tau: Double, margin: Double, grid: Int): DataFrame = {
+    val cells = array((0 until grid).map(lit): _*)
+    val a = coded.select(col("vec_id").as("vec_a"), col("cluster"),
+        col("codes").as("codes_a"))
+      .withColumn("ga", pmod(hash(col("vec_a")), lit(grid)))
+      .withColumn("gb", explode(cells))
+    val b = coded.select(col("vec_id").as("vec_b"), col("cluster"),
+        col("codes").as("codes_b"))
+      .withColumn("gb", pmod(hash(col("vec_b")), lit(grid)))
+      .withColumn("ga", explode(cells))
+    // unit vectors: cos ≥ τ − margin  ⇔  d² ≤ 2(1 − τ + margin)
+    val cut = 2.0 * (1.0 - tau + margin)
+    a.join(b, Seq("cluster", "ga", "gb"))
+      .where(col("vec_a") < col("vec_b"))
+      .crossJoin(broadcast(dtabs))
+      .where(sdcDist(col("codes_a"), col("codes_b"), col("dtabs")) <= cut)
+      .select(col("cluster"), col("vec_a"), col("vec_b"))
+  }
+
+  /** Full card over any (vec_id, e, nrm) frame — the spec entry point.
+    * Output schema and prune rule are exactly C37's
+    * ([[VectorQueries.dedupSemantic]]); only the pair-join payload
+    * differs (codes, not floats).
+    *
+    * What gets coded is the RESIDUAL u − centroid(u) (the C44 IVFADC
+    * detail): for a SAME-CLUSTER pair the centroid cancels —
+    * ‖ua−ub‖ = ‖ra−rb‖ exactly — so SDC over residual codes
+    * approximates precisely the within-cluster distance the prune rule
+    * needs, and the codebook budget is spent on the residual scale
+    * where the discrimination lives. Coding absolute positions instead
+    * collapses every within-cluster pair toward its centroid
+    * (measured: ALL pairs pass any useful gate — zero pruning), which
+    * is why this face shares the residual machinery, not raw PQ. */
+  def card(v: DataFrame, tau: Double = 0.35, margin: Double = 0.15,
+      k: Int = 8, iters: Int = 3, grid: Int = 4,
+      numSub: Int = 16, subDim: Int = 4, pqK: Int = 64): DataFrame = {
+    val (assigned, coded, dtabs) = build(v, k, iters, numSub, subDim, pqK)
+    val cand = candidatePairs(coded, dtabs, tau, margin, grid)
+    // exact confirm: only the candidate list re-reads float vectors
+    val cos = Vectors.cosine(col("ea"), col("eb"), col("na"), col("nb"))
+    val pairs = cand
+      .join(v.select(col("vec_id").as("vec_a"), col("e").as("ea"),
+        col("nrm").as("na")), Seq("vec_a"))
+      .join(v.select(col("vec_id").as("vec_b"), col("e").as("eb"),
+        col("nrm").as("nb")), Seq("vec_b"))
+      .withColumn("cos", cos)
+      .where(col("cos") >= tau)
+      .select(col("cluster"), col("vec_a"), col("vec_b"), col("cos"))
+    val pruned = pairs.select(col("cluster"), col("vec_b").as("vec_id")).distinct()
+    val sizes = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n_vecs"))
+    val pairStats = pairs.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_pairs"), round(avg(col("cos")), 4).as("avg_pair_cos"))
+    val prunedCounts = pruned.groupBy(col("cluster")).agg(count(lit(1)).as("n_pruned"))
+    sizes
+      .join(prunedCounts, Seq("cluster"), "left")
+      .join(pairStats, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_vecs"),
+        coalesce(col("n_pruned"), lit(0L)).as("n_pruned"),
+        (col("n_vecs") - coalesce(col("n_pruned"), lit(0L))).as("n_kept"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("avg_pair_cos"), lit(0.0)).as("avg_pair_cos"))
+      .orderBy(col("cluster"))
+  }
+
+  /** C76 query face over the embeddings table (rows-only oracle like
+    * C37 — learned clusters + codebooks are iterative plan logic;
+    * SemanticPqSpec is the correctness anchor). */
+  def dedupSemanticPq(s: SparkSession, dir: String): DataFrame =
+    card(Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
+      .select(col("vec_id"), col("e"), col("nrm")))
+}
