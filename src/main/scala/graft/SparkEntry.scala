@@ -169,6 +169,8 @@ object SparkEntry {
     "dedup_incremental_spans" -> (ExactSubstr.incrementalSpansCard _),
     // source-pair provenance matrix of duplicated span content
     "dedup_span_provenance" -> (ExactSubstr.spanProvenanceCard _),
+    // directional origin→adopter attribution of duplicated spans
+    "dedup_span_origin" -> (ExactSubstr.spanOriginCard _),
     // Bloom-gated benchmark decontamination, result-equal to C23
     "text_contamination_bloom" -> (Decontaminate.contaminationBloom _),
     // rows-only: KMV-ranked (source × benchmark) triage ahead of the
@@ -1363,6 +1365,7 @@ object SparkEntry {
     "text_remove_dup_spans" -> ExactSubstr.removeOracle,
     "dedup_incremental_spans" -> ExactSubstr.incrementalOracle,
     "dedup_span_provenance" -> ExactSubstr.provenanceOracle,
+    "dedup_span_origin" -> ExactSubstr.originOracle,
     "text_contamination_bloom" -> Decontaminate.oracle,
     "dedup_keeper_quality" -> DedupQueries.keeperQualityOracle,
     "dedup_incremental" -> DedupQueries.incrementalOracle,

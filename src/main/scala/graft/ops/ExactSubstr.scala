@@ -303,6 +303,95 @@ object ExactSubstr {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** C78: span ORIGIN attribution — the DIRECTIONAL view C75's
+    * symmetric matrix can't express: who copies whom. Every duplicated
+    * span content's ORIGIN is its first occurrence in (doc_id,
+    * start_pos) order — deliberately the SAME rule C73 uses to pick the
+    * kept copy, so "the original" means the same document in both the
+    * attribution card and the removal pipeline — and every other
+    * occurrence ADOPTS it. The card is one row per (origin source →
+    * adopting source) with distinct contents, adopted occurrences, and
+    * adopted token mass; the diagonal is within-source recycling. A
+    * mixture designer reads it as a flow matrix: a crawl whose mass is
+    * mostly ADOPTED from another source is a mirror wearing a new
+    * domain, which the symmetric C75 cell alone can't distinguish from
+    * the source it mirrors.
+    *
+    * Plan shape: the C71 span frame + content hash; the origin window
+    * partitions by CONTENT (bounded by copies-per-content, the same
+    * bound C73's keeper window already carries); the attribution join
+    * is content-group × its occurrences — never corpus². SQL-checked
+    * against the identical construction in DuckDB. */
+  def spanOriginCard(s: SparkSession, dir: String): DataFrame = {
+    val L = 8
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+    val toks = d.select(col("doc_id"), Text.tokens(col("text")).as("ts"))
+    val occ = spans(d, "doc_id", "text", L)
+      .join(toks, Seq("doc_id"))
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("start_pos"), col("span_tokens"),
+        md5(concat_ws(" ", slice(col("ts"), col("start_pos"), col("span_tokens"))))
+          .as("h"))
+    val byContent = Window.partitionBy(col("h"))
+    val firstCopy = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("start_pos"))
+    val marked = occ
+      .withColumn("copies", count(lit(1)).over(byContent))
+      .withColumn("rk", row_number().over(firstCopy))
+      .where(col("copies") > 1)
+    val origin = marked.where(col("rk") === 1)
+      .select(col("h"), col("source").as("src_from"))
+    marked.where(col("rk") > 1)
+      .join(origin, Seq("h"))
+      .groupBy(col("src_from"), col("source").as("src_to"))
+      .agg(countDistinct(col("h")).as("n_contents"),
+        count(lit(1)).as("adopted_occurrences"),
+        sum(col("span_tokens")).cast("bigint").as("adopted_tokens"))
+      .orderBy(col("src_from"), col("src_to"))
+  }
+
+  /** C78 oracle: the identical origin/adopter derivation in DuckDB. */
+  val originOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |         string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ts
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, i AS pos, md5(array_to_string(ts[i:i+7], ' ')) AS h
+      |  FROM toks, unnest(generate_series(1, len(ts) - 7)) u(i)
+      |), dup AS (
+      |  SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM grams
+      |), fl AS (
+      |  SELECT doc_id, pos,
+      |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+      |              THEN 0 ELSE 1 END AS brk
+      |  FROM dup WHERE c > 1
+      |), isl AS (
+      |  SELECT doc_id, pos,
+      |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM fl
+      |), spans AS (
+      |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      |  FROM isl GROUP BY doc_id, grp
+      |), occ AS (
+      |  SELECT sp.doc_id, t.source, sp.s, sp.e - sp.s + 1 AS toklen,
+      |         md5(array_to_string(t.ts[sp.s:sp.e], ' ')) AS h
+      |  FROM spans sp JOIN toks t USING (doc_id)
+      |), mk AS (
+      |  SELECT *, count(*) OVER (PARTITION BY h) AS copies,
+      |         row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rk
+      |  FROM occ
+      |), org AS (
+      |  SELECT h, source AS src_from FROM mk WHERE copies > 1 AND rk = 1
+      |)
+      |SELECT org.src_from, mk.source AS src_to,
+      |       count(DISTINCT mk.h) AS n_contents,
+      |       count(*) AS adopted_occurrences,
+      |       CAST(sum(mk.toklen) AS BIGINT) AS adopted_tokens
+      |FROM mk JOIN org USING (h)
+      |WHERE mk.copies > 1 AND mk.rk > 1
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** C73 oracle: spans + content keeper + removed-mass arithmetic in
     * DuckDB (the cleaned token count is tokens − Σ cut-span lengths —
     * cut spans are disjoint per doc, so the subtraction is exact). */

@@ -178,6 +178,36 @@ class ExactSubstrSpec extends SparkSpec {
       s"provenance matrix off: $got")
   }
 
+  test("span origin: direction follows the C73 keeper rule, diagonal is within-source recycling") {
+    val boiler = (0 until 16).map(i => s"soboil$i")
+    val intra = (0 until 12).map(i => s"sointr$i")
+    val docs = Seq(
+      // boiler ORIGINATES in A (doc 1, the first copy by doc_id) and is
+      // adopted once by B and once more WITHIN A; intra recurs twice in C
+      (1L, "A", (filler("soa", 8) ++ boiler ++ filler("sob", 5)).mkString(" ")),
+      (2L, "B", (filler("soc", 11) ++ boiler ++ filler("sod", 9)).mkString(" ")),
+      (3L, "A", (filler("soe", 6) ++ boiler ++ filler("sof", 7)).mkString(" ")),
+      (4L, "C", (filler("sog", 9) ++ intra ++ filler("soh", 4)).mkString(" ")),
+      (5L, "C", (filler("soi", 5) ++ intra ++ filler("soj", 8)).mkString(" ")),
+      (6L, "D", filler("sok", 40).mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val dir = tmpDir("originzone")
+    docs.withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = ExactSubstr.spanOriginCard(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // A→A (doc 3 re-adopts A's own boilerplate), A→B (cross-source
+    // adoption), C→C (within-source recycling); never B→A — direction
+    // comes from the first copy, and D adopts nothing
+    assert(got == Seq(
+      ("A", "A", 1L, 1L, 16L),
+      ("A", "B", 1L, 1L, 16L),
+      ("C", "C", 1L, 1L, 12L)),
+      s"origin matrix off: $got")
+  }
+
   test("the per-source card reconciles with the span frame") {
     val card = ExactSubstr.exactSubstrCard(spark, sfDir).collect()
     assert(card.nonEmpty)
