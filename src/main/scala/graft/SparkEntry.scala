@@ -228,6 +228,10 @@ object SparkEntry {
     // rows-only: SemDeDup over PQ codes — the memory-bounded face
     // (spec pins card equality with dedup_semantic)
     "dedup_semantic_pq" -> (graft.ops.SemanticPq.dedupSemanticPq _),
+    // rows-only: batch-vs-standing semantic dedup (spec recounts the
+    // same-cluster cos>=tau contract through the stored index cycle)
+    "dedup_semantic_incremental" ->
+      ((s: SparkSession, d: String) => graft.ops.SemanticPq.dedupSemanticIncremental(s, d)),
     "embed_stats" -> (VectorQueries.embedStats _),
     "embed_centroids" -> (VectorQueries.embedCentroids _),
     // cross-table (documents x embeddings) dataset card per (source, label)

@@ -119,4 +119,50 @@ object IncrementalIndex {
                  idCol: String, textCol: String): DataFrame =
     ExactSubstr.incrementalSpans(batch, s.read.parquet(s"$root/wins"),
       idCol, textCol, SpanL)
+
+  // ---- vector index (the C79 standing tables) -----------------------
+
+  /** C79 index parameters — the C76 residual-PQ shapes. */
+  private val VecK = 8; private val VecIters = 3
+  private val VecM = 16; private val VecSubDim = 4; private val VecPqK = 64
+
+  /** Create (overwrite) the vector index from the standing embedding
+    * corpus: `vcents` (coarse centroids), `vcb` (residual PQ codebook),
+    * `vcodes` (vec_id, cluster, codes). Centroids and codebook are
+    * FROZEN at build time — appends encode with the stored model, so
+    * assignments stay consistent batch over batch (re-learning is a
+    * rebuild, the production cadence). Floats are deliberately NOT in
+    * the index: the memory-resident part is codes; exact rescore reads
+    * candidates from the cold corpus (the PQ posture throughout). */
+  def writeVecIndex(root: String, v: DataFrame): Unit = {
+    val m = SemanticPq.buildModel(v, VecK, VecIters, VecM, VecSubDim, VecPqK)
+    m.cents.write.mode("overwrite").parquet(s"$root/vcents")
+    m.cb.write.mode("overwrite").parquet(s"$root/vcb")
+    m.coded.select(col("vec_id"), col("cluster"), col("codes"))
+      .write.mode("overwrite").parquet(s"$root/vcodes")
+  }
+
+  /** Append an admitted batch: encode with the STORED centroids +
+    * codebook and append codes only. */
+  def appendVecIndex(s: SparkSession, root: String, batch: DataFrame): Unit =
+    SemanticPq.encodeWith(batch,
+        s.read.parquet(s"$root/vcents"), s.read.parquet(s"$root/vcb"),
+        VecM, VecSubDim)
+      .write.mode("append").parquet(s"$root/vcodes")
+
+  /** Probe a batch of vectors against the standing index: SDC-gated
+    * candidates within the batch vector's cluster, exact-cosine
+    * confirmed against `standing` (touched ONLY for the candidate
+    * rows). Returns (vec_id, n_near, best_cos) for flagged batch
+    * vectors — near-dups of HISTORY; batch-internal duplication is
+    * deliberately silent (the C36/C74 incremental contract). */
+  def probeVecs(s: SparkSession, root: String, batch: DataFrame,
+                standing: DataFrame, tau: Double = 0.35,
+                margin: Double = 0.25): DataFrame = {
+    val cents = s.read.parquet(s"$root/vcents")
+    val cb = s.read.parquet(s"$root/vcb")
+    val codes = s.read.parquet(s"$root/vcodes")
+    SemanticPq.probeAgainst(batch, standing, cents, cb, codes,
+      VecM, VecSubDim, tau, margin)
+  }
 }

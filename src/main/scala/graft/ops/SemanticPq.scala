@@ -77,24 +77,56 @@ object SemanticPq {
         (p, t) => element_at(element_at(t, p.getField("a")), p.getField("b"))),
       lit(0.0), (acc, x) => acc + x)
 
+  /** The build-stage products: learned centroids, residual codebook,
+    * cluster assignments, coded corpus, SDC tables. `cents` + `cb` are
+    * the persistable model ([[IncrementalIndex.writeVecIndex]] freezes
+    * them so appended batches encode consistently). */
+  private[ops] final case class Model(cents: DataFrame, cb: DataFrame,
+      assigned: DataFrame, coded: DataFrame, dtabs: DataFrame)
+
   /** Shared build stage: learned clusters (the C37 assignment), unit
     * residuals vs the unit-normalized centroid, residual PQ codebook,
-    * coded corpus, SDC tables. Returns (assigned, coded, dtabs). */
+    * coded corpus, SDC tables. */
+  private[ops] def buildModel(v: DataFrame, k: Int, iters: Int,
+      numSub: Int, subDim: Int, pqK: Int): Model = {
+    val fit = KMeans.fit(v, k = k, iters = iters)
+    val assigned = assignWith(v, fit.centroids)
+    val res = residualsOf(assigned, fit.centroids)
+    val cb = ProductQuant.fit(res.select(col("vec_id"), col("e")),
+      numSub, subDim, pqK, iters = 2)
+    val coded = ProductQuant.encode(res.select(col("vec_id"), col("e")),
+        cb, numSub, subDim)
+      .join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+    Model(fit.centroids, cb, assigned, coded, sdcTables(cb, numSub))
+  }
+
+  /** Back-compat tuple face used by the card and specs. */
   private[ops] def build(v: DataFrame, k: Int, iters: Int,
       numSub: Int, subDim: Int, pqK: Int): (DataFrame, DataFrame, DataFrame) = {
-    val fit = KMeans.fit(v, k = k, iters = iters)
-    val centsArr = fit.centroids.agg(array_sort(collect_list(
+    val m = buildModel(v, k, iters, numSub, subDim, pqK)
+    (m.assigned, m.coded, m.dtabs)
+  }
+
+  /** Broadcast-argmax cluster assignment against given centroids. */
+  private[ops] def assignWith(v: DataFrame, cents: DataFrame): DataFrame = {
+    val centsArr = cents.agg(array_sort(collect_list(
       struct(col("cluster"), col("ce"), col("cn")))).as("cents"))
-    val assigned = v.crossJoin(broadcast(centsArr))
+    v.crossJoin(broadcast(centsArr))
       .select(col("vec_id"), col("e"), col("nrm"),
         graft.functions.NearestCentroids(col("e"), col("cents"), 1)
           .getItem(0).as("cluster"))
-    // unit sphere (so d² = 2−2cos), then per-vector residuals vs the
-    // UNIT-normalized centroid (any fixed per-cluster vector cancels in
-    // ua−ub; the unit one keeps residuals near zero)
-    val unit = assigned.select(col("vec_id"), col("cluster"),
-      transform(col("e"), x => x / col("nrm")).as("e"))
-    val res = unit.crossJoin(broadcast(centsArr))
+  }
+
+  /** Unit-sphere residuals vs the UNIT-normalized centroid (d² = 2−2cos
+    * on the sphere; any fixed per-cluster vector cancels in ua−ub, the
+    * unit one keeps residuals near zero). */
+  private[ops] def residualsOf(assigned: DataFrame, cents: DataFrame): DataFrame = {
+    val centsArr = cents.agg(array_sort(collect_list(
+      struct(col("cluster"), col("ce"), col("cn")))).as("cents"))
+    assigned
+      .select(col("vec_id"), col("cluster"),
+        transform(col("e"), x => x / col("nrm")).as("e"))
+      .crossJoin(broadcast(centsArr))
       .withColumn("ce", element_at(
         map_from_entries(transform(col("cents"),
           c => struct(c.getField("cluster"),
@@ -102,12 +134,58 @@ object SemanticPq {
         col("cluster")))
       .select(col("vec_id"), col("cluster"),
         zip_with(col("e"), col("ce"), (x, y) => x - y).as("e"))
-    val cb = ProductQuant.fit(res.select(col("vec_id"), col("e")),
-      numSub, subDim, pqK, iters = 2)
-    val coded = ProductQuant.encode(res.select(col("vec_id"), col("e")),
+  }
+
+  /** Encode a (vec_id, e, nrm) frame with a FROZEN model: assign
+    * against stored centroids, code the residuals with the stored
+    * codebook. Returns (vec_id, cluster, codes) — the append path of
+    * [[IncrementalIndex]]'s vector index. */
+  private[ops] def encodeWith(v: DataFrame, cents: DataFrame, cb: DataFrame,
+      numSub: Int, subDim: Int): DataFrame = {
+    val assigned = assignWith(v, cents)
+    ProductQuant.encode(
+        residualsOf(assigned, cents).select(col("vec_id"), col("e")),
         cb, numSub, subDim)
       .join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
-    (assigned, coded, sdcTables(cb, numSub))
+  }
+
+  /** C79 probe core: batch vectors vs a standing coded corpus under a
+    * frozen model. SDC candidates form ONLY within the batch vector's
+    * cluster (equi-join on cluster — the posting-list shape); exact
+    * confirm touches `standing`'s floats only for the candidate rows.
+    * Same-cluster SDC stays exact-in-expectation here because BOTH
+    * sides subtract the same stored centroid — the cancellation
+    * argument is unchanged by freezing. The default margin is WIDER
+    * than the in-corpus card's (0.25 vs 0.15): batch vectors quantize
+    * against a codebook that never saw them, so their error runs above
+    * the training-set measurement (observed: one batch near-pair at
+    * margin 0.15 on the test corpus). Returns (vec_id, n_near,
+    * best_cos) for batch vectors near-duplicating HISTORY; batch-
+    * internal duplication is deliberately silent (the C36/C74
+    * incremental contract). */
+  private[ops] def probeAgainst(batch: DataFrame, standing: DataFrame,
+      cents: DataFrame, cb: DataFrame, codes: DataFrame,
+      numSub: Int, subDim: Int, tau: Double, margin: Double): DataFrame = {
+    val bcoded = encodeWith(batch, cents, cb, numSub, subDim)
+    val cut = 2.0 * (1.0 - tau + margin)
+    val cand = bcoded
+      .select(col("vec_id").as("b_id"), col("cluster"), col("codes").as("codes_b"))
+      .join(codes.select(col("vec_id").as("s_id"), col("cluster"),
+        col("codes").as("codes_s")), Seq("cluster"))
+      .crossJoin(broadcast(sdcTables(cb, numSub)))
+      .where(sdcDist(col("codes_b"), col("codes_s"), col("dtabs")) <= cut)
+      .select(col("b_id"), col("s_id"))
+    val cos = Vectors.cosine(col("be"), col("se"), col("bn"), col("sn"))
+    cand
+      .join(batch.select(col("vec_id").as("b_id"), col("e").as("be"),
+        col("nrm").as("bn")), Seq("b_id"))
+      .join(standing.select(col("vec_id").as("s_id"), col("e").as("se"),
+        col("nrm").as("sn")), Seq("s_id"))
+      .withColumn("cos", cos)
+      .where(col("cos") >= tau)
+      .groupBy(col("b_id"))
+      .agg(count(lit(1)).as("n_near"), round(max(col("cos")), 4).as("best_cos"))
+      .select(col("b_id").as("vec_id"), col("n_near"), col("best_cos"))
   }
 
   /** Candidate near-dup pairs from codes alone: the C5 grid join on
@@ -185,4 +263,39 @@ object SemanticPq {
   def dedupSemanticPq(s: SparkSession, dir: String): DataFrame =
     card(Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
       .select(col("vec_id"), col("e"), col("nrm")))
+
+  /** C79: semantic dedup's INCREMENTAL face — which of today's batch
+    * vectors near-duplicate the STANDING corpus, completing the
+    * incremental trilogy (C36 documents, C74 spans, now embeddings).
+    * The model (centroids + residual codebook) and the standing codes
+    * derive inline here, like `dedup_incremental` derives its indexes
+    * inline; the production path is [[IncrementalIndex.writeVecIndex]]
+    * / probeVecs / appendVecIndex against stored tables, spec-pinned
+    * by the same recount. Batch split: vec_id ≡ 4 (mod 5), the
+    * C36/C74 convention. Per-label card of batch size, flagged
+    * vectors, pair counts, and integer-bp flagged share. Rows-only;
+    * IncrementalVecSpec is the oracle (driver recount + index cycle +
+    * batch-internal silence). */
+  def dedupSemanticIncremental(s: SparkSession, dir: String,
+      tau: Double = 0.35, margin: Double = 0.25): DataFrame = {
+    val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
+    val isNew = col("vec_id") % 5 === 4
+    val cols = Seq(col("vec_id"), col("e"), col("nrm"))
+    val standing = v.where(!isNew).select(cols: _*)
+    val batch = v.where(isNew).select(cols: _*)
+    val m = buildModel(standing, k = 8, iters = 3,
+      numSub = 16, subDim = 4, pqK = 64)
+    val flags = probeAgainst(batch, standing, m.cents, m.cb,
+      m.coded.select(col("vec_id"), col("cluster"), col("codes")),
+      numSub = 16, subDim = 4, tau, margin)
+    v.where(isNew).select(col("vec_id"), col("label"))
+      .join(flags, Seq("vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("batch_vecs"),
+        count(col("n_near")).as("flagged"),
+        coalesce(sum(col("n_near")), lit(0L)).as("near_pairs"),
+        round(coalesce(avg(col("best_cos")), lit(0.0)), 4).as("avg_best_cos"))
+      .withColumn("flagged_bp", expr("flagged * 10000 div batch_vecs"))
+      .orderBy(col("label"))
+  }
 }
