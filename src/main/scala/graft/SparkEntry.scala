@@ -232,6 +232,11 @@ object SparkEntry {
     // same-cluster cos>=tau contract through the stored index cycle)
     "dedup_semantic_incremental" ->
       ((s: SparkSession, d: String) => graft.ops.SemanticPq.dedupSemanticIncremental(s, d)),
+    // serve faces: same results against the persisted model/index
+    "dedup_semantic_pq_cached" ->
+      ((s: SparkSession, d: String) => graft.ops.SemanticPq.dedupSemanticPqCached(s, d)),
+    "dedup_semantic_incremental_cached" ->
+      (graft.ops.SemanticPq.dedupSemanticIncrementalCached _),
     "embed_stats" -> (VectorQueries.embedStats _),
     "embed_centroids" -> (VectorQueries.embedCentroids _),
     // cross-table (documents x embeddings) dataset card per (source, label)

@@ -53,4 +53,14 @@ class CachedFacesSpec extends SparkSpec {
     checkPair(graft.ops.Bpe.textBpeEncode(spark, sfDir),
       graft.ops.Bpe.textBpeEncodeCached(spark, sfDir))
   }
+
+  test("dedup_semantic_pq_cached == dedup_semantic_pq (cold and warm)") {
+    checkPair(SemanticPq.dedupSemanticPq(spark, sfDir),
+      SemanticPq.dedupSemanticPqCached(spark, sfDir))
+  }
+
+  test("dedup_semantic_incremental_cached == inline (cold and warm)") {
+    checkPair(SemanticPq.dedupSemanticIncremental(spark, sfDir),
+      SemanticPq.dedupSemanticIncrementalCached(spark, sfDir))
+  }
 }
