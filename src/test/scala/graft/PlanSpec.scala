@@ -350,11 +350,35 @@ class PlanSpec extends SparkSpec {
       for ((q, artifact) <- Seq(
           "sim_search_ivfpq_cached" -> "ivfpq_postings",
           "text_perplexity_quantized_cached" -> "qlm_seen",
-          "quality_ccnet_cached" -> "ccnet_lm")) {
+          "quality_ccnet_cached" -> "ccnet_lm",
+          "dedup_semantic_pq_cached" -> "sempq_codes",
+          "dedup_semantic_incremental_cached" -> "vcodes")) {
         val plan = executed(q)
         assert(plan.contains(artifact),
           s"$q serve plan must scan the persisted $artifact table:\n$plan")
       }
     } finally graft.ops.ArtifactStore.rootOverride = None
+  }
+
+  test("PQ semantic dedup family: no cartesian beyond broadcast literals") {
+    for (q <- Seq("dedup_semantic_pq", "dedup_semantic_incremental")) {
+      val plan = executed(q)
+      assert(!plan.contains("CartesianProduct"), s"$q grew a cartesian:\n$plan")
+    }
+  }
+
+  test("dedup_span_origin: no cartesian, scan pruned to the used columns") {
+    val plan = executed("dedup_span_origin")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchemas.contains("n_chars"), "reads n_chars it never uses")
+  }
+
+  test("text_contamination_triage: bloom prefilter + semi-join confirm survive the triage cut") {
+    val plan = executed("text_contamination_triage")
+    assert(plan.contains("might_contain"),
+      s"the bloom prefilter must appear in the physical plan:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"the exact confirm must remain a semi-join:\n$plan")
   }
 }
