@@ -140,6 +140,15 @@ object IncrementalIndex {
     m.cb.write.mode("overwrite").parquet(s"$root/vcb")
     m.coded.select(col("vec_id"), col("cluster"), col("codes"))
       .write.mode("overwrite").parquet(s"$root/vcodes")
+    // build-time per-cluster quantization-error baseline — what the D21
+    // drift monitor compares arriving windows against; computed with
+    // the SAME literal-model projection the stream uses, so baseline
+    // and live qerr are definitionally identical
+    SemanticPq.litAssignCode(v,
+        SemanticPq.literalModel(m.cents, m.cb, VecM), VecM, VecSubDim)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("base_n"), avg(col("qerr")).as("base_qerr"))
+      .write.mode("overwrite").parquet(s"$root/vbase")
   }
 
   /** Append an admitted batch: encode with the STORED centroids +

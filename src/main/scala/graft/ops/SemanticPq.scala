@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -180,6 +180,73 @@ object SemanticPq {
         cb, numSub, subDim),
       codeRemap(cb, numSub))
       .join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+  }
+
+  /** The model collapsed to broadcast-literal columns + driver arrays —
+    * what a STREAMING face embeds at plan time (model fixed at start,
+    * refresh = restart), and what the drift baseline writer shares.
+    * `cvs(m)` is subspace m's codebook in DENSE index order (ascending
+    * code id — the [[codeRemap]] order, so literal-coded vectors agree
+    * with the stored codes table); `dtabs` the SDC tables computed in
+    * plain Scala from the same codebooks. */
+  private[graft] final case class LitModel(centsArr: Column,
+      unitCentMap: Column, cvs: Seq[Seq[Seq[Double]]],
+      dtabs: Seq[Seq[Seq[Double]]])
+
+  private[graft] def literalModel(cents: DataFrame, cb: DataFrame,
+      numSub: Int): LitModel = {
+    val centRows = cents.orderBy(col("cluster")).collect().map { r =>
+      (r.getAs[Long]("cluster"),
+        r.getAs[scala.collection.Seq[Double]]("ce").toSeq,
+        r.getAs[Double]("cn"))
+    }
+    val centsArr = array(centRows.map { case (cl, ce, cn) =>
+      struct(lit(cl).as("cluster"), typedLit(ce).as("ce"), lit(cn).as("cn"))
+    }: _*)
+    val unitCentMap = map(centRows.flatMap { case (cl, ce, cn) =>
+      Seq(lit(cl), typedLit(ce.map(_ / cn)))
+    }: _*)
+    val cbRows = cb.collect().map { r =>
+      (r.getAs[Int]("m"), r.getAs[Long]("code"),
+        r.getAs[scala.collection.Seq[Double]]("cv").toSeq)
+    }
+    val cvs: Seq[Seq[Seq[Double]]] = (0 until numSub).map { m =>
+      cbRows.filter(_._1 == m).sortBy(_._2).map(_._3).toSeq
+    }
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    LitModel(centsArr, unitCentMap, cvs,
+      cvs.map(es => es.map(a => es.map(b => d2(a, b)))))
+  }
+
+  private def litL2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** ONE stateless narrow projection per row against the literal model:
+    * adds `cluster`, dense `codes`, and the per-vector residual
+    * quantization error `qerr` = Σ_m min‖sv_m − cv‖² (the argmin
+    * distances the coder computes anyway — the staleness signal
+    * [[graft.streaming.StreamingVectors.driftStream]] monitors).
+    * Works on streaming and batch frames alike. */
+  private[graft] def litAssignCode(df: DataFrame, lm: LitModel,
+      numSub: Int, subDim: Int): DataFrame = {
+    val withRes = df
+      .withColumn("cluster",
+        graft.functions.NearestCentroids(col("e"), lm.centsArr, 1).getItem(0))
+      .withColumn("__r", zip_with(
+        transform(col("e"), x => x / col("nrm")),
+        element_at(lm.unitCentMap, col("cluster")),
+        (x, y) => x - y))
+    val best = (0 until numSub).map { m =>
+      val sv = slice(col("__r"), m * subDim + 1, subDim)
+      array_min(transform(typedLit(lm.cvs(m)),
+        (cv, i) => struct(litL2(sv, cv).as("d"), i.as("i"))))
+    }
+    withRes
+      .withColumn("codes", array(best.map(_.getField("i")): _*))
+      .withColumn("qerr", best.map(_.getField("d")).reduce(_ + _))
+      .drop("__r")
   }
 
   /** C79 probe core: batch vectors vs a standing coded corpus under a

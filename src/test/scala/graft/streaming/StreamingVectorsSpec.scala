@@ -51,4 +51,61 @@ class StreamingVectorsSpec extends SparkSpec {
       assert(spark.table("vec_flags").count() == streamed.size.toLong)
     } finally q.stop()
   }
+
+  test("drift monitor: the training feed reads par, a shifted feed goes stale") {
+    val v = Vectors.withNorm(
+        graft.sources.Tables(spark, sfDir, "embeddings"), "embedding")
+      .select(col("vec_id"), col("e"), col("nrm"))
+    val root = tmpDir("vecdrift")
+    IncrementalIndex.writeVecIndex(root, v)
+    val cents = spark.read.parquet(s"$root/vcents")
+    val cb = spark.read.parquet(s"$root/vcb")
+    val base = spark.read.parquet(s"$root/vbase")
+
+    def run(feed: Seq[(Long, Seq[Double], Double, Timestamp)], name: String) = {
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val stream = MemoryStream[(Long, Seq[Double], Double, Timestamp)]
+      // staleFactor 1.3 here: the planted dim-reversal drifts every
+      // cluster into the 1.4–1.7× band (pinned below); the production
+      // default stays a conservative 2.0
+      val q = StreamingVectors.driftStream(
+          stream.toDF().toDF("vec_id", "e", "nrm", "ts"),
+          cents, cb, base, "ts", staleFactor = 1.3)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        stream.addData(feed.toIndexedSeq)
+        q.processAllAvailable()
+        // append mode only emits CLOSED windows: advance the watermark
+        stream.addData(IndexedSeq(
+          (999999L, feed.head._2, feed.head._3,
+            new Timestamp(feed.head._4.getTime + 8L * 3600 * 1000))))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).collect()
+    }
+
+    val base0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = v.as[(Long, Seq[Double], Double)].collect().sortBy(_._1)
+    val trainFeed = rows.toSeq.map { case (id, e, n) => (id, e, n, base0) }
+    val par = run(trainFeed, "drift_par")
+    assert(par.nonEmpty)
+    // the full training population replayed: per-cluster mean error IS
+    // the baseline — par (10000 bp), never stale
+    assert(par.map(_.getAs[Long]("n_vecs")).sum == rows.length.toLong)
+    par.foreach { r =>
+      assert(!r.getAs[Boolean]("stale"), s"training feed flagged stale: $r")
+      assert(math.abs(r.getAs[Long]("drift_bp") - 10000L) <= 1L, s"$r")
+    }
+
+    // a shifted encoder: every vector's dims reversed — same norms,
+    // different subspace structure, so quantization error jumps
+    val shiftFeed = rows.toSeq.map { case (id, e, n) => (id, e.reverse, n, base0) }
+    val drift = run(shiftFeed, "drift_shift")
+    drift.foreach { r =>
+      assert(r.getAs[Long]("drift_bp") >= 13000L,
+        s"every cluster must show material drift on the shifted feed: $r")
+      assert(r.getAs[Boolean]("stale"), s"must trip at staleFactor 1.3: $r")
+    }
+  }
 }
