@@ -109,6 +109,8 @@ object SparkEntry {
     "ngram_counts" -> (TextQueries.ngramCounts _),
     "text_contamination" -> (TextQueries.textContamination _),
     "text_containment" -> (TextQueries.textContainment _),
+    // per-benchmark-item leakage rollup (the eval owner's report)
+    "contamination_items" -> (TextQueries.contaminationItems _),
     // rows-only: GK-sketch results are engine-specific (the scale face)
     "quality_percentile_approx" -> (TextQueries.qualityPercentileApprox _),
     "text_tokens" -> (TextQueries.textTokens _),
@@ -1018,6 +1020,44 @@ object SparkEntry {
         |FROM hits JOIN sz USING (item_id)
         |WHERE common * 10000 // item_size >= 1000
         |ORDER BY doc_id, item_id""".stripMargin,
+    "contamination_items" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm
+        |  FROM documents),
+        |toks AS (SELECT doc_id, string_split(norm,' ') AS w FROM d),
+        |bg AS (
+        |  SELECT DISTINCT doc_id, w[i]||' '||w[i+1] AS ngram
+        |  FROM toks, unnest(generate_series(1, len(w)-1)) AS t(i)
+        |  WHERE len(w) >= 2),
+        |bench AS (SELECT doc_id AS item_id, ngram FROM bg WHERE doc_id < 5),
+        |sz AS (SELECT item_id, CAST(count(*) AS BIGINT) AS item_size
+        |       FROM bench GROUP BY 1),
+        |hits AS (
+        |  SELECT bg.doc_id, bench.item_id, CAST(count(*) AS BIGINT) AS common
+        |  FROM bg JOIN bench USING (ngram)
+        |  WHERE bg.doc_id >= 5
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT h.doc_id, h.item_id, h.common,
+        |         h.common * 10000 // sz.item_size AS cbp,
+        |         row_number() OVER (PARTITION BY h.item_id
+        |                            ORDER BY h.common * 10000 // sz.item_size DESC,
+        |                                     h.doc_id) AS rk
+        |  FROM hits h JOIN sz USING (item_id)),
+        |agg AS (
+        |  SELECT item_id,
+        |         CAST(count(CASE WHEN common >= 3 THEN 1 END) AS BIGINT) AS n_docs_hit,
+        |         CAST(count(CASE WHEN cbp >= 1000 THEN 1 END) AS BIGINT) AS n_docs_1000bp,
+        |         max(common) AS max_common,
+        |         CAST(max(cbp) AS BIGINT) AS max_containment_bp,
+        |         max(CASE WHEN rk = 1 THEN doc_id END) AS worst_doc
+        |  FROM scored GROUP BY item_id)
+        |SELECT sz.item_id, sz.item_size,
+        |       coalesce(a.n_docs_hit, 0) AS n_docs_hit,
+        |       coalesce(a.n_docs_1000bp, 0) AS n_docs_1000bp,
+        |       a.max_common, a.max_containment_bp, a.worst_doc
+        |FROM sz LEFT JOIN agg a USING (item_id)
+        |ORDER BY item_id""".stripMargin,
     "text_contamination" ->
       """WITH d AS (
         |  SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm

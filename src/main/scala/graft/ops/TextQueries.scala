@@ -229,6 +229,51 @@ object TextQueries {
       .orderBy(col("doc_id"), col("item_id"))
   }
 
+  /** C80: per-benchmark-ITEM leakage report — the transpose of the C23
+    * doc-side gate, and the report an eval owner actually reads: for
+    * every benchmark item, how badly did it leak into the training
+    * corpus, and which document is the worst offender. C23/C29 answer
+    * "which corpus docs to drop"; this answers "which eval items are
+    * no longer trustworthy" — the decision is made per ITEM (retire or
+    * re-draw the item) and needs the per-item rollup, not the doc
+    * list.
+    *
+    * Per item: distinct-bigram size, docs sharing ≥3 grams (the C23
+    * rule, per item), docs at ≥1000 bp containment (the C29 rule), the
+    * maxima, and the argmax document (ties to the lowest doc_id).
+    * Plan: the C29 broadcast join + per-(doc, item) partial-agg counts,
+    * then ONE more per-item rollup — item count is eval-sized, so the
+    * rollup is trivially bounded. SQL-checked. */
+  def contaminationItems(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir)
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 2)).as("ngram"))
+    val bench = sh.where(col("doc_id") < 5)
+      .select(col("doc_id").as("item_id"), col("ngram"))
+    val itemSize = bench.groupBy(col("item_id")).agg(count(lit(1)).as("item_size"))
+    val hits = sh.where(col("doc_id") >= 5)
+      .join(broadcast(bench), Seq("ngram"))
+      .groupBy(col("doc_id"), col("item_id"))
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(itemSize), Seq("item_id"))
+      .withColumn("cbp", expr("common * 10000 div item_size"))
+    val byItem = Window.partitionBy(col("item_id"))
+      .orderBy(col("cbp").desc, col("doc_id"))
+    val perItem = hits
+      .withColumn("rk", row_number().over(byItem))
+      .groupBy(col("item_id"))
+      .agg(count(when(col("common") >= 3, lit(1))).as("n_docs_hit"),
+        count(when(col("cbp") >= 1000, lit(1))).as("n_docs_1000bp"),
+        max(col("common")).as("max_common"),
+        max(col("cbp")).as("max_containment_bp"),
+        max(when(col("rk") === 1, col("doc_id"))).as("worst_doc"))
+    itemSize.join(perItem, Seq("item_id"), "left")
+      .select(col("item_id"), col("item_size"),
+        coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"),
+        coalesce(col("n_docs_1000bp"), lit(0L)).as("n_docs_1000bp"),
+        col("max_common"), col("max_containment_bp"), col("worst_doc"))
+      .orderBy(col("item_id"))
+  }
+
   /** C10: token counting — whitespace tokens and BPE-ish regex pieces. */
   def textTokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)

@@ -101,6 +101,26 @@ class DegenerateSweepSpec extends SparkSpec {
     }
   }
 
+  test("per-item leakage report: an unleaked item keeps its row with nulls, not absence") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon", "bench", 30L),     // leaks below
+      (1L, "unique arcane vocabulary nobody reuses", "bench", 38L), // never leaks
+      (10L, "alpha beta gamma delta epsilon and more text", "s0", 44L),
+      (11L, "totally different corpus content here", "s0", 37L))
+      .map { case (i, t, s, n) => (i, t, "en", s, n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = zone("documents" -> docs)
+    val card = TextQueries.contaminationItems(spark, dir).collect()
+    assert(card.map(_.getAs[Long]("item_id")).toSeq == Seq(0L, 1L),
+      "every benchmark item keeps a row")
+    val leaked = card(0); val clean = card(1)
+    assert(leaked.getAs[Long]("n_docs_hit") == 1L)
+    assert(leaked.getAs[Long]("worst_doc") == 10L)
+    assert(clean.getAs[Long]("n_docs_hit") == 0L)
+    assert(clean.isNullAt(clean.fieldIndex("max_containment_bp")),
+      "an unleaked item reports null maxima, not phantom zeros")
+  }
+
   test("all-identical embeddings: PQ semantic dedup keeps exactly one") {
     val n = 12
     val emb = (1L to n.toLong).map(i => (i, Seq.fill(8)(0.5f), 0))
