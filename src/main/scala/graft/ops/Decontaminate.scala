@@ -134,9 +134,18 @@ object Decontaminate {
     val jac = KmvSketch.jaccardEstimate(col("ka"), col("kb"), k)
     val uni = KmvSketch.distinctEstimate(
       KmvSketch.unionSketch(col("ka"), col("kb"), k), k)
-    val est = srcSk.crossJoin(broadcast(benchSk))
-      .select(col("source"), round(jac, 4).as("est_jaccard"),
-        round(jac * uni).cast("long").as("est_shared"))
+    // every corpus source keeps a row — a source whose documents yield
+    // no shingles (all empty/null text) reports a zero estimate rather
+    // than vanishing from the card (the row-keeping degenerate posture)
+    val allSources = docsDf.where(col("doc_id") >= benchMaxId)
+      .select(col("source")).distinct()
+    val est = allSources
+      .join(srcSk.crossJoin(broadcast(benchSk))
+        .select(col("source"), round(jac, 4).as("ej"),
+          round(jac * uni).cast("long").as("es")), Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("ej"), lit(0.0)).as("est_jaccard"),
+        coalesce(col("es"), lit(0L)).as("est_shared"))
     val triaged = est.where(col("est_shared") >= minShared).select(col("source"))
     grams.where(col("doc_id") >= benchMaxId)
       .join(broadcast(triaged), Seq("source"))

@@ -244,15 +244,25 @@ object ExactSubstr {
     * pair join runs on CONTENT GROUPS (bounded by sources-per-content,
     * never corpus size). Diagonal cells require ≥2 occurrences within
     * the source. */
-  def spanProvenanceCard(s: SparkSession, dir: String): DataFrame = {
-    val L = 8
-    val d = Tables(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
-    val toks = d.select(col("doc_id"), Text.tokens(col("text")).as("ts"))
-    val occ = spans(d, "doc_id", "text", L)
+  /** The span-OCCURRENCE frame both attribution cards derive from —
+    * (doc_id, source, start_pos, span_tokens, h) with h the md5 of the
+    * span's exact token content. One definition so C75's matrix, C78's
+    * flow, and their DuckDB oracles can never diverge on the hash or
+    * slice convention. */
+  private def spanOccurrences(s: SparkSession, dir: String, L: Int): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val toks = d.select(col("doc_id"), col("source"),
+      Text.tokens(col("text")).as("ts"))
+    spans(d, "doc_id", "text", L)
       .join(toks, Seq("doc_id"))
-      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .select(col("source"), col("span_tokens"),
-        md5(concat_ws(" ", slice(col("ts"), col("start_pos"), col("span_tokens")))).as("h"))
+      .select(col("doc_id"), col("source"), col("start_pos"), col("span_tokens"),
+        md5(concat_ws(" ", slice(col("ts"), col("start_pos"), col("span_tokens"))))
+          .as("h"))
+  }
+
+  def spanProvenanceCard(s: SparkSession, dir: String): DataFrame = {
+    val occ = spanOccurrences(s, dir, L = 8)
       .groupBy(col("h"), col("source"))
       .agg(count(lit(1)).as("c"), max(col("span_tokens")).as("toklen"))
     val a = occ.select(col("h"), col("source").as("src_a"), col("c"), col("toklen"))
@@ -323,15 +333,7 @@ object ExactSubstr {
     * is content-group × its occurrences — never corpus². SQL-checked
     * against the identical construction in DuckDB. */
   def spanOriginCard(s: SparkSession, dir: String): DataFrame = {
-    val L = 8
-    val d = Tables(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
-    val toks = d.select(col("doc_id"), Text.tokens(col("text")).as("ts"))
-    val occ = spans(d, "doc_id", "text", L)
-      .join(toks, Seq("doc_id"))
-      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .select(col("doc_id"), col("source"), col("start_pos"), col("span_tokens"),
-        md5(concat_ws(" ", slice(col("ts"), col("start_pos"), col("span_tokens"))))
-          .as("h"))
+    val occ = spanOccurrences(s, dir, L = 8)
     val byContent = Window.partitionBy(col("h"))
     val firstCopy = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("start_pos"))
     val marked = occ

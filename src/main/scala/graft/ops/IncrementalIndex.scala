@@ -138,17 +138,20 @@ object IncrementalIndex {
     val m = SemanticPq.buildModel(v, VecK, VecIters, VecM, VecSubDim, VecPqK)
     m.cents.write.mode("overwrite").parquet(s"$root/vcents")
     m.cb.write.mode("overwrite").parquet(s"$root/vcb")
-    m.coded.select(col("vec_id"), col("cluster"), col("codes"))
-      .write.mode("overwrite").parquet(s"$root/vcodes")
-    // build-time per-cluster quantization-error baseline — what the D21
-    // drift monitor compares arriving windows against; computed with
-    // the SAME literal-model projection the stream uses, so baseline
-    // and live qerr are definitionally identical
-    SemanticPq.litAssignCode(v,
+    // ONE literal-model pass produces both the codes table and the D21
+    // drift baseline (cluster, codes, qerr per vector) — and because
+    // the baseline and the streaming monitor use the SAME projection,
+    // build-time and live qerr are definitionally identical
+    val coded = SemanticPq.litAssignCode(v,
         SemanticPq.literalModel(m.cents, m.cb, VecM), VecM, VecSubDim)
-      .groupBy(col("cluster"))
-      .agg(count(lit(1)).as("base_n"), avg(col("qerr")).as("base_qerr"))
-      .write.mode("overwrite").parquet(s"$root/vbase")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      coded.select(col("vec_id"), col("cluster"), col("codes"))
+        .write.mode("overwrite").parquet(s"$root/vcodes")
+      coded.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("base_n"), avg(col("qerr")).as("base_qerr"))
+        .write.mode("overwrite").parquet(s"$root/vbase")
+    } finally coded.unpersist()
   }
 
   /** Append an admitted batch: encode with the STORED centroids +

@@ -95,8 +95,10 @@ object SemanticPq {
   }
 
   /** SDC approximate squared L2 between two DENSE code arrays: M O(1)
-    * array picks + a sum (all codegen'd, no UDF). */
-  private[ops] def sdcDist(ca: org.apache.spark.sql.Column,
+    * array picks + a sum (all codegen'd, no UDF). `private[graft]` so
+    * the streaming face shares THIS gate rather than a copy that could
+    * drift from the batch contract. */
+  private[graft] def sdcDist(ca: org.apache.spark.sql.Column,
       cb: org.apache.spark.sql.Column,
       dtabs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     aggregate(
@@ -219,10 +221,6 @@ object SemanticPq {
       cvs.map(es => es.map(a => es.map(b => d2(a, b)))))
   }
 
-  private def litL2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
-
   /** ONE stateless narrow projection per row against the literal model:
     * adds `cluster`, dense `codes`, and the per-vector residual
     * quantization error `qerr` = Σ_m min‖sv_m − cv‖² (the argmin
@@ -241,7 +239,7 @@ object SemanticPq {
     val best = (0 until numSub).map { m =>
       val sv = slice(col("__r"), m * subDim + 1, subDim)
       array_min(transform(typedLit(lm.cvs(m)),
-        (cv, i) => struct(litL2(sv, cv).as("d"), i.as("i"))))
+        (cv, i) => struct(ProductQuant.l2(sv, cv).as("d"), i.as("i"))))
     }
     withRes
       .withColumn("codes", array(best.map(_.getField("i")): _*))

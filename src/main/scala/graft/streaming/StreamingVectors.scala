@@ -47,12 +47,10 @@ object StreamingVectors {
     val coded = SemanticPq.litAssignCode(
       vecs.withWatermark(tsCol, watermarkDelay), lm, numSub, subDim)
     val cut = 2.0 * (1.0 - tau + margin)
-    val approx = aggregate(
-      zip_with(zip_with(col("codes"), col("codes_s"),
-        (x, y) => struct(x.as("a"), y.as("b"))), typedLit(lm.dtabs),
-        (p, t) => element_at(element_at(t, p.getField("a") + 1),
-          p.getField("b") + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    // the SAME gate expression as the batch probe — shared, not copied,
+    // so the replay-equality contract can't silently drift
+    val approx = SemanticPq.sdcDist(col("codes"), col("codes_s"),
+      typedLit(lm.dtabs))
     coded
       .join(codes.select(col("vec_id").as("s_id"), col("cluster"),
         col("codes").as("codes_s")), Seq("cluster"))
@@ -92,8 +90,12 @@ object StreamingVectors {
         vecs.withWatermark(tsCol, watermarkDelay), lm, numSub, subDim)
       .groupBy(window(col(tsCol), windowDur), col("cluster"))
       .agg(count(lit(1)).as("n_vecs"), avg(col("qerr")).as("avg_qerr"))
+      // LEFT join: a cluster with no baseline row captured zero build
+      // vectors, so anything assigning there is by definition novel —
+      // dropping those windows would blind the monitor exactly where
+      // drift concentrates; they report null baseline + stale=true
       .join(broadcast(baseline.select(col("cluster"),
-        col("base_qerr"))), Seq("cluster"))
+        col("base_qerr"))), Seq("cluster"), "left")
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("cluster"), col("n_vecs"),
@@ -101,12 +103,13 @@ object StreamingVectors {
         round(col("base_qerr"), 6).as("base_qerr"),
         // a perfectly-quantized baseline (identical corpus) is 0 —
         // guard the ratio: equal-zero live error reads par, any live
-        // error over a zero baseline reads null-with-stale
+        // error over a zero (or absent) baseline reads null-with-stale
         when(col("base_qerr") === 0,
             when(col("avg_qerr") === 0, lit(10000L)))
           .otherwise(floor(col("avg_qerr") * 10000 / col("base_qerr"))
             .cast("long")).as("drift_bp"),
-        (col("avg_qerr") > col("base_qerr") * staleFactor ||
+        (col("base_qerr").isNull ||
+          col("avg_qerr") > col("base_qerr") * staleFactor ||
           (col("base_qerr") === 0 && col("avg_qerr") > 0)).as("stale"))
   }
 }

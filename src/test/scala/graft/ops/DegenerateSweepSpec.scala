@@ -101,6 +101,23 @@ class DegenerateSweepSpec extends SparkSpec {
     }
   }
 
+  test("triage card: a source whose docs yield no shingles keeps its row at zero") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta", "bench", 22L),
+      (10L, "alpha beta gamma delta echo fox", "loud", 31L),
+      (20L, "", "mute", 0L),                  // no bigrams at all
+      (21L, "one", "mute", 3L))               // single token: no bigram
+      .map { case (i, t, s, n) => (i, t, "en", s, n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val card = Decontaminate.triageCard(spark, docs,
+      benchMaxId = 5L, minShared = 1L).collect()
+    assert(card.map(_.getAs[String]("source")).toSeq == Seq("loud", "mute"),
+      "the shingle-less source must keep its row")
+    val mute = card.find(_.getAs[String]("source") == "mute").get
+    assert(mute.getAs[Long]("est_shared") == 0L)
+    assert(!mute.getAs[Boolean]("triaged"))
+  }
+
   test("per-item leakage report: an unleaked item keeps its row with nulls, not absence") {
     val docs = Seq(
       (0L, "alpha beta gamma delta epsilon", "bench", 30L),     // leaks below

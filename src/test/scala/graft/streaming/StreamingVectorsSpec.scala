@@ -108,4 +108,44 @@ class StreamingVectorsSpec extends SparkSpec {
       assert(r.getAs[Boolean]("stale"), s"must trip at staleFactor 1.3: $r")
     }
   }
+
+  test("drift monitor: a cluster with no baseline row reports stale, not silence") {
+    val v = Vectors.withNorm(
+        graft.sources.Tables(spark, sfDir, "embeddings"), "embedding")
+      .select(col("vec_id"), col("e"), col("nrm"))
+    val root = tmpDir("vecdrift2")
+    IncrementalIndex.writeVecIndex(root, v)
+    val cents = spark.read.parquet(s"$root/vcents")
+    val cb = spark.read.parquet(s"$root/vcb")
+    val base = spark.read.parquet(s"$root/vbase")
+    val dropped = base.orderBy(col("cluster")).limit(1)
+      .select("cluster").as[Long].head()
+    // simulate a build that captured zero vectors in `dropped`
+    val holey = base.where(col("cluster") =!= dropped)
+
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Double], Double, Timestamp)]
+    val q = StreamingVectors.driftStream(
+        stream.toDF().toDF("vec_id", "e", "nrm", "ts"), cents, cb, holey, "ts")
+      .writeStream.format("memory").queryName("drift_holey")
+      .outputMode("append").start()
+    try {
+      val base0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      val rows = v.as[(Long, Seq[Double], Double)].collect().sortBy(_._1)
+        .map { case (id, e, n) => (id, e, n, base0) }
+      stream.addData(rows.toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(IndexedSeq((999999L, rows.head._2, rows.head._3,
+        new Timestamp(base0.getTime + 8L * 3600 * 1000))))
+      q.processAllAvailable()
+      val out = spark.table("drift_holey").collect()
+      val orphan = out.filter(_.getAs[Long]("cluster") == dropped)
+      assert(orphan.nonEmpty,
+        "windows for the baseline-less cluster must still be reported")
+      orphan.foreach { r =>
+        assert(r.getAs[Boolean]("stale"), s"no-baseline cluster must read stale: $r")
+        assert(r.isNullAt(r.fieldIndex("base_qerr")))
+      }
+    } finally q.stop()
+  }
 }
