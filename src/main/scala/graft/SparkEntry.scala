@@ -173,6 +173,8 @@ object SparkEntry {
     "dedup_span_provenance" -> (ExactSubstr.spanProvenanceCard _),
     // directional origin→adopter attribution of duplicated spans
     "dedup_span_origin" -> (ExactSubstr.spanOriginCard _),
+    // per-source effective token mass after cross-source adoption
+    "mixture_effective" -> (ExactSubstr.mixtureEffectiveCard _),
     // Bloom-gated benchmark decontamination, result-equal to C23
     "text_contamination_bloom" -> (Decontaminate.contaminationBloom _),
     // rows-only: KMV-ranked (source × benchmark) triage ahead of the
@@ -1415,6 +1417,7 @@ object SparkEntry {
     "dedup_incremental_spans" -> ExactSubstr.incrementalOracle,
     "dedup_span_provenance" -> ExactSubstr.provenanceOracle,
     "dedup_span_origin" -> ExactSubstr.originOracle,
+    "mixture_effective" -> ExactSubstr.mixtureEffectiveOracle,
     "text_contamination_bloom" -> Decontaminate.oracle,
     "dedup_keeper_quality" -> DedupQueries.keeperQualityOracle,
     "dedup_incremental" -> DedupQueries.incrementalOracle,

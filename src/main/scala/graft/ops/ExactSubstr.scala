@@ -351,6 +351,112 @@ object ExactSubstr {
       .orderBy(col("src_from"), col("src_to"))
   }
 
+  /** C81: EFFECTIVE token mass per source — the C78 origin flow wired
+    * into the mixture-design decision it exists to inform. A source's
+    * naive weight (its share of total tokens) over-credits it for text
+    * it ADOPTED from other sources: a crawl that mirrors another
+    * contributes no new signal for its recycled mass. Per source:
+    * total tokens, tokens adopted from OTHER sources (cross-source
+    * spans where this source is not the origin — within-source
+    * recycling doesn't transfer credit), the effective remainder, and
+    * both shares in integer bp. The gap between naive_share_bp and
+    * effective_share_bp is exactly the over-credit a mixture built on
+    * raw counts would hand the source.
+    *
+    * Plan: the C71/C78 span machinery + one S-row rollup; the share
+    * normalizers are whole-frame window sums over the S-row card —
+    * eval-scale, not corpus-scale. SQL-checked against the composed
+    * origin + totals derivation. */
+  def mixtureEffectiveCard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val totals = d
+      .select(col("source"), size(Text.tokens(col("text"))).as("nt"))
+      .groupBy(col("source"))
+      .agg(sum(col("nt")).cast("bigint").as("total_tokens"))
+    val occ = spanOccurrences(s, dir, L = 8)
+    val byContent = Window.partitionBy(col("h"))
+    val firstCopy = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("start_pos"))
+    val marked = occ
+      .withColumn("copies", count(lit(1)).over(byContent))
+      .withColumn("rk", row_number().over(firstCopy))
+      .where(col("copies") > 1)
+    val origin = marked.where(col("rk") === 1)
+      .select(col("h"), col("source").as("src_from"))
+    val adopted = marked.where(col("rk") > 1)
+      .join(origin, Seq("h"))
+      .where(col("src_from") =!= col("source"))
+      .groupBy(col("source"))
+      .agg(sum(col("span_tokens")).cast("bigint").as("adopted_tokens"))
+    val all = Window.partitionBy()
+    totals.join(adopted, Seq("source"), "left")
+      .select(col("source"), col("total_tokens"),
+        coalesce(col("adopted_tokens"), lit(0L)).as("adopted_tokens"))
+      .withColumn("effective_tokens", col("total_tokens") - col("adopted_tokens"))
+      .withColumn("tot_all", sum(col("total_tokens")).over(all))
+      .withColumn("eff_all", sum(col("effective_tokens")).over(all))
+      .withColumn("naive_share_bp", expr("total_tokens * 10000 div tot_all"))
+      .withColumn("effective_share_bp", expr("effective_tokens * 10000 div eff_all"))
+      .select(col("source"), col("total_tokens"), col("adopted_tokens"),
+        col("effective_tokens"), col("naive_share_bp"), col("effective_share_bp"))
+      .orderBy(col("source"))
+  }
+
+  /** C81 oracle: the composed origin + totals derivation in DuckDB. */
+  val mixtureEffectiveOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |         string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ts
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, i AS pos, md5(array_to_string(ts[i:i+7], ' ')) AS h
+      |  FROM toks, unnest(generate_series(1, len(ts) - 7)) u(i)
+      |), dup AS (
+      |  SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM grams
+      |), fl AS (
+      |  SELECT doc_id, pos,
+      |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+      |              THEN 0 ELSE 1 END AS brk
+      |  FROM dup WHERE c > 1
+      |), isl AS (
+      |  SELECT doc_id, pos,
+      |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM fl
+      |), spans AS (
+      |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      |  FROM isl GROUP BY doc_id, grp
+      |), occ AS (
+      |  SELECT sp.doc_id, t.source, sp.s, sp.e - sp.s + 1 AS toklen,
+      |         md5(array_to_string(t.ts[sp.s:sp.e], ' ')) AS h
+      |  FROM spans sp JOIN toks t USING (doc_id)
+      |), mk AS (
+      |  SELECT *, count(*) OVER (PARTITION BY h) AS copies,
+      |         row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rk
+      |  FROM occ
+      |), org AS (
+      |  SELECT h, source AS src_from FROM mk WHERE copies > 1 AND rk = 1
+      |), ad AS (
+      |  SELECT mk.source, CAST(sum(mk.toklen) AS BIGINT) AS adopted_tokens
+      |  FROM mk JOIN org USING (h)
+      |  WHERE mk.copies > 1 AND mk.rk > 1 AND org.src_from <> mk.source
+      |  GROUP BY mk.source
+      |), tot AS (
+      |  SELECT source, CAST(sum(len(ts)) AS BIGINT) AS total_tokens
+      |  FROM toks GROUP BY source
+      |), card AS (
+      |  SELECT t.source, t.total_tokens,
+      |         coalesce(ad.adopted_tokens, 0) AS adopted_tokens,
+      |         t.total_tokens - coalesce(ad.adopted_tokens, 0) AS effective_tokens
+      |  FROM tot t LEFT JOIN ad USING (source)
+      |)
+      |SELECT source, total_tokens, adopted_tokens, effective_tokens,
+      |       total_tokens * 10000
+      |         // CAST(sum(total_tokens) OVER () AS BIGINT) AS naive_share_bp,
+      |       effective_tokens * 10000
+      |         // CAST(sum(effective_tokens) OVER () AS BIGINT) AS effective_share_bp
+      |FROM card
+      |ORDER BY source""".stripMargin
+
   /** C78 oracle: the identical origin/adopter derivation in DuckDB. */
   val originOracle: String =
     """WITH toks AS (

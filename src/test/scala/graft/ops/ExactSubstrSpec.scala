@@ -208,6 +208,33 @@ class ExactSubstrSpec extends SparkSpec {
       s"origin matrix off: $got")
   }
 
+  test("effective mixture mass discounts cross-source adoption only") {
+    val boiler = (0 until 16).map(i => s"meboil$i")
+    val intra = (0 until 12).map(i => s"meintr$i")
+    val docs = Seq(
+      (1L, "A", (filler("mea", 8) ++ boiler ++ filler("meb", 5)).mkString(" ")),
+      (2L, "B", (filler("mec", 11) ++ boiler ++ filler("med", 9)).mkString(" ")),
+      (3L, "A", (filler("mee", 6) ++ boiler ++ filler("mef", 7)).mkString(" ")),
+      (4L, "C", (filler("meg", 9) ++ intra ++ filler("meh", 4)).mkString(" ")),
+      (5L, "C", (filler("mei", 5) ++ intra ++ filler("mej", 8)).mkString(" ")),
+      (6L, "D", filler("mek", 40).mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val dir = tmpDir("mixeffzone")
+    docs.withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = ExactSubstr.mixtureEffectiveCard(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // only B adopted cross-source (A's boilerplate); A's own re-use and
+    // C's within-source recycling transfer no credit
+    assert(got == Seq(
+      ("A", 58L, 0L, 58L),
+      ("B", 36L, 16L, 20L),
+      ("C", 50L, 0L, 50L),
+      ("D", 40L, 0L, 40L)),
+      s"effective-mass card off: $got")
+  }
+
   test("the per-source card reconciles with the span frame") {
     val card = ExactSubstr.exactSubstrCard(spark, sfDir).collect()
     assert(card.nonEmpty)
