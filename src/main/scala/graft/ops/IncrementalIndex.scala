@@ -154,6 +154,22 @@ object IncrementalIndex {
     } finally coded.unpersist()
   }
 
+  /** Recompute the D21 drift baseline from the CURRENT corpus without
+    * retraining — the append-cadence maintenance step: after many
+    * appends the build-time baseline under-represents the admitted
+    * population (vectors the codebook never trained on quantize a
+    * little worse), which makes the monitor over-sensitive. The model
+    * stays frozen; only `vbase` rewrites. Refreshing with the original
+    * build corpus reproduces the build-time table exactly
+    * (IncrementalVecSpec pins it). */
+  def refreshVecBaseline(s: SparkSession, root: String, corpus: DataFrame): Unit =
+    SemanticPq.litAssignCode(corpus,
+        SemanticPq.literalModel(s.read.parquet(s"$root/vcents"),
+          s.read.parquet(s"$root/vcb"), VecM), VecM, VecSubDim)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("base_n"), avg(col("qerr")).as("base_qerr"))
+      .write.mode("overwrite").parquet(s"$root/vbase")
+
   /** Append an admitted batch: encode with the STORED centroids +
     * codebook and append codes only. */
   def appendVecIndex(s: SparkSession, root: String, batch: DataFrame): Unit =

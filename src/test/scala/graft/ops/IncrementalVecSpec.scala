@@ -67,6 +67,27 @@ class IncrementalVecSpec extends SparkSpec {
     re.values.foreach(c => assert(c >= 0.9999, s"self-match cosine: $c"))
   }
 
+  test("baseline refresh: rebuild-equal on the build corpus, covers appends after") {
+    val v = corpus.select(col("vec_id"), col("e"), col("nrm"))
+    val isNew = col("vec_id") % 5 === 4
+    val standing = v.where(!isNew)
+    val batch = v.where(isNew)
+    val root = tmpDir("vecrefresh")
+    IncrementalIndex.writeVecIndex(root, standing)
+    def vbase = spark.read.parquet(s"$root/vbase").collect()
+      .map(r => r.getAs[Long]("cluster") ->
+        (r.getAs[Long]("base_n"), r.getAs[Double]("base_qerr"))).toMap
+    val built = vbase
+    // same corpus, same frozen model → identical baseline
+    IncrementalIndex.refreshVecBaseline(spark, root, standing)
+    assert(vbase == built, "refresh on the build corpus must be a no-op")
+    // after an append, the refreshed counts cover the full population
+    IncrementalIndex.appendVecIndex(spark, root, batch)
+    IncrementalIndex.refreshVecBaseline(spark, root, standing.union(batch))
+    assert(vbase.values.map(_._1).sum == v.count(),
+      "refreshed baseline must count every admitted vector")
+  }
+
   test("batch-internal duplication stays silent") {
     // standing: distinct orthogonal-ish vectors; batch: two IDENTICAL
     // vectors unseen in history — nothing may flag
