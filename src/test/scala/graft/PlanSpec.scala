@@ -374,6 +374,16 @@ class PlanSpec extends SparkSpec {
     assert(!readSchemas.contains("n_chars"), "reads n_chars it never uses")
   }
 
+  test("mixture_effective + contamination_items: no cartesian, pruned scans") {
+    for (q <- Seq("mixture_effective", "contamination_items")) {
+      val plan = executed(q)
+      assert(!plan.contains("CartesianProduct"), s"$q grew a cartesian:\n$plan")
+      val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+      assert(!readSchemas.contains("n_chars"), s"$q reads n_chars it never uses")
+      assert(!readSchemas.contains("lang"), s"$q reads lang it never uses")
+    }
+  }
+
   test("text_contamination_triage: bloom prefilter + semi-join confirm survive the triage cut") {
     val plan = executed("text_contamination_triage")
     assert(plan.contains("might_contain"),
