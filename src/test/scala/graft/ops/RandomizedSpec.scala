@@ -156,6 +156,68 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("span attribution conserves mass across the three cards on random corpora") {
+    // Invariants tying C73 (removal), C78 (origin flow), C81 (effective
+    // mass) to ONE accounting identity: the keeper rule and the span
+    // frame are shared, so for every source
+    //   removal_cut(s)            == Σ_from  flow(from → s)
+    //   mixture_adopted(s)        == Σ_{from ≠ s} flow(from → s)
+    //   0 ≤ effective(s) ≤ total(s), totals == Σ token counts
+    // Random corpora: shared phrases (≥L tokens) planted across random
+    // docs/sources + per-doc unique filler; phrase adjacency exercises
+    // the island-merge / content-unique conservative-keep path too.
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(86753)
+    for (trial <- 1 to 3) {
+      val phrases = (0 until 5).map(p =>
+        (0 until 8 + rnd.nextInt(5)).map(w => s"t${trial}p${p}w$w"))
+      val sources = Seq("sa", "sb", "sc")
+      val docs = (0 until 12).map { d =>
+        val src = sources(rnd.nextInt(sources.size))
+        val parts = scala.collection.mutable.Buffer[Seq[String]]()
+        parts += (0 until 3 + rnd.nextInt(4)).map(i => s"t${trial}d${d}f$i")
+        (0 until rnd.nextInt(3)).foreach { _ =>
+          parts += phrases(rnd.nextInt(phrases.size))
+          parts += (0 until 1 + rnd.nextInt(5)).map(i =>
+            s"t${trial}d${d}g${parts.size}x$i")
+        }
+        (d.toLong, src, parts.flatten.mkString(" "))
+      }
+      val dir = tmpDir(s"spanmass$trial")
+      docs.toDF("doc_id", "source", "text")
+        .withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text")))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+
+      val flow = ExactSubstr.spanOriginCard(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+      val cut = ExactSubstr.removeDupSpansCard(spark, dir).collect()
+        .map(r => r.getString(0) ->
+          (r.getAs[Long]("tokens_before") - r.getAs[Long]("tokens_after"))).toMap
+      val mix = ExactSubstr.mixtureEffectiveCard(spark, dir).collect()
+        .map(r => r.getString(0) ->
+          (r.getAs[Long]("total_tokens"), r.getAs[Long]("adopted_tokens"),
+            r.getAs[Long]("effective_tokens"))).toMap
+
+      val expectTotals = docs.groupBy(_._2)
+        .map { case (s, ds) => s -> ds.map(_._3.split(" ").length.toLong).sum }
+      sources.foreach { s =>
+        val inFlow = flow.collect { case ((_, to), v) if to == s => v }.sum
+        val crossFlow = flow.collect {
+          case ((from, to), v) if to == s && from != s => v }.sum
+        assert(cut.getOrElse(s, 0L) == inFlow,
+          s"trial $trial $s: removal mass ${cut.getOrElse(s, 0L)} != flow-in $inFlow")
+        mix.get(s).foreach { case (tot, adopted, eff) =>
+          assert(adopted == crossFlow,
+            s"trial $trial $s: mixture adopted $adopted != cross flow-in $crossFlow")
+          assert(eff == tot - adopted && eff >= 0L && eff <= tot)
+          assert(tot == expectTotals(s), s"trial $trial $s: totals")
+        }
+      }
+    }
+  }
+
   test("LmQuant bins are monotone and codebook-consistent on random inputs") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(5150)
