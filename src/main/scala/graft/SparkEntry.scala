@@ -120,6 +120,9 @@ object SparkEntry {
     // sliding token windows + chunk-level (paragraph) dedup over them
     "text_chunk" -> (TextQueries.textChunk _),
     "dedup_chunk" -> (TextQueries.dedupChunk _),
+    // C82: who-copies-whom at training-window granularity (C78's flow
+    // matrix over C30/C31's chunks; keeper-rule-aligned with C31)
+    "dedup_chunk_origin" -> (TextQueries.chunkOriginCard _),
     // cumulative filter-funnel survivor report over the documents corpus
     "quality_funnel" -> (TextQueries.qualityFunnel _),
     "quality_gopher" -> (TextQueries.qualityGopher _),
@@ -205,6 +208,10 @@ object SparkEntry {
     // rows-only: LSH-blocked scale face of C5 (recall spec-bounded)
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => VectorQueries.dedupEmbeddingLsh(s, d)),
     "sim_search_topk" -> (VectorQueries.simSearchTopk _),
+    // C83: embedding-space eval-leakage gate (catches paraphrased leaks
+    // the n-gram decontamination family structurally cannot)
+    "contamination_semantic" -> ((s: SparkSession, d: String) =>
+      VectorQueries.contaminationSemantic(s, d)),
     // rows-only: IVF-blocked all-corpus kNN graph (KnnGraphSpec bounds recall)
     "knn_graph" -> (VectorQueries.knnGraph _),
     "sim_search_lsh" -> (VectorQueries.simSearchLsh _),
@@ -1238,6 +1245,8 @@ object SparkEntry {
         |       cast(sum(CASE WHEN pos_key <> keeper THEN 1 ELSE 0 END) AS BIGINT)
         |         * 10000 // count(*) AS dup_bp
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "dedup_chunk_origin" -> TextQueries.chunkOriginOracle,
+    "contamination_semantic" -> VectorQueries.contaminationSemanticOracle,
     "sample_pack" -> graft.ops.Sample.packOracle,
     "sample_curriculum" -> graft.ops.Sample.curriculumOracle,
     // C33: cumulative funnel — flags from one normalized projection, the

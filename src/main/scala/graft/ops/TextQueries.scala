@@ -401,6 +401,76 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** C82: chunk-granularity ORIGIN attribution — C78's who-copies-whom
+    * flow matrix re-expressed at the C30/C31 training-window
+    * granularity. The span card (C78) attributes maximal duplicated
+    * substrings; THIS card attributes the width-32/stride-24 windows a
+    * packing pipeline actually emits, so its `adopted_chunks` is the
+    * number of training windows the C31 keeper rule would drop,
+    * partitioned by where their content first appeared. Origin = the
+    * minimum `pos_key` occurrence of a chunk content — deliberately the
+    * SAME rule C31 uses to pick the kept window, so "the original"
+    * names the same window in the dedup share and the attribution card
+    * (ChunkOriginSpec pins the mass-conservation invariant:
+    * Σ adopted_chunks over this card = Σ dup_chunks over C31's card).
+    * The diagonal is within-source recycling.
+    *
+    * Plan shape: the shared C30/C31 chunk frame (narrow, shuffle-free)
+    * then one window shuffle on the uniform `chunk_hash` — identical
+    * cost to C31 itself; the attribution join matches each adopted
+    * occurrence to its content's one origin row (content-group
+    * cardinality, never corpus²) and the roll-up is S² rows at most. */
+  def chunkOriginCard(s: SparkSession, dir: String): DataFrame = {
+    val posKey = (col("doc_id") * lit(1048576L)) + col("chunk_idx")
+    val byContent = Window.partitionBy(col("chunk_hash"))
+    val firstCopy = Window.partitionBy(col("chunk_hash")).orderBy(col("pos_key"))
+    val marked = chunkFrame(s, dir, width = 32, stride = 24)
+      .withColumn("pos_key", posKey)
+      .withColumn("copies", count(lit(1)).over(byContent))
+      .withColumn("rk", row_number().over(firstCopy))
+      .where(col("copies") > 1)
+    val origin = marked.where(col("rk") === 1)
+      .select(col("chunk_hash"), col("source").as("src_from"))
+    marked.where(col("rk") > 1)
+      .join(origin, Seq("chunk_hash"))
+      .groupBy(col("src_from"), col("source").as("src_to"))
+      .agg(countDistinct(col("chunk_hash")).as("n_contents"),
+        count(lit(1)).as("adopted_chunks"),
+        sum(col("chunk_tokens")).cast("bigint").as("adopted_tokens"))
+      .orderBy(col("src_from"), col("src_to"))
+  }
+
+  /** C82 oracle: the identical construction in DuckDB over the shared
+    * chunk-rule CTE (the dedup_chunk oracle's frame + the C78-style
+    * origin window). */
+  val chunkOriginOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS toks
+      |  FROM documents),
+      |n AS (SELECT doc_id, source, toks, len(toks) AS n FROM d),
+      |e AS (SELECT doc_id, source, toks, n,
+      |             unnest(generate_series(0, greatest(n-1, 0), 24)) AS start
+      |      FROM n),
+      |ch AS (SELECT doc_id, source,
+      |              doc_id * 1048576 + start // 24 AS pos_key,
+      |              least(32, n - start) AS chunk_tokens,
+      |              md5(array_to_string(list_slice(toks, start+1, start+32), ' ')) AS chunk_hash
+      |       FROM e),
+      |m AS (SELECT source, pos_key, chunk_tokens, chunk_hash,
+      |             count(*) OVER (PARTITION BY chunk_hash) AS copies,
+      |             row_number() OVER (PARTITION BY chunk_hash ORDER BY pos_key) AS rk
+      |      FROM ch),
+      |dup AS (SELECT * FROM m WHERE copies > 1),
+      |org AS (SELECT chunk_hash, source AS src_from FROM dup WHERE rk = 1)
+      |SELECT o.src_from, a.source AS src_to,
+      |       cast(count(DISTINCT a.chunk_hash) AS BIGINT) AS n_contents,
+      |       cast(count(*) AS BIGINT) AS adopted_chunks,
+      |       cast(sum(a.chunk_tokens) AS BIGINT) AS adopted_tokens
+      |FROM dup a JOIN org o USING (chunk_hash)
+      |WHERE a.rk > 1
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** C33: quality-filter funnel — the per-stage survivor report every
     * pretraining pipeline publishes (the C4/RefinedWeb "documents
     * remaining after each rule" table). Stages apply CUMULATIVELY:

@@ -413,6 +413,75 @@ object VectorQueries {
       .orderBy(col("src"), col("rank"))
   }
 
+  /** C83: SEMANTIC decontamination — the eval-leakage gate run in
+    * embedding space, completing the decontamination family (C23 exact
+    * n-grams, C29 containment, C72 bloom-gated, C77 KMV triage, C80
+    * per-item report): a paraphrased or lightly-reworded eval item
+    * shares no 2-gram with its training-set leak, but its embedding
+    * still sits at high cosine — this card catches what every n-gram
+    * face structurally cannot. Per eval item (the vec_id<5 convention
+    * the n-gram faces use for doc_id): corpus vectors at cos ≥ τ
+    * (τ=0.35, the corpus near-dup convention), the nearest corpus
+    * cosine, and the nearest vector (ties to the lowest vec_id). An
+    * unleaked item keeps its row with 0 flagged (the C80 rule); an
+    * EMPTY corpus keeps every item row with NULL nearest (sweep-pinned).
+    *
+    * Plan shape at 100 TB: the eval side is always broadcast-tiny; the
+    * corpus makes two narrow scan→partial-agg passes (counts+max, then
+    * the argmax confirm against the broadcast eval-sized maxima) — a
+    * row_number window would instead shuffle the whole scored frame
+    * into |items| partitions, a guaranteed straggler at scale. */
+  def contaminationSemantic(s: SparkSession, dir: String,
+                            tau: Double = 0.35): DataFrame = {
+    val v = emb(s, dir)
+    val items = v.where(col("vec_id") < 5)
+      .select(col("vec_id").as("item_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val corpus = v.where(col("vec_id") >= 5)
+    val cos = Vectors.cosine(col("qe"), col("e"), col("qn"), col("nrm"))
+    val scored = corpus.crossJoin(broadcast(items))
+      .select(col("item_id"), col("vec_id"), round(cos, 4).as("cos"))
+    val st = scored.groupBy(col("item_id"))
+      .agg(count(when(col("cos") >= tau, lit(1))).as("n_flagged"),
+        max(col("cos")).as("nearest_cos"))
+    val nearest = scored
+      .join(broadcast(st.select(col("item_id"), col("nearest_cos"))),
+        Seq("item_id"))
+      .where(col("cos") === col("nearest_cos"))
+      .groupBy(col("item_id"))
+      .agg(min(col("vec_id")).as("nearest_vec"))
+    items.select(col("item_id"))
+      .join(st, Seq("item_id"), "left")
+      .join(nearest, Seq("item_id"), "left")
+      .select(col("item_id"), coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        col("nearest_cos"), col("nearest_vec"))
+      .orderBy(col("item_id"))
+  }
+
+  /** C83 oracle: the identical two-pass construction in DuckDB. */
+  val contaminationSemanticOracle: String =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+      |      WHERE nrm IS NOT NULL AND nrm > 0),
+      |q AS (SELECT vec_id AS item_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 5),
+      |sc AS (SELECT item_id, vec_id,
+      |              round(list_dot_product(qe, e)/(qn*nrm), 4) AS cos
+      |       FROM q, n WHERE vec_id >= 5),
+      |st AS (SELECT item_id,
+      |              count(*) FILTER (cos >= 0.35) AS n_flagged,
+      |              max(cos) AS nearest_cos
+      |       FROM sc GROUP BY item_id),
+      |nr AS (SELECT sc.item_id, min(sc.vec_id) AS nearest_vec
+      |       FROM sc JOIN st ON sc.item_id = st.item_id
+      |                      AND sc.cos = st.nearest_cos
+      |       GROUP BY sc.item_id)
+      |SELECT q.item_id,
+      |       cast(coalesce(st.n_flagged, 0) AS BIGINT) AS n_flagged,
+      |       st.nearest_cos, nr.nearest_vec
+      |FROM q LEFT JOIN st USING (item_id) LEFT JOIN nr USING (item_id)
+      |ORDER BY q.item_id""".stripMargin
+
   /** C13: per-label vector statistics (norms + mean component).
     * Unlike the similarity faces, this REPORT face keeps degenerate
     * (null / zero-norm) vectors visible: `n` counts every row and

@@ -62,6 +62,32 @@ object StreamingVectors {
       .dropDuplicatesWithinWatermark("vec_id")
   }
 
+  /** D22: SEMANTIC decontamination at INTAKE — C83's embedding-space
+    * eval-leakage gate turned to face the corpus side: flag each
+    * ARRIVING vector that sits at cos ≥ τ to ANY benchmark item,
+    * before it lands in the lake (the D13 n-gram gate catches verbatim
+    * leaks at intake; this catches the paraphrased ones n-grams
+    * structurally miss). `items` is the eval-side static frame
+    * (vec_id, e, nrm) — always broadcast-tiny, so the scored join is
+    * ONE stateless narrow projection per arriving vector; re-planned
+    * per micro-batch, a benchmark refresh is picked up without a
+    * restart (the D11 trade). The only state is the once-per-pair
+    * watermark dedup. Emits (vec_id, item_id, tsCol).
+    *
+    * Parity contract (StreamingVectorsSpec): replaying a batch flags
+    * EXACTLY the (vector, item) pairs the batch C83 scoring admits at
+    * the same τ — the gate expression is the shared Vectors.cosine,
+    * not a copy. */
+  def decontaminateSemanticStream(vecs: DataFrame, items: DataFrame,
+      tsCol: String, tau: Double = 0.35,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    vecs.withWatermark(tsCol, watermarkDelay)
+      .crossJoin(broadcast(items.select(col("vec_id").as("item_id"),
+        col("e").as("qe"), col("nrm").as("qn"))))
+      .where(Vectors.cosine(col("e"), col("qe"), col("nrm"), col("qn")) >= tau)
+      .select(col("vec_id"), col("item_id"), col(tsCol))
+      .dropDuplicatesWithinWatermark("vec_id", "item_id")
+
   /** D21: index STALENESS monitor — the rebuild signal for the frozen
     * model. When the embedding distribution drifts (a new encoder
     * version, a new domain mixing in), arriving vectors quantize WORSE

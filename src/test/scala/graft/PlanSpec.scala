@@ -384,6 +384,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup_chunk_origin: no cartesian, scan pruned to the used columns") {
+    val plan = executed("dedup_chunk_origin")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchemas.contains("n_chars"), "reads n_chars it never uses")
+    assert(!readSchemas.contains("lang"), "reads lang it never uses")
+  }
+
   test("text_contamination_triage: bloom prefilter + semi-join confirm survive the triage cut") {
     val plan = executed("text_contamination_triage")
     assert(plan.contains("might_contain"),

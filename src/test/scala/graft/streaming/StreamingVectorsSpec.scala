@@ -148,4 +148,42 @@ class StreamingVectorsSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streamed semantic decontamination flags exactly the batch pair set") {
+    val v = Vectors.withNorm(
+        graft.sources.Tables(spark, sfDir, "embeddings"), "embedding")
+      .select(col("vec_id"), col("e"), col("nrm"))
+    val items = v.where(col("vec_id") < 5)
+    val corpus = v.where(col("vec_id") >= 5)
+
+    // the batch truth: every (corpus vec, item) pair at cos >= tau
+    val expected = corpus.crossJoin(broadcast(items
+        .select(col("vec_id").as("item_id"), col("e").as("qe"), col("nrm").as("qn"))))
+      .where(Vectors.cosine(col("e"), col("qe"), col("nrm"), col("qn")) >= 0.35)
+      .select(col("vec_id"), col("item_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "the corpus must graze the eval set at tau=0.35")
+
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = corpus.as[(Long, Seq[Double], Double)].collect().sortBy(_._1)
+      .map { case (id, e, n) => (id, e, n, new Timestamp(base + id * 1000)) }
+
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Double], Double, Timestamp)]
+    val q = StreamingVectors.decontaminateSemanticStream(
+        stream.toDF().toDF("vec_id", "e", "nrm", "ts"), items, "ts")
+      .writeStream.format("memory").queryName("semcon_flags")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3))
+        .foreach { c => stream.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val streamed = spark.table("semcon_flags")
+        .select("vec_id", "item_id").as[(Long, Long)].collect()
+      assert(streamed.toSet == expected,
+        s"faces diverge: ${(expected diff streamed.toSet).take(5)} missing, " +
+          s"${(streamed.toSet diff expected).take(5)} extra")
+      // once per pair inside the watermark horizon
+      assert(streamed.length == streamed.toSet.size)
+    } finally q.stop()
+  }
 }
