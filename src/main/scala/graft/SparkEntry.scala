@@ -152,6 +152,9 @@ object SparkEntry {
     "text_normalize" -> (TextQueries.textNormalize _),
     // per-source token-distribution drift vs the corpus (integer bp)
     "corpus_divergence" -> (TextQueries.corpusDivergence _),
+    // C84: intake-batch drift vs the standing corpus (quality/length/
+    // novel-vocabulary per source — the text-side D21)
+    "corpus_batch_drift" -> (TextQueries.corpusBatchDrift _),
     // top-50 vocabulary coverage curve (integer bp)
     "text_vocab" -> (TextQueries.textVocab _),
     // per-source document-length histogram (100-char buckets)
@@ -1247,6 +1250,7 @@ object SparkEntry {
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "dedup_chunk_origin" -> TextQueries.chunkOriginOracle,
     "contamination_semantic" -> VectorQueries.contaminationSemanticOracle,
+    "corpus_batch_drift" -> TextQueries.corpusBatchDriftOracle,
     "sample_pack" -> graft.ops.Sample.packOracle,
     "sample_curriculum" -> graft.ops.Sample.curriculumOracle,
     // C33: cumulative funnel — flags from one normalized projection, the

@@ -82,7 +82,7 @@ object TextQueries {
     * are unaffected — this is the 100 TB crawl defense). */
   private[ops] def qualityScores(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"), col("source"), col("n_chars"),
         graft.functions.TokenMarkerStats(col("text")).as("st"))
     val nTok = col("st.ws_tokens").cast("double")
     val stopRatio = col("st.stop").cast("double") / nTok
@@ -90,7 +90,7 @@ object TextQueries {
     val score = lit(0.4) * least(nTok / 100.0, lit(1.0)) +
       lit(0.3) * least(stopRatio * 10.0, lit(1.0)) +
       lit(0.3) * when(avgLen >= 3.0 && avgLen <= 8.0, 1.0).otherwise(0.0)
-    d.select(col("doc_id"), col("source"),
+    d.select(col("doc_id"), col("source"), col("n_chars"),
       when(col("st").isNull, lit(0.0)).otherwise(score).as("q"))
   }
 
@@ -602,6 +602,109 @@ object TextQueries {
         sum(abs(col("src_bp") - col("corpus_bp"))).as("divergence_bp"))
       .orderBy(col("source"))
   }
+
+  /** C84: intake-batch TEXT drift — the text-side counterpart of the
+    * D21 vector-index staleness monitor, and the card an ingest owner
+    * reads before promoting a day's batch: per source, how do the
+    * arriving documents (the `doc_id % 5 == 4` batch convention C74/C79
+    * use) compare against the standing corpus on quality, length, and
+    * vocabulary? A feed that silently switched encoding, started
+    * truncating, or began emitting a new domain shows up as a quality/
+    * length gap or a novel-vocabulary spike BEFORE it pollutes the
+    * lake. `q_drift` is the difference of the two (4dp-rounded) means;
+    * `novel_bp` = batch-distinct terms unseen in THAT source's standing
+    * vocabulary, in integer bp of batch-distinct (a brand-new source
+    * reads 10000 — maximally novel, standing columns NULL).
+    *
+    * Plan shape at 100 TB: the stats leg is ONE scan with conditional
+    * partial aggs (no split-join); the vocabulary leg is one token
+    * explode → (source, term) partial agg (map-side combine absorbs hot
+    * terms, the textRepetition shape) → per-source rollup. SQL-checked. */
+  def corpusBatchDrift(s: SparkSession, dir: String): DataFrame = {
+    val b = (col("doc_id") % 5) === 4
+    val stats = qualityScores(s, dir)
+      .withColumn("b", b)
+      .groupBy(col("source"))
+      .agg(
+        count(when(!col("b"), lit(1))).as("standing_docs"),
+        count(when(col("b"), lit(1))).as("batch_docs"),
+        round(avg(when(!col("b"), col("q"))), 4).as("q_standing"),
+        round(avg(when(col("b"), col("q"))), 4).as("q_batch"),
+        round(avg(when(!col("b"), col("n_chars"))), 4).as("len_standing"),
+        round(avg(when(col("b"), col("n_chars"))), 4).as("len_batch"))
+      .withColumn("q_drift", round(col("q_batch") - col("q_standing"), 4))
+    val terms = docs(s, dir)
+      .select(col("source"), b.as("b"),
+        explode(Text.tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(max(when(col("b"), 1).otherwise(0)).as("in_b"),
+        max(when(!col("b"), 1).otherwise(0)).as("in_s"))
+    val vocab = terms.where(col("in_b") === 1)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("batch_terms"),
+        sum(when(col("in_s") === 0, 1L).otherwise(0L)).as("novel_terms"))
+      .withColumn("novel_bp", expr("novel_terms * 10000 div batch_terms"))
+    stats.join(vocab, Seq("source"), "left")
+      .select(col("source"), col("standing_docs"), col("batch_docs"),
+        col("q_standing"), col("q_batch"), col("q_drift"),
+        col("len_standing"), col("len_batch"),
+        coalesce(col("batch_terms"), lit(0L)).as("batch_terms"),
+        coalesce(col("novel_terms"), lit(0L)).as("novel_terms"),
+        col("novel_bp"))
+      .orderBy(col("source"))
+  }
+
+  /** C84 oracle: the identical conditional-agg + vocabulary construction
+    * (the text_quality q formula with the null-text guard). */
+  val corpusBatchDriftOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars, text,
+      |         doc_id % 5 = 4 AS b,
+      |         trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm
+      |  FROM documents),
+      |m AS (
+      |  SELECT source, b, n_chars,
+      |    CASE WHEN text IS NULL THEN 0.0 ELSE
+      |      0.4*least(cast(len(string_split(norm,' ')) AS DOUBLE)/100.0, 1.0)
+      |      + 0.3*least((cast(len(list_filter(string_split(norm,' '),
+      |            x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+      |          / cast(len(string_split(norm,' ')) AS DOUBLE))*10.0, 1.0)
+      |      + 0.3*(CASE WHEN cast(length(replace(norm,' ','')) AS DOUBLE)
+      |                         / cast(len(string_split(norm,' ')) AS DOUBLE)
+      |                       BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END)
+      |    END AS q
+      |  FROM d),
+      |st AS (
+      |  SELECT source,
+      |         cast(count(*) FILTER (NOT b) AS BIGINT) AS standing_docs,
+      |         cast(count(*) FILTER (b) AS BIGINT) AS batch_docs,
+      |         round(avg(q) FILTER (NOT b), 4) AS q_standing,
+      |         round(avg(q) FILTER (b), 4) AS q_batch,
+      |         round(avg(n_chars) FILTER (NOT b), 4) AS len_standing,
+      |         round(avg(n_chars) FILTER (b), 4) AS len_batch
+      |  FROM m GROUP BY source),
+      |tk AS (
+      |  SELECT source, b, unnest(string_split(norm,' ')) AS term
+      |  FROM d WHERE text IS NOT NULL),
+      |tm AS (
+      |  SELECT source, term,
+      |         max(CASE WHEN b THEN 1 ELSE 0 END) AS in_b,
+      |         max(CASE WHEN NOT b THEN 1 ELSE 0 END) AS in_s
+      |  FROM tk GROUP BY source, term),
+      |vc AS (
+      |  SELECT source, cast(count(*) AS BIGINT) AS batch_terms,
+      |         cast(sum(CASE WHEN in_s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS novel_terms
+      |  FROM tm WHERE in_b = 1 GROUP BY source)
+      |SELECT st.source, standing_docs, batch_docs,
+      |       q_standing, q_batch,
+      |       round(q_batch - q_standing, 4) AS q_drift,
+      |       len_standing, len_batch,
+      |       cast(coalesce(vc.batch_terms, 0) AS BIGINT) AS batch_terms,
+      |       cast(coalesce(vc.novel_terms, 0) AS BIGINT) AS novel_terms,
+      |       vc.novel_terms * 10000 // vc.batch_terms AS novel_bp
+      |FROM st LEFT JOIN vc ON st.source = vc.source
+      |ORDER BY st.source""".stripMargin
 
   /** C40: vocabulary coverage table — the top-50 corpus terms with each
     * term's share and the cumulative coverage curve (the table a
