@@ -281,6 +281,10 @@ object SparkEntry {
     "mixture_tokens" -> (graft.ops.Sample.mixtureTokensQuery _),
     // sharded sequence packing into fixed token budgets
     "sample_pack" -> (graft.ops.Sample.samplePackQuery _),
+    // C85: context-length sweep — exact truncation/padding economics per
+    // candidate max_seq_len (the sizing card ahead of sample_pack)
+    "pack_efficiency" -> ((s: SparkSession, d: String) =>
+      graft.ops.Sample.packEfficiency(s, d)),
     "sample_curriculum" -> (graft.ops.Sample.sampleCurriculum _),
     // bucketed interval join: range turned into (key, time-bucket) equi-join
     "range_join" -> (graft.ops.RangeJoin.rangeJoinErrors _),
@@ -1252,6 +1256,7 @@ object SparkEntry {
     "contamination_semantic" -> VectorQueries.contaminationSemanticOracle,
     "corpus_batch_drift" -> TextQueries.corpusBatchDriftOracle,
     "sample_pack" -> graft.ops.Sample.packOracle,
+    "pack_efficiency" -> graft.ops.Sample.packEfficiencyOracle,
     "sample_curriculum" -> graft.ops.Sample.curriculumOracle,
     // C33: cumulative funnel — flags from one normalized projection, the
     // keeper from the dedup hash-window, stages unpivoted from one agg row

@@ -544,4 +544,69 @@ object Sample {
       |SELECT shard, cum // 256 AS seq_id,
       |       count(*) AS n_docs, cast(sum(tok) AS BIGINT) AS tokens
       |FROM c GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin
+
+  /** C85: context-length EFFICIENCY sweep — the decision card behind
+    * "what max_seq_len do we train at": for each candidate context
+    * length L, the exact token economics of the two standard packing
+    * policies over this corpus. TRUNCATE policy: docs longer than L
+    * lose their tail (`trunc_bp` = lost mass in integer bp of corpus
+    * tokens). SPLIT-AND-PAD policy: each doc occupies ceil(tok/L)
+    * sequences and the last is padded (`pad_bp` = pad mass in bp of
+    * the slot total Σ ceil(tok/L)·L). Short-L trades padding for
+    * truncation; the sweep shows the crossover for THIS corpus — the
+    * number a mixture owner otherwise guesses. (C32 `sample_pack` is
+    * the mechanism that packs; this is the sizing card read first.)
+    * All arithmetic is exact BIGINT, so the card is engine-identical.
+    *
+    * Plan shape at 100 TB: one narrow scan computing tok, exploded
+    * against the constant-width L array (a 5× generate, no join, no
+    * shuffle until the 5-row final agg). */
+  def packEfficiency(s: SparkSession, dir: String,
+                     lengths: Seq[Int] = Seq(128, 256, 512, 1024, 2048)): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(size(Text.tokens(col("text"))).cast("long").as("tok"))
+      .select(col("tok"), explode(array(lengths.map(lit): _*)).as("ctx_len"))
+    // pure-integer ceil division — no double round-trip to diverge on
+    val slots = expr("((tok + ctx_len - 1) div ctx_len) * ctx_len")
+    d.select(col("ctx_len"), col("tok"),
+        greatest(col("tok") - col("ctx_len"), lit(0L)).as("trunc"),
+        slots.as("slots"))
+      .groupBy(col("ctx_len"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("tok")).as("total_tokens"),
+        sum(when(col("trunc") > 0, 1L).otherwise(0L)).as("oversize_docs"),
+        sum(col("trunc")).as("trunc_tokens"),
+        sum(col("slots")).as("slot_tokens"))
+      .withColumn("pad_tokens", col("slot_tokens") - col("total_tokens"))
+      .withColumn("trunc_bp", expr("trunc_tokens * 10000 div total_tokens"))
+      .withColumn("pad_bp", expr("pad_tokens * 10000 div slot_tokens"))
+      .select(col("ctx_len"), col("docs"), col("total_tokens"),
+        col("oversize_docs"), col("trunc_tokens"), col("trunc_bp"),
+        col("pad_tokens"), col("pad_bp"))
+      .orderBy(col("ctx_len"))
+  }
+
+  /** C85 oracle: the identical integer construction in DuckDB. */
+  val packEfficiencyOracle: String =
+    """WITH d AS (
+      |  SELECT cast(len(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS BIGINT) AS tok
+      |  FROM documents),
+      |e AS (
+      |  SELECT tok, ctx_len
+      |  FROM d, unnest([128, 256, 512, 1024, 2048]) u(ctx_len)),
+      |m AS (
+      |  SELECT ctx_len, tok,
+      |         greatest(tok - ctx_len, 0) AS trunc,
+      |         ((tok + ctx_len - 1) // ctx_len) * ctx_len AS slots
+      |  FROM e)
+      |SELECT cast(ctx_len AS INTEGER) AS ctx_len,
+      |       count(*) AS docs,
+      |       cast(sum(tok) AS BIGINT) AS total_tokens,
+      |       cast(sum(CASE WHEN trunc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS oversize_docs,
+      |       cast(sum(trunc) AS BIGINT) AS trunc_tokens,
+      |       cast(sum(trunc) AS BIGINT) * 10000 // cast(sum(tok) AS BIGINT) AS trunc_bp,
+      |       cast(sum(slots) - sum(tok) AS BIGINT) AS pad_tokens,
+      |       cast(sum(slots) - sum(tok) AS BIGINT) * 10000
+      |         // cast(sum(slots) AS BIGINT) AS pad_bp
+      |FROM m GROUP BY ctx_len ORDER BY ctx_len""".stripMargin
 }

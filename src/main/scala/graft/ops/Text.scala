@@ -35,6 +35,24 @@ object Text {
   def regexTokenCount(text: Column): Column =
     regexp_count(normalized(text), lit("[a-z0-9]+|[^a-z0-9 ]"))
 
+  /** The C9 heuristic quality score over an already-computed
+    * TokenMarkerStats struct column — ONE shared kernel for the batch
+    * faces (TextQueries.qualityScores / textQuality) and the streaming
+    * drift monitor, so the faces can never silently diverge. Callers
+    * project the stats struct once (`TokenMarkerStats(text).as("st")`)
+    * and apply this to the struct column, keeping the stats expression
+    * computed once per row. NULL text → null struct → scores 0.0 (the
+    * null-skipping `least` would otherwise hand null stats 0.7). */
+  def qualityScoreFromStats(st: Column): Column = {
+    val nTok = st.getField("ws_tokens").cast("double")
+    val stopRatio = st.getField("stop").cast("double") / nTok
+    val avgLen = st.getField("alpha_len").cast("double") / nTok
+    val score = lit(0.4) * least(nTok / 100.0, lit(1.0)) +
+      lit(0.3) * least(stopRatio * 10.0, lit(1.0)) +
+      lit(0.3) * when(avgLen >= 3.0 && avgLen <= 8.0, 1.0).otherwise(0.0)
+    when(st.isNull, lit(0.0)).otherwise(score)
+  }
+
   /** How many tokens fall in `vocab`. */
   def markerCount(toks: Column, vocab: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(vocab)))

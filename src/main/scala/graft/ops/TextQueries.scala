@@ -80,19 +80,12 @@ object TextQueries {
     * otherwise hand null stats 0.7 (Pipeline.qualityFilter has the
     * same guard; the testdata corpus contains no nulls, so the gates
     * are unaffected — this is the 100 TB crawl defense). */
-  private[ops] def qualityScores(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+  private[graft] def qualityScores(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
       .select(col("doc_id"), col("source"), col("n_chars"),
         graft.functions.TokenMarkerStats(col("text")).as("st"))
-    val nTok = col("st.ws_tokens").cast("double")
-    val stopRatio = col("st.stop").cast("double") / nTok
-    val avgLen = col("st.alpha_len").cast("double") / nTok
-    val score = lit(0.4) * least(nTok / 100.0, lit(1.0)) +
-      lit(0.3) * least(stopRatio * 10.0, lit(1.0)) +
-      lit(0.3) * when(avgLen >= 3.0 && avgLen <= 8.0, 1.0).otherwise(0.0)
-    d.select(col("doc_id"), col("source"), col("n_chars"),
-      when(col("st").isNull, lit(0.0)).otherwise(score).as("q"))
-  }
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        Text.qualityScoreFromStats(col("st")).as("q"))
 
   /** C19: per-source quality percentile cutoffs (p25/p50/p90) — the
     * numbers a filtering pipeline actually sets its thresholds from.

@@ -274,4 +274,32 @@ class SampleSpec extends SparkSpec {
       .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
     assert(rows.toSeq == again.toSeq, "deterministic")
   }
+
+  test("pack efficiency: exact per-length accounting and the padding/truncation crossover") {
+    import org.apache.spark.sql.functions.{col, size}
+    val toks = graft.sources.Tables(spark, sfDir, "documents")
+      .select(size(graft.ops.Text.tokens(col("text"))).cast("long")).as[Long].collect()
+    val got = Sample.packEfficiency(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("ctx_len") -> r).toMap
+    assert(got.keySet == Set(128, 256, 512, 1024, 2048))
+    got.foreach { case (l, r) =>
+      val trunc = toks.map(t => math.max(t - l, 0L)).sum
+      val slots = toks.map(t => (t + l - 1) / l * l).sum
+      val total = toks.sum
+      assert(r.getAs[Long]("docs") == toks.length.toLong)
+      assert(r.getAs[Long]("total_tokens") == total)
+      assert(r.getAs[Long]("oversize_docs") == toks.count(_ > l).toLong)
+      assert(r.getAs[Long]("trunc_tokens") == trunc, s"L=$l")
+      assert(r.getAs[Long]("trunc_bp") == trunc * 10000 / total)
+      assert(r.getAs[Long]("pad_tokens") == slots - total)
+      assert(r.getAs[Long]("pad_bp") == (slots - total) * 10000 / slots)
+    }
+    // the economics must be monotone: growing L never increases
+    // truncation loss and never decreases padding waste
+    val ls = Seq(128, 256, 512, 1024, 2048)
+    ls.sliding(2).foreach { case Seq(a, b) =>
+      assert(got(b).getAs[Long]("trunc_tokens") <= got(a).getAs[Long]("trunc_tokens"))
+      assert(got(b).getAs[Long]("pad_tokens") >= got(a).getAs[Long]("pad_tokens"))
+    }
+  }
 }
