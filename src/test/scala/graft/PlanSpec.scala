@@ -392,6 +392,29 @@ class PlanSpec extends SparkSpec {
     assert(!readSchemas.contains("lang"), "reads lang it never uses")
   }
 
+  test("contamination_semantic: eval side broadcasts, no per-item window shuffle") {
+    val plan = executed("contamination_semantic")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the eval side must broadcast:\n$plan")
+    // the argmax is two partial-agg passes by design — a window here
+    // would shuffle the whole scored frame into |items| partitions
+    assert(!plan.contains("WindowExec") && !plan.contains("RunningWindowFunction"),
+      s"no window over the scored frame:\n$plan")
+  }
+
+  test("corpus_batch_drift + pack_efficiency: no cartesian, pruned scans") {
+    for ((q, banned) <- Seq(
+        "corpus_batch_drift" -> Seq("lang"),
+        "pack_efficiency" -> Seq("lang", "n_chars", "source", "doc_id"))) {
+      val plan = executed(q)
+      assert(!plan.contains("CartesianProduct"), s"$q grew a cartesian:\n$plan")
+      val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+      banned.foreach(c =>
+        assert(!readSchemas.contains(c), s"$q reads $c it never uses"))
+    }
+  }
+
   test("text_contamination_triage: bloom prefilter + semi-join confirm survive the triage cut") {
     val plan = executed("text_contamination_triage")
     assert(plan.contains("might_contain"),

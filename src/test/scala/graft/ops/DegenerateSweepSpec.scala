@@ -167,4 +167,43 @@ class DegenerateSweepSpec extends SparkSpec {
       assert(r.getAs[String]("src_a") == "solo" && r.getAs[String]("src_b") == "solo")
     }
   }
+
+  test("semantic decontamination: an all-degenerate eval side yields an empty card, not an error") {
+    import spark.implicits._
+    val dir = zone("embeddings" ->
+      Seq(
+        // every eval item (vec_id < 5) is a failed-encoder output
+        (0L, Seq.fill(4)(0.0f), 0),
+        (1L, null.asInstanceOf[Seq[Float]], 0),
+        (10L, Seq(1.0f, 0f, 0f, 0f), 1),
+        (11L, Seq(0f, 1.0f, 0f, 0f), 1))
+        .toDF("vec_id", "embedding", "label"))
+    val got = VectorQueries.contaminationSemantic(spark, dir).collect()
+    assert(got.isEmpty,
+      "no valid eval items -> no rows; degenerate vectors never reach a cosine")
+  }
+
+  test("batch drift: an all-null-text source keeps a defined row (q means are the 0.0 convention)") {
+    import spark.implicits._
+    val good = Seq.fill(30)("the quick brown fox of and to in").mkString(" ")
+    val docs = Seq((0L, good, "en", "ok", good.length.toLong),
+        (4L, good, "en", "ok", good.length.toLong),
+        (5L, good, "en", "ok", good.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      // source `nulls`: standing doc 1 and batch doc 9, both NULL text
+      .union(Seq((1L, "en", "nulls", 0L), (9L, "en", "nulls", 0L))
+        .toDF("doc_id", "lang", "source", "n_chars")
+        .select(col("doc_id"), lit(null).cast("string").as("text"),
+          col("lang"), col("source"), col("n_chars")))
+    val dir = zone("documents" -> docs)
+    val got = TextQueries.corpusBatchDrift(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val n = got("nulls")
+    // null text scores 0.0 (the documented guard), so both means exist
+    assert(n.getAs[Double]("q_batch") == 0.0 && n.getAs[Double]("q_drift") == 0.0, s"$n")
+    // the vocab leg drops null-text docs entirely: zero batch terms,
+    // and the novelty share is NULL ("nothing to measure"), not 0/0
+    assert(n.getAs[Long]("batch_terms") == 0L)
+    assert(n.isNullAt(n.fieldIndex("novel_bp")), s"$n")
+  }
 }

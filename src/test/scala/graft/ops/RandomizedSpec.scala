@@ -238,4 +238,71 @@ class RandomizedSpec extends SparkSpec {
       }
     }
   }
+
+  test("pack-efficiency identities hold on random corpora (empty docs included)") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(31337)
+    for (trial <- 1 to 3) {
+      // doc lengths spanning the whole L range, plus planted degenerates:
+      // an empty doc and a whitespace-only doc (both the [""] convention)
+      val lens = (1 to 30).map(_ => 1 + rnd.nextInt(3000))
+      val docs = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (0 until n).map(k => s"w$k").mkString(" "))
+      } ++ Seq((100L, ""), (101L, "   "))
+      val dir = tmpDir(s"packeff$trial")
+      docs.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val toks = lens.map(_.toLong) ++ Seq(1L, 1L) // [""] counts one token
+      val got = Sample.packEfficiency(spark, dir).collect()
+        .map(r => r.getAs[Int]("ctx_len") -> r).toMap
+      got.foreach { case (l, r) =>
+        val trunc = toks.map(t => math.max(t - l, 0L)).sum
+        val slots = toks.map(t => (t + l - 1) / l * l).sum
+        val total = toks.sum
+        assert(r.getAs[Long]("docs") == toks.length.toLong, s"trial $trial L=$l")
+        assert(r.getAs[Long]("total_tokens") == total)
+        assert(r.getAs[Long]("trunc_tokens") == trunc)
+        assert(r.getAs[Long]("pad_tokens") == slots - total)
+        // identity: slot mass == corpus mass + padding, always
+        assert(r.getAs[Long]("pad_tokens") + total == slots)
+      }
+    }
+  }
+
+  test("chunk-origin flow equals C31's drop accounting on random corpora") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(24601)
+    for (trial <- 1 to 3) {
+      val sources = Seq("sa", "sb", "sc")
+      // random docs + planted full-doc duplicates across sources (every
+      // chunk of a duplicated doc is an adopted window somewhere)
+      val base = (0 until 10).map { d =>
+        (d.toLong, sources(rnd.nextInt(3)),
+          (0 until 20 + rnd.nextInt(80)).map(k => s"t${trial}d${d}w$k").mkString(" "))
+      }
+      val dups = (0 until 4).map { i =>
+        val src = base(rnd.nextInt(base.size))
+        (100L + i, sources(rnd.nextInt(3)), src._3)
+      }
+      val dir = tmpDir(s"chunkflow$trial")
+      (base ++ dups).toDF("doc_id", "source", "text")
+        .withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text")))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val flowIn = TextQueries.chunkOriginCard(spark, dir).collect()
+        .groupBy(_.getAs[String]("src_to"))
+        .map { case (s, rs) => s -> rs.map(_.getAs[Long]("adopted_chunks")).sum }
+      val dropped = TextQueries.dedupChunk(spark, dir).collect()
+        .map(r => r.getAs[String]("source") -> r.getAs[Long]("dup_chunks")).toMap
+      sources.foreach { s =>
+        assert(flowIn.getOrElse(s, 0L) == dropped.getOrElse(s, 0L),
+          s"trial $trial $s: flow-in ${flowIn.getOrElse(s, 0L)} != dropped ${dropped.getOrElse(s, 0L)}")
+      }
+      assert(flowIn.values.sum > 0, s"trial $trial: planted dups must adopt")
+    }
+  }
 }
