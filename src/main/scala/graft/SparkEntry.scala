@@ -98,6 +98,9 @@ object SparkEntry {
     "ingest_upsert" -> (IngestQueries.ingestUpsert _),
     "meta_schema_discovery" -> (SchemaDiscovery.metaSchemaDiscovery _),
     "meta_ddl_export" -> (SchemaDiscovery.metaDdlExport _),
+    // B14: rows-only — schema drift vs a re-crawl with planted contract
+    // breaks (SchemaDiscoverySpec proves real two-zone evolution diffs)
+    "meta_schema_drift" -> (SchemaDiscovery.metaSchemaDrift _),
     // one-scan multi-distinct profile unpivoted via stack
     "meta_profile" -> (graft.ingest.Profile.metaProfile _),
     // §2.C LLM-training-data pipeline

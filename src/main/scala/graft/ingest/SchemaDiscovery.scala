@@ -223,4 +223,59 @@ object SchemaDiscovery {
   def metaDdlExport(s: SparkSession, dir: String): DataFrame =
     exportDdl(s, dir).unionAll(exportDdl(s, supplementalZone(s, dir)))
       .orderBy("table_name")
+
+  /** B14: schema DRIFT between two discovery snapshots — the report the
+    * reference's daily re-crawl implicitly produces by overwriting the
+    * Glue catalog, made EXPLICIT so an upstream contract break (a feed
+    * dropping a column, widening a type, flipping nullability, or
+    * moving a column out of the partition layout) pages someone instead
+    * of silently re-cataloging. Inputs are two [[discover]]-shaped
+    * frames (one row per column); output is one row per drifted column:
+    * `added` / `removed` / `type_changed` / `nullability_changed` /
+    * `partitioning_changed` (first match wins, in that severity order),
+    * with the old/new type carried for the report. A brand-new table
+    * surfaces as all-`added` rows. Catalog frames are metadata-scale,
+    * so the full-outer join is trivially bounded. */
+  def schemaDrift(oldCols: DataFrame, newCols: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def side(df: DataFrame, tag: String) =
+      df.select(col("table_name"), col("column_name"),
+        col("data_type").as(s"type_$tag"), col("nullable").as(s"null_$tag"),
+        col("is_partition").as(s"part_$tag"))
+    side(oldCols, "old")
+      .join(side(newCols, "new"), Seq("table_name", "column_name"), "full_outer")
+      .withColumn("change",
+        when(col("type_old").isNull, "added")
+          .when(col("type_new").isNull, "removed")
+          .when(col("type_old") =!= col("type_new"), "type_changed")
+          .when(col("null_old") =!= col("null_new"), "nullability_changed")
+          .when(col("part_old") =!= col("part_new"), "partitioning_changed")
+          .otherwise("unchanged"))
+      .where(col("change") =!= "unchanged")
+      .select(col("table_name"), col("column_name"), col("change"),
+        col("type_old"), col("type_new"))
+      .orderBy(col("table_name"), col("column_name"))
+  }
+
+  /** B14 query face: the drift between the standing discovery snapshot
+    * and a re-crawl with PLANTED upstream contract breaks (the corpus
+    * itself is static, so the breaks are synthesized the way
+    * text_redact plants contacts — the operator under test is the
+    * diff): `events` loses `props`, `user_id` degrades to string, and
+    * `ingest_ts` appears; everything else must NOT drift. */
+  def metaSchemaDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val standing = discover(s, dir)
+    val recrawl = standing
+      .where(!(col("table_name") === "events" && col("column_name") === "props"))
+      .withColumn("data_type",
+        when(col("table_name") === "events" && col("column_name") === "user_id",
+          lit("string")).otherwise(col("data_type")))
+      .unionAll(s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row("events", "ingest_ts", 99, "timestamp",
+            true, false)),
+        standing.schema))
+    schemaDrift(standing, recrawl)
+  }
 }

@@ -107,4 +107,39 @@ class SchemaDiscoverySpec extends SparkSpec {
     assert(ddl.contains("PARTITIONED BY (day string)"))
     assert(!ddl.contains("  day string"), "partition col lives only in PARTITIONED BY")
   }
+
+  test("schemaDrift diffs two REAL evolved zones column by column") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val v1 = tmpDir("zone-v1"); val v2 = tmpDir("zone-v2")
+    // v1: orders(id, amount int, note) + a stable table
+    Seq((1L, 10, "a")).toDF("id", "amount", "note")
+      .write.parquet(s"$v1/orders.parquet")
+    Seq((1L, "x")).toDF("id", "tag").write.parquet(s"$v1/stable.parquet")
+    // v2: amount WIDENED to bigint, note DROPPED, day ADDED; stable untouched
+    Seq((1L, 10L, "2024-01-01")).toDF("id", "amount", "day")
+      .write.parquet(s"$v2/orders.parquet")
+    Seq((1L, "x")).toDF("id", "tag").write.parquet(s"$v2/stable.parquet")
+
+    val drift = SchemaDiscovery.schemaDrift(
+        SchemaDiscovery.discover(spark, v1), SchemaDiscovery.discover(spark, v2))
+      .select("table_name", "column_name", "change")
+      .as[(String, String, String)].collect().toSet
+    assert(drift == Set(
+      ("orders", "amount", "type_changed"),
+      ("orders", "note", "removed"),
+      ("orders", "day", "added")),
+      s"exactly the planted drift, nothing from the stable table: $drift")
+  }
+
+  test("B14 query face reports exactly the planted contract breaks") {
+    import spark.implicits._
+    val got = SchemaDiscovery.metaSchemaDrift(spark, sfDir)
+      .select("table_name", "column_name", "change")
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(
+      ("events", "props", "removed"),
+      ("events", "user_id", "type_changed"),
+      ("events", "ingest_ts", "added")), s"$got")
+  }
 }
