@@ -174,6 +174,9 @@ object SparkEntry {
     "text_dup_spans" -> (TextQueries.textDupSpans _),
     // ExactSubstr: maximal duplicated substrings + exact coverage card
     "dedup_exact_substr" -> (ExactSubstr.exactSubstrCard _),
+    // C86: duplicated-window mass vs window length (the L ablation)
+    "dedup_curve" -> ((s: SparkSession, d: String) =>
+      ExactSubstr.dedupCurve(s, d)),
     // keep-one removal of duplicated spans, measured on cleaned tokens
     "text_remove_dup_spans" -> (ExactSubstr.removeDupSpansCard _),
     // span-level incremental dedup: new batch vs standing window index
@@ -1434,6 +1437,7 @@ object SparkEntry {
     "dedup_edit" -> DedupQueries.editOracle,
     "corpus_diff" -> graft.ingest.CorpusDiff.oracle,
     "dedup_exact_substr" -> ExactSubstr.oracle,
+    "dedup_curve" -> ExactSubstr.dedupCurveOracle,
     "text_remove_dup_spans" -> ExactSubstr.removeOracle,
     "dedup_incremental_spans" -> ExactSubstr.incrementalOracle,
     "dedup_span_provenance" -> ExactSubstr.provenanceOracle,

@@ -592,4 +592,58 @@ object ExactSubstr {
       |FROM tok t LEFT JOIN perdoc p USING (doc_id)
       |GROUP BY t.source
       |ORDER BY t.source""".stripMargin
+
+  /** C86: the duplication CURVE — duplicated-window mass as a function
+    * of window length L, the ablation every exact-substring pipeline
+    * runs before fixing its span length (Lee et al. report exactly this
+    * sensitivity): a short L flags natural phrase reuse as duplication,
+    * a long L misses real boilerplate; the curve shows where THIS
+    * corpus's dup mass stabilizes, which is the principled way to pick
+    * C71's L. Per L ∈ {4, 8, 16, 32}: total windows, distinct window
+    * contents, duplicated contents (seen ≥2×), non-first window copies
+    * (`dup_windows` = Σ(c−1) — the same every-copy-but-the-keeper
+    * accounting C31/C82 use), and the share in integer bp.
+    *
+    * Plan shape at 100 TB: per L one narrow window-hash explode and ONE
+    * partial-aggregating groupBy on the (uniform) hash — no windows, no
+    * row_numbers (dup mass needs only per-content counts, so the
+    * keeper never has to be IDENTIFIED, just counted out); the four
+    * single-row aggregates union. SQL-checked. */
+  def dedupCurve(s: SparkSession, dir: String,
+                 lengths: Seq[Int] = Seq(4, 8, 16, 32)): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    lengths.map { l =>
+      windowHashes(d, "doc_id", "text", l)
+        .groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("total_windows"),
+          count(lit(1)).as("distinct_contents"),
+          sum(when(col("c") > 1, lit(1L)).otherwise(0L)).as("dup_contents"))
+        .select(lit(l).as("win_len"), col("total_windows"),
+          col("distinct_contents"), col("dup_contents"),
+          (col("total_windows") - col("distinct_contents")).as("dup_windows"),
+          expr("(total_windows - distinct_contents) * 10000 div total_windows")
+            .as("dup_bp"))
+    }.reduce(_ unionAll _).orderBy(col("win_len"))
+  }
+
+  /** C86 oracle: the identical per-L window-hash accounting in DuckDB. */
+  val dedupCurveOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ts
+      |  FROM documents),
+      |g AS (
+      |  SELECT win_len, md5(array_to_string(ts[i:i+win_len-1], ' ')) AS h
+      |  FROM d, unnest([4, 8, 16, 32]) L(win_len),
+      |       unnest(generate_series(1, len(ts) - win_len + 1)) u(i)
+      |  WHERE len(ts) >= win_len),
+      |c AS (SELECT win_len, h, count(*) AS c FROM g GROUP BY 1, 2)
+      |SELECT cast(win_len AS INTEGER) AS win_len,
+      |       cast(sum(c) AS BIGINT) AS total_windows,
+      |       cast(count(*) AS BIGINT) AS distinct_contents,
+      |       cast(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_contents,
+      |       cast(sum(c) - count(*) AS BIGINT) AS dup_windows,
+      |       cast(sum(c) - count(*) AS BIGINT) * 10000
+      |         // cast(sum(c) AS BIGINT) AS dup_bp
+      |FROM c GROUP BY win_len ORDER BY win_len""".stripMargin
 }

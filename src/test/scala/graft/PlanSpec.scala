@@ -415,6 +415,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup_curve: counts the keeper out — no window/row_number, no cartesian") {
+    val plan = executed("dedup_curve")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(!plan.contains("WindowExec") && !plan.contains("row_number"),
+      s"dup mass needs per-content counts only — a window here is waste:\n$plan")
+  }
+
   test("text_contamination_triage: bloom prefilter + semi-join confirm survive the triage cut") {
     val plan = executed("text_contamination_triage")
     assert(plan.contains("might_contain"),

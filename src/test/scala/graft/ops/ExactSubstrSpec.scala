@@ -246,4 +246,33 @@ class ExactSubstrSpec extends SparkSpec {
       assert(r.getLong(3) <= r.getLong(1), s"docs_with_dups > docs: $r")
     }
   }
+
+  test("dedup curve: driver recount per L, and dup share falls as L grows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val texts = graft.sources.Tables(spark, sfDir, "documents")
+      .select(col("text")).as[String].collect()
+    val toksAll = texts.map(t =>
+      t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1).toSeq)
+    val got = ExactSubstr.dedupCurve(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("win_len") -> r).toMap
+    assert(got.keySet == Set(4, 8, 16, 32))
+    got.foreach { case (l, r) =>
+      val wins = toksAll.filter(_.size >= l)
+        .flatMap(ts => ts.sliding(l).map(_.mkString(" ")))
+      val byContent = wins.groupBy(identity).map { case (_, g) => g.size.toLong }
+      assert(r.getAs[Long]("total_windows") == wins.length.toLong, s"L=$l total")
+      assert(r.getAs[Long]("distinct_contents") == byContent.size.toLong, s"L=$l uniq")
+      assert(r.getAs[Long]("dup_contents") == byContent.count(_ > 1).toLong, s"L=$l dupc")
+      assert(r.getAs[Long]("dup_windows") ==
+        wins.length.toLong - byContent.size.toLong, s"L=$l dupw")
+    }
+    // two equal (L+k)-windows imply equal L-windows at the same
+    // positions, so the non-first-copy COUNT is non-increasing in L on
+    // any corpus (the share is not — short docs leave the denominator)
+    Seq(4, 8, 16, 32).sliding(2).foreach { case Seq(a, b) =>
+      assert(got(b).getAs[Long]("dup_windows") <= got(a).getAs[Long]("dup_windows"),
+        s"dup window count rose from L=$a to L=$b")
+    }
+  }
 }
