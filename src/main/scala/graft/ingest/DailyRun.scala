@@ -79,7 +79,8 @@ object DailyRun {
           catalogPath: String,
           sink: ReportSink = ReportSink.Silent,
           valueAudits: Seq[(String, String)] = Nil,
-          auditMaxBp: Long = 500): DayResult = {
+          auditMaxBp: Long = 500,
+          failOnSchemaDrift: Boolean = false): DayResult = {
     val legs = scala.collection.mutable.Buffer[Leg]()
 
     val summary = attempt("ingest", legs) {
@@ -133,6 +134,35 @@ object DailyRun {
             s"anomaly_bp=$bp exceeds $auditMaxBp (fence=$fence, $anomalies of $n rows)")
           (s"anomalies=$anomalies of $n (bp=$bp, fence=$fence)", ())
         }
+      }
+    }
+
+    // schema-drift audit (the B14 report as a promotion gate): BEFORE
+    // the crawler overwrites the catalog, diff yesterday's promise (the
+    // stored catalog) against today's user zone — an upstream contract
+    // break lands in the day report instead of being silently
+    // re-cataloged. First run (no catalog yet) is a defined outcome.
+    // `failOnSchemaDrift` turns the report into a hard gate; the
+    // default posture reports (schema evolution is often intended).
+    attempt("schema_drift", legs) {
+      val hadCatalog =
+        try { LakeCatalog.read(spark, catalogPath).head(); true }
+        catch { case _: Throwable => false }
+      if (!hadCatalog) ("first run - no prior catalog", ())
+      else {
+        val drift = SchemaDiscovery.schemaDrift(
+            LakeCatalog.columnsFrame(spark, catalogPath),
+            SchemaDiscovery.discover(spark, userZoneRoot))
+          .collect() // metadata-scale: one row per drifted column
+        val byChange = drift.groupBy(_.getAs[String]("change"))
+          .map { case (c, rs) => s"$c=${rs.length}" }.toSeq.sorted
+        if (failOnSchemaDrift)
+          require(drift.isEmpty,
+            s"schema drift: ${byChange.mkString(" ")} " +
+              drift.take(5).map(r => s"${r.getAs[String]("table_name")}." +
+                r.getAs[String]("column_name")).mkString("(", ", ", ")"))
+        (if (drift.isEmpty) "no drift"
+         else s"drifted=${drift.length} ${byChange.mkString(" ")}", ())
       }
     }
 

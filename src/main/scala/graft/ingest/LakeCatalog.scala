@@ -80,6 +80,26 @@ object LakeCatalog {
   def read(spark: SparkSession, catalogPath: String): DataFrame =
     spark.read.schema(CatalogSchema).parquet(catalogPath)
 
+  /** The catalog exploded to one row per COLUMN, in the
+    * [[SchemaDiscovery.discover]] shape — so a stored catalog can feed
+    * [[SchemaDiscovery.schemaDrift]] directly as the "what we promised
+    * yesterday" side. Metadata-scale: the JSON parse is a driver loop
+    * over one row per table. */
+  def columnsFrame(spark: SparkSession, catalogPath: String): DataFrame = {
+    val rows = read(spark, catalogPath).collect().toSeq.flatMap { e =>
+      val schema = DataType.fromJson(e.getAs[String]("schema_json"))
+        .asInstanceOf[StructType]
+      val parts = e.getAs[String]("partition_cols")
+        .split(",").filter(_.nonEmpty).toSet
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        Row(e.getAs[String]("table_name"), f.name, i,
+          f.dataType.sql.toLowerCase, f.nullable, parts.contains(f.name))
+      }
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      SchemaDiscovery.columnsFrameSchema)
+  }
+
   /** Attach every cataloged table into `database` of this session's
     * catalog. Schemas and locations come from the catalog table alone —
     * no listing or footer read of the data zone happens here; partitioned

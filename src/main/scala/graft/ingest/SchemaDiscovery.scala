@@ -86,7 +86,11 @@ object SchemaDiscovery {
       } finally pool.shutdown()
     }
 
-  private val columnsSchema = StructType(Seq(
+  /** The [[discover]] output schema — shared with
+    * [[LakeCatalog.columnsFrame]] so catalog snapshots and live crawls
+    * diff through [[schemaDrift]] without reshaping. */
+  private[ingest] val columnsFrameSchema: StructType = columnsSchema
+  private lazy val columnsSchema = StructType(Seq(
     StructField("table_name", StringType, nullable = false),
     StructField("column_name", StringType, nullable = false),
     StructField("ordinal", IntegerType, nullable = false),

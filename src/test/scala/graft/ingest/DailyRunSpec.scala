@@ -114,4 +114,43 @@ class DailyRunSpec extends SparkSpec {
     assert(d2.snapshots.contains("ORDERS") && d2.cataloged == 1,
       "publish/sync/catalog legs must complete despite the failed audit")
   }
+
+  test("schema-drift leg: catalog-vs-zone breaks are reported, optionally gating") {
+    import spark.implicits._
+    val landing = tmpDir("drs-landing"); val storing = tmpDir("drs-storing")
+    val ledger = tmpDir("drs-ledger") + "/processed"
+    val publish = tmpDir("drs-publish"); val user = tmpDir("drs-user")
+    val catalog = tmpDir("drs-catalog") + "/catalog"
+
+    drop(landing, "ORDERS_20240101_080000.CSV", "1,10.5,2024-01-01\n")
+    val d1 = DailyRun.run(spark, landing, storing, ledger, configs, publish, user, catalog)
+    assert(d1.ok)
+    assert(d1.legs.find(_.name == "schema_drift").get.detail.contains("first run"),
+      "no prior catalog is a defined first-run outcome")
+
+    // a table the catalog never promised appears in the user zone
+    Seq((1L, "x")).toDF("id", "tag").write.parquet(s"$user/SURPRISE")
+    val d2 = DailyRun.run(spark, landing, storing, ledger, configs, publish, user, catalog)
+    assert(d2.ok, s"default posture reports, never gates: ${d2.failed}")
+    val leg2 = d2.legs.find(_.name == "schema_drift").get
+    assert(leg2.detail.contains("drifted=2") && leg2.detail.contains("added=2"),
+      s"the surprise table's two columns must read as added: $leg2")
+    assert(d2.cataloged == 2, "the crawler then re-catalogs the zone, surprise included")
+
+    // day 3: the surprise table vanishes; the HARD gate fails its leg
+    // (removed columns), while every other leg still completes
+    FsUtil.deleteRecursively(new java.io.File(s"$user/SURPRISE"))
+    drop(landing, "ORDERS_20240103_080000.CSV", "2,11.0,2024-01-03\n")
+    val d3 = DailyRun.run(spark, landing, storing, ledger, configs, publish, user,
+      catalog, failOnSchemaDrift = true)
+    assert(d3.failed.map(_.name) == Seq("schema_drift"), s"${d3.failed}")
+    assert(d3.failed.head.error.get.contains("removed=2"))
+    assert(d3.cataloged == 1, "catalog leg completes despite the tripped gate")
+
+    // day 4: the catalog has caught up — the same gate now passes
+    val d4 = DailyRun.run(spark, landing, storing, ledger, configs, publish, user,
+      catalog, failOnSchemaDrift = true)
+    assert(d4.ok, s"steady state must pass the hard gate: ${d4.failed}")
+    assert(d4.legs.find(_.name == "schema_drift").get.detail == "no drift")
+  }
 }
