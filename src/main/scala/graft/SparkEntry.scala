@@ -101,6 +101,9 @@ object SparkEntry {
     // B14: rows-only — schema drift vs a re-crawl with planted contract
     // breaks (SchemaDiscoverySpec proves real two-zone evolution diffs)
     "meta_schema_drift" -> (SchemaDiscovery.metaSchemaDrift _),
+    // B15: rows-only — per-partition file-health report over a planted
+    // fragmented zone (the measure-then-compact card)
+    "meta_partition_health" -> (graft.ingest.PartitionHealth.metaPartitionHealth _),
     // one-scan multi-distinct profile unpivoted via stack
     "meta_profile" -> (graft.ingest.Profile.metaProfile _),
     // §2.C LLM-training-data pipeline
