@@ -246,6 +246,9 @@ object SparkEntry {
     "sim_search_opq_cached" -> (graft.ops.Opq.simSearchOpqCached _),
     // rows-only: int8 scalar-quantized search (recall spec-bounded)
     "sim_search_sq8" -> (graft.ops.ScalarQuant.simSearchSq8 _),
+    // C87: rows-only — measured recall@10 of the ANN ladder vs exact
+    // ground truth on the sampled query set (the index-quality audit)
+    "ann_recall_audit" -> (VectorQueries.annRecallAudit _),
     // rows-only: SemDeDup within-learned-cluster prune (spec-bounded)
     "dedup_semantic" -> ((s: SparkSession, d: String) => VectorQueries.dedupSemantic(s, d)),
     // rows-only: SemDeDup over PQ codes — the memory-bounded face

@@ -482,6 +482,38 @@ object VectorQueries {
       |FROM q LEFT JOIN st USING (item_id) LEFT JOIN nr USING (item_id)
       |ORDER BY q.item_id""".stripMargin
 
+  /** C87: ANN RECALL AUDIT — the index-quality report a production
+    * vector-search deployment runs continuously: measure each
+    * approximate method's top-k against exact brute-force ground truth
+    * on the (sampled) query set, as a CARD rather than a test assertion,
+    * so index degradation (drifted data quantizing badly, an unlucky
+    * plane set, a stale codebook) is an operational number, not a CI
+    * surprise. Per (method ∈ lsh/ivf/pq/sq8 × query): ground-truth size,
+    * hits (approximate ∩ exact), integer-bp recall@10.
+    *
+    * Plan shape: each method's own (documented) plan runs once; the
+    * audit overlay is joins over query-set-sized frames — at 100 TB the
+    * exact side runs on the SAMPLED queries only, which is exactly how
+    * production recall audits bound their cost. */
+  def annRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    val exact = simSearchTopk(s, dir).select(col("query_id"), col("vec_id"))
+    val exactK = exact.groupBy(col("query_id")).agg(count(lit(1)).as("exact_k"))
+    val methods = Seq(
+      "lsh" -> simSearchLsh(s, dir),
+      "ivf" -> simSearchIvf(s, dir),
+      "pq" -> ProductQuant.simSearchPq(s, dir),
+      "sq8" -> ScalarQuant.simSearchSq8(s, dir))
+    methods.map { case (m, df) =>
+      val hits = df.select(col("query_id"), col("vec_id"))
+        .join(exact, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+      exactK.join(hits, Seq("query_id"), "left")
+        .select(lit(m).as("method"), col("query_id"), col("exact_k"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .withColumn("recall_bp", expr("hits * 10000 div exact_k"))
+    }.reduce(_ unionAll _).orderBy(col("method"), col("query_id"))
+  }
+
   /** C13: per-label vector statistics (norms + mean component).
     * Unlike the similarity faces, this REPORT face keeps degenerate
     * (null / zero-norm) vectors visible: `n` counts every row and

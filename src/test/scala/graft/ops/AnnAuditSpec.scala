@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** C87 — the ANN recall audit card. */
+class AnnAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("audit recounts each method's overlap with exact ground truth") {
+    val exact = VectorQueries.simSearchTopk(spark, sfDir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val got = VectorQueries.annRecallAudit(spark, sfDir).collect()
+    assert(got.map(_.getAs[String]("method")).distinct.sorted.toSeq ==
+      Seq("ivf", "lsh", "pq", "sq8"))
+    // every (method, query) row present, arithmetic exact
+    got.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      assert(r.getAs[Long]("exact_k") == exact(q).size.toLong)
+      val hits = r.getAs[Long]("hits")
+      assert(hits >= 0L && hits <= r.getAs[Long]("exact_k"))
+      assert(r.getAs[Long]("recall_bp") == hits * 10000 / r.getAs[Long]("exact_k"))
+    }
+    assert(got.length == 4 * exact.size)
+    // one independent recount: lsh hits really are the set overlap
+    val lsh = VectorQueries.simSearchLsh(spark, sfDir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    got.filter(_.getAs[String]("method") == "lsh").foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val expect = lsh.getOrElse(q, Set.empty).intersect(exact(q)).size.toLong
+      assert(r.getAs[Long]("hits") == expect, s"lsh query $q")
+    }
+    // sanity floors only — the CARD's job is to report the real number
+    // (lsh top-k at this corpus's low-cosine regime is legitimately
+    // weak, exactly what the audit exists to surface); the rescoring
+    // methods must stay strong
+    val mean = got.groupBy(_.getAs[String]("method")).map { case (m, rs) =>
+      m -> rs.map(_.getAs[Long]("recall_bp")).sum / rs.length
+    }
+    assert(mean.values.forall(_ > 0L), s"every method finds something: $mean")
+    assert(mean("pq") >= 5000L && mean("sq8") >= 5000L,
+      s"quantized-rescore methods must stay strong: $mean")
+  }
+}
