@@ -24,17 +24,31 @@ object Pipeline {
     * maximum credit on two of the three score terms (0.7 total) and
     * pass it; TextEdgeSpec pins the fix. */
   def qualityFilter(docs: DataFrame, textCol: String,
-                    minQ: Double = MinQuality): DataFrame = {
-    val st = graft.functions.TokenMarkerStats(col(textCol))
-    val nTok = col("__st.ws_tokens").cast("double")
-    val stopRatio = col("__st.stop").cast("double") / nTok
-    val avgLen = col("__st.alpha_len").cast("double") / nTok
-    val score = lit(0.4) * least(nTok / 100.0, lit(1.0)) +
-      lit(0.3) * least(stopRatio * 10.0, lit(1.0)) +
-      lit(0.3) * when(avgLen >= 3.0 && avgLen <= 8.0, 1.0).otherwise(0.0)
-    docs.withColumn("__st", st)
-      .where(col("__st").isNotNull && score >= minQ)
+                    minQ: Double = MinQuality): DataFrame =
+    docs.withColumn("__st", graft.functions.TokenMarkerStats(col(textCol)))
+      .where(Text.qualityScoreFromStats(col("__st")) >= minQ)
       .drop("__st")
+
+  /** Decontamination stage: drop documents sharing ≥ `minHits` distinct
+    * bigrams with the benchmark frame (the C23 rule as a pipeline cut —
+    * the gate every corpus passes before a training export so eval
+    * items can't grade their own training data). The benchmark side is
+    * eval-scale and broadcasts; at a 100-benchmark union the C72
+    * bloom-gated face is the same gate with a fixed-size prefilter. */
+  def dropContaminated(docs: DataFrame, bench: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       benchTextCol: String = "text",
+                       minHits: Int = 3): DataFrame = {
+    val bg = bench
+      .select(explode(Dedup.shingles(col(benchTextCol), 2)).as("ngram"))
+      .distinct()
+    val flagged = docs
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), 2)).as("ngram"))
+      .join(broadcast(bg), Seq("ngram"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+      .where(col("n_hits") >= minHits)
+      .select(col(idCol))
+    docs.join(flagged, Seq(idCol), "left_anti")
   }
 
   /** Keep the min-id document of every exact-duplicate cluster. */
@@ -109,13 +123,18 @@ object Pipeline {
   def exportTrainingData(docs: DataFrame, outPath: String,
                          weights: Map[String, Double],
                          idCol: String = "doc_id", textCol: String = "text",
-                         groupCol: String = "source"): (CorpusStats, Map[String, Long]) = {
-    val (clean, stats) = cleanCorpus(docs, idCol, textCol,
+                         groupCol: String = "source",
+                         benchmark: Option[DataFrame] = None): (CorpusStats, Map[String, Long]) = {
+    val (cleaned, stats) = cleanCorpus(docs, idCol, textCol,
       persistResult = true, clusteredNearDup = true)
+    // decontamination last: dedup must not resurrect a leaked doc by
+    // keeping a contaminated copy of a cluster whose clean copy dropped
+    val clean = benchmark.fold(cleaned)(b =>
+      dropContaminated(cleaned, b, idCol, textCol))
     val dealt = Sample.sampleMixture(clean, idCol, groupCol, weights)
       .withColumn("fold", Sample.splitColumn(col(idCol), Sample.DemoCuts, "test"))
     dealt.write.mode("overwrite").partitionBy("fold").parquet(outPath)
-    clean.unpersist(blocking = false)
+    cleaned.unpersist(blocking = false)
     val foldCounts = dealt.sparkSession.read.parquet(outPath)
       .groupBy(col("fold")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

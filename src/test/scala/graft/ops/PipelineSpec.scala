@@ -98,4 +98,37 @@ class PipelineSpec extends SparkSpec {
     // mixture copies survive the write (copy_idx materialized per row)
     assert(back.where($"copies" > 1).count() > 0, "epoch-repeated docs present")
   }
+
+  test("decontamination stage: flagged docs never reach the export") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    // the benchmark IS five corpus docs verbatim (the worst-case leak)
+    val bench = docs.where($"doc_id" < 5).select($"text")
+    val kept = Pipeline.dropContaminated(docs, bench)
+    val keptIds = kept.select($"doc_id").as[Long].collect().toSet
+    // the leaked originals themselves are flagged (they share ALL their
+    // bigrams with "the benchmark"), so they must be gone
+    assert((0L until 5L).forall(!keptIds.contains(_)), "verbatim leaks must drop")
+    // driver recount of the C23 rule
+    val norm = (t: String) => t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1)
+    val rows = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    val benchGrams = rows.filter(_._1 < 5)
+      .flatMap(r => norm(r._2).sliding(2).map(_.mkString(" "))).toSet
+    val expectDrop = rows.filter { case (_, t) =>
+      norm(t).sliding(2).map(_.mkString(" ")).toSet.count(benchGrams.contains) >= 3
+    }.map(_._1).toSet
+    assert(keptIds == rows.map(_._1).toSet.diff(expectDrop), "exactly the C23 rule")
+
+    // threaded through the export: the shipped corpus shares <3 bigrams
+    // per doc with the benchmark
+    val out = java.nio.file.Files.createTempDirectory("graft_decon_export")
+      .toString + "/corpus"
+    val (_, folds) = Pipeline.exportTrainingData(docs, out, Sample.DemoWeights,
+      benchmark = Some(bench))
+    assert(folds.values.sum > 0)
+    val shippedIds = spark.read.parquet(out)
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert(shippedIds.intersect(expectDrop).isEmpty,
+      "no contaminated doc may ship in any fold")
+  }
 }
