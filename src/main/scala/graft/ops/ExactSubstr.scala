@@ -618,6 +618,10 @@ object ExactSubstr {
         .agg(sum(col("c")).as("total_windows"),
           count(lit(1)).as("distinct_contents"),
           sum(when(col("c") > 1, lit(1L)).otherwise(0L)).as("dup_contents"))
+        // an L every doc is shorter than yields ZERO windows: Spark's
+        // global agg still emits one (null) row where the oracle's
+        // GROUP BY emits none — drop it so both engines say "no such L"
+        .where(col("total_windows").isNotNull)
         .select(lit(l).as("win_len"), col("total_windows"),
           col("distinct_contents"), col("dup_contents"),
           (col("total_windows") - col("distinct_contents")).as("dup_windows"),

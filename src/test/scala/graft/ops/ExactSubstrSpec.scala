@@ -275,4 +275,24 @@ class ExactSubstrSpec extends SparkSpec {
         s"dup window count rose from L=$a to L=$b")
     }
   }
+
+  test("dedup curve: an all-short corpus drops the impossible L rows, both engines agree") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("shortcurve")
+    Seq((1L, "five tokens only in here"), (2L, "five tokens only in here"),
+        (3L, "another tiny document right here"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = ExactSubstr.dedupCurve(spark, dir).collect()
+    // 5-token docs carry L=4 windows (2 each) and a single L=5 window —
+    // nothing at 8/16/32: those rows must be ABSENT, not null
+    assert(got.map(_.getAs[Int]("win_len")).toSeq == Seq(4))
+    assert(got.head.getAs[Long]("total_windows") == 6L)
+    assert(got.head.getAs[Long]("dup_windows") == 2L,
+      "the duplicated doc's two windows are non-first copies")
+  }
 }
