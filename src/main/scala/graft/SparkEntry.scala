@@ -180,6 +180,10 @@ object SparkEntry {
     // C86: duplicated-window mass vs window length (the L ablation)
     "dedup_curve" -> ((s: SparkSession, d: String) =>
       ExactSubstr.dedupCurve(s, d)),
+    // C88: the same ablation at maximal-SPAN granularity (the cut mass
+    // the ExactSubstr pipeline actually sweeps when choosing L)
+    "dedup_curve_spans" -> ((s: SparkSession, d: String) =>
+      ExactSubstr.dedupCurveSpans(s, d)),
     // keep-one removal of duplicated spans, measured on cleaned tokens
     "text_remove_dup_spans" -> (ExactSubstr.removeDupSpansCard _),
     // span-level incremental dedup: new batch vs standing window index
@@ -1444,6 +1448,7 @@ object SparkEntry {
     "corpus_diff" -> graft.ingest.CorpusDiff.oracle,
     "dedup_exact_substr" -> ExactSubstr.oracle,
     "dedup_curve" -> ExactSubstr.dedupCurveOracle,
+    "dedup_curve_spans" -> ExactSubstr.dedupCurveSpansOracle,
     "text_remove_dup_spans" -> ExactSubstr.removeOracle,
     "dedup_incremental_spans" -> ExactSubstr.incrementalOracle,
     "dedup_span_provenance" -> ExactSubstr.provenanceOracle,

@@ -630,6 +630,78 @@ object ExactSubstr {
     }.reduce(_ unionAll _).orderBy(col("win_len"))
   }
 
+  /** C88: the duplication curve at SPAN granularity — C86 counts raw
+    * recurring windows; THIS face runs the full C71 island-merge at
+    * each L and reports the maximal-span token coverage, which is the
+    * number the Lee et al. pipeline actually ablates when choosing L
+    * (the cut mass). Short L merges nearby recurrences into broad
+    * spans (aggressive cuts); long L leaves only long verbatim
+    * duplication. Per L ∈ {4, 8, 16}: corpus docs/tokens, docs with
+    * any span, span count, interval-union token mass, integer-bp
+    * share. C86 is the cheap first look; this is the exact dress
+    * rehearsal of the cut at each candidate L.
+    *
+    * Plan: the C71 machinery per L (window shuffle + bounded island
+    * windows), plus one tiny totals agg cross-joined per branch —
+    * three full passes by construction (an ablation run once per
+    * corpus, not a daily job). SQL-checked. */
+  def dedupCurveSpans(s: SparkSession, dir: String,
+                      lengths: Seq[Int] = Seq(4, 8, 16)): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val totals = d.select(size(Text.tokens(col("text"))).cast("long").as("nt"))
+      .agg(count(lit(1)).as("docs"), sum(col("nt")).as("total_tokens"))
+    lengths.map { l =>
+      spans(d, "doc_id", "text", l)
+        .agg(countDistinct(col("doc_id")).as("docs_with_dups"),
+          count(lit(1)).as("dup_spans"),
+          coalesce(sum(col("span_tokens")), lit(0L)).cast("bigint").as("dup_tokens"))
+        .crossJoin(totals)
+        .select(lit(l).as("win_len"), col("docs"), col("total_tokens"),
+          col("docs_with_dups"), col("dup_spans"), col("dup_tokens"),
+          expr("dup_tokens * 10000 div total_tokens").as("share_bp"))
+    }.reduce(_ unionAll _).orderBy(col("win_len"))
+  }
+
+  /** One per-L CTE chain of the C88 oracle (the C71 oracle construction
+    * with L parameterized). */
+  private def curveSpanBlock(l: Int): String =
+    s"""g$l AS (
+       |  SELECT doc_id, i AS pos, md5(array_to_string(ts[i:i+${l - 1}], ' ')) AS h
+       |  FROM toks, unnest(generate_series(1, len(ts) - ${l - 1})) u(i)),
+       |d$l AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM g$l),
+       |f$l AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $l
+       |              THEN 0 ELSE 1 END AS brk
+       |  FROM d$l WHERE c > 1),
+       |i$l AS (
+       |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM f$l),
+       |s$l AS (SELECT doc_id, min(pos) AS s, max(pos) + ${l - 1} AS e
+       |        FROM i$l GROUP BY doc_id, grp),
+       |a$l AS (SELECT count(DISTINCT doc_id) AS dwd, count(*) AS ds,
+       |               sum(e - s + 1) AS dt FROM s$l)""".stripMargin
+
+  private def curveSpanSelect(l: Int): String =
+    s"""SELECT $l AS win_len, tot.docs, tot.total_tokens,
+       |       cast(coalesce(a$l.dwd, 0) AS BIGINT) AS docs_with_dups,
+       |       cast(coalesce(a$l.ds, 0) AS BIGINT) AS dup_spans,
+       |       cast(coalesce(a$l.dt, 0) AS BIGINT) AS dup_tokens,
+       |       cast(coalesce(a$l.dt, 0) AS BIGINT) * 10000 // tot.total_tokens AS share_bp
+       |FROM a$l, tot""".stripMargin
+
+  /** C88 oracle: one shared tokens/totals CTE + the three per-L chains. */
+  val dedupCurveSpansOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')),' ') AS ts
+       |  FROM documents),
+       |tot AS (SELECT cast(count(*) AS BIGINT) AS docs,
+       |               cast(sum(len(ts)) AS BIGINT) AS total_tokens FROM toks),
+       |${Seq(4, 8, 16).map(curveSpanBlock).mkString(",\n")}
+       |${Seq(4, 8, 16).map(curveSpanSelect).mkString("\nUNION ALL\n")}
+       |ORDER BY win_len""".stripMargin
+
   /** C86 oracle: the identical per-L window-hash accounting in DuckDB. */
   val dedupCurveOracle: String =
     """WITH d AS (

@@ -295,4 +295,33 @@ class ExactSubstrSpec extends SparkSpec {
     assert(got.head.getAs[Long]("dup_windows") == 2L,
       "the duplicated doc's two windows are non-first copies")
   }
+
+  test("span curve: reconciles with the per-source card at L=8 and stays defined when empty") {
+    // at L=8 the global span curve must recount exactly what the
+    // per-source C71 card sums — same machinery, one more granularity
+    val card = ExactSubstr.exactSubstrCard(spark, sfDir).collect()
+    val row8 = ExactSubstr.dedupCurveSpans(spark, sfDir).collect()
+      .find(_.getAs[Int]("win_len") == 8).get
+    assert(row8.getAs[Long]("docs") == card.map(_.getAs[Long]("docs")).sum)
+    assert(row8.getAs[Long]("total_tokens") == card.map(_.getAs[Long]("total_tokens")).sum)
+    assert(row8.getAs[Long]("docs_with_dups") == card.map(_.getAs[Long]("docs_with_dups")).sum)
+    assert(row8.getAs[Long]("dup_spans") == card.map(_.getAs[Long]("dup_spans")).sum)
+    assert(row8.getAs[Long]("dup_tokens") == card.map(_.getAs[Long]("dup_tokens")).sum)
+    // a no-duplication corpus keeps all three L rows at zero (defined)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("spancurve")
+    Seq((1L, (0 until 40).map(i => s"alpha$i").mkString(" ")),
+        (2L, (0 until 40).map(i => s"beta$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val empty = ExactSubstr.dedupCurveSpans(spark, dir).collect()
+    assert(empty.map(_.getAs[Int]("win_len")).toSeq == Seq(4, 8, 16))
+    empty.foreach { r =>
+      assert(r.getAs[Long]("dup_spans") == 0L && r.getAs[Long]("share_bp") == 0L, s"$r")
+    }
+  }
 }
