@@ -253,6 +253,9 @@ object SparkEntry {
     // C87: rows-only — measured recall@10 of the ANN ladder vs exact
     // ground truth on the sampled query set (the index-quality audit)
     "ann_recall_audit" -> (VectorQueries.annRecallAudit _),
+    // C87a: the audit run against the PERSISTED serve indexes (the
+    // batch companion to the D21 drift monitor)
+    "ann_recall_audit_cached" -> (VectorQueries.annRecallAuditCached _),
     // rows-only: SemDeDup within-learned-cluster prune (spec-bounded)
     "dedup_semantic" -> ((s: SparkSession, d: String) => VectorQueries.dedupSemantic(s, d)),
     // rows-only: SemDeDup over PQ codes — the memory-bounded face

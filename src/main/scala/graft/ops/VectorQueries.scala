@@ -495,14 +495,29 @@ object VectorQueries {
     * audit overlay is joins over query-set-sized frames — at 100 TB the
     * exact side runs on the SAMPLED queries only, which is exactly how
     * production recall audits bound their cost. */
-  def annRecallAudit(s: SparkSession, dir: String): DataFrame = {
-    val exact = simSearchTopk(s, dir).select(col("query_id"), col("vec_id"))
-    val exactK = exact.groupBy(col("query_id")).agg(count(lit(1)).as("exact_k"))
-    val methods = Seq(
+  def annRecallAudit(s: SparkSession, dir: String): DataFrame =
+    recallOverlay(s, dir, Seq(
       "lsh" -> simSearchLsh(s, dir),
       "ivf" -> simSearchIvf(s, dir),
       "pq" -> ProductQuant.simSearchPq(s, dir),
-      "sq8" -> ScalarQuant.simSearchSq8(s, dir))
+      "sq8" -> ScalarQuant.simSearchSq8(s, dir)))
+
+  /** C87a: the audit against the PERSISTED serve indexes (IVF-PQ and
+    * OPQ ArtifactStore tables) — "are the artifacts we actually serve
+    * from still good", the batch companion to the D21 drift monitor:
+    * D21 watches quantization error rise; this measures the recall the
+    * degradation actually costs, on the same stored model the daily
+    * probes use. First call builds the artifacts (self-healing, the
+    * *_cached convention); warm calls audit without retraining. */
+  def annRecallAuditCached(s: SparkSession, dir: String): DataFrame =
+    recallOverlay(s, dir, Seq(
+      "ivfpq" -> IvfPq.simSearchIvfPqCached(s, dir),
+      "opq" -> Opq.simSearchOpqCached(s, dir)))
+
+  private def recallOverlay(s: SparkSession, dir: String,
+                            methods: Seq[(String, DataFrame)]): DataFrame = {
+    val exact = simSearchTopk(s, dir).select(col("query_id"), col("vec_id"))
+    val exactK = exact.groupBy(col("query_id")).agg(count(lit(1)).as("exact_k"))
     methods.map { case (m, df) =>
       val hits = df.select(col("query_id"), col("vec_id"))
         .join(exact, Seq("query_id", "vec_id"), "left_semi")

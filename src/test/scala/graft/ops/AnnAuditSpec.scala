@@ -42,4 +42,24 @@ class AnnAuditSpec extends SparkSpec {
     assert(mean("pq") >= 5000L && mean("sq8") >= 5000L,
       s"quantized-rescore methods must stay strong: $mean")
   }
+
+  test("cached-index audit: persisted serve artifacts keep their recall, warm == cold") {
+    val cold = VectorQueries.annRecallAuditCached(spark, sfDir).collect()
+    assert(cold.map(_.getAs[String]("method")).distinct.sorted.toSeq ==
+      Seq("ivfpq", "opq"))
+    cold.foreach { r =>
+      val hits = r.getAs[Long]("hits")
+      assert(hits >= 0L && hits <= r.getAs[Long]("exact_k"))
+      assert(r.getAs[Long]("recall_bp") == hits * 10000 / r.getAs[Long]("exact_k"))
+    }
+    val mean = cold.groupBy(_.getAs[String]("method")).map { case (m, rs) =>
+      m -> rs.map(_.getAs[Long]("recall_bp")).sum / rs.length
+    }
+    assert(mean.values.forall(_ >= 3000L),
+      s"served indexes must keep usable recall: $mean")
+    // warm call: artifacts already persisted — the audit is a pure read
+    val warm = VectorQueries.annRecallAuditCached(spark, sfDir).collect()
+    assert(warm.map(_.toString).sorted.toSeq == cold.map(_.toString).sorted.toSeq,
+      "auditing a stored index twice must give identical rows")
+  }
 }
