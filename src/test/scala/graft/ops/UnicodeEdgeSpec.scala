@@ -65,6 +65,36 @@ class UnicodeEdgeSpec extends SparkSpec {
       "a fully-multibyte local part is outside the ASCII contract — passthrough")
   }
 
+  test("BPE and perplexity survive a multibyte corpus (defined, deterministic)") {
+    val dir = tmpDir("unibpe")
+    // duplicate the CJK doc so the corpus has learnable pair statistics
+    rows.union(rows).union(rows)
+      .withColumn("lang", lit("xx")).withColumn("source", lit("u"))
+      .withColumn("n_chars", length($"text"))
+      .withColumn("doc_id", monotonically_increasing_id())
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // BPE: train on the multibyte word histogram, then encode with it —
+    // merges must be byte-stable across two full runs
+    val m1 = Bpe.textBpeMerges(spark, dir).collect().map(_.toString).toSeq
+    val m2 = Bpe.textBpeMerges(spark, dir).collect().map(_.toString).toSeq
+    assert(m1 == m2, "multibyte merge table must be deterministic")
+    assert(m1.nonEmpty, "repeated multibyte words must yield merges")
+    val enc = Bpe.textBpeEncode(spark, dir).collect()
+    assert(enc.nonEmpty)
+    enc.foreach(r => assert(r.getAs[Long]("count") > 0L &&
+      r.getAs[String]("piece").nonEmpty))
+    // unigram perplexity: defined, finite scores on the CJK/emoji corpus
+    val px = TextQueries.textPerplexity(spark, dir).collect()
+    assert(px.length == 1)
+    val r = px.head
+    assert(r.getAs[Long]("docs") > 0)
+    Seq("avg_xent", "min_xent", "max_xent").foreach { c =>
+      val v = r.getAs[Double](c)
+      assert(!v.isNaN && !v.isInfinite && v >= 0.0, s"$c = $v")
+    }
+  }
+
   test("exact dedup of identical unicode docs is byte-stable") {
     val dir = tmpDir("uni")
     rows.union(rows.where($"doc_id" === 2L).withColumn("doc_id", lit(99L)))
