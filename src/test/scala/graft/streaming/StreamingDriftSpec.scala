@@ -70,6 +70,46 @@ class StreamingDriftSpec extends SparkSpec {
     assert(out("src_new").isNullAt(out("src_new").fieldIndex("base_q")))
   }
 
+  test("multi-day replay: each day's windows score independently, late data is bounded by the watermark") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val good = Seq.fill(40)("the quick brown fox jumps of and to in").mkString(" ")
+    val baseline = StreamingDrift.sourceBaseline(
+      (1 to 10).map(_ => ("src", good)).toDF("source", "text"))
+
+    val stream = MemoryStream[(String, String, Timestamp)]
+    val q = StreamingDrift.qualityDriftStream(
+        stream.toDF().toDF("source", "text", "ts"), baseline, "ts")
+      .writeStream.format("memory").queryName("drift_days")
+      .outputMode("append").start()
+    try {
+      // day 1: healthy feed in hour 0
+      stream.addData((1 to 6).map(_ => ("src", good, bump(0))))
+      q.processAllAvailable()
+      // day 2 (24h later): the feed degrades — this also closes day 1
+      stream.addData((1 to 4).map(_ => ("src", "zzzz", bump(24))))
+      q.processAllAvailable()
+      // a LATE day-1 event arriving after the watermark passed it: must
+      // not reopen the closed window (bounded state, the D18 contract)
+      stream.addData(IndexedSeq(("src", "zzzz", bump(0))))
+      q.processAllAvailable()
+      // close day 2
+      stream.addData(IndexedSeq(("__wm__", "x", bump(48))))
+      q.processAllAvailable()
+
+      val out = spark.table("drift_days")
+        .where(col("source") === "src").collect()
+        .map(r => r.getAs[java.sql.Timestamp]("window_start") -> r).toMap
+      assert(out.size == 2, s"one closed window per day: ${out.keys}")
+      val Seq(day1, day2) = out.toSeq.sortBy(_._1.getTime).map(_._2)
+      assert(!day1.getAs[Boolean]("drifting") &&
+        day1.getAs[Long]("n_docs") == 6L,
+        s"day 1 scored on its own healthy arrivals only (late junk dropped): $day1")
+      assert(day2.getAs[Boolean]("drifting") &&
+        day2.getAs[Long]("n_docs") == 4L,
+        s"day 2's degradation flags without contaminating day 1: $day2")
+    } finally q.stop()
+  }
+
   test("streamed window means equal the batch recount through the shared kernel") {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
       .select(col("source"), col("text"))
