@@ -122,8 +122,11 @@ object IncrementalIndex {
 
   // ---- vector index (the C79 standing tables) -----------------------
 
-  /** C79 index parameters — the C76 residual-PQ shapes. */
-  private val VecK = 8; private val VecIters = 3
+  /** C79 index parameters — the C76 residual-PQ shapes. The coarse
+    * cluster count is [[KMeans.adaptiveK]]-derived from the standing
+    * corpus at build time (8 at the test SFs) — frozen thereafter like
+    * the rest of the model. */
+  private val VecIters = 3
   private val VecM = 16; private val VecSubDim = 4; private val VecPqK = 64
 
   /** Create (overwrite) the vector index from the standing embedding
@@ -135,7 +138,8 @@ object IncrementalIndex {
     * the index: the memory-resident part is codes; exact rescore reads
     * candidates from the cold corpus (the PQ posture throughout). */
   def writeVecIndex(root: String, v: DataFrame): Unit = {
-    val m = SemanticPq.buildModel(v, VecK, VecIters, VecM, VecSubDim, VecPqK)
+    val m = SemanticPq.buildModel(v, KMeans.adaptiveK(v.count()),
+      VecIters, VecM, VecSubDim, VecPqK)
     m.cents.write.mode("overwrite").parquet(s"$root/vcents")
     m.cb.write.mode("overwrite").parquet(s"$root/vcb")
     // ONE literal-model pass produces both the codes table and the D21

@@ -63,7 +63,8 @@ object IvfPq {
     * pass over residuals. */
   private def buildIndex(s: SparkSession, unit: DataFrame,
       numSub: Int, subDim: Int, k: Int): (DataFrame, DataFrame, DataFrame) = {
-    val coarse = KMeans.fit(unit, k = 8, iters = 3).centroids
+    val coarse = KMeans.fit(unit,
+      k = KMeans.adaptiveK(unit.count()), iters = 3).centroids
     val res = residuals(unit, coarse)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     CacheScope.releaseAfterAction(s, res)

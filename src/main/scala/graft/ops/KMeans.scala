@@ -32,6 +32,34 @@ object KMeans {
   final case class Fit(assignments: DataFrame, centroids: DataFrame,
                        objective: Seq[Double])
 
+  /** Expected members per cell the adaptive cluster count targets —
+    * sized so the within-cell quadratic stages stay bounded: 4096²
+    * ≈ 1.7·10⁷ 16-byte-code comparisons per cell, a single-task cost
+    * at any corpus size. */
+  val TargetCellSize: Long = 4096L
+
+  /** The SURVEY §5 scale lever AS CODE, not prose: derive the
+    * cluster/cell count from corpus size so per-cell work stays
+    * bounded as the corpus grows — `k = max(minK, ceil(n / cell))`.
+    * Every k-means-backed face (semantic dedup C37/C76/C79, IVF
+    * C16a/C44, knn_graph C68, embed_kmeans C22, corpus_topics C59)
+    * derives its k through this: at the test SFs (n ≤ minK·cell =
+    * 32768) it resolves to minK = 8, so results are unchanged there;
+    * at 10⁹ vectors it yields ~244k cells of ≤4096 expected members
+    * each, keeping the quadratic candidate stage flat per cell while
+    * total work grows linearly. By construction n / adaptiveK(n) ≤
+    * cell for every n (AdaptiveKSpec pins the bound and the
+    * resolves-to-8 regime). Hot cells beyond the expectation are
+    * handled downstream by the G×G grid split the pair joins already
+    * carry. */
+  def adaptiveK(n: Long, targetCellSize: Long = TargetCellSize,
+      minK: Int = 8): Int = {
+    require(targetCellSize >= 1, s"targetCellSize must be positive: $targetCellSize")
+    require(minK >= 1, s"minK must be positive: $minK")
+    val cells = (math.max(n, 0L) + targetCellSize - 1L) / targetCellSize
+    math.min(math.max(minK.toLong, cells), Int.MaxValue.toLong).toInt
+  }
+
   /** `v` needs (vec_id, e: array<double>, nrm) — [[Vectors.withNorm]]
     * output. Init: the k lowest vec_ids (deterministic; callers wanting
     * k-means|| can pass their own via `initCentroids`). */
@@ -80,13 +108,13 @@ object KMeans {
     Fit(assigned.select(col("vec_id"), col("cluster")), cents, objective)
   }
 
-  /** Query face (`embed_kmeans`, rows-only): k=8 learned clusters over
-    * the embeddings corpus, 4 Lloyd rounds; per-cluster population and
-    * tightness. */
+  /** Query face (`embed_kmeans`, rows-only): [[adaptiveK]]-derived
+    * learned clusters over the embeddings corpus (resolves to 8 at the
+    * test SFs), 4 Lloyd rounds; per-cluster population and tightness. */
   def embedKmeans(s: SparkSession, dir: String): DataFrame = {
     val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
       .select(col("vec_id"), col("e"), col("nrm"))
-    val f = fit(v, k = 8, iters = 4)
+    val f = fit(v, k = adaptiveK(v.count()), iters = 4)
     f.assignments
       .join(broadcast(f.centroids), Seq("cluster"))
       .join(v, Seq("vec_id"))
@@ -118,7 +146,7 @@ object KMeans {
   def corpusTopics(s: SparkSession, dir: String): DataFrame = {
     val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
       .select(col("vec_id"), col("e"), col("nrm"))
-    val f = fit(v, k = 8, iters = 4)
+    val f = fit(v, k = adaptiveK(v.count()), iters = 4)
     val assign = f.assignments.select(col("vec_id").as("doc_id"), col("cluster"))
     val toks = Tables(s, dir, "documents")
       .select(col("doc_id"),

@@ -325,9 +325,12 @@ object SemanticPq {
     * (measured: ALL pairs pass any useful gate — zero pruning), which
     * is why this face shares the residual machinery, not raw PQ. */
   def card(v: DataFrame, tau: Double = 0.35, margin: Double = 0.15,
-      k: Int = 8, iters: Int = 3, grid: Int = 4,
+      k: Int = 0, iters: Int = 3, grid: Int = 4,
       numSub: Int = 16, subDim: Int = 4, pqK: Int = 64): DataFrame = {
-    val (assigned, coded, dtabs) = build(v, k, iters, numSub, subDim, pqK)
+    // k ≤ 0 → derive from corpus size (the SURVEY §5 lever as code;
+    // resolves to 8 at the test SFs, n/4096 cells at scale)
+    val kk = if (k > 0) k else KMeans.adaptiveK(v.count())
+    val (assigned, coded, dtabs) = build(v, kk, iters, numSub, subDim, pqK)
     cardFrom(v, assigned, coded, dtabs, tau, margin, grid)
   }
 
@@ -386,8 +389,8 @@ object SemanticPq {
       tau: Double = 0.35, margin: Double = 0.25): DataFrame = {
     val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
     val (standing, batch) = splitBatch(v)
-    val m = buildModel(standing, k = 8, iters = 3,
-      numSub = 16, subDim = 4, pqK = 64)
+    val m = buildModel(standing, k = KMeans.adaptiveK(standing.count()),
+      iters = 3, numSub = 16, subDim = 4, pqK = 64)
     incrementalCard(v, probeAgainst(batch, standing, m.cents, m.cb,
       m.coded.select(col("vec_id"), col("cluster"), col("codes")),
       numSub = 16, subDim = 4, tau, margin))
@@ -419,7 +422,8 @@ object SemanticPq {
     val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
       .select(col("vec_id"), col("e"), col("nrm"))
     if (!ArtifactStore.has(s, dir, "sempq_cents", "sempq_cb", "sempq_codes")) {
-      val m = buildModel(v, k = 8, iters = 3, numSub, subDim, pqK = 64)
+      val m = buildModel(v, k = KMeans.adaptiveK(v.count()), iters = 3,
+        numSub, subDim, pqK = 64)
       ArtifactStore.save(m.cents, dir, "sempq_cents")
       ArtifactStore.save(m.cb, dir, "sempq_cb")
       ArtifactStore.save(

@@ -201,11 +201,14 @@ object VectorQueries {
     * independent tasks, never one reducer). Per-cluster report.
     * Rows-only oracle (learned clusters are iterative Scala-side plan
     * logic); SemanticDedupSpec pins soundness, in-cluster completeness,
-    * and determinism. */
+    * and determinism. Cluster count defaults to [[KMeans.adaptiveK]]
+    * over the corpus size (k ≤ 0 means derive; resolves to 8 at the
+    * test SFs) so per-cluster pair work stays bounded at any scale. */
   def dedupSemantic(s: SparkSession, dir: String, tau: Double = 0.35,
-      k: Int = 8, iters: Int = 3, grid: Int = 4): DataFrame = {
+      k: Int = 0, iters: Int = 3, grid: Int = 4): DataFrame = {
     val v = emb(s, dir).select(col("vec_id"), col("e"), col("nrm"))
-    val fit = KMeans.fit(v, k = k, iters = iters)
+    val kk = if (k > 0) k else KMeans.adaptiveK(v.count())
+    val fit = KMeans.fit(v, k = kk, iters = iters)
     val centsArr = fit.centroids.agg(array_sort(collect_list(
       struct(col("cluster"), col("ce"), col("cn")))).as("cents"))
     val assigned = v.crossJoin(broadcast(centsArr))
@@ -293,11 +296,13 @@ object VectorQueries {
   /** C16a: the same IVF search over LEARNED clusters — centroids come
     * from [[KMeans.fit]] instead of borrowing the label column, which is
     * the honest 100 TB build (real corpora carry no cluster labels).
-    * k=8, 3 Lloyd rounds; search identical to C16. Rows-only; recall
-    * spec-bounded vs brute force like the other ANN families. */
+    * [[KMeans.adaptiveK]] cells (8 at the test SFs), 3 Lloyd rounds;
+    * search identical to C16. Rows-only; recall spec-bounded vs brute
+    * force like the other ANN families. */
   def simSearchIvfLearned(s: SparkSession, dir: String): DataFrame = {
     val v = emb(s, dir)
-    val fit = KMeans.fit(v.select(col("vec_id"), col("e"), col("nrm")), k = 8, iters = 3)
+    val vv = v.select(col("vec_id"), col("e"), col("nrm"))
+    val fit = KMeans.fit(vv, k = KMeans.adaptiveK(vv.count()), iters = 3)
     ivfSearch(v, fit.centroids.select(col("cluster"), col("ce"), col("cn")))
   }
 
@@ -384,14 +389,16 @@ object VectorQueries {
     * (equi-join on the cell id), cross-cell duplicates collapse by
     * groupBy, and the per-vector top-3 ranks with a window whose
     * partial WindowGroupLimit keeps each map task's top-3 before the
-    * exchange. Cell count scales with corpus size in production (k ∝
-    * √n or a per-cell size cap re-splits hot cells) so per-cell pair
-    * work stays bounded. Rows-only; KnnGraphSpec measures recall
+    * exchange. Cell count scales with corpus size IN CODE:
+    * [[KMeans.adaptiveK]] derives k from one count agg (8 at the test
+    * SFs, n/4096 cells beyond) so per-cell pair work stays bounded;
+    * hot cells beyond the expectation are the grid split's job.
+    * Rows-only; KnnGraphSpec measures recall
     * against the exact graph and pins determinism + the no-cartesian
     * plan shape. */
   def knnGraph(s: SparkSession, dir: String): DataFrame = {
     val v = emb(s, dir).select(col("vec_id"), col("e"), col("nrm"))
-    val fit = KMeans.fit(v, k = 8, iters = 3)
+    val fit = KMeans.fit(v, k = KMeans.adaptiveK(v.count()), iters = 3)
     val centsArr = fit.centroids.select(col("cluster"), col("ce"), col("cn"))
       .agg(array_sort(collect_list(
         struct(col("cluster"), col("ce"), col("cn")))).as("cents"))
