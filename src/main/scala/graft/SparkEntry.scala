@@ -135,11 +135,12 @@ object SparkEntry {
     // no_oracle: Misra-Gries estimates are merge-order dependent;
     // FrequentItemsSpec asserts the sketch bounds against exact counts
     "token_topk_sketch" -> (TextQueries.tokenTopkSketch _),
-    // rows-only: iterative learned artifact (BpeSpec proves it equal to
-    // a driver-side reference of the published algorithm)
+    // SQL-checked: the greedy trainer unrolled as 20 DuckDB CTE stages
+    // (bpeMergesOracle); BpeSpec additionally proves driver/distributed
+    // equality of the published algorithm
     "text_bpe_merges" -> (graft.ops.Bpe.textBpeMerges _),
-    // rows-only: encode with the learned merges, top-30 piece histogram
-    // (BpeSpec proves piece-for-piece equality with a reference encode)
+    // SQL-checked: encode with the learned merges, top-30 piece
+    // histogram — oracle continues the same CTE chain past the trainer
     "text_bpe_encode" -> (graft.ops.Bpe.textBpeEncode _),
     // C57a: encode against the persisted merge table (recurring cost face)
     "text_bpe_encode_cached" -> (graft.ops.Bpe.textBpeEncodeCached _),
@@ -148,7 +149,8 @@ object SparkEntry {
     "quality_ccnet" -> (TextQueries.qualityCcnet _),
     // C56a: CCNet bucketing against the persisted LM + cuts
     "quality_ccnet_cached" -> (TextQueries.qualityCcnetCached _),
-    // rows-only: two-phase annealing mixture plan (MixtureAnnealSpec reconciles)
+    // SQL-checked: all-integer anneal plan (oracle replays the ln
+    // scoring + quantile_disc cut; MixtureAnnealSpec reconciles too)
     "mixture_anneal" -> (TextQueries.mixtureAnneal _),
     // rows-only: learned quality gate (spark.ml LR; AUC/determinism spec-bounded)
     "quality_classifier" -> (graft.ops.QualityModel.qualityClassifier _),
@@ -1627,8 +1629,61 @@ object SparkEntry {
         |       round(max(nrm) FILTER (WHERE NOT deg), 4) AS max_norm,
         |       round(avg(mean_c) FILTER (WHERE NOT deg), 4) AS avg_mean_comp
         |FROM f GROUP BY label ORDER BY label""".stripMargin,
-    // meta_schema_discovery / meta_ddl_export: rows-only (schema
-    // inference output has no SQL-queryable oracle source).
+    // meta_schema_discovery / meta_ddl_export: DuckDB introspects the
+    // same parquet through information_schema.columns (the oracle's own
+    // independent schema read), type names mapped to Spark's SQL
+    // spellings; the supplemental crawl zone's two tables are
+    // schema-deterministic by construction, so their rows are spelled
+    // literally.
+    "meta_schema_discovery" ->
+      """WITH main AS (
+        |  SELECT table_name, column_name, (ordinal_position - 1)::INT AS ordinal,
+        |    CASE data_type WHEN 'BIGINT' THEN 'bigint' WHEN 'INTEGER' THEN 'int'
+        |      WHEN 'DOUBLE' THEN 'double' WHEN 'VARCHAR' THEN 'string'
+        |      WHEN 'TIMESTAMP' THEN 'timestamp_ntz' WHEN 'DATE' THEN 'date'
+        |      WHEN 'FLOAT[]' THEN 'array<float>' WHEN 'FLOAT' THEN 'float'
+        |      ELSE lower(data_type) END AS data_type,
+        |    (is_nullable = 'YES') AS nullable, false AS is_partition
+        |  FROM information_schema.columns
+        |  WHERE table_name IN ('region','nation','customer','supplier','part',
+        |                       'orders','lineitem','events','documents','embeddings')),
+        |supp AS (
+        |  SELECT * FROM (VALUES
+        |    ('daily_totals', 'TRANSFERRED_DATE', 0, 'string', true, false),
+        |    ('daily_totals', 'n_events', 1, 'bigint', true, false),
+        |    ('events_daily', 'n_events', 0, 'bigint', true, false),
+        |    ('events_daily', 'TRANSFERRED_DATE', 1, 'date', true, true))
+        |    AS t(table_name, column_name, ordinal, data_type, nullable, is_partition))
+        |SELECT table_name, column_name, ordinal::INT AS ordinal, data_type, nullable, is_partition
+        |FROM (SELECT * FROM main UNION ALL SELECT * FROM supp)
+        |ORDER BY table_name, ordinal""".stripMargin,
+    "meta_ddl_export" ->
+      """WITH main AS (
+        |  SELECT table_name,
+        |    'CREATE TABLE ' || table_name || ' (' || chr(10) ||
+        |    string_agg('  ' || column_name || ' ' ||
+        |      CASE data_type WHEN 'BIGINT' THEN 'bigint' WHEN 'INTEGER' THEN 'int'
+        |        WHEN 'DOUBLE' THEN 'double' WHEN 'VARCHAR' THEN 'string'
+        |        WHEN 'TIMESTAMP' THEN 'timestamp_ntz' WHEN 'DATE' THEN 'date'
+        |        WHEN 'FLOAT[]' THEN 'array<float>' WHEN 'FLOAT' THEN 'float'
+        |        ELSE lower(data_type) END,
+        |      ',' || chr(10) ORDER BY ordinal_position) ||
+        |    chr(10) || ')' || chr(10) || 'USING parquet' AS ddl
+        |  FROM information_schema.columns
+        |  WHERE table_name IN ('region','nation','customer','supplier','part',
+        |                       'orders','lineitem','events','documents','embeddings')
+        |  GROUP BY table_name),
+        |supp AS (
+        |  SELECT * FROM (VALUES
+        |    ('daily_totals', 'CREATE TABLE daily_totals (' || chr(10) ||
+        |      '  TRANSFERRED_DATE string,' || chr(10) || '  n_events bigint' || chr(10) ||
+        |      ')' || chr(10) || 'USING parquet'),
+        |    ('events_daily', 'CREATE TABLE events_daily (' || chr(10) ||
+        |      '  n_events bigint' || chr(10) || ')' || chr(10) ||
+        |      'USING parquet' || chr(10) || 'PARTITIONED BY (TRANSFERRED_DATE date)'))
+        |    AS t(table_name, ddl))
+        |SELECT table_name, ddl FROM (SELECT * FROM main UNION ALL SELECT * FROM supp)
+        |ORDER BY table_name""".stripMargin,
     "mm_metadata" ->
       """WITH m AS (
         |  SELECT source,
@@ -1744,6 +1799,113 @@ object SparkEntry {
         |       cast(sum(n_events) AS BIGINT) AS n_events,
         |       cast(max(dur) AS BIGINT) AS max_dur_s,
         |       cast(min(dur) AS BIGINT) AS min_dur_s
-        |FROM ses GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM ses GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // C65: the anneal plan's only floating point is bucket membership
+    // (round-10 compare vs the per-source head cut); every OUTPUT
+    // column is an integer, so the face is hash-checkable despite the
+    // ln inside. DuckDB's quantile_disc shares Spark
+    // percentile_approx's exact-regime rank convention (probed
+    // value-identical across n=5..167).
+    "mixture_anneal" ->
+      """WITH tf AS (
+        |  SELECT doc_id, source, term, count(*)::BIGINT AS tf FROM (
+        |    SELECT doc_id, source,
+        |           unnest(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS term
+        |    FROM documents) t(doc_id, source, term)
+        |  WHERE term <> '' GROUP BY 1,2,3),
+        |lm AS (SELECT term, sum(tf)::BIGINT AS tn FROM tf GROUP BY term),
+        |tot AS (SELECT sum(tn)::BIGINT AS t FROM lm),
+        |per AS (
+        |  SELECT doc_id, any_value(source) AS source,
+        |    -(sum(tf * ln(tn::DOUBLE / t)) / sum(tf)) AS xent
+        |  FROM tf JOIN lm USING (term), tot GROUP BY doc_id),
+        |toks AS (
+        |  SELECT doc_id,
+        |         len(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' '))::BIGINT AS tok
+        |  FROM documents),
+        |cuts AS (SELECT source, quantile_disc(xent, 1.0/3) AS head_cut FROM per GROUP BY source),
+        |phased AS (
+        |  SELECT source, tok, unnest(CASE WHEN round(xent,10) <= round(head_cut,10)
+        |      THEN ['main','anneal'] ELSE ['main'] END) AS phase
+        |  FROM per JOIN toks USING (doc_id) JOIN cuts USING (source)),
+        |agg AS (SELECT phase, source, count(*)::BIGINT AS docs, sum(tok)::BIGINT AS tokens
+        |        FROM phased GROUP BY 1,2)
+        |SELECT phase, source, docs, tokens,
+        |  (tokens * 10000 // (sum(tokens) OVER (PARTITION BY phase)))::BIGINT AS share_bp
+        |FROM agg ORDER BY phase, source""".stripMargin,
+    "text_bpe_merges" -> bpeMergesOracle,
+    // C57 and its serve face C57a are result-identical by contract
+    // (BpeSpec pins it) — the C72 oracle-is-the-exact-face pattern
+    "text_bpe_encode" -> bpeEncodeOracle,
+    "text_bpe_encode_cached" -> bpeEncodeOracle
   )
+
+  /** The C50/C57 DuckDB oracle: the greedy BPE trainer UNROLLED as 20
+    * materialized CTE stages, each spelling one get_stats → argmax →
+    * merge_vocab round relationally. The greedy left-to-right
+    * NON-OVERLAPPING rewrite (the reference regex semantics,
+    * [[graft.ops.Bpe.mergePair]]) is exact, not approximated:
+    * candidate positions where (syms[i], syms[i+1]) equals the round's
+    * best pair can only be CONSECUTIVE when the pair is a self-pair
+    * (a=b forces a run), so gaps-and-islands chaining + taking each
+    * chain's odd row numbers reproduces the sequential fold precisely
+    * — including `x x x x` → `xx xx` and `x x x` → `xx x`.
+    * MATERIALIZED is load-bearing: inlined, each stage references its
+    * predecessor twice and the expansion is 2^20. Cross-validated
+    * three ways before adoption: vs the Spark face at sf0.01, and vs
+    * an independent sequential Python BPE at sf0.1. */
+  private def bpeStageCtes(numMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS MATERIALIZED (
+  SELECT wd AS wid, n,
+    list_append(list_filter(string_split(wd, ''), x -> x <> ''), '</w>') AS syms
+  FROM (
+    SELECT wd, count(*)::BIGINT AS n
+    FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS wd FROM documents)
+    WHERE wd <> '' GROUP BY wd))"""
+    for (n <- 1 to numMerges) {
+      val p = n - 1
+      sb ++= s""",
+p$n AS (
+  SELECT syms[i] AS l, syms[i+1] AS r, sum(n)::BIGINT AS c
+  FROM w$p, UNNEST(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2),
+b$n AS MATERIALIZED (SELECT l, r, c, $n::INT AS rank FROM p$n ORDER BY c DESC, l, r LIMIT 1),
+e$n AS (
+  SELECT wid, n, i, syms[i] AS s,
+    (i < len(syms) AND syms[i] = (SELECT l FROM b$n) AND syms[i+1] = (SELECT r FROM b$n)) AS cand
+  FROM w$p, UNNEST(range(1, len(syms)+1)) AS u(i)),
+t$n AS (
+  SELECT wid, n, i, s, cand AND (row_number() OVER (PARTITION BY wid, grp ORDER BY i)) % 2 = 1 AS taken
+  FROM (SELECT *, CASE WHEN cand THEN i - (row_number() OVER (PARTITION BY wid, cand ORDER BY i)) END AS grp
+        FROM e$n)),
+w$n AS MATERIALIZED (
+  SELECT wid, any_value(n) AS n, list(CASE WHEN taken THEN s || next_s ELSE s END ORDER BY i) AS syms
+  FROM (SELECT wid, n, i, s, taken,
+          lead(s) OVER (PARTITION BY wid ORDER BY i) AS next_s,
+          coalesce(lag(taken) OVER (PARTITION BY wid ORDER BY i), false) AS prev_taken
+        FROM t$n)
+  WHERE NOT prev_taken
+  GROUP BY wid)"""
+    }
+    sb.toString
+  }
+
+  private val BpeOracleMerges = 20
+
+  private def bpeMergesOracle: String = {
+    val union = (1 to BpeOracleMerges)
+      .map(n => s"SELECT rank, l, r, c FROM b$n").mkString(" UNION ALL ")
+    bpeStageCtes(BpeOracleMerges) + s"""
+SELECT rank, l AS "left", r AS "right", l || r AS merged, c AS pair_count
+FROM ($union) ORDER BY rank"""
+  }
+
+  private def bpeEncodeOracle: String =
+    bpeStageCtes(BpeOracleMerges) + s""",
+pieces AS (
+  SELECT piece, sum(n)::BIGINT AS cnt FROM (SELECT unnest(syms) AS piece, n FROM w$BpeOracleMerges) GROUP BY piece),
+tot AS (SELECT sum(cnt)::BIGINT AS t FROM pieces)
+SELECT piece, cnt AS count, (cnt * 10000 // t)::BIGINT AS share_bp
+FROM pieces, tot ORDER BY cnt DESC, piece LIMIT 30"""
 }

@@ -886,9 +886,13 @@ object TextQueries {
     * over the corpus), a narrow bucket comparison, and two tiny
     * phase×source rollups from ONE pass over the scored frame
     * (phases spelled as an explode over the membership flags, so the
-    * corpus is not re-scanned per phase). Rows-only (downstream of
-    * ln + sketch cuts); MixtureAnnealSpec cross-checks the anneal
-    * counts against C56's head bucket and pins share arithmetic. */
+    * corpus is not re-scanned per phase). SQL-checked: every output
+    * column is an integer, so despite the ln inside, the DuckDB oracle
+    * (which replays the scoring and takes the cut with quantile_disc —
+    * probed to share percentile_approx's exact-regime rank convention)
+    * hash-matches; MixtureAnnealSpec additionally cross-checks the
+    * anneal counts against C56's head bucket and pins share
+    * arithmetic. */
   def mixtureAnneal(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir).select(col("doc_id"),
       size(Text.tokens(col("text"))).cast("long").as("tok"))
