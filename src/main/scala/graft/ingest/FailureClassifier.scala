@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   * The reference accumulates these in driver lists and writes them as a
   * "failed to convert" parquet report (L407–417).
   *
+  * EMPTY is this repo's explicit name for the reference's 2019.06.21
+  * "EMPTY FILES FLUSH TO PROCESSED LIST" branch (L314–322): a file
+  * whose parse yields ZERO columns is appended straight to the
+  * processed list — skipped forever, never reported as a failure — so
+  * a feed that ships empty placeholder markers doesn't spam the
+  * failure ledger daily.
+  *
   * Spark-first: classification is one projection over (file × left-joined
   * config); the report is just the filtered frame — no driver state.
   */
@@ -21,6 +28,8 @@ object FailureClassifier {
   val Unmatch = "UNMATCH"
   val OutOfConfig = "OUTOFCONFIG"
   val Irregular = "IRREGULAR"
+  /** Zero-column file: ledgered as processed, never reported (ref L319–322). */
+  val Empty = "EMPTY"
 
   /** `files` must carry `irregularCol` (boolean) and `headerCntCol`;
     * `config` carries the join key and `expectedCntCol` (nullable after the

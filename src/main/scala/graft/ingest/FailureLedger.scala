@@ -50,13 +50,17 @@ object FailureLedger {
     spark.read.parquet(path)
 
   /** Shape a classified file frame (see [[FailureClassifier.classify]])
-    * into ledger rows: non-OK files only; header detail kept only for
+    * into ledger rows: non-OK, non-EMPTY files only (an empty file is
+    * processed-skipped, not a failure); header detail kept only for
     * UNMATCH rows, blanked otherwise (ref :316–317 vs :349–358). */
   def shape(classified: DataFrame, fname: Column, headerList: Column,
             headerCnt: Column, metaHeaderList: Column, metaHeaderCnt: Column,
             execTime: Column): DataFrame = {
     val unm = col("status") === FailureClassifier.Unmatch
-    classified.where(col("status") =!= FailureClassifier.Ok)
+    // EMPTY is not a failure: the reference flushes zero-column files
+    // to the processed list without an UNMATCH row (ref L319–322)
+    classified.where(!col("status").isin(
+        FailureClassifier.Ok, FailureClassifier.Empty))
       .select(
         fname.as("fname"),
         when(unm, headerList).otherwise(lit("")).as("header_list"),

@@ -179,23 +179,37 @@ object IngestJob {
     // distributed text scan measures each candidate file's width before
     // any file is parsed with the wrong layout. The path list is the
     // scan's read set (what any FileIndex holds); widths stay a FRAME.
-    // NOTE: width counts raw comma splits — a quoted field containing
-    // commas would overcount (the reference's landing format, like this
-    // check, is unquoted)
+    // Width is QUOTE-AWARE with the same conventions the ingest's CSV
+    // parse uses (delimiter `,`, quote `"`, `""` escapes): splitting a
+    // line on the quote char alternates outside/inside-quote segments,
+    // so only commas in even-indexed segments separate fields — a
+    // quoted field containing commas no longer overcounts into UNMATCH.
     val candidatePaths = resolved.where(col("__class") === "CANDIDATE")
       .select("fname").as[String].collect().map(f => s"$landingDir/$f")
     val widths =
       if (candidatePaths.isEmpty) Seq.empty[(String, Int)].toDF("fname", "__w")
-      else spark.read.text(candidatePaths.toIndexedSeq: _*)
-        .select(
-          element_at(split(input_file_name(), "/"), -1).as("fname"),
-          (size(split(col("value"), ","))).as("__w"))
-        .groupBy(col("fname")).agg(max(col("__w")).as("__w"))
+      else {
+        val segs = split(col("value"), "\"", -1)
+        val seps = aggregate(
+          zip_with(segs, sequence(lit(0), size(segs) - 1),
+            (s, i) => when(i % 2 === 0, size(split(s, ",", -1)) - 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x)
+        spark.read.text(candidatePaths.toIndexedSeq: _*)
+          .select(
+            element_at(split(input_file_name(), "/"), -1).as("fname"),
+            (seps + 1).as("__w"))
+          .groupBy(col("fname")).agg(max(col("__w")).as("__w"))
+      }
 
-    // final classification, snapshotted once for all consumers
+    // final classification, snapshotted once for all consumers. A
+    // candidate with NO text rows is the reference's zero-column case
+    // (L314–322, the 2019.06.21 "EMPTY FILES FLUSH TO PROCESSED LIST"
+    // change): EMPTY, ledgered below as processed, never a failure —
+    // an empty placeholder file must not retry (and re-report) forever.
     val classified = resolved.join(widths, Seq("fname"), "left")
       .withColumn("status",
         when(col("__class") =!= "CANDIDATE", col("__class"))
+          .when(col("__w").isNull, lit(FailureClassifier.Empty))
           .when(col("__w") === size(col("__hdrs")), lit(FailureClassifier.Ok))
           .otherwise(lit(FailureClassifier.Unmatch)))
       .localCheckpoint(true)
@@ -243,13 +257,16 @@ object IngestJob {
       }
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
 
-    // record ONLY successfully written files (the reference appends only
-    // successes to PROCESSED_OBJECT_LIST, L402–405): a failed file —
-    // e.g. OUTOFCONFIG because its config row hasn't landed yet — must
-    // retry on a later run, not be silently skipped forever
-    if (groups.nonEmpty) {
-      Ledger.record(classified.where(col("status") === FailureClassifier.Ok)
-        .select("fname"), "fname", ledgerPath)
+    // record successfully written files PLUS empty files (the reference
+    // appends both to PROCESSED_OBJECT_LIST — successes at L402–405,
+    // zero-column files at L319–322): a failed file — e.g. OUTOFCONFIG
+    // because its config row hasn't landed yet — must retry on a later
+    // run, not be silently skipped forever, while an empty placeholder
+    // is consumed exactly once
+    val ledgerable = classified.where(col("status").isin(
+      FailureClassifier.Ok, FailureClassifier.Empty))
+    if (!ledgerable.isEmpty) {
+      Ledger.record(ledgerable.select("fname"), "fname", ledgerPath)
     }
     val summary = RunSummary(written, skipped, failures,
       processedFiles = groups.map(_._4.length.toLong).sum,

@@ -126,6 +126,72 @@ class IngestJobSpec extends SparkSpec {
     assert(r2.processed == Map("ORDERS" -> 1L))
   }
 
+  test("empty file flushes to the processed ledger once and never re-reports") {
+    // ref DATALAKE_TRANSFORMATION_S3_DAILY_JOB.PY:314–322, the
+    // 2019.06.21 "EMPTY FILES FLUSH TO PROCESSED LIST" change: a
+    // zero-column file is appended to the processed list and skipped
+    // forever — it must NOT classify UNMATCH and spam the failure
+    // ledger on every later run.
+    val landing = tmpDir("ij4-landing"); val storing = tmpDir("ij4-storing")
+    val ledger = tmpDir("ij4-ledger") + "/processed"
+
+    drop(landing, "ORDERS_20240101_080000.CSV", "1,10.5,2024-01-01\n")
+    drop(landing, "ORDERS_20240102_080000.CSV", "") // empty placeholder
+
+    val r1 = IngestJob.run(spark, landing, storing, ledger, configs)
+    assert(r1.processed == Map("ORDERS" -> 1L))
+    assert(r1.failures.count() == 0, "an empty file is not a failure")
+    val led = spark.read.parquet(ledger).collect().map(_.getString(0)).toSet
+    assert(led == Set("ORDERS_20240101_080000.CSV", "ORDERS_20240102_080000.CSV"),
+      "the ledger holds both the written file AND the empty one")
+
+    // run 2: both files ledger-skip; the empty marker never re-reports
+    val r2 = IngestJob.run(spark, landing, storing, ledger, configs)
+    assert(r2.skippedAsProcessed == 2)
+    assert(r2.processed.isEmpty && r2.failures.count() == 0,
+      "no daily failure spam from the empty marker")
+  }
+
+  test("a run with ONLY an empty file still ledgers it") {
+    // regression guard for the old `if (groups.nonEmpty)` record gate:
+    // with nothing written, the empty file must still be consumed once
+    val landing = tmpDir("ij5-landing"); val storing = tmpDir("ij5-storing")
+    val ledger = tmpDir("ij5-ledger") + "/processed"
+    drop(landing, "ORDERS_20240105_080000.CSV", "")
+    val r1 = IngestJob.run(spark, landing, storing, ledger, configs)
+    assert(r1.processed.isEmpty && r1.failures.count() == 0)
+    val r2 = IngestJob.run(spark, landing, storing, ledger, configs)
+    assert(r2.skippedAsProcessed == 1, "consumed exactly once")
+  }
+
+  test("quoted field containing commas classifies OK, not UNMATCH") {
+    // width measurement shares the ingest CSV parse's quote
+    // conventions: `"10,5",...` is ONE field; `""` escapes stay inside
+    // their field; an actually-overwide row still trips UNMATCH
+    val landing = tmpDir("ij6-landing"); val storing = tmpDir("ij6-storing")
+    val ledger = tmpDir("ij6-ledger") + "/processed"
+
+    drop(landing, "CUST_20240101_080000.CSV",
+      "7,\"alice, smith\"\n8,bob\n")
+    drop(landing, "CUST_20240102_080000.CSV", "9,a,b\n") // genuinely 3-wide
+    // doubled quotes inside a quoted field: the width check must agree
+    // with the parse that this is still ONE 2-wide row
+    drop(landing, "CUST_20240103_080000.CSV", "10,\"x, \"\"y\"\"\"\n")
+
+    val r1 = IngestJob.run(spark, landing, storing, ledger, configs)
+    assert(r1.processed == Map("CUST" -> 3L),
+      "the quoted comma-bearing files ingest")
+    val fails = r1.failures.select("fname", "status").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fails == Set(("CUST_20240102_080000.CSV", FailureClassifier.Unmatch)),
+      "real width mismatches still classify UNMATCH")
+    // the quoted value parsed intact (comma inside the field) through
+    // the SAME conventions the width scan measured with
+    val cust = spark.read.parquet(s"$storing/CUST")
+      .where(spark_col("id") === 7).select("name").collect()
+    assert(cust.map(_.getString(0)).toSeq == Seq("alice, smith"))
+  }
+
   test("RunSummary.report formats the reference's completion-mail shape") {
     import spark.implicits._
     val s = IngestJob.RunSummary(
@@ -183,10 +249,11 @@ class IngestJobSpec extends SparkSpec {
       "old-layout rows null-fill the new column")
   }
 
-  test("zero-byte and whitespace-only landing files classify UNMATCH, never crash") {
+  test("zero-byte files skip as EMPTY; whitespace-only files classify UNMATCH") {
     // the degenerate files a real landing zone accumulates (truncated
-    // uploads, heartbeat artifacts) — the run must classify them into
-    // the failure ledger and keep going, not die mid-sweep
+    // uploads, heartbeat artifacts): a zero-byte marker is the
+    // reference's EMPTY processed-skip (L314–322); a newline-only file
+    // still has (1-wide) rows, so it is a genuine header mismatch
     val landing = tmpDir("ije-landing"); val storing = tmpDir("ije-storing")
     val ledger = tmpDir("ije-ledger") + "/processed"
     drop(landing, "ORDERS_20240101_080000.CSV", "")          // zero-byte
@@ -197,12 +264,11 @@ class IngestJobSpec extends SparkSpec {
     val fails = r.failures.select("fname", "status").collect()
       .map(x => (x.getString(0), x.getString(1))).toSet
     assert(fails == Set(
-      ("ORDERS_20240101_080000.CSV", FailureClassifier.Unmatch),
       ("ORDERS_20240101_080001.CSV", FailureClassifier.Unmatch)),
-      s"degenerate files must classify as header mismatches: $fails")
-    // and they are ledgered: a re-run re-attempts nothing, skips all
+      s"only the newline-only file is a failure: $fails")
+    // re-run: the healthy AND the empty file skip; the UNMATCH retries
     val r2 = IngestJob.run(spark, landing, storing, ledger, configs)
-    assert(r2.processed.isEmpty && r2.skippedAsProcessed == 1,
-      "only the successful file ledgers; failures retry by design")
+    assert(r2.processed.isEmpty && r2.skippedAsProcessed == 2,
+      "written + empty files ledger; failures retry by design")
   }
 }
