@@ -144,10 +144,21 @@ object DailyRun {
     // re-cataloged. First run (no catalog yet) is a defined outcome.
     // `failOnSchemaDrift` turns the report into a hard gate; the
     // default posture reports (schema evolution is often intended).
+    // When the gate trips, the catalog refresh below is withheld, so
+    // the SAME drift keeps failing every day until an operator
+    // acknowledges it (a report-only run re-catalogs) — a contract
+    // break can't alarm once and silently self-clear.
     attempt("schema_drift", legs) {
+      // "first run" means the catalog PATH does not exist — nothing
+      // else. A present-but-unreadable catalog (corruption, transient
+      // FS error) must FAIL this leg, not masquerade as a first run:
+      // the subsequent catalog refresh would overwrite the possibly-
+      // recoverable baseline (and it is withheld below when this leg
+      // fails, precisely to preserve that evidence).
+      val p = new org.apache.hadoop.fs.Path(catalogPath)
       val hadCatalog =
-        try { LakeCatalog.read(spark, catalogPath).head(); true }
-        catch { case _: Throwable => false }
+        p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p) &&
+          !LakeCatalog.read(spark, catalogPath).isEmpty
       if (!hadCatalog) ("first run - no prior catalog", ())
       else {
         val drift = SchemaDiscovery.schemaDrift(
@@ -166,10 +177,24 @@ object DailyRun {
       }
     }
 
-    val cataloged = attempt("catalog", legs) {
-      val n = LakeCatalog.persist(spark, userZoneRoot, catalogPath)
-      (s"tables=$n", n)
-    }.getOrElse(0)
+    // The catalog refresh is WITHHELD when the drift leg failed — for
+    // both failure modes deliberately: a tripped hard gate keeps
+    // re-reporting the same drift every day until an operator
+    // acknowledges it (re-running report-only re-catalogs), instead of
+    // alarming exactly once and self-clearing; an unreadable catalog
+    // keeps its bytes on disk for recovery instead of being overwritten.
+    val driftFailed = legs.exists(l =>
+      l.name == "schema_drift" && l.status == "failed")
+    val cataloged =
+      if (driftFailed) {
+        legs += Leg("catalog", "skipped",
+          "refresh withheld: schema_drift leg failed - prior baseline preserved",
+          None)
+        0
+      } else attempt("catalog", legs) {
+        val n = LakeCatalog.persist(spark, userZoneRoot, catalogPath)
+        (s"tables=$n", n)
+      }.getOrElse(0)
 
     val result = DayResult(legs.toSeq, summary, snapshots, synced, cataloged)
     // the orchestration-level notification seam (the reference notifies

@@ -75,7 +75,12 @@ object PartitionHealth {
     * the planted sizes; production uses the defaults. */
   def metaPartitionHealth(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val zone = s"${sys.props("java.io.tmpdir")}/graft_health_zone_${math.abs(dir.hashCode)}"
+    // zone keyed by the SANITIZED full dir string, not a 32-bit hash:
+    // abs(hashCode) collides across dirs (and Int.MinValue stays
+    // negative under math.abs), and two sessions pointing at different
+    // corpora must never overwrite each other's zone mid-read
+    val zone = s"${sys.props("java.io.tmpdir")}/graft_health_zone_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val daily = LakeWriter.withTransferredDate(
       graft.sources.Tables(s, dir, "events"), "ts")
     daily.groupBy(col(LakeWriter.PartitionCol))

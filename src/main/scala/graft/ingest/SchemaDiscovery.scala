@@ -202,7 +202,10 @@ object SchemaDiscovery {
     * testdata so the crawler demonstrably discovers tables outside any
     * hardcoded list. Idempotent per sfDir. */
   private def supplementalZone(s: SparkSession, dir: String): String = {
-    val zone = s"${sys.props("java.io.tmpdir")}/graft_crawl_zone_${math.abs(dir.hashCode)}"
+    // sanitized-full-dir key, not abs(hashCode) — same collision
+    // rationale as PartitionHealth.metaPartitionHealth's zone
+    val zone = s"${sys.props("java.io.tmpdir")}/graft_crawl_zone_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val daily = LakeWriter.withTransferredDate(graft.sources.Tables(s, dir, "events"), "ts")
       .groupBy(org.apache.spark.sql.functions.col(LakeWriter.PartitionCol))
       .agg(org.apache.spark.sql.functions.count(

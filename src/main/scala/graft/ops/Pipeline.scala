@@ -124,13 +124,14 @@ object Pipeline {
                          weights: Map[String, Double],
                          idCol: String = "doc_id", textCol: String = "text",
                          groupCol: String = "source",
-                         benchmark: Option[DataFrame] = None): (CorpusStats, Map[String, Long]) = {
+                         benchmark: Option[DataFrame] = None,
+                         benchTextCol: String = "text"): (CorpusStats, Map[String, Long]) = {
     val (cleaned, stats) = cleanCorpus(docs, idCol, textCol,
       persistResult = true, clusteredNearDup = true)
     // decontamination last: dedup must not resurrect a leaked doc by
     // keeping a contaminated copy of a cluster whose clean copy dropped
     val clean = benchmark.fold(cleaned)(b =>
-      dropContaminated(cleaned, b, idCol, textCol))
+      dropContaminated(cleaned, b, idCol, textCol, benchTextCol))
     val dealt = Sample.sampleMixture(clean, idCol, groupCol, weights)
       .withColumn("fold", Sample.splitColumn(col(idCol), Sample.DemoCuts, "test"))
     dealt.write.mode("overwrite").partitionBy("fold").parquet(outPath)

@@ -44,8 +44,13 @@ object StreamingVectors {
       numSub: Int = 16, subDim: Int = 4,
       watermarkDelay: String = "1 hour"): DataFrame = {
     val lm = SemanticPq.literalModel(cents, cb, numSub)
+    // degenerate guard, mirroring batch Vectors.withNorm: one
+    // failed-encoder (null/zero-norm) vector on an always-on intake
+    // feed would otherwise hit the cosine's ANSI divide-by-zero and
+    // kill the query. Stateless filter — replay parity preserved.
     val coded = SemanticPq.litAssignCode(
-      vecs.withWatermark(tsCol, watermarkDelay), lm, numSub, subDim)
+      vecs.withWatermark(tsCol, watermarkDelay)
+        .where(col("nrm").isNotNull && col("nrm") > 0), lm, numSub, subDim)
     val cut = 2.0 * (1.0 - tau + margin)
     // the SAME gate expression as the batch probe — shared, not copied,
     // so the replay-equality contract can't silently drift
@@ -82,6 +87,11 @@ object StreamingVectors {
       tsCol: String, tau: Double = 0.35,
       watermarkDelay: String = "1 hour"): DataFrame =
     vecs.withWatermark(tsCol, watermarkDelay)
+      // degenerate guard, mirroring batch C83's Vectors.withNorm: a
+      // null/zero-norm embedding reaching the cosine throws
+      // DIVIDE_BY_ZERO under ANSI and kills the always-on gate.
+      // Stateless filter — replay parity preserved.
+      .where(col("nrm").isNotNull && col("nrm") > 0)
       .crossJoin(broadcast(items.select(col("vec_id").as("item_id"),
         col("e").as("qe"), col("nrm").as("qn"))))
       .where(Vectors.cosine(col("e"), col("qe"), col("nrm"), col("qn")) >= tau)

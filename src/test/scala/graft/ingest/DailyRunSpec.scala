@@ -138,19 +138,57 @@ class DailyRunSpec extends SparkSpec {
     assert(d2.cataloged == 2, "the crawler then re-catalogs the zone, surprise included")
 
     // day 3: the surprise table vanishes; the HARD gate fails its leg
-    // (removed columns), while every other leg still completes
+    // (removed columns), every other leg still completes, and the
+    // catalog refresh is WITHHELD so the drift baseline survives
     FsUtil.deleteRecursively(new java.io.File(s"$user/SURPRISE"))
     drop(landing, "ORDERS_20240103_080000.CSV", "2,11.0,2024-01-03\n")
     val d3 = DailyRun.run(spark, landing, storing, ledger, configs, publish, user,
       catalog, failOnSchemaDrift = true)
     assert(d3.failed.map(_.name) == Seq("schema_drift"), s"${d3.failed}")
     assert(d3.failed.head.error.get.contains("removed=2"))
-    assert(d3.cataloged == 1, "catalog leg completes despite the tripped gate")
+    assert(d3.cataloged == 0 &&
+      d3.legs.find(_.name == "catalog").get.status == "skipped",
+      "the tripped gate withholds the catalog refresh")
 
-    // day 4: the catalog has caught up — the same gate now passes
+    // day 4: NOTHING acknowledged — the same gate must trip again (the
+    // break can't alarm once and silently self-clear)
     val d4 = DailyRun.run(spark, landing, storing, ledger, configs, publish, user,
       catalog, failOnSchemaDrift = true)
-    assert(d4.ok, s"steady state must pass the hard gate: ${d4.failed}")
-    assert(d4.legs.find(_.name == "schema_drift").get.detail == "no drift")
+    assert(d4.failed.map(_.name) == Seq("schema_drift"),
+      s"unacknowledged drift keeps reporting: ${d4.failed}")
+
+    // day 5: the operator acknowledges by running report-only — the
+    // drift is reported one last time and the catalog re-baselines
+    val d5 = DailyRun.run(spark, landing, storing, ledger, configs, publish, user,
+      catalog)
+    assert(d5.ok, s"report-only acknowledgment run: ${d5.failed}")
+    assert(d5.legs.find(_.name == "schema_drift").get.detail.contains("removed=2"))
+    assert(d5.cataloged == 1, "acknowledgment re-baselines the catalog")
+
+    // day 6: baseline caught up — the hard gate passes again
+    val d6 = DailyRun.run(spark, landing, storing, ledger, configs, publish, user,
+      catalog, failOnSchemaDrift = true)
+    assert(d6.ok, s"steady state must pass the hard gate: ${d6.failed}")
+    assert(d6.legs.find(_.name == "schema_drift").get.detail == "no drift")
+  }
+
+  test("a present-but-unreadable catalog fails the drift leg and is preserved") {
+    import java.nio.file.{Files, Paths}
+    val landing = tmpDir("drc-landing"); val storing = tmpDir("drc-storing")
+    val ledger = tmpDir("drc-ledger") + "/processed"
+    val publish = tmpDir("drc-publish"); val user = tmpDir("drc-user")
+    val catalog = tmpDir("drc-catalog") + "/catalog"
+
+    // corruption stand-in: a garbage FILE where the catalog parquet
+    // directory should be — readable-path checks pass, the read throws
+    Files.writeString(Paths.get(catalog), "not parquet")
+    drop(landing, "ORDERS_20240101_080000.CSV", "1,10.5,2024-01-01\n")
+    val d = DailyRun.run(spark, landing, storing, ledger, configs, publish, user, catalog)
+    assert(d.failed.map(_.name) == Seq("schema_drift"),
+      s"corruption must NOT read as a first run: ${d.legs}")
+    assert(d.legs.find(_.name == "catalog").get.status == "skipped",
+      "the refresh is withheld so the corrupt bytes stay recoverable")
+    assert(new String(Files.readAllBytes(Paths.get(catalog))) == "not parquet",
+      "evidence preserved on disk")
   }
 }

@@ -130,5 +130,15 @@ class PipelineSpec extends SparkSpec {
       .select($"doc_id").distinct().as[Long].collect().toSet
     assert(shippedIds.intersect(expectDrop).isEmpty,
       "no contaminated doc may ship in any fold")
+
+    // an eval frame whose text column is NOT named "text" (a real eval
+    // set ships "question"/"prompt") threads through benchTextCol —
+    // identical result, no analysis error
+    val out2 = java.nio.file.Files.createTempDirectory("graft_decon_export2")
+      .toString + "/corpus"
+    val (_, folds2) = Pipeline.exportTrainingData(docs, out2, Sample.DemoWeights,
+      benchmark = Some(bench.withColumnRenamed("text", "question")),
+      benchTextCol = "question")
+    assert(folds2 == folds, "renamed benchmark column must not change the export")
   }
 }

@@ -26,8 +26,12 @@ class StreamingVectorsSpec extends SparkSpec {
     assert(expected.nonEmpty, "corpus batch must near-duplicate some history")
 
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
-    val rows = batch.as[(Long, Seq[Double], Double)].collect().sortBy(_._1)
+    val dim = v.select(size(col("e"))).head.getInt(0)
+    val rows = (batch.as[(Long, Seq[Double], Double)].collect().sortBy(_._1)
       .map { case (id, e, n) => (id, e, n, new Timestamp(base + id * 1000)) }
+      :+ // a failed-encoder degenerate riding the same feed: must be
+         // silently dropped by the intake guard, not kill the query
+      ((999999L, Seq.fill(dim)(0.0), 0.0, new Timestamp(base + 500))))
 
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[(Long, Seq[Double], Double, Timestamp)]
@@ -165,8 +169,13 @@ class StreamingVectorsSpec extends SparkSpec {
     assert(expected.nonEmpty, "the corpus must graze the eval set at tau=0.35")
 
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
-    val rows = corpus.as[(Long, Seq[Double], Double)].collect().sortBy(_._1)
+    val dim = v.select(size(col("e"))).head.getInt(0)
+    val rows = (corpus.as[(Long, Seq[Double], Double)].collect().sortBy(_._1)
       .map { case (id, e, n) => (id, e, n, new Timestamp(base + id * 1000)) }
+      :+ // a zero-norm failed-encoder vector on the intake feed: the
+         // guard must drop it silently — pre-guard this killed the
+         // always-on gate with an ANSI DIVIDE_BY_ZERO
+      ((999999L, Seq.fill(dim)(0.0), 0.0, new Timestamp(base + 500))))
 
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[(Long, Seq[Double], Double, Timestamp)]
