@@ -32,32 +32,44 @@ object KMeans {
   final case class Fit(assignments: DataFrame, centroids: DataFrame,
                        objective: Seq[Double])
 
-  /** Expected members per cell the adaptive cluster count targets —
-    * sized so the within-cell quadratic stages stay bounded: 4096²
-    * ≈ 1.7·10⁷ 16-byte-code comparisons per cell, a single-task cost
-    * at any corpus size. */
-  val TargetCellSize: Long = 4096L
+  /** Expected members per cell the adaptive cluster count targets.
+    * 512 keeps the within-cell quadratic stages small (512² ≈ 2.6·10⁵
+    * 16-byte-code comparisons per cell) and was MEASURED, not guessed:
+    * at the sf1 curve sweep (8k vectors) the earlier 4096 target left
+    * k at the minK floor and the Σcell² candidate stage went
+    * super-linear (dedup_semantic_pq 6.9× on 4× data); 512 starts
+    * growing k at 4k vectors, exactly where the quadratic term starts
+    * to bite. */
+  val TargetCellSize: Long = 512L
+
+  /** Centroid-count ceiling: the assignment argmax broadcasts all
+    * centroids, so cells are capped at 2¹⁸ ≈ 262k (~134 MB at 64
+    * float64 dims). Beyond n = MaxCells·cell ≈ 134M vectors, expected
+    * cell size grows linearly again — the documented trade; past that
+    * regime the production answer is hierarchical/partitioned coarse
+    * quantization, not a bigger broadcast. */
+  val MaxCells: Int = 1 << 18
 
   /** The SURVEY §5 scale lever AS CODE, not prose: derive the
     * cluster/cell count from corpus size so per-cell work stays
-    * bounded as the corpus grows — `k = max(minK, ceil(n / cell))`.
+    * bounded as the corpus grows —
+    * `k = clamp(ceil(n / cell), minK, maxK)`.
     * Every k-means-backed face (semantic dedup C37/C76/C79, IVF
     * C16a/C44, knn_graph C68, embed_kmeans C22, corpus_topics C59)
     * derives its k through this: at the test SFs (n ≤ minK·cell =
-    * 32768) it resolves to minK = 8, so results are unchanged there;
-    * at 10⁹ vectors it yields ~244k cells of ≤4096 expected members
-    * each, keeping the quadratic candidate stage flat per cell while
-    * total work grows linearly. By construction n / adaptiveK(n) ≤
-    * cell for every n (AdaptiveKSpec pins the bound and the
-    * resolves-to-8 regime). Hot cells beyond the expectation are
-    * handled downstream by the G×G grid split the pair joins already
-    * carry. */
+    * 4096) it resolves to minK = 8, so results are unchanged there;
+    * at 10⁹ vectors it yields the MaxCells ceiling (262k cells of
+    * ~3.8k expected members). By construction n / adaptiveK(n) ≤ cell
+    * for every n up to MaxCells·cell (AdaptiveKSpec pins the bound,
+    * the resolves-to-8 regime, and the ceiling). Hot cells beyond the
+    * expectation are handled downstream by the G×G grid split the
+    * pair joins already carry. */
   def adaptiveK(n: Long, targetCellSize: Long = TargetCellSize,
-      minK: Int = 8): Int = {
+      minK: Int = 8, maxK: Int = MaxCells): Int = {
     require(targetCellSize >= 1, s"targetCellSize must be positive: $targetCellSize")
-    require(minK >= 1, s"minK must be positive: $minK")
+    require(minK >= 1 && maxK >= minK, s"bad k bounds: [$minK, $maxK]")
     val cells = (math.max(n, 0L) + targetCellSize - 1L) / targetCellSize
-    math.min(math.max(minK.toLong, cells), Int.MaxValue.toLong).toInt
+    math.min(math.max(minK.toLong, cells), maxK.toLong).toInt
   }
 
   /** `v` needs (vec_id, e: array<double>, nrm) — [[Vectors.withNorm]]

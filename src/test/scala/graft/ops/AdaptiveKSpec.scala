@@ -13,30 +13,37 @@ class AdaptiveKSpec extends SparkSpec {
   import spark.implicits._
 
   test("adaptiveK resolves to minK=8 across the whole test-SF regime") {
-    // embeddings: 500 rows at sf0.001/sf0.01, 2000 at sf0.1 — all far
-    // under minK·targetCellSize = 32768, so every face trains k=8
+    // embeddings: 500 rows at sf0.001/sf0.01, 2000 at sf0.1 — all
+    // under minK·targetCellSize = 4096, so every face trains k=8
     // exactly as the pinned round-9 results did
-    for (n <- Seq(0L, 1L, 500L, 2000L, 4096L, 32768L))
+    for (n <- Seq(0L, 1L, 500L, 1600L, 2000L, 4096L))
       assert(KMeans.adaptiveK(n) == 8, s"n=$n")
-    assert(KMeans.adaptiveK(32769L) == 9)
+    // and it starts growing right past the floor — the sf1 regime
+    // (8k vectors → 16 cells) that the 4096-cell target left floored
+    assert(KMeans.adaptiveK(4097L) == 9)
+    assert(KMeans.adaptiveK(8000L) == 16)
   }
 
-  test("expected cell size never exceeds the target, at any corpus size") {
+  test("expected cell size never exceeds the target below the cell ceiling") {
     // n / k ≤ targetCellSize by construction (k = ceil(n / cell) once
-    // past the minK floor) — the bound that keeps the per-cell
-    // quadratic candidate stage flat as the corpus grows
-    val sizes = Seq(1L, 4095L, 4097L, 40960L, 1000000L,
-      1000000000L, 100000000000L)
-    for (n <- sizes; cell <- Seq(256L, 4096L)) {
+    // past the minK floor, up to the MaxCells broadcast bound) — the
+    // bound that keeps the per-cell quadratic candidate stage flat as
+    // the corpus grows
+    val sizes = Seq(1L, 4095L, 4097L, 40960L, 1000000L, 100000000L)
+    for (n <- sizes; cell <- Seq(256L, 512L, 4096L)
+         if n <= KMeans.MaxCells.toLong * cell) {
       val k = KMeans.adaptiveK(n, targetCellSize = cell)
       assert(n.toDouble / k <= cell.toDouble + 1e-9,
         s"n=$n cell=$cell k=$k mean=${n.toDouble / k}")
     }
     // monotone in n: more corpus never means fewer cells
-    val ks = sizes.map(KMeans.adaptiveK(_))
+    val ks = (sizes :+ 100000000000L).map(KMeans.adaptiveK(_))
     assert(ks == ks.sorted, s"non-monotone: $ks")
-    // 10⁹ vectors → ~244k cells of ≤4096 expected members
-    assert(KMeans.adaptiveK(1000000000L) == 244141)
+    // past MaxCells·cell ≈ 134M the count pins at the broadcast
+    // ceiling and expected cell size grows linearly — the documented
+    // memory trade
+    assert(KMeans.adaptiveK(1000000000L) == KMeans.MaxCells)
+    assert(KMeans.adaptiveK(100000000000L) == KMeans.MaxCells)
   }
 
   test("derived k matches the explicit k=8 semantic-dedup card at test SF") {

@@ -1,0 +1,137 @@
+#!/usr/bin/env python3
+"""Generate a LOCAL sf1 decade (10x sf0.1) under target/sf1 for scale
+curves. Mirrors the driver testdata's schemas exactly (pyarrow logical
+types match pq.read_schema of /root/testdata/sf0.1) and its measured
+distributions approximately: same dims, same vocab/word-salad document
+shape with planted exact+near duplicates, unit-norm random embeddings
+with uniform labels, 30-day microsecond event stream. Seed fixed —
+regeneration is bit-identical. NOT oracle data: used only for the
+BASELINE scale-curve sweeps."""
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/target/sf1"
+os.makedirs(OUT, exist_ok=True)
+rng = np.random.RandomState(42)
+
+N_CUST, N_SUPP, N_PART = 150_000, 10_000, 200_000
+N_ORDERS, N_LINE = 1_500_000, 6_000_000
+N_EVENTS, N_DOCS, N_VECS = 1_000_000, 50_000, 8_000
+
+def write(name, table):
+    pq.write_table(table, f"{OUT}/{name}.parquet")
+    print(name, table.num_rows)
+
+# region / nation — fixed dims
+write("region", pa.table({
+    "r_regionkey": pa.array(range(5), pa.int32()),
+    "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]}))
+write("nation", pa.table({
+    "n_nationkey": pa.array(range(25), pa.int32()),
+    "n_name": [f"NATION_{i}" for i in range(25)],
+    "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32())}))
+
+segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+write("customer", pa.table({
+    "c_custkey": pa.array(range(N_CUST), pa.int64()),
+    "c_name": [f"Customer#{i:09d}" for i in range(N_CUST)],
+    "c_nationkey": pa.array(rng.randint(0, 25, N_CUST), pa.int32()),
+    "c_acctbal": np.round(rng.uniform(-1000, 10000, N_CUST), 2),
+    "c_mktsegment": np.array(segs)[rng.randint(0, 5, N_CUST)]}))
+
+write("supplier", pa.table({
+    "s_suppkey": pa.array(range(N_SUPP), pa.int64()),
+    "s_name": [f"Supplier#{i:09d}" for i in range(N_SUPP)],
+    "s_nationkey": pa.array(rng.randint(0, 25, N_SUPP), pa.int32()),
+    "s_acctbal": np.round(rng.uniform(-1000, 10000, N_SUPP), 2)}))
+
+adjs = ["large", "hot", "blue", "small", "green", "dim", "red", "cold"]
+nouns = ["ring", "bolt", "case", "drum", "plate", "wire", "tube", "disk"]
+types = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+ai = rng.randint(0, len(adjs), N_PART); ni = rng.randint(0, len(nouns), N_PART)
+write("part", pa.table({
+    "p_partkey": pa.array(range(N_PART), pa.int64()),
+    "p_name": [f"{adjs[a]} {nouns[n]}" for a, n in zip(ai, ni)],
+    "p_brand": [f"Brand#{i}" for i in rng.randint(1, 26, N_PART)],
+    "p_type": np.array(types)[rng.randint(0, len(types), N_PART)],
+    "p_size": pa.array(rng.randint(1, 51, N_PART), pa.int32()),
+    "p_retailprice": np.round(900 + (np.arange(N_PART) % 20000) * 0.1, 2)}))
+
+D0 = np.datetime64("1995-01-01")
+span_days = (np.datetime64("2001-08-01") - D0).astype(int)
+odate = D0 + rng.randint(0, span_days + 1, N_ORDERS).astype("timedelta64[D]")
+prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+write("orders", pa.table({
+    "o_orderkey": pa.array(range(N_ORDERS), pa.int64()),
+    "o_custkey": pa.array(rng.randint(0, N_CUST, N_ORDERS), pa.int64()),
+    "o_orderstatus": np.array(["O", "F", "P"])[rng.choice(3, N_ORDERS, p=[.5, .45, .05])],
+    "o_totalprice": np.round(rng.uniform(1000, 400000, N_ORDERS), 2),
+    "o_orderdate": pa.array(odate.astype("datetime64[us]")),
+    "o_orderpriority": np.array(prios)[rng.randint(0, 5, N_ORDERS)]}))
+
+sdate = D0 + rng.randint(1, span_days + 96, N_LINE).astype("timedelta64[D]")
+write("lineitem", pa.table({
+    "l_orderkey": pa.array(rng.randint(0, N_ORDERS, N_LINE), pa.int64()),
+    "l_partkey": pa.array(rng.randint(0, N_PART, N_LINE), pa.int64()),
+    "l_suppkey": pa.array(rng.randint(0, N_SUPP, N_LINE), pa.int64()),
+    "l_linenumber": pa.array(rng.randint(1, 8, N_LINE), pa.int32()),
+    "l_quantity": rng.randint(1, 51, N_LINE).astype(float),
+    "l_extendedprice": np.round(rng.uniform(900, 105000, N_LINE), 2),
+    "l_discount": np.round(rng.randint(0, 11, N_LINE) * 0.01, 2),
+    "l_tax": np.round(rng.randint(0, 9, N_LINE) * 0.01, 2),
+    "l_returnflag": np.array(["N", "A", "R"])[rng.choice(3, N_LINE, p=[.5, .25, .25])],
+    "l_linestatus": np.array(["O", "F"])[rng.randint(0, 2, N_LINE)],
+    "l_shipdate": pa.array(sdate.astype("datetime64[us]"))}))
+
+T0 = np.datetime64("2024-01-01T00:00:00", "us")
+offs = np.sort(rng.uniform(0, 30 * 86400_000_000, N_EVENTS)).astype("int64")
+etypes = ["click", "error", "purchase", "signup", "view"]
+write("events", pa.table({
+    "event_id": pa.array(range(N_EVENTS), pa.int64()),
+    "ts": pa.array(T0 + offs.astype("timedelta64[us]")),
+    "user_id": pa.array(rng.randint(0, 15000, N_EVENTS), pa.int64()),
+    "event_type": np.array(etypes)[rng.randint(0, 5, N_EVENTS)],
+    "value": np.round(np.abs(rng.normal(0, 65, N_EVENTS)), 2),
+    "props": [f'{{"k": {k}}}' for k in rng.randint(0, 100, N_EVENTS)]}))
+
+VOCAB = ("spark window merge table column vector stream value data small "
+         "join filter big group hash customer sort order slow line part "
+         "fast the row agg key query a scan batch").split()
+langs = ["de", "en", "es", "fr", "zh"]
+texts, lang_col, src_col = [], [], []
+for i in range(N_DOCS):
+    r = rng.random_sample()
+    if i > 100 and r < 0.002:          # exact duplicate of an earlier doc
+        t = texts[rng.randint(0, i)]
+    elif i > 100 and r < 0.012:        # near-duplicate: two words flipped
+        w = texts[rng.randint(0, i)].split()
+        for _ in range(2):
+            w[rng.randint(0, len(w))] = "dup"
+        t = " ".join(w)
+    else:
+        n = rng.randint(8, 100)
+        t = " ".join(np.array(VOCAB)[rng.randint(0, len(VOCAB), n)])
+    texts.append(t)
+    lang_col.append(langs[rng.choice(5, p=[.12, .40, .12, .12, .24])])
+    src_col.append(f"src{i % 20}")
+write("documents", pa.table({
+    "doc_id": pa.array(range(N_DOCS), pa.int64()),
+    "text": texts, "lang": lang_col, "source": src_col,
+    "n_chars": pa.array([len(t) for t in texts], pa.int64())}))
+
+E = rng.normal(0, 1, (N_VECS, 64))
+# plant 0.5% near-duplicate vectors of earlier ids
+for i in range(200, N_VECS):
+    if rng.random_sample() < 0.005:
+        j = rng.randint(0, i)
+        E[i] = E[j] + rng.normal(0, 0.05, 64)
+E = (E / np.linalg.norm(E, axis=1, keepdims=True)).astype(np.float32)
+write("embeddings", pa.table({
+    "vec_id": pa.array(range(N_VECS), pa.int64()),
+    "embedding": pa.array([row for row in E.tolist()], pa.list_(pa.float32())),
+    "label": pa.array(rng.randint(0, 10, N_VECS), pa.int32())}))
+print("DONE", OUT)
