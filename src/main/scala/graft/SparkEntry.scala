@@ -98,8 +98,9 @@ object SparkEntry {
     "ingest_upsert" -> (IngestQueries.ingestUpsert _),
     "meta_schema_discovery" -> (SchemaDiscovery.metaSchemaDiscovery _),
     "meta_ddl_export" -> (SchemaDiscovery.metaDdlExport _),
-    // B14: rows-only — schema drift vs a re-crawl with planted contract
-    // breaks (SchemaDiscoverySpec proves real two-zone evolution diffs)
+    // B14: schema drift vs a re-crawl with planted contract breaks;
+    // hash-checked (type_old from DuckDB's own introspection) and
+    // SchemaDiscoverySpec proves real two-zone evolution diffs
     "meta_schema_drift" -> (SchemaDiscovery.metaSchemaDrift _),
     // B15: rows-only — per-partition file-health report over a planted
     // fragmented zone (the measure-then-compact card)
@@ -117,7 +118,7 @@ object SparkEntry {
     "text_containment" -> (TextQueries.textContainment _),
     // per-benchmark-item leakage rollup (the eval owner's report)
     "contamination_items" -> (TextQueries.contaminationItems _),
-    // rows-only: GK-sketch results are engine-specific (the scale face)
+    // GK sketch in its exact regime at gate SF (= quantile_disc oracle)
     "quality_percentile_approx" -> (TextQueries.qualityPercentileApprox _),
     "text_tokens" -> (TextQueries.textTokens _),
     "text_repetition" -> (TextQueries.textRepetition _),
@@ -132,8 +133,7 @@ object SparkEntry {
     // cumulative filter-funnel survivor report over the documents corpus
     "quality_funnel" -> (TextQueries.qualityFunnel _),
     "quality_gopher" -> (TextQueries.qualityGopher _),
-    // no_oracle: Misra-Gries estimates are merge-order dependent;
-    // FrequentItemsSpec asserts the sketch bounds against exact counts
+    // MG-sketch candidates + exact rescore: hash-checked top-20 counts
     "token_topk_sketch" -> (TextQueries.tokenTopkSketch _),
     // SQL-checked: the greedy trainer unrolled as 20 DuckDB CTE stages
     // (bpeMergesOracle); BpeSpec additionally proves driver/distributed
@@ -144,8 +144,8 @@ object SparkEntry {
     "text_bpe_encode" -> (graft.ops.Bpe.textBpeEncode _),
     // C57a: encode against the persisted merge table (recurring cost face)
     "text_bpe_encode_cached" -> (graft.ops.Bpe.textBpeEncodeCached _),
-    // rows-only: CCNet head/middle/tail perplexity terciles per source
-    // (PerplexitySpec pins sizes, boundaries, and the partition property)
+    // CCNet head/middle/tail perplexity terciles per source; each engine
+    // buckets its own xent against its own cuts, so the card hash-checks
     "quality_ccnet" -> (TextQueries.qualityCcnet _),
     // C56a: CCNet bucketing against the persisted LM + cuts
     "quality_ccnet_cached" -> (TextQueries.qualityCcnetCached _),
@@ -167,9 +167,9 @@ object SparkEntry {
     "text_vocab" -> (TextQueries.textVocab _),
     // per-source document-length histogram (100-char buckets)
     "corpus_lengths" -> (TextQueries.corpusLengths _),
-    // rows-only: unigram cross-entropy scoring (ln not bit-stable x-engine)
+    // unigram cross-entropy card (round-4 absorbs ln ULP; hash-checked)
     "text_perplexity" -> (TextQueries.textPerplexity _),
-    // rows-only: bigram LM + stupid backoff, trained on the even-doc slice
+    // bigram LM + stupid backoff, trained on the even-doc slice
     "text_perplexity_bigram" -> (TextQueries.textPerplexityBigram _),
     // rows-only: 8-bit KenLM-style quantized LM face (QuantLmSpec pins drift)
     "text_perplexity_quantized" -> (TextQueries.textPerplexityQuantized _),
@@ -1837,7 +1837,125 @@ object SparkEntry {
     // C57 and its serve face C57a are result-identical by contract
     // (BpeSpec pins it) — the C72 oracle-is-the-exact-face pattern
     "text_bpe_encode" -> bpeEncodeOracle,
-    "text_bpe_encode_cached" -> bpeEncodeOracle
+    "text_bpe_encode_cached" -> bpeEncodeOracle,
+    // C19a: percentile_approx is in its EXACT regime at gate group
+    // sizes (n < accuracy=10000) where it returns the element at
+    // 1-based rank 1 + ceil(p·(n−1)) — measured per source at n=25,
+    // p ∈ {.25,.5,.9}; NOT quantile_disc, whose floor convention
+    // diverges whenever p·(n−1) is fractional — spelled explicitly.
+    // Because the selected element is a RAW data double (no averaging),
+    // round() must match Spark's BigDecimal.valueOf exactly: DuckDB's
+    // double round() re-multiplies (0.90274999…·1e4 → 9027.5 → 0.9028
+    // — wrong), so the oracle rounds through the shortest varchar repr
+    // cast to DECIMAL — bit-equal to Java's Double.toString fold.
+    "quality_percentile_approx" ->
+      """WITH d AS (
+        |  SELECT source, trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm
+        |  FROM documents),
+        |m AS (
+        |  SELECT source,
+        |    cast(len(string_split(norm,' ')) AS DOUBLE) AS n_tok,
+        |    cast(len(list_filter(string_split(norm,' '),
+        |         x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) AS n_stop,
+        |    cast(length(replace(norm,' ','')) AS DOUBLE) AS n_alpha
+        |  FROM d),
+        |q AS (
+        |  SELECT source,
+        |    0.4*least(n_tok/100.0,1.0) + 0.3*least((n_stop/n_tok)*10.0,1.0)
+        |      + 0.3*(CASE WHEN n_alpha/n_tok >= 3.0 AND n_alpha/n_tok <= 8.0
+        |                  THEN 1.0 ELSE 0.0 END) AS q
+        |  FROM m),
+        |r AS (
+        |  SELECT source, q,
+        |         row_number() OVER (PARTITION BY source ORDER BY q) AS rk,
+        |         count(*) OVER (PARTITION BY source) AS n
+        |  FROM q)
+        |SELECT source, count(*) AS docs,
+        |  cast(round(cast(cast(max(CASE WHEN rk = 1 + ceil(cast(0.25 AS DOUBLE)*(n-1)) THEN q END) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS q25,
+        |  cast(round(cast(cast(max(CASE WHEN rk = 1 + ceil(cast(0.5 AS DOUBLE)*(n-1)) THEN q END) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS q50,
+        |  cast(round(cast(cast(max(CASE WHEN rk = 1 + ceil(cast(0.9 AS DOUBLE)*(n-1)) THEN q END) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS q90
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    // C42: the same unigram-LM arithmetic re-spelled relationally;
+    // round-4 aggregates absorb cross-engine ln ULP differences
+    "text_perplexity" -> (xentCte +
+      """
+        |SELECT source, count(*) AS docs, round(avg(xent),4) AS avg_xent,
+        |       round(min(xent),4) AS min_xent, round(max(xent),4) AS max_xent
+        |FROM x GROUP BY source ORDER BY source""".stripMargin),
+    // C56/C56a: tercile cuts ARE data values (a doc's own xent), so
+    // each engine buckets self-consistently; C56a is result-identical
+    // to C56 by contract (PerplexitySpec pins it)
+    "quality_ccnet" -> ccnetOracle,
+    "quality_ccnet_cached" -> ccnetOracle,
+    // C42a: the full stupid-backoff fold — every probability route is
+    // a CASE over the same three count frames the Spark plan joins
+    "text_perplexity_bigram" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ts
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, source,
+        |    unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS g FROM d),
+        |gr AS (SELECT doc_id, source, g[1] AS w1, g[2] AS w2 FROM g0),
+        |tf AS (SELECT doc_id, source, w1, w2, cast(count(*) AS BIGINT) AS tf
+        |       FROM gr GROUP BY doc_id, source, w1, w2),
+        |tr AS (SELECT * FROM tf WHERE doc_id % 2 = 0),
+        |c12 AS (SELECT w1, w2, cast(sum(tf) AS BIGINT) AS c12 FROM tr GROUP BY w1, w2),
+        |c1 AS (SELECT w1, cast(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+        |c2 AS (SELECT w2, cast(sum(c12) AS BIGINT) AS c2 FROM c12 GROUP BY w2),
+        |n AS (SELECT cast(sum(c12) AS BIGINT) AS n FROM c12),
+        |sc AS (SELECT f.doc_id, f.source, f.tf,
+        |        CASE WHEN b.c12 IS NOT NULL THEN cast(b.c12 AS DOUBLE) / u1.c1
+        |             WHEN u2.c2 IS NOT NULL THEN cast(0.4 AS DOUBLE) * u2.c2 / n.n
+        |             ELSE cast(0.4 AS DOUBLE) * cast(0.4 AS DOUBLE) / n.n END AS prob,
+        |        CASE WHEN b.c12 IS NOT NULL THEN 0 ELSE f.tf END AS backed
+        |      FROM tf f
+        |      LEFT JOIN c12 b ON b.w1 = f.w1 AND b.w2 = f.w2
+        |      LEFT JOIN c1 u1 ON u1.w1 = f.w1
+        |      LEFT JOIN c2 u2 ON u2.w2 = f.w2
+        |      CROSS JOIN n),
+        |x AS (SELECT doc_id, source,
+        |        -(sum(tf * ln(prob)) / sum(tf)) AS xent,
+        |        cast(sum(backed) AS BIGINT) AS backed,
+        |        cast(sum(tf) AS BIGINT) AS mass
+        |      FROM sc GROUP BY doc_id, source)
+        |SELECT source, count(*) AS docs, round(avg(xent),4) AS avg_xent,
+        |       round(min(xent),4) AS min_xent, round(max(xent),4) AS max_xent,
+        |       cast(sum(backed) * 10000 // sum(mass) AS BIGINT) AS backoff_bp
+        |FROM x GROUP BY source ORDER BY source""".stripMargin,
+    // B14: the planted contract breaks are definitional constants, but
+    // type_old must reflect the ACTUALLY crawled schema — the oracle
+    // reads it from DuckDB's own information_schema (as B9's does)
+    "meta_schema_drift" ->
+      """WITH cols AS (
+        |  SELECT column_name,
+        |    CASE data_type WHEN 'BIGINT' THEN 'bigint' WHEN 'INTEGER' THEN 'int'
+        |      WHEN 'DOUBLE' THEN 'double' WHEN 'VARCHAR' THEN 'string'
+        |      WHEN 'TIMESTAMP' THEN 'timestamp_ntz' WHEN 'DATE' THEN 'date'
+        |      WHEN 'FLOAT[]' THEN 'array<float>' WHEN 'FLOAT' THEN 'float'
+        |      ELSE lower(data_type) END AS data_type
+        |  FROM information_schema.columns WHERE table_name = 'events')
+        |SELECT * FROM (
+        |  SELECT 'events' AS table_name, 'ingest_ts' AS column_name,
+        |         'added' AS change, NULL AS type_old, 'timestamp' AS type_new
+        |  UNION ALL
+        |  SELECT 'events', 'props', 'removed',
+        |         (SELECT data_type FROM cols WHERE column_name = 'props'), NULL
+        |  UNION ALL
+        |  SELECT 'events', 'user_id', 'type_changed',
+        |         (SELECT data_type FROM cols WHERE column_name = 'user_id'), 'string')
+        |ORDER BY table_name, column_name""".stripMargin,
+    // C48: the rescore pass makes the top-20 EXACT (candidate coverage
+    // guaranteed by MG whenever freq(20th) > n/65 — spec-checked), so
+    // the oracle is simply the exact top-20 with the same tie-break
+    "token_topk_sketch" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS term
+        |  FROM documents),
+        |tc AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+        |top AS (SELECT cast(row_number() OVER (ORDER BY n DESC, term) AS INT) AS rank,
+        |               term, cast(n AS BIGINT) AS n
+        |        FROM tc ORDER BY n DESC, term LIMIT 20)
+        |SELECT rank, term, n FROM top ORDER BY rank""".stripMargin
   )
 
   /** The C50/C57 DuckDB oracle: the greedy BPE trainer UNROLLED as 20
@@ -1890,6 +2008,43 @@ w$n AS MATERIALIZED (
     }
     sb.toString
   }
+
+  /** The C42/C56 shared per-doc cross-entropy CTE: the corpus-self-
+    * trained unigram LM (`-(Σ tf·ln(tn/t))/Σtf`) in DuckDB SQL, ending
+    * in a frame `x(doc_id, source, xent)`. */
+  private val xentCte: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm
+      |  FROM documents),
+      |tok AS (SELECT doc_id, source, unnest(string_split(norm,' ')) AS term FROM d),
+      |tf AS (SELECT doc_id, source, term, cast(count(*) AS BIGINT) AS tf
+      |       FROM tok WHERE term <> '' GROUP BY doc_id, source, term),
+      |lm AS (SELECT term, cast(sum(tf) AS BIGINT) AS tn FROM tf GROUP BY term),
+      |tot AS (SELECT cast(sum(tn) AS BIGINT) AS t FROM lm),
+      |x AS (SELECT doc_id, source,
+      |        -(sum(tf * ln(cast(tn AS DOUBLE)/t)) / sum(tf)) AS xent
+      |      FROM tf JOIN lm USING (term) CROSS JOIN tot
+      |      GROUP BY doc_id, source)""".stripMargin
+
+  /** The C56/C56a oracle: tercile cuts via quantile_disc (=
+    * percentile_approx's exact-regime rank convention), then the same
+    * round-10-compare bucket fold the Spark card runs. */
+  private def ccnetOracle: String = xentCte +
+    """,
+      |cuts AS (SELECT source, quantile_disc(xent, cast(1 AS DOUBLE)/3) AS c1,
+      |                quantile_disc(xent, cast(2 AS DOUBLE)/3) AS c2
+      |         FROM x GROUP BY source),
+      |b AS (SELECT x.source, x.xent,
+      |        CASE WHEN round(x.xent,10) <= round(c.c1,10) THEN 'head'
+      |             WHEN round(x.xent,10) <= round(c.c2,10) THEN 'middle'
+      |             ELSE 'tail' END AS bucket
+      |      FROM x JOIN cuts c USING (source)),
+      |g AS (SELECT source, bucket, count(*) AS docs, round(avg(xent),4) AS avg_xent
+      |      FROM b GROUP BY source, bucket)
+      |SELECT source, bucket, cast(docs AS BIGINT) AS docs,
+      |       cast(docs * 10000 // sum(docs) OVER (PARTITION BY source) AS BIGINT) AS share_bp,
+      |       avg_xent
+      |FROM g ORDER BY source, bucket""".stripMargin
 
   private val BpeOracleMerges = 20
 

@@ -105,8 +105,14 @@ object TextQueries {
       .orderBy(col("source"))
 
   /** C19a: the scale face — GK-sketch `percentile_approx` with bounded
-    * memory per group regardless of group size (rows-only; the spec
-    * bounds its divergence from the exact face). */
+    * memory per group regardless of group size. At group sizes under
+    * the accuracy parameter the sketch is in its EXACT regime and
+    * returns the element at 1-based rank `1 + ceil(p·(n−1))` (measured
+    * per source at the gate SF; note this is NOT `quantile_disc`'s
+    * floor convention), so the driver gate hash-checks this face
+    * against that rank spelled explicitly in SQL; the spec
+    * additionally bounds approx-regime divergence from the exact
+    * face. */
   def qualityPercentileApprox(s: SparkSession, dir: String): DataFrame =
     qualityScores(s, dir)
       .groupBy(col("source"))
@@ -758,8 +764,10 @@ object TextQueries {
     * LM join is a term equi-join (the LM can be vocabulary-sized —
     * partial aggregation absorbed the hot terms already, and nothing
     * requires it to broadcast); the corpus total is one agg-to-scalar
-    * broadcast. Rows-only (ln is not bit-stable across engines at the
-    * hash gate's precision); PerplexitySpec recounts driver-side. */
+    * broadcast. The card's round-4 aggregates absorb the ln ULP
+    * differences between engines, so this face is hash-checked
+    * against a DuckDB re-spelling of the same LM arithmetic;
+    * PerplexitySpec additionally recounts driver-side. */
   def textPerplexity(s: SparkSession, dir: String): DataFrame =
     xentPerDoc(s, dir).groupBy(col("source"))
       .agg(count(lit(1)).as("docs"),
@@ -812,9 +820,11 @@ object TextQueries {
     * (map-side combined — the corpus never shuffles for ranking) and
     * documents bucket by comparing to their source's broadcast cuts —
     * NOT a per-source ntile window, which would sort billions of rows
-    * per source partition. Rows-only (downstream of ln doubles);
-    * PerplexitySpec pins tercile sizes, boundary monotonicity, and the
-    * partition property. */
+    * per source partition. Hash-checked: each engine buckets its own
+    * xent against its own cuts (a cut IS a data value, so the compare
+    * is self-consistent per engine) and the round-4/integer-bp card
+    * absorbs ln ULP noise; PerplexitySpec pins tercile sizes, boundary
+    * monotonicity, and the partition property. */
   def qualityCcnet(s: SparkSession, dir: String): DataFrame = {
     val per = xentPerDoc(s, dir)
     val cuts = per.groupBy(col("source"))
@@ -936,7 +946,8 @@ object TextQueries {
     * term keys (vocabulary²-bounded but corpus-capped — never forced
     * broadcast); the scalar N is the only broadcast. Docs with <2
     * tokens have no bigram and drop out (documented; none at the test
-    * SFs). Rows-only: ln is not bit-stable across engines. backoff_bp
+    * SFs). Hash-checked: the round-4 card absorbs ln ULP noise and the
+    * whole backoff fold re-spells in DuckDB SQL. backoff_bp
     * (share of scored mass that took a backoff route, in basis
     * points) is integer — the non-vacuity evidence that held-out docs
     * actually backed off. */
@@ -1168,26 +1179,42 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
-  /** C48: approximate token heavy hitters — the top-20 terms by the
-    * native [[graft.functions.FrequentItems]] Misra–Gries sketch
-    * (k=64 counters). The exact spelling ([[textVocab]]) shuffles one
-    * row per distinct term — fine while the vocabulary is small, but a
+  /** C48: token heavy hitters via sketch-then-rescore — the top-20
+    * terms by EXACT count, found without ever aggregating the full
+    * vocabulary. The exact spelling ([[textVocab]]) shuffles one row
+    * per distinct term — fine while the vocabulary is small, but a
     * web-scale corpus has billions of distinct tokens and the exact
-    * top-k becomes a full vocabulary aggregation. The sketch caps every
-    * partial aggregate at 64 counters, so the shuffle carries 64 rows
-    * per map task REGARDLESS of vocabulary size, and the guarantee
-    * (every term with frequency > n/65 survives; estimates are
-    * undercounts by at most n/65) is exactly what mixture/contamination
-    * triage needs. Rows-only: Misra–Gries estimates depend on merge
-    * order, so the spec asserts the bounds instead of hash equality. */
-  def tokenTopkSketch(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    * top-k becomes a full vocabulary aggregation. Two passes instead:
+    * (1) a [[graft.functions.FrequentItems]] Misra–Gries sketch (k=64
+    * counters) caps every partial aggregate at 64 counters, so the
+    * shuffle carries 64 rows per map task REGARDLESS of vocabulary
+    * size and the survivors are a candidate superset of every term
+    * with frequency > n/65; (2) the ≤64 candidates broadcast back
+    * over the corpus and one semi-joined count aggregate rescores
+    * them EXACTLY — the shuffle again carries ≤64 terms per task.
+    * The reported top-20 equals the true top-20 whenever the 20th
+    * frequency exceeds n/65 (the MG coverage guarantee; the spec
+    * checks it on the test corpus), which is precisely the regime a
+    * heavy-hitter report is for. Both passes are narrow re-scans —
+    * at 100 TB, re-reading the corpus beats caching an exploded
+    * token column. Exact counts make this face hash-checkable. */
+  def tokenTopkSketch(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
       .select(explode(Text.tokens(col("text"))).as("term"))
+    val cand = toks
       .agg(graft.functions.FrequentItems(col("term"), 64).as("sk"))
-      .select(posexplode(col("sk")).as(Seq("rank0", "e")))
-      .select((col("rank0") + 1).cast("int").as("rank"),
-        col("e.term").as("term"), col("e.est").as("est"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.term").as("term"))
+    // ≤64 rows post-agg: the unpartitioned rank window is bounded
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("term"))
+    toks.join(broadcast(cand), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w).cast("int"))
       .where(col("rank") <= 20)
+      .select(col("rank"), col("term"), col("n"))
+      .orderBy(col("rank"))
+  }
 
   /** C11: duplicate fingerprint groups — md5 of the sorted distinct token
     * set; emits only groups with >1 member (the reorder-dup clusters). */

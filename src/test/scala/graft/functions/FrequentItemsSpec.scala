@@ -69,15 +69,20 @@ class FrequentItemsSpec extends SparkSpec {
     assert(m.size <= 2 && m("p") == 7L && m("q") == 2L && !m.contains("r"))
   }
 
-  test("token_topk_sketch face: ranked rows, every estimate within bounds") {
+  test("token_topk_sketch face: the rescored top-20 IS the exact top-20") {
     val rows = TextQueries.tokenTopkSketch(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
     assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length))
+    // counts are exact (the rescore pass), not estimates
+    rows.foreach(r => assert(r.getLong(2) == exact(r.getString(1))))
+    // the MG coverage precondition holds on this corpus (freq of the
+    // 20th term > n/(k+1)), so the face must equal the true top-20
+    // under the same (count desc, term asc) tie-break
+    val trueTop = exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(rows.length)
     val n = exact.values.sum
-    rows.foreach { r =>
-      val truth = exact.getOrElse(r.getString(1), 0L)
-      assert(r.getLong(2) <= truth && truth - r.getLong(2) <= n / (K + 1))
-    }
+    assert(trueTop.last._2 > n / (K + 1),
+      "test corpus no longer satisfies the coverage precondition")
+    assert(rows.map(r => (r.getString(1), r.getLong(2))).toSeq == trueTop)
   }
 
   test("frequent_items is callable from plain SQL and honors the same bounds") {
