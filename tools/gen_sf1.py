@@ -6,7 +6,14 @@ distributions approximately: same dims, same vocab/word-salad document
 shape with planted exact+near duplicates, unit-norm random embeddings
 with uniform labels, 30-day microsecond event stream. Seed fixed —
 regeneration is bit-identical. NOT oracle data: used only for the
-BASELINE scale-curve sweeps."""
+BASELINE scale-curve sweeps.
+
+With --docs-only --vocab N it instead writes JUST a documents table
+whose texts draw from an N-word Zipf(1.07) vocabulary — the
+realistic-vocabulary counterpart to the default 30-word salad, used
+to measure the dedup_ngram_jaccard cost envelope when the shingle
+space GROWS with the corpus (real corpora) instead of saturating
+(the default generator's designed worst case)."""
 import os
 import sys
 
@@ -14,9 +21,16 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/target/sf1"
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+flags = {a.split("=")[0]: (a.split("=")[1] if "=" in a else True)
+         for a in sys.argv[1:] if a.startswith("--")}
+OUT = args[0] if args else "/root/repo/target/sf1"
 os.makedirs(OUT, exist_ok=True)
-rng = np.random.RandomState(42)
+rng = np.random.RandomState(int(flags.get("--seed", 42)))
+
+DOCS_ONLY = "--docs-only" in flags
+ZIPF_VOCAB = int(flags.get("--vocab", 0))
+N_DOCS_OVERRIDE = int(flags.get("--ndocs", 0))
 
 N_CUST, N_SUPP, N_PART = 150_000, 10_000, 200_000
 N_ORDERS, N_LINE = 1_500_000, 6_000_000
@@ -25,6 +39,41 @@ N_EVENTS, N_DOCS, N_VECS = 1_000_000, 50_000, 8_000
 def write(name, table):
     pq.write_table(table, f"{OUT}/{name}.parquet")
     print(name, table.num_rows)
+
+if DOCS_ONLY:
+    # Realistic-vocabulary documents table: Zipf(1.07) over V words, same
+    # doc-length range and planted-dup rates as the default generator.
+    # The whole token stream draws in ONE choice call (cumsum reuse).
+    V = ZIPF_VOCAB or 30_000
+    n_docs = N_DOCS_OVERRIDE or 50_000
+    vocab = np.array([f"w{i:05d}" for i in range(V)])
+    p = 1.0 / np.power(np.arange(1, V + 1), 1.07)
+    p /= p.sum()
+    lens = rng.randint(8, 100, n_docs)
+    toks = rng.choice(V, lens.sum(), p=p)
+    texts, pos = [], 0
+    for i in range(n_docs):
+        n = lens[i]
+        t = " ".join(vocab[toks[pos:pos + n]])
+        pos += n
+        r = rng.random_sample()
+        if i > 100 and r < 0.002:          # exact duplicate
+            t = texts[rng.randint(0, i)]
+        elif i > 100 and r < 0.012:        # near-duplicate
+            w = texts[rng.randint(0, i)].split()
+            for _ in range(2):
+                w[rng.randint(0, len(w))] = "dup"
+            t = " ".join(w)
+        texts.append(t)
+    langs = ["de", "en", "es", "fr", "zh"]
+    write("documents", pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        "text": texts,
+        "lang": [langs[j] for j in rng.choice(5, n_docs, p=[.12, .40, .12, .12, .24])],
+        "source": [f"src{i % 20}" for i in range(n_docs)],
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())}))
+    print("DONE", OUT)
+    sys.exit(0)
 
 # region / nation — fixed dims
 write("region", pa.table({
