@@ -252,6 +252,11 @@ object SparkEntry {
     "sim_search_opq_cached" -> (graft.ops.Opq.simSearchOpqCached _),
     // rows-only: int8 scalar-quantized search (recall spec-bounded)
     "sim_search_sq8" -> (graft.ops.ScalarQuant.simSearchSq8 _),
+    // C89: graph-traversal ANN (DiskANN-style beam search over a
+    // degree-8 kNN graph; serve cost independent of corpus size)
+    "sim_search_graph" -> (graft.ops.GraphAnn.simSearchGraph _),
+    // C89a: beam search against the persisted graph + entry artifacts
+    "sim_search_graph_cached" -> (graft.ops.GraphAnn.simSearchGraphCached _),
     // C87: rows-only — measured recall@10 of the ANN ladder vs exact
     // ground truth on the sampled query set (the index-quality audit)
     "ann_recall_audit" -> (VectorQueries.annRecallAudit _),

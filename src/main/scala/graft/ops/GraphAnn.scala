@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** C89/C89a: GRAPH-traversal ANN — the search family the ladder was
+  * missing. Brute force (C6) scans everything, LSH (C7) and IVF
+  * (C16/C44) bound candidates by bucketing, PQ (C38/C51) compresses
+  * the scan; the fourth production family (HNSW/DiskANN-style) bounds
+  * candidates by NAVIGATING a precomputed neighbor graph: serve-time
+  * work is O(queries × beam × degree × hops) — independent of corpus
+  * size — at the cost of a one-time degree-R kNN graph build.
+  *
+  * Build = the C68 machinery widened to degree R: IVF-cell blocking
+  * (learned [[KMeans]] cells, 3-probe multi-assign, pairs only within
+  * a cell — never all-pairs), per-src top-R by cosine. Two artifacts:
+  *
+  *   - adjacency `(src, dst, de, dn)` — the destination vector rides
+  *     INLINE on the edge (the DiskANN layout: vectors live with the
+  *     graph). Storage is ×R the corpus, but a serve hop is then ONE
+  *     equi-join frontier⋈adjacency on `src`; storing ids alone would
+  *     force a second full-corpus join per hop to fetch vectors, which
+  *     is exactly what a 100 TB serve path cannot afford.
+  *   - entry points — each cell's MEDOID (member nearest its
+  *     centroid): k deterministic, well-spread starting nodes so a
+  *     query lands in its own region of the graph in hop 0.
+  *
+  * Serve = classic best-first beam search, batched over the query set:
+  * score the entry points (entries × queries, both tiny), then H
+  * rounds of: expand the per-query top-B unexpanded nodes through the
+  * adjacency (equi-join on src), score the new candidates against the
+  * broadcast queries, fold into the visited set (groupBy max — a node
+  * reachable via two paths scores once). The driver loop is H
+  * iterations with an eager localCheckpoint per hop (the [[KMeans]]
+  * discipline): state frames stay query-set-sized, lineage stays flat.
+  *
+  * Rows-only oracle (learned graph — engine-specific like the rest of
+  * the ANN ladder); GraphAnnSpec bounds recall@10 against brute force,
+  * pins determinism, serve == cached-serve, and the no-cartesian plan.
+  */
+object GraphAnn {
+
+  /** Out-degree of the neighbor graph. 8 follows the published
+    * graph-ANN regime (degree 8–64 covers most recall targets; degree
+    * × beam, not corpus size, bounds serve cost). */
+  val Degree = 8
+
+  /** Per-query beam width at serve time. */
+  val Beam = 8
+
+  /** Fixed expansion rounds. 3 hops × degree 8 from k spread-out
+    * entry medoids reaches ~beam·degree·hops candidates per query —
+    * the measured recall@10 on the test corpora sits in the IVF
+    * 2-probe band (GraphAnnSpec pins the floor). */
+  val Hops = 3
+
+  private def emb(s: SparkSession, dir: String) =
+    Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
+
+  /** Degree-R kNN adjacency + per-cell medoid entry points over
+    * `v` = (vec_id, e, nrm). */
+  def buildGraph(v: DataFrame, degree: Int = Degree): (DataFrame, DataFrame) = {
+    val fit = KMeans.fit(v, k = KMeans.adaptiveK(v.count()), iters = 3)
+    val centsArr = fit.centroids.select(col("cluster"), col("ce"), col("cn"))
+      .agg(array_sort(collect_list(
+        struct(col("cluster"), col("ce"), col("cn")))).as("cents"))
+    // 3-probe multi-assign: boundary vectors meet all their sides (C68)
+    val assigned = v.crossJoin(broadcast(centsArr))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        explode(graft.functions.NearestCentroids(col("e"), col("cents"), 3))
+          .as("cluster"))
+    val a = assigned.select(col("cluster"), col("vec_id").as("src"),
+      col("e").as("se"), col("nrm").as("sn"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("dst"),
+      col("e").as("de"), col("nrm").as("dn"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    val topR = a.join(b, Seq("cluster")).where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        (Vectors.dot(col("se"), col("de")) / (col("sn") * col("dn"))).as("cos"))
+      .groupBy(col("src"), col("dst")).agg(max(col("cos")).as("cos"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= degree)
+    // attach the destination vector to the edge (n·R rows ⋈ corpus)
+    val adj = topR.join(
+        v.select(col("vec_id").as("dst"), col("e").as("de"), col("nrm").as("dn")),
+        Seq("dst"))
+      .select(col("src"), col("dst"), col("de"), col("dn"))
+    // entry points: each cell's medoid under the cosine objective
+    val one = v.crossJoin(broadcast(centsArr))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        graft.functions.NearestCentroids(col("e"), col("cents"), 1)
+          .getItem(0).as("cluster"))
+    val toCent = one.join(broadcast(fit.centroids), Seq("cluster"))
+      .withColumn("cc", Vectors.cosine(col("e"), col("ce"), col("nrm"), col("cn")))
+    val mw = Window.partitionBy(col("cluster"))
+      .orderBy(col("cc").desc, col("vec_id"))
+    val entries = toCent.withColumn("mr", row_number().over(mw))
+      .where(col("mr") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"))
+    (adj, entries)
+  }
+
+  /** Batched beam search: top-10 graph neighbors of each query.
+    * `queries` = (query_id, qe, qn); self-matches are excluded. */
+  def beamSearch(adj: DataFrame, entries: DataFrame,
+                 queries: DataFrame, beam: Int = Beam,
+                 hops: Int = Hops): DataFrame = {
+    val q = broadcast(queries)
+    val cosQ = Vectors.cosine(col("qe"), col("de"), col("qn"), col("dn"))
+    // hop 0: score every entry medoid for every query (both frames tiny)
+    var visited = entries
+      .select(col("vec_id"), col("e").as("de"), col("nrm").as("dn"))
+      .crossJoin(q)
+      .select(col("query_id"), col("vec_id"), cosQ.as("cos"),
+        lit(false).as("expanded"))
+      .localCheckpoint(true)
+    val bw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    for (_ <- 1 to hops) {
+      val frontier = visited.where(!col("expanded"))
+        .withColumn("br", row_number().over(bw)).where(col("br") <= beam)
+        .select(col("query_id"), col("vec_id"))
+      val cand = frontier.join(adj, frontier("vec_id") === adj("src"))
+        .join(q, Seq("query_id"))
+        .select(col("query_id"), col("dst").as("vec_id"), cosQ.as("cos"),
+          lit(false).as("expanded"))
+      // fold: frontier rows flip to expanded, new candidates join the
+      // pool, a node reached twice keeps one row (max over a constant
+      // cos; max(boolean) = "expanded anywhere")
+      val marked = visited
+        .join(frontier.withColumn("was_frontier", lit(true)),
+          Seq("query_id", "vec_id"), "left")
+        .select(col("query_id"), col("vec_id"), col("cos"),
+          (col("expanded") || coalesce(col("was_frontier"), lit(false)))
+            .as("expanded"))
+      visited = marked.unionByName(cand)
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(max(col("cos")).as("cos"), max(col("expanded")).as("expanded"))
+        .localCheckpoint(true)
+    }
+    visited
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cosine"))
+      .withColumn("rnk", rank().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))))
+      .where(col("rnk") <= 10)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rnk"), col("vec_id"))
+  }
+
+  private def queriesOf(v: DataFrame): DataFrame =
+    v.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+
+  /** C89: inline face — build the graph, then serve (worst case,
+    * like the other inline trainers). */
+  def simSearchGraph(s: SparkSession, dir: String): DataFrame = {
+    val v = emb(s, dir)
+    val (adj, entries) = buildGraph(v)
+    beamSearch(adj, entries, queriesOf(v))
+  }
+
+  /** C89a: the SERVE face — beam search against the persisted
+    * adjacency + entry artifacts (self-healing: built and persisted on
+    * first call, then ALWAYS served from the persisted copy so cold
+    * and warm take the identical scoring path). */
+  def simSearchGraphCached(s: SparkSession, dir: String): DataFrame = {
+    val v = emb(s, dir)
+    if (!ArtifactStore.has(s, dir, "graph_adj", "graph_entry")) {
+      val (adj, entries) = buildGraph(v)
+      ArtifactStore.save(adj, dir, "graph_adj")
+      ArtifactStore.save(entries, dir, "graph_entry")
+    }
+    beamSearch(ArtifactStore.load(s, dir, "graph_adj"),
+      ArtifactStore.load(s, dir, "graph_entry"), queriesOf(v))
+  }
+}

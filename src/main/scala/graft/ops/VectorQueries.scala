@@ -495,8 +495,8 @@ object VectorQueries {
     * on the (sampled) query set, as a CARD rather than a test assertion,
     * so index degradation (drifted data quantizing badly, an unlucky
     * plane set, a stale codebook) is an operational number, not a CI
-    * surprise. Per (method ∈ lsh/ivf/pq/sq8 × query): ground-truth size,
-    * hits (approximate ∩ exact), integer-bp recall@10.
+    * surprise. Per (method ∈ lsh/ivf/pq/sq8/graph × query): ground-truth
+    * size, hits (approximate ∩ exact), integer-bp recall@10.
     *
     * Plan shape: each method's own (documented) plan runs once; the
     * audit overlay is joins over query-set-sized frames — at 100 TB the
@@ -507,7 +507,8 @@ object VectorQueries {
       "lsh" -> simSearchLsh(s, dir),
       "ivf" -> simSearchIvf(s, dir),
       "pq" -> ProductQuant.simSearchPq(s, dir),
-      "sq8" -> ScalarQuant.simSearchSq8(s, dir)))
+      "sq8" -> ScalarQuant.simSearchSq8(s, dir),
+      "graph" -> GraphAnn.simSearchGraph(s, dir)))
 
   /** C87a: the audit against the PERSISTED serve indexes (IVF-PQ and
     * OPQ ArtifactStore tables) — "are the artifacts we actually serve
@@ -519,7 +520,8 @@ object VectorQueries {
   def annRecallAuditCached(s: SparkSession, dir: String): DataFrame =
     recallOverlay(s, dir, Seq(
       "ivfpq" -> IvfPq.simSearchIvfPqCached(s, dir),
-      "opq" -> Opq.simSearchOpqCached(s, dir)))
+      "opq" -> Opq.simSearchOpqCached(s, dir),
+      "graph" -> GraphAnn.simSearchGraphCached(s, dir)))
 
   private def recallOverlay(s: SparkSession, dir: String,
                             methods: Seq[(String, DataFrame)]): DataFrame = {

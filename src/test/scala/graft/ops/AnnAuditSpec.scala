@@ -12,7 +12,7 @@ class AnnAuditSpec extends SparkSpec {
       .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
     val got = VectorQueries.annRecallAudit(spark, sfDir).collect()
     assert(got.map(_.getAs[String]("method")).distinct.sorted.toSeq ==
-      Seq("ivf", "lsh", "pq", "sq8"))
+      Seq("graph", "ivf", "lsh", "pq", "sq8"))
     // every (method, query) row present, arithmetic exact
     got.foreach { r =>
       val q = r.getAs[Long]("query_id")
@@ -21,7 +21,7 @@ class AnnAuditSpec extends SparkSpec {
       assert(hits >= 0L && hits <= r.getAs[Long]("exact_k"))
       assert(r.getAs[Long]("recall_bp") == hits * 10000 / r.getAs[Long]("exact_k"))
     }
-    assert(got.length == 4 * exact.size)
+    assert(got.length == 5 * exact.size)
     // one independent recount: lsh hits really are the set overlap
     val lsh = VectorQueries.simSearchLsh(spark, sfDir)
       .select("query_id", "vec_id").as[(Long, Long)].collect()
@@ -41,12 +41,14 @@ class AnnAuditSpec extends SparkSpec {
     assert(mean.values.forall(_ > 0L), s"every method finds something: $mean")
     assert(mean("pq") >= 5000L && mean("sq8") >= 5000L,
       s"quantized-rescore methods must stay strong: $mean")
+    assert(mean("graph") >= 5000L,
+      s"graph traversal rescores exact cosines — must stay strong: $mean")
   }
 
   test("cached-index audit: persisted serve artifacts keep their recall, warm == cold") {
     val cold = VectorQueries.annRecallAuditCached(spark, sfDir).collect()
     assert(cold.map(_.getAs[String]("method")).distinct.sorted.toSeq ==
-      Seq("ivfpq", "opq"))
+      Seq("graph", "ivfpq", "opq"))
     cold.foreach { r =>
       val hits = r.getAs[Long]("hits")
       assert(hits >= 0L && hits <= r.getAs[Long]("exact_k"))

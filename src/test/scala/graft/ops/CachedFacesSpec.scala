@@ -59,6 +59,11 @@ class CachedFacesSpec extends SparkSpec {
       SemanticPq.dedupSemanticPqCached(spark, sfDir))
   }
 
+  test("sim_search_graph_cached == sim_search_graph (cold and warm)") {
+    checkPair(GraphAnn.simSearchGraph(spark, sfDir),
+      GraphAnn.simSearchGraphCached(spark, sfDir))
+  }
+
   test("dedup_semantic_incremental_cached == inline (cold and warm)") {
     checkPair(SemanticPq.dedupSemanticIncremental(spark, sfDir),
       SemanticPq.dedupSemanticIncrementalCached(spark, sfDir))

@@ -13,7 +13,12 @@ whose texts draw from an N-word Zipf(1.07) vocabulary — the
 realistic-vocabulary counterpart to the default 30-word salad, used
 to measure the dedup_ngram_jaccard cost envelope when the shingle
 space GROWS with the corpus (real corpora) instead of saturating
-(the default generator's designed worst case)."""
+(the default generator's designed worst case).
+
+With --vecs-only --nvecs N it writes JUST an embeddings table (same
+64-dim unit-norm shape and 0.5% planted near-dup rate as the default)
+— used to extend the ANN/semantic-dedup scale curves a further decade
+past sf1's 8k vectors."""
 import os
 import sys
 
@@ -31,6 +36,8 @@ rng = np.random.RandomState(int(flags.get("--seed", 42)))
 DOCS_ONLY = "--docs-only" in flags
 ZIPF_VOCAB = int(flags.get("--vocab", 0))
 N_DOCS_OVERRIDE = int(flags.get("--ndocs", 0))
+VECS_ONLY = "--vecs-only" in flags
+N_VECS_OVERRIDE = int(flags.get("--nvecs", 0))
 
 N_CUST, N_SUPP, N_PART = 150_000, 10_000, 200_000
 N_ORDERS, N_LINE = 1_500_000, 6_000_000
@@ -39,6 +46,21 @@ N_EVENTS, N_DOCS, N_VECS = 1_000_000, 50_000, 8_000
 def write(name, table):
     pq.write_table(table, f"{OUT}/{name}.parquet")
     print(name, table.num_rows)
+
+if VECS_ONLY:
+    n_vecs = N_VECS_OVERRIDE or 64_000
+    E = rng.normal(0, 1, (n_vecs, 64))
+    for i in range(200, n_vecs):
+        if rng.random_sample() < 0.005:
+            j = rng.randint(0, i)
+            E[i] = E[j] + rng.normal(0, 0.05, 64)
+    E = (E / np.linalg.norm(E, axis=1, keepdims=True)).astype(np.float32)
+    write("embeddings", pa.table({
+        "vec_id": pa.array(range(n_vecs), pa.int64()),
+        "embedding": pa.array([row for row in E.tolist()], pa.list_(pa.float32())),
+        "label": pa.array(rng.randint(0, 10, n_vecs), pa.int32())}))
+    print("DONE", OUT)
+    sys.exit(0)
 
 if DOCS_ONLY:
     # Realistic-vocabulary documents table: Zipf(1.07) over V words, same
