@@ -279,6 +279,11 @@ object SparkEntry {
       (graft.ops.SemanticPq.dedupSemanticIncrementalCached _),
     "embed_stats" -> (VectorQueries.embedStats _),
     "embed_centroids" -> (VectorQueries.embedCentroids _),
+    // C90: embedding-space source-divergence card (diagonal Fréchet)
+    "embed_divergence" -> (VectorQueries.embedDivergence _),
+    // C91 rows-only: D4-style prototype pruning over learned clusters
+    "sample_diverse" -> ((s: SparkSession, d: String) =>
+      VectorQueries.sampleDiverse(s, d)),
     // cross-table (documents x embeddings) dataset card per (source, label)
     "corpus_label_card" -> (VectorQueries.corpusLabelCard _),
     // rows-only: learned clusters are iterative Scala-side plan logic
@@ -1619,6 +1624,7 @@ object SparkEntry {
         |       round(max(m), 4) AS max_comp,
         |       round(min(m), 4) AS min_comp
         |FROM c GROUP BY label ORDER BY label""".stripMargin,
+    "embed_divergence" -> VectorQueries.embedDivergenceOracle,
     "embed_stats" ->
       """WITH v AS (
         |  SELECT label, list_transform(embedding, x -> x::DOUBLE) AS e

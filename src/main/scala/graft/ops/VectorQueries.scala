@@ -420,6 +420,61 @@ object VectorQueries {
       .orderBy(col("src"), col("rank"))
   }
 
+  /** C91: DIVERSITY-aware selection (the D4 recipe, Tirumala et al.
+    * 2023): after near-dup removal, drop each cluster's most
+    * PROTOTYPICAL members — the vectors closest to their learned
+    * centroid (SSL-prototypes pruning) — because densely-packed
+    * prototype regions contribute redundant gradient signal while the
+    * cluster's periphery carries the diversity. Per-vector flags ride
+    * in [[sampleDiverseFlags]]; this card reports per cluster: size,
+    * dropped (⌈share·n⌉, most-prototypical-first, ties to the lower
+    * vec_id), kept, integer-bp drop share, and the kept side's
+    * mean/max prototypicality.
+    *
+    * Plan shape at 100 TB: one [[KMeans]] fit (broadcast-argmax
+    * assignment), one broadcast join to score cosine-to-centroid, one
+    * window per cluster whose partial WindowGroupLimit cannot apply
+    * (rank depends on cluster size) but whose partitions are
+    * adaptive-k-bounded cells, and a cluster-size equi-join — no pair
+    * stage anywhere. Rows-only (learned clusters); SampleDiverseSpec
+    * pins the ceil arithmetic, the threshold property (no kept member
+    * more prototypical than any dropped one), determinism, and the
+    * no-cartesian plan. */
+  def sampleDiverse(s: SparkSession, dir: String,
+                    dropShare: Double = 0.25): DataFrame = {
+    val flags = sampleDiverseFlags(s, dir, dropShare)
+    flags.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        count(when(!col("kept"), lit(1))).as("dropped"),
+        count(when(col("kept"), lit(1))).as("kept"),
+        round(avg(when(col("kept"), col("proto"))), 4).as("avg_kept_proto"),
+        round(max(when(col("kept"), col("proto"))), 4).as("max_kept_proto"))
+      .withColumn("drop_bp", expr("dropped * 10000 div n"))
+      .select(col("cluster"), col("n"), col("dropped"), col("kept"),
+        col("drop_bp"), col("avg_kept_proto"), col("max_kept_proto"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Per-vector selection flags behind [[sampleDiverse]]:
+    * (vec_id, cluster, proto = cosine to own centroid, kept). */
+  def sampleDiverseFlags(s: SparkSession, dir: String,
+                         dropShare: Double): DataFrame = {
+    require(dropShare >= 0.0 && dropShare < 1.0, s"bad dropShare: $dropShare")
+    val v = emb(s, dir).select(col("vec_id"), col("e"), col("nrm"))
+    val fit = KMeans.fit(v, k = KMeans.adaptiveK(v.count()), iters = 3)
+    val scored = fit.assignments.join(v, Seq("vec_id"))
+      .join(broadcast(fit.centroids), Seq("cluster"))
+      .select(col("cluster"), col("vec_id"),
+        Vectors.cosine(col("e"), col("ce"), col("nrm"), col("cn")).as("proto"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("proto").desc, col("vec_id"))
+    val sizes = scored.groupBy(col("cluster")).agg(count(lit(1)).as("cn_"))
+    scored.withColumn("r", row_number().over(w))
+      .join(sizes, Seq("cluster"))
+      .select(col("vec_id"), col("cluster"), round(col("proto"), 4).as("proto"),
+        (col("r") > ceil(lit(dropShare) * col("cn_"))).as("kept"))
+  }
+
   /** C83: SEMANTIC decontamination — the eval-leakage gate run in
     * embedding space, completing the decontamination family (C23 exact
     * n-grams, C29 containment, C72 bloom-gated, C77 KMV triage, C80
@@ -537,6 +592,86 @@ object VectorQueries {
         .withColumn("recall_bp", expr("hits * 10000 div exact_k"))
     }.reduce(_ unionAll _).orderBy(col("method"), col("query_id"))
   }
+
+  /** C90: EMBEDDING-SPACE source-divergence card — the diagonal
+    * Fréchet distance between every source pair's embedding
+    * distribution, completing the drift family in the third space:
+    * C39 measures token-distribution divergence, C84 intake-batch
+    * drift, D21 index-quantization drift; this one answers "do two
+    * SOURCES occupy different regions of embedding space", the number
+    * a mixture designer reads before trusting one source as a
+    * substitute for another (and the batch-vs-corpus variant is the
+    * FID-style intake gate). Per source pair: Σ_d (μ_a−μ_b)²
+    * (mean gap), Σ_d (σ_a−σ_b-ish) variance gap, and their sum — the
+    * Fréchet/Wasserstein-2² distance under the diagonal-Gaussian
+    * approximation (Dowson–Landau 1982; the full-covariance form needs
+    * a matrix sqrt no engine-portable oracle can spell, and at D=64
+    * the diagonal term is the standard production proxy — FID itself
+    * ships diagonal variants for exactly this reason).
+    *
+    * Plan shape at 100 TB: documents⋈embeddings is the C43 bucketing
+    * candidate (narrow projections, id equi-join); the moment pass is
+    * ONE posexplode scan partial-aggregated on (source × dim) — a key
+    * space of #sources·64, so the shuffle is map-side-combined to
+    * nothing; the pair stage joins a #sources·64-row frame with
+    * itself. SQL-checked: DuckDB spells the identical moments via
+    * generate_series indexing (sum-order fp noise sits ~10 digits
+    * below the round-4 reporting precision). */
+  def embedDivergence(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+    val e = Tables(s, dir, "embeddings")
+      .where(col("embedding").isNotNull &&
+        size(col("embedding")) === EmbeddingDim)
+      .select(col("vec_id").as("doc_id"),
+        transform(col("embedding"), _.cast("double")).as("e"))
+    val byDim = d.join(e, Seq("doc_id"))
+      .select(col("source"), posexplode(col("e")).as(Seq("dim", "x")))
+      .groupBy(col("source"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("dim"), (col("sx") / col("n")).as("mu"),
+        greatest(col("sxx") / col("n") -
+          (col("sx") / col("n")) * (col("sx") / col("n")), lit(0.0)).as("vr"))
+    val a = byDim.select(col("source").as("source_a"), col("dim"),
+      col("mu").as("ma"), col("vr").as("va"))
+    val b = byDim.select(col("source").as("source_b"), col("dim"),
+      col("mu").as("mb"), col("vr").as("vb"))
+    val meanGap = (col("ma") - col("mb")) * (col("ma") - col("mb"))
+    val varGap = col("va") + col("vb") -
+      lit(2.0) * sqrt(greatest(col("va") * col("vb"), lit(0.0)))
+    a.join(b, Seq("dim")).where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(round(sum(meanGap), 4).as("mean_gap_sq"),
+        round(sum(varGap), 4).as("var_gap"),
+        round(sum(meanGap + varGap), 4).as("frechet_d2"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** C90 oracle: identical moments + pair fold in DuckDB. */
+  val embedDivergenceOracle: String =
+    """WITH de AS (
+      |  SELECT d.source, list_transform(e.embedding, x -> x::DOUBLE) AS e
+      |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |  WHERE e.embedding IS NOT NULL AND len(e.embedding) = 64),
+      |bd AS (
+      |  SELECT source, i - 1 AS dim, count(*) AS n,
+      |         sum(e[i]) AS sx, sum(e[i]*e[i]) AS sxx
+      |  FROM de, unnest(generate_series(1, len(e))) AS t(i)
+      |  GROUP BY source, i),
+      |m AS (
+      |  SELECT source, dim, sx/n AS mu,
+      |         greatest(sxx/n - (sx/n)*(sx/n), cast(0 AS DOUBLE)) AS vr
+      |  FROM bd)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  round(sum((a.mu-b.mu)*(a.mu-b.mu)), 4) AS mean_gap_sq,
+      |  round(sum(a.vr + b.vr
+      |            - 2*sqrt(greatest(a.vr*b.vr, cast(0 AS DOUBLE)))), 4)
+      |    AS var_gap,
+      |  round(sum((a.mu-b.mu)*(a.mu-b.mu) + a.vr + b.vr
+      |            - 2*sqrt(greatest(a.vr*b.vr, cast(0 AS DOUBLE)))), 4)
+      |    AS frechet_d2
+      |FROM m a JOIN m b ON a.dim = b.dim AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** C13: per-label vector statistics (norms + mean component).
     * Unlike the similarity faces, this REPORT face keeps degenerate
