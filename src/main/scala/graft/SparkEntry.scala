@@ -1851,9 +1851,13 @@ object SparkEntry {
     "text_bpe_encode_cached" -> bpeEncodeOracle,
     // C19a: percentile_approx is in its EXACT regime at gate group
     // sizes (n < accuracy=10000) where it returns the element at
-    // 1-based rank 1 + ceil(p·(n−1)) — measured per source at n=25,
-    // p ∈ {.25,.5,.9}; NOT quantile_disc, whose floor convention
-    // diverges whenever p·(n−1) is fractional — spelled explicitly.
+    // 1-based rank max(1, ceil(p·n)) — QuantileSummaries.query's rank
+    // target, verified against the Spark dump at BOTH n=25 (sf0.01)
+    // and n=2500 (sf1); the earlier 1 + ceil(p·(n−1)) spelling
+    // coincides at n=25 for these p but picks the next-higher rank
+    // whenever p·n is integral (caught by the sf1 gate sweep). NOT
+    // quantile_disc, whose floor convention diverges whenever the
+    // target is fractional — spelled explicitly.
     // Because the selected element is a RAW data double (no averaging),
     // round() must match Spark's BigDecimal.valueOf exactly: DuckDB's
     // double round() re-multiplies (0.90274999…·1e4 → 9027.5 → 0.9028
@@ -1882,9 +1886,9 @@ object SparkEntry {
         |         count(*) OVER (PARTITION BY source) AS n
         |  FROM q)
         |SELECT source, count(*) AS docs,
-        |  cast(round(cast(cast(max(CASE WHEN rk = 1 + ceil(cast(0.25 AS DOUBLE)*(n-1)) THEN q END) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS q25,
-        |  cast(round(cast(cast(max(CASE WHEN rk = 1 + ceil(cast(0.5 AS DOUBLE)*(n-1)) THEN q END) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS q50,
-        |  cast(round(cast(cast(max(CASE WHEN rk = 1 + ceil(cast(0.9 AS DOUBLE)*(n-1)) THEN q END) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS q90
+        |  cast(round(cast(cast(max(CASE WHEN rk = greatest(1, ceil(cast(0.25 AS DOUBLE)*n)) THEN q END) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS q25,
+        |  cast(round(cast(cast(max(CASE WHEN rk = greatest(1, ceil(cast(0.5 AS DOUBLE)*n)) THEN q END) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS q50,
+        |  cast(round(cast(cast(max(CASE WHEN rk = greatest(1, ceil(cast(0.9 AS DOUBLE)*n)) THEN q END) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS q90
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
     // C42: the same unigram-LM arithmetic re-spelled relationally;
     // round-4 aggregates absorb cross-engine ln ULP differences
