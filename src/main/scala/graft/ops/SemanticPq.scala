@@ -101,6 +101,17 @@ object SemanticPq {
   private[graft] def sdcDist(ca: org.apache.spark.sql.Column,
       cb: org.apache.spark.sql.Column,
       dtabs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.SdcDist(ca, cb, dtabs)
+
+  /** The pre-round-10 HOF spelling of [[sdcDist]], kept ONLY as the
+    * independent reference implementation for SdcDistSpec's
+    * value-identity pin: HigherOrderFunction expressions are
+    * CodegenFallback, so this walks the lambda interpreter (with a
+    * struct allocation per subspace) once per candidate pair — which
+    * made it the dominant cost of the Σcell² stage at 64k vectors. */
+  private[graft] def sdcDistHof(ca: org.apache.spark.sql.Column,
+      cb: org.apache.spark.sql.Column,
+      dtabs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     aggregate(
       zip_with(zip_with(ca, cb, (x, y) => struct(x.as("a"), y.as("b"))), dtabs,
         (p, t) => element_at(element_at(t, p.getField("a") + 1),
