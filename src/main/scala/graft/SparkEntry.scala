@@ -165,6 +165,12 @@ object SparkEntry {
     "corpus_batch_drift" -> (TextQueries.corpusBatchDrift _),
     // top-50 vocabulary coverage curve (integer bp)
     "text_vocab" -> (TextQueries.textVocab _),
+    // C93: Zipf decay at rank doublings (integer ratio — no logarithms)
+    "corpus_zipf" -> (TextQueries.corpusZipf _),
+    // C94: per-language tokenizer economics (fertility, chars/token)
+    "token_fertility" -> (TextQueries.tokenFertility _),
+    // C95: CCNet-style prefix-hash cheap dedup pass vs the exact pass
+    "dedup_prefix" -> (TextQueries.dedupPrefix _),
     // per-source document-length histogram (100-char buckets)
     "corpus_lengths" -> (TextQueries.corpusLengths _),
     // unigram cross-entropy card (round-4 absorbs ln ULP; hash-checked)
@@ -309,6 +315,8 @@ object SparkEntry {
     "dsir_select" -> (graft.ops.Sample.dsirSelectQuery _),
     // mixture/epoch planner: natural vs target share, factor in bp
     "mixture_plan" -> (graft.ops.Sample.mixturePlan _),
+    // C92: temperature ladder (α ∈ {1,½,¼}) via engine-exact integer sqrt
+    "mixture_temperature" -> (graft.ops.Sample.mixtureTemperature _),
     "mixture_tokens" -> (graft.ops.Sample.mixtureTokensQuery _),
     // sharded sequence packing into fixed token budgets
     "sample_pack" -> (graft.ops.Sample.samplePackQuery _),
@@ -1504,6 +1512,10 @@ object SparkEntry {
         |FROM n ORDER BY day""".stripMargin,
     "dedup_cluster" -> DedupQueries.clusterOracle,
     "mixture_plan" -> graft.ops.Sample.mixturePlanOracle,
+    "mixture_temperature" -> graft.ops.Sample.mixtureTemperatureOracle,
+    "corpus_zipf" -> TextQueries.corpusZipfOracle,
+    "token_fertility" -> TextQueries.tokenFertilityOracle,
+    "dedup_prefix" -> TextQueries.dedupPrefixOracle,
     "meta_expectations" ->
       """WITH lo AS (
         |  SELECT o_orderkey,

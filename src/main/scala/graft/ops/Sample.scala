@@ -609,4 +609,73 @@ object Sample {
       |       cast(sum(slots) - sum(tok) AS BIGINT) * 10000
       |         // cast(sum(slots) AS BIGINT) AS pad_bp
       |FROM m GROUP BY ctx_len ORDER BY ctx_len""".stripMargin
+
+  /** C92: TEMPERATURE-scaled source mixture — the multilingual-LM
+    * sampling scheme (XLM-R / mT5: p_i ∝ n_i^α, α < 1 flattens the
+    * mix so tail sources are not drowned by the head). C55 plans the
+    * equal-per-document target; this card shows the whole α ladder a
+    * mixture owner actually sweeps — α ∈ {1, 1/2, 1/4} over the TOKEN
+    * budget — and the per-α boost factor vs the natural share (the
+    * epoch multiplier [[sampleColumn]] would be handed).
+    *
+    * Engine-exactness: fractional powers are spelled as INTEGER sqrt
+    * chains — `w½ = ⌊√tokens⌋`, `w¼ = ⌊√⌊√tokens⌋⌋`. IEEE-754 `sqrt`
+    * is correctly rounded (unlike `pow`), and an exact-integer floor
+    * of it is therefore bit-identical in Spark and DuckDB, so the
+    * whole card stays integer-bp SQL-checkable — no double
+    * aggregation order anywhere. Plan = the C55 per-source rollup
+    * (map-side combined, S rows out); everything after runs on the
+    * S-sized frame. */
+  def mixtureTemperature(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(s, dir, "documents")
+      .select(col("source"), size(Text.tokens(col("text"))).cast("long").as("tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("tok")).as("tokens"))
+      .withColumn("w_half", floor(sqrt(col("tokens").cast("double"))).cast("long"))
+      .withColumn("w_quarter", floor(sqrt(col("w_half").cast("double"))).cast("long"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tok
+      .withColumn("__t1", sum(col("tokens")).over(w))
+      .withColumn("__t2", sum(col("w_half")).over(w))
+      .withColumn("__t4", sum(col("w_quarter")).over(w))
+      .select(col("source"), col("docs"), col("tokens"),
+        col("w_half"), col("w_quarter"),
+        expr("(tokens * 10000) div __t1").as("natural_bp"),
+        expr("(w_half * 10000) div __t2").as("t05_bp"),
+        expr("(w_quarter * 10000) div __t4").as("t025_bp"),
+        // saturating floor exactly as C55: a sub-bp natural share must
+        // not divide by zero
+        expr("(((w_half * 10000) div __t2) * 10000)" +
+          " div greatest((tokens * 10000) div __t1, 1)").as("factor05_bp"),
+        expr("(((w_quarter * 10000) div __t4) * 10000)" +
+          " div greatest((tokens * 10000) div __t1, 1)").as("factor025_bp"))
+      .orderBy(col("source"))
+  }
+
+  /** C92 oracle: the identical integer-sqrt-chain arithmetic in DuckDB. */
+  val mixtureTemperatureOracle: String =
+    """WITH tok AS (
+      |  SELECT source, count(*) AS docs,
+      |    cast(sum(len(string_split(trim(regexp_replace(lower(text),
+      |      '\s+',' ','g')),' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY 1),
+      |wts AS (
+      |  SELECT source, docs, tokens,
+      |         cast(floor(sqrt(tokens)) AS BIGINT) AS w_half,
+      |         cast(floor(sqrt(cast(floor(sqrt(tokens)) AS BIGINT))) AS BIGINT) AS w_quarter
+      |  FROM tok),
+      |tot AS (SELECT cast(sum(tokens) AS BIGINT) AS t1,
+      |               cast(sum(w_half) AS BIGINT) AS t2,
+      |               cast(sum(w_quarter) AS BIGINT) AS t4 FROM wts)
+      |SELECT source, docs, tokens, w_half, w_quarter,
+      |       (tokens * 10000) // t1 AS natural_bp,
+      |       (w_half * 10000) // t2 AS t05_bp,
+      |       (w_quarter * 10000) // t4 AS t025_bp,
+      |       (((w_half * 10000) // t2) * 10000)
+      |         // greatest((tokens * 10000) // t1, 1) AS factor05_bp,
+      |       (((w_quarter * 10000) // t4) * 10000)
+      |         // greatest((tokens * 10000) // t1, 1) AS factor025_bp
+      |FROM wts, tot ORDER BY source""".stripMargin
 }

@@ -1227,4 +1227,149 @@ object TextQueries {
         max(col("doc_id")).as("max_doc"))
       .where(col("n_docs") > 1)
       .orderBy(col("fp"))
+
+  /** C93: Zipf DECAY card — how fast token frequency falls with rank,
+    * measured at rank doublings. A natural corpus follows n(r) ∝ r^−s
+    * with s ≈ 1, so n(r)/n(2r) ≈ 2^s ≈ 2; machine-generated or
+    * template-spam corpora flatten (ratio → 1) or cliff (ratio ≫ 2),
+    * which makes this the one-glance "is this corpus statistically
+    * natural language" check next to the C40 vocabulary card. The
+    * rank-doubling RATIO is a discrete slope estimate that needs no
+    * logarithm — the whole card stays integer-bp, engine-exact
+    * (log/pow are not correctly-rounded across libms; ÷ on BIGINTs
+    * is). Plan = ONE token-histogram groupBy (the C40 shuffle), a
+    * 64-row top-k, and a self-join of the 64-row frame — nothing
+    * after the histogram touches the corpus. */
+  def corpusZipf(s: SparkSession, dir: String): DataFrame = {
+    val tc = docs(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("term"))
+    // 64 rows: the unpartitioned rank window is bounded by the limit
+    val top = tc.orderBy(col("n").desc, col("term")).limit(64)
+      .withColumn("rank", row_number().over(w).cast("int"))
+    val doubled = top.select((col("rank") / 2).cast("int").as("rank"),
+      col("n").as("n_2r"), col("rank").as("__r2"))
+      .where(col("__r2") % 2 === 0).drop("__r2")
+    top.join(doubled, Seq("rank"))
+      .where(col("rank").isin(1, 2, 4, 8, 16, 32))
+      .select(col("rank"), col("term"), col("n"), col("n_2r"),
+        expr("(n * 10000) div n_2r").as("ratio_bp"))
+      .orderBy(col("rank"))
+  }
+
+  /** C93 oracle: identical rank-doubling construction in DuckDB. */
+  val corpusZipfOracle: String =
+    """WITH tc AS (
+      |  SELECT term, count(*) AS n
+      |  FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text),
+      |          '\s+',' ','g')),' ')) AS term FROM documents)
+      |  GROUP BY term),
+      |top AS (
+      |  SELECT term, cast(n AS BIGINT) AS n,
+      |         cast(row_number() OVER (ORDER BY n DESC, term) AS INT) AS rank
+      |  FROM tc ORDER BY n DESC, term LIMIT 64)
+      |SELECT a.rank, a.term, a.n, b.n AS n_2r,
+      |       (a.n * 10000) // b.n AS ratio_bp
+      |FROM top a JOIN top b ON b.rank = a.rank * 2
+      |WHERE a.rank IN (1, 2, 4, 8, 16, 32)
+      |ORDER BY a.rank""".stripMargin
+
+  /** C94: tokenizer ECONOMICS per language — fertility (subword pieces
+    * per whitespace word) and bytes-per-piece, the numbers a
+    * multilingual token-budget owner reads before converting "N docs
+    * per language" into "N training tokens per language" (fertility
+    * differences of 2–4× between scripts are why doc-count mixes and
+    * token-count mixes disagree; cf. the mT5/XLM-R fertility tables).
+    * Uses the same regex-piece counter as C10 (`text_tokens`), so the
+    * two cards can never diverge on what a "token" is. All ratios in
+    * integer centi/bp units — engine-exact. Plan = one narrow scan
+    * with both counters in a single codegen'd projection, partial-agg
+    * to L rows. */
+  def tokenFertility(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("lang"), col("n_chars"),
+      size(Text.tokens(col("text"))).cast("long").as("ws"),
+      Text.regexTokenCount(col("text")).cast("long").as("re_tok"))
+    d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("ws")).as("words"),
+        sum(col("re_tok")).as("re_tokens"),
+        sum(col("n_chars")).as("chars"))
+      .select(col("lang"), col("docs"), col("words"), col("re_tokens"),
+        col("chars"),
+        expr("(re_tokens * 10000) div greatest(words, 1)").as("fertility_bp"),
+        expr("(chars * 100) div greatest(re_tokens, 1)").as("chars_per_tok_c"))
+      .orderBy(col("lang"))
+  }
+
+  /** C94 oracle: identical integer ratios in DuckDB. */
+  val tokenFertilityOracle: String =
+    """WITH m AS (
+      |  SELECT lang, n_chars,
+      |    cast(len(string_split(trim(regexp_replace(lower(text),
+      |      '\s+',' ','g')),' ')) AS BIGINT) AS ws,
+      |    cast(len(regexp_extract_all(trim(regexp_replace(lower(text),
+      |      '\s+',' ','g')),'[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tok
+      |  FROM documents)
+      |SELECT lang, count(*) AS docs,
+      |       cast(sum(ws) AS BIGINT) AS words,
+      |       cast(sum(re_tok) AS BIGINT) AS re_tokens,
+      |       cast(sum(n_chars) AS BIGINT) AS chars,
+      |       (cast(sum(re_tok) AS BIGINT) * 10000)
+      |         // greatest(cast(sum(ws) AS BIGINT), 1) AS fertility_bp,
+      |       (cast(sum(n_chars) AS BIGINT) * 100)
+      |         // greatest(cast(sum(re_tok) AS BIGINT), 1) AS chars_per_tok_c
+      |FROM m GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** C95: PREFIX-hash dedup — the CCNet-style cheap first pass: hash
+    * only the first 256 normalized characters. Boilerplate families
+    * (mirrored pages, templated articles, truncation variants) share
+    * prefixes long before they share full bodies, so the prefix pass
+    * catches a superset of C1's exact dups at the same single-scan
+    * cost — and the per-source EXTRA mass it flags beyond exact is
+    * precisely the cheap-pass yield a pipeline owner weighs against
+    * the C2/C3 near-dup passes. Keeper = min doc_id per prefix group;
+    * since exact-hash groups refine prefix groups, prefix_dups ≥
+    * exact_dups per source BY CONSTRUCTION (spec-pinned theorem).
+    * Both hashes ride one projection — one corpus scan, one window
+    * shuffle on the uniformly-distributed prefix hash. */
+  def dedupPrefix(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      md5(substring(Text.normalized(col("text")), 1, 256)).as("ph"),
+      Text.contentHash(col("text")).as("eh"))
+    val pKeep = min(col("doc_id")).over(Window.partitionBy(col("ph")))
+    val eKeep = min(col("doc_id")).over(Window.partitionBy(col("eh")))
+    d.withColumn("p_keeper", pKeep).withColumn("e_keeper", eKeep)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        countDistinct(col("ph")).as("prefix_groups"),
+        sum(when(col("doc_id") =!= col("p_keeper"), 1L).otherwise(0L))
+          .as("prefix_dups"),
+        sum(when(col("doc_id") =!= col("e_keeper"), 1L).otherwise(0L))
+          .as("exact_dups"))
+      .withColumn("extra_bp",
+        expr("((prefix_dups - exact_dups) * 10000) div greatest(docs, 1)"))
+      .orderBy(col("source"))
+  }
+
+  /** C95 oracle: identical two-window construction in DuckDB. */
+  val dedupPrefixOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    md5(substr(trim(regexp_replace(lower(text),'\s+',' ','g')),1,256)) AS ph,
+      |    md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS eh
+      |  FROM documents),
+      |k AS (
+      |  SELECT source, doc_id, ph,
+      |         min(doc_id) OVER (PARTITION BY ph) AS p_keeper,
+      |         min(doc_id) OVER (PARTITION BY eh) AS e_keeper
+      |  FROM d)
+      |SELECT source, count(*) AS docs,
+      |       cast(count(DISTINCT ph) AS BIGINT) AS prefix_groups,
+      |       cast(sum(CASE WHEN doc_id <> p_keeper THEN 1 ELSE 0 END) AS BIGINT) AS prefix_dups,
+      |       cast(sum(CASE WHEN doc_id <> e_keeper THEN 1 ELSE 0 END) AS BIGINT) AS exact_dups,
+      |       ((cast(sum(CASE WHEN doc_id <> p_keeper THEN 1 ELSE 0 END) AS BIGINT)
+      |         - cast(sum(CASE WHEN doc_id <> e_keeper THEN 1 ELSE 0 END) AS BIGINT)) * 10000)
+      |         // greatest(count(*), 1) AS extra_bp
+      |FROM k GROUP BY source ORDER BY source""".stripMargin
 }
