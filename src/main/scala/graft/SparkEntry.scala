@@ -317,6 +317,8 @@ object SparkEntry {
     "mixture_plan" -> (graft.ops.Sample.mixturePlan _),
     // C92: temperature ladder (α ∈ {1,½,¼}) via engine-exact integer sqrt
     "mixture_temperature" -> (graft.ops.Sample.mixtureTemperature _),
+    // C96: the C55 plan APPLIED — achieved vs target mix, all-integer coin
+    "mixture_apply" -> (graft.ops.Sample.mixtureApply _),
     "mixture_tokens" -> (graft.ops.Sample.mixtureTokensQuery _),
     // sharded sequence packing into fixed token budgets
     "sample_pack" -> (graft.ops.Sample.samplePackQuery _),
@@ -1513,6 +1515,7 @@ object SparkEntry {
     "dedup_cluster" -> DedupQueries.clusterOracle,
     "mixture_plan" -> graft.ops.Sample.mixturePlanOracle,
     "mixture_temperature" -> graft.ops.Sample.mixtureTemperatureOracle,
+    "mixture_apply" -> graft.ops.Sample.mixtureApplyOracle,
     "corpus_zipf" -> TextQueries.corpusZipfOracle,
     "token_fertility" -> TextQueries.tokenFertilityOracle,
     "dedup_prefix" -> TextQueries.dedupPrefixOracle,

@@ -654,6 +654,105 @@ object Sample {
       .orderBy(col("source"))
   }
 
+  /** C96: mixture APPLICATION — the end-to-end composition the C55 plan
+    * exists for: derive each source's factor (target equal-per-doc share
+    * over natural token share, integer bp), deal every document its
+    * copies with the content-keyed coin (⌊factor/10⁴⌋ guaranteed plus
+    * one more when the 24-bit md5 coin clears the fractional
+    * threshold), and report the ACHIEVED mix against the target. The
+    * punchline a mixture owner checks: the achieved TOKEN share lands
+    * on the equal-per-document target (err_bp column), because weight
+    * × tokens ∝ doc share by construction — the card turns the C55
+    * arithmetic into a verified outcome, not a plan.
+    *
+    * Engine-exactness: the fractional coin threshold is INTEGER —
+    * `frac_bp · 2²⁴ div 10⁴` compared against the hex coin cast to a
+    * long — so unlike [[hexThreshold]]'s double floor there is no
+    * float anywhere and the whole composition SQL-checks. Plan: one
+    * narrow scan → S-row rollup (the C55 shuffle) → broadcast join of
+    * the S-row factor frame back onto the scan → second S-row rollup.
+    * No corpus-sized shuffle beyond the two map-side-combined
+    * groupBys; the sampler itself is a narrow projection. */
+  def mixtureApply(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(Text.tokens(col("text"))).cast("long").as("tok"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val plan = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("tok")).as("tokens"))
+      .withColumn("__t1", sum(col("tokens")).over(w))
+      .withColumn("__d1", sum(col("docs")).over(w))
+      .select(col("source"), col("docs"), col("tokens"),
+        expr("(docs * 10000) div __d1").as("target_bp"),
+        expr("(((docs * 10000) div __d1) * 10000)" +
+          " div greatest((tokens * 10000) div __t1, 1)").as("factor_bp"))
+    val coin = conv(substring(md5(concat(lit("mixapply|"),
+      col("doc_id").cast("string"))), 1, 6), 16, 10).cast("long")
+    val sampled = d.join(broadcast(plan), Seq("source"))
+      .withColumn("copies", expr("factor_bp div 10000") +
+        when(coin < expr("((factor_bp % 10000) * 16777216) div 10000"), 1L)
+          .otherwise(0L))
+    val achieved = sampled.groupBy(col("source"))
+      .agg(sum(col("copies")).as("achieved_docs"),
+        sum(col("copies") * col("tok")).as("achieved_tokens"),
+        first(col("docs")).as("docs"),
+        first(col("tokens")).as("tokens"),
+        first(col("target_bp")).as("target_bp"),
+        first(col("factor_bp")).as("factor_bp"))
+    achieved
+      .withColumn("__at", sum(col("achieved_tokens")).over(w))
+      .select(col("source"), col("docs"), col("tokens"), col("factor_bp"),
+        col("achieved_docs"), col("achieved_tokens"),
+        expr("(achieved_tokens * 10000) div __at").as("achieved_bp"),
+        col("target_bp"),
+        expr("(achieved_tokens * 10000) div __at - target_bp").as("err_bp"))
+      .orderBy(col("source"))
+  }
+
+  /** C96 oracle: the identical integer composition in DuckDB. */
+  val mixtureApplyOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    cast(len(string_split(trim(regexp_replace(lower(text),
+      |      '\s+',' ','g')),' ')) AS BIGINT) AS tok
+      |  FROM documents),
+      |plan AS (
+      |  SELECT source, count(*) AS docs, cast(sum(tok) AS BIGINT) AS tokens
+      |  FROM d GROUP BY 1),
+      |tot AS (SELECT cast(sum(tokens) AS BIGINT) AS t1,
+      |               cast(sum(docs) AS BIGINT) AS d1 FROM plan),
+      |f AS (
+      |  SELECT source, docs, tokens,
+      |         (docs * 10000) // d1 AS target_bp,
+      |         (((docs * 10000) // d1) * 10000)
+      |           // greatest((tokens * 10000) // t1, 1) AS factor_bp
+      |  FROM plan, tot),
+      |sampled AS (
+      |  SELECT d.source, d.tok, f.docs, f.tokens, f.target_bp, f.factor_bp,
+      |         f.factor_bp // 10000 +
+      |         CASE WHEN CAST(concat('0x', substr(md5('mixapply|'
+      |                || CAST(d.doc_id AS VARCHAR)),1,6)) AS BIGINT)
+      |              < ((f.factor_bp % 10000) * 16777216) // 10000
+      |              THEN 1 ELSE 0 END AS copies
+      |  FROM d JOIN f USING (source)),
+      |a AS (
+      |  SELECT source,
+      |         cast(sum(copies) AS BIGINT) AS achieved_docs,
+      |         cast(sum(copies * tok) AS BIGINT) AS achieved_tokens,
+      |         any_value(docs) AS docs, any_value(tokens) AS tokens,
+      |         any_value(target_bp) AS target_bp,
+      |         any_value(factor_bp) AS factor_bp
+      |  FROM sampled GROUP BY 1),
+      |at AS (SELECT cast(sum(achieved_tokens) AS BIGINT) AS t FROM a)
+      |SELECT source, docs, tokens, factor_bp, achieved_docs,
+      |       achieved_tokens,
+      |       (achieved_tokens * 10000) // t AS achieved_bp,
+      |       target_bp,
+      |       (achieved_tokens * 10000) // t - target_bp AS err_bp
+      |FROM a, at ORDER BY source""".stripMargin
+
   /** C92 oracle: the identical integer-sqrt-chain arithmetic in DuckDB. */
   val mixtureTemperatureOracle: String =
     """WITH tok AS (

@@ -69,6 +69,54 @@ class CorpusCardFacesSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- C96
+
+  test("mixture_apply: full integer composition recounts; achieved lands on target") {
+    val rows = Sample.mixtureApply(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // driver recount: plan arithmetic, coin, copies, achieved rollup
+    val toks = rawDocs.map(d => (d._1, d._4, norm(d._2).split(" ", -1).length.toLong))
+    val bySrc = toks.groupBy(_._2)
+    val d1 = toks.length.toLong
+    val t1 = toks.map(_._3).sum
+    val planned = bySrc.map { case (src, ds) =>
+      val docs = ds.length.toLong
+      val tokens = ds.map(_._3).sum
+      val target = docs * 10000 / d1
+      val factor = target * 10000 / math.max(tokens * 10000 / t1, 1L)
+      src -> (docs, tokens, target, factor)
+    }
+    def coin(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mixapply|$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(3).map(b => f"$b%02x").mkString, 16)
+    }
+    val achieved = toks.map { case (id, src, tok) =>
+      val f = planned(src)._4
+      val copies = f / 10000 + (if (coin(id) < (f % 10000) * 16777216 / 10000) 1L else 0L)
+      (src, copies, copies * tok)
+    }.groupBy(_._1).map { case (s, xs) => s -> (xs.map(_._2).sum, xs.map(_._3).sum) }
+    val at = achieved.values.map(_._2).sum
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val (docs, tokens, target, factor) = planned(src)
+      assert((r.getLong(1), r.getLong(2), r.getLong(7), r.getLong(3)) ==
+        ((docs, tokens, target, factor)), s"plan recount for $src")
+      assert((r.getLong(4), r.getLong(5)) == achieved(src), s"achieved recount for $src")
+      assert(r.getLong(6) == achieved(src)._2 * 10000 / at)
+      assert(r.getLong(8) == r.getLong(6) - r.getLong(7))
+      // the composition theorem: achieved token share ≈ the equal-per-doc
+      // target (weight × tokens ∝ doc share); slack = fractional-coin
+      // sampling noise at 25 docs/source plus bp floors
+      assert(math.abs(r.getLong(8)) <= 300, s"err_bp too large for $src: $r")
+    }
+    val plan = Sample.mixtureApply(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      "the S-row factor frame must broadcast back onto the scan")
+  }
+
   // ---------------------------------------------------------------- C93
 
   test("corpus_zipf: rank-doubling ratios recount against the raw histogram") {
