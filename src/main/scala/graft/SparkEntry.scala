@@ -222,6 +222,9 @@ object SparkEntry {
     // content-level corpus version diff (added/removed/modified/unchanged card)
     "corpus_diff" -> (graft.ingest.CorpusDiff.corpusDiffQuery _),
     "dedup_minhash" -> (DedupQueries.dedupMinhash _),
+    // C99: the banding ablation — the same 16 minhashes re-banded 16x1 ..
+    // 2x8, precision/recall vs the C2 truth (the LSH operating curve)
+    "dedup_minhash_tuning" -> (DedupQueries.dedupMinhashTuning _),
     // edit-distance confirmation of the MinHash candidates (two-stage fuzzy dedup)
     "dedup_edit" -> (DedupQueries.dedupEdit _),
     "dedup_simhash" -> (DedupQueries.dedupSimhash _),
@@ -263,6 +266,13 @@ object SparkEntry {
     "sim_search_graph" -> (graft.ops.GraphAnn.simSearchGraph _),
     // C89a: beam search against the persisted graph + entry artifacts
     "sim_search_graph_cached" -> (graft.ops.GraphAnn.simSearchGraphCached _),
+    // C97: lexical BM25 top-10 per benchmark item — the exact term-match
+    // search family beside the ANN ladder (retrieval-based decontamination)
+    "search_bm25" -> (graft.ops.Retrieval.searchBm25 _),
+    // C98: hybrid retrieval — RRF (k=60) fusion of the BM25 and cosine
+    // top-10 lists per item; ranks are round-before-rank integers, so the
+    // fused score is engine-exact
+    "search_hybrid" -> (graft.ops.Retrieval.searchHybrid _),
     // C87: rows-only — measured recall@10 of the ANN ladder vs exact
     // ground truth on the sampled query set (the index-quality audit)
     "ann_recall_audit" -> (VectorQueries.annRecallAudit _),
@@ -1469,6 +1479,7 @@ object SparkEntry {
         |FROM n GROUP BY source ORDER BY source""".stripMargin,
     "dedup_ngram_jaccard" -> DedupQueries.jaccardOracle,
     "dedup_minhash" -> DedupQueries.minhashOracle,
+    "dedup_minhash_tuning" -> DedupQueries.minhashTuningOracle,
     "dedup_edit" -> DedupQueries.editOracle,
     "corpus_diff" -> graft.ingest.CorpusDiff.oracle,
     "dedup_exact_substr" -> ExactSubstr.oracle,
@@ -1598,8 +1609,7 @@ object SparkEntry {
         |       cast(sum(end_sec - start_sec) AS BIGINT) AS total_duration_s,
         |       cast(max(n_events) AS BIGINT) AS max_events
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
-    // dedup_simhash: rows-only (60-bit banded SimHash isn't expressible in
-    // portable DuckDB SQL — no hex->int conversion); covered by ScalaTest.
+    "dedup_simhash" -> DedupQueries.simhashOracle,
     "dedup_embedding" ->
       """WITH v AS (
         |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e
@@ -1625,7 +1635,14 @@ object SparkEntry {
         |      FROM c)
         |SELECT query_id, rnk, vec_id, cosine FROM r WHERE rnk <= 10
         |ORDER BY query_id, rnk, vec_id""".stripMargin,
-    // sim_search_lsh: rows-only (hyperplane set generated Scala-side).
+    "search_bm25" -> graft.ops.Retrieval.bm25Oracle,
+    "search_hybrid" -> graft.ops.Retrieval.hybridOracle,
+    // C7/C5a: the seeded plane sets are INLINED into generated SQL, so
+    // the LSH faces hash-check end to end (bucket sign tests are
+    // engine-exact — the same left-to-right dot parity the cosine
+    // oracles rest on)
+    "sim_search_lsh" -> VectorQueries.simSearchLshOracle,
+    "dedup_embedding_lsh" -> VectorQueries.dedupEmbeddingLshOracle,
     "embed_centroids" ->
       """WITH v AS (
         |  SELECT label, list_transform(embedding, x -> x::DOUBLE) AS e

@@ -28,6 +28,60 @@ object DedupQueries {
     Dedup.minhashCandidates(docs(s, dir), "doc_id", "text")
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** C99: LSH banding-parameter TUNING card — the ablation a dedup owner
+    * runs before fixing (bands × rows) for a corpus (the C86/C88 posture
+    * applied to the MinHash S-curve): the SAME 16-hash signature frame
+    * re-banded as 16×1, 8×2, 4×4, and 2×8, each configuration's candidate
+    * pairs measured against the C2 ground truth (df-capped 3-gram Jaccard
+    * ≥ 0.5 — the SQL-checked face LSH exists to replace at scale), with
+    * precision/recall in integer basis points. More rows per band =
+    * stricter collision: each config's candidate set provably CONTAINS
+    * the next's (a shared 2r-row band implies both r-row halves shared —
+    * RetrievalTuningSpec pins the chain), so recall is monotone
+    * non-increasing down the table and the card reads as the operating
+    * curve. Plan: ONE signature groupBy feeds all four band explodes
+    * (band-equi pair joins, never all-pairs); ground truth is the C2
+    * join, computed once — at 100 TB the truth side runs on a sampled
+    * document slice (the C87 recall-audit posture), the banding sides are
+    * production-cost by construction. */
+  def dedupMinhashTuning(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sig = Dedup.minhashSignature(
+        Dedup.shingleFrame(d, "doc_id", "text", 3), "doc_id", 16)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheScope.releaseAfterAction(s, sig)
+    val truth = Dedup.jaccardPairs(d, "doc_id", "text", persistShingles = true)
+      .select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheScope.releaseAfterAction(s, truth)
+    val truthCount = truth.agg(count(lit(1)).as("true_pairs"))
+    val cards = TuningConfigs.map { case (bands, rows) =>
+      val bnd = Dedup.lshBands(sig, "doc_id", bands, rows)
+      val pa = bnd.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
+      val pb = bnd.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key"))
+      val cand = pa.join(pb, Seq("band_idx", "band_key"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      cand.join(truth.withColumn("__hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("candidates"),
+          coalesce(sum(col("__hit")), lit(0L)).as("hits"))
+        .select(lit(bands).as("bands"), lit(rows).as("rows_per_band"),
+          col("candidates"), col("hits"))
+    }
+    cards.reduce(_ union _)
+      .crossJoin(broadcast(truthCount))
+      .withColumn("precision_bp", expr(
+        "CASE WHEN candidates = 0 THEN NULL ELSE hits * 10000 div candidates END"))
+      .withColumn("recall_bp", expr(
+        "CASE WHEN true_pairs = 0 THEN NULL ELSE hits * 10000 div true_pairs END"))
+      .orderBy(col("bands").desc)
+  }
+
+  /** The (bands, rowsPerBand) ladder the tuning card sweeps — every
+    * config re-bands the same 16 minhashes. */
+  private[graft] val TuningConfigs: Seq[(Int, Int)] =
+    Seq((16, 1), (8, 2), (4, 4), (2, 8))
+
   /** C54: the inter-source duplication matrix — the dataset-card view
     * of WHERE the near-duplication lives: C3's MinHash candidate pairs
     * rolled up per unordered source pair (least/greatest normalizes the
@@ -399,6 +453,103 @@ object DedupQueries {
        |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        |  AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** C99 oracle: generated from the SAME TuningConfigs ladder — the 16
+    * signature mins once, one band CTE + candidate/hit aggregate per
+    * config, the C2 jaccard CTEs as ground truth, UNION ALL + bp
+    * arithmetic. */
+  val minhashTuningOracle: String = {
+    val mins = (0 until 16).map(k => s"    min(md5('$k|'||s)) AS m$k").mkString(",\n")
+    val bandCtes = TuningConfigs.map { case (b, r) =>
+      val sel = (0 until b).map { i =>
+        val ms = (0 until r).map(j => s"m${i * r + j}").mkString("||'|'||")
+        s"  SELECT doc_id, $i AS band_idx, md5($ms) AS band_key FROM sig"
+      }.mkString("\n  UNION ALL\n")
+      s"bands_$b AS (\n$sel)"
+    }.mkString(",\n")
+    val cardCtes = TuningConfigs.map { case (b, r) =>
+      s"""card_$b AS (
+         |  SELECT $b AS bands, $r AS rows_per_band,
+         |         count(*)::BIGINT AS candidates,
+         |         count(t.doc_a)::BIGINT AS hits
+         |  FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |        FROM bands_$b a JOIN bands_$b b
+         |          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |          AND a.doc_id < b.doc_id) c
+         |  LEFT JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)""".stripMargin
+    }.mkString(",\n")
+    val unioned = TuningConfigs.map { case (b, _) => s"SELECT * FROM card_$b" }
+      .mkString(" UNION ALL ")
+    s"""WITH $toksCte,
+       |keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+       |shc AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+       |pr AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+       |       FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT i AS doc_a, j AS doc_b
+       |  FROM pr JOIN sz x ON pr.i = x.doc_id JOIN sz y ON pr.j = y.doc_id
+       |  WHERE c::DOUBLE/(x.n+y.n-c) >= 0.5),
+       |tc AS (SELECT count(*)::BIGINT AS true_pairs FROM truth),
+       |sig AS (
+       |  SELECT doc_id,
+       |$mins
+       |  FROM sh0 GROUP BY doc_id),
+       |$bandCtes,
+       |$cardCtes
+       |SELECT bands, rows_per_band, candidates, hits, tc.true_pairs,
+       |       CASE WHEN candidates = 0 THEN NULL
+       |            ELSE hits * 10000 // candidates END AS precision_bp,
+       |       CASE WHEN true_pairs = 0 THEN NULL
+       |            ELSE hits * 10000 // true_pairs END AS recall_bp
+       |FROM ($unioned) u, tc
+       |ORDER BY bands DESC""".stripMargin
+  }
+
+  /** C4 oracle: the 60-bit SimHash re-spelled as the exploded
+    * 60-aggregate (the construction [[graft.functions.SimHash64]]
+    * collapses into one native pass — its own spec proves the two
+    * spellings equal): token hash = first 15 hex chars of md5 parsed as
+    * a 60-bit integer (the winnowOracle hex-cast pattern), per-bit
+    * occurrence-weighted ±1 sums, bit set iff strictly positive; a
+    * token-less document keeps signature 0 via the LEFT JOIN (matching
+    * the native pass, which sums nothing); then the same 4×15-bit
+    * banding, distinct pair join, and Hamming ≤ 3 confirm via
+    * xor + bit_count. */
+  val simhashOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS w
+      |  FROM documents),
+      |t2 AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+      |h AS (SELECT doc_id,
+      |             CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+      |      FROM t2),
+      |bits AS (
+      |  SELECT doc_id, t.bit,
+      |         sum(CASE WHEN (h >> t.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM h, unnest(generate_series(0, 59)) AS t(bit)
+      |  GROUP BY 1, 2),
+      |sig0 AS (
+      |  SELECT doc_id,
+      |         sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+      |  FROM bits GROUP BY 1),
+      |sig AS (
+      |  SELECT d.doc_id, coalesce(sig0.simhash, 0::BIGINT) AS simhash
+      |  FROM documents d LEFT JOIN sig0 USING (doc_id)),
+      |banded AS (
+      |  SELECT doc_id, simhash, t.i AS band_idx,
+      |         (simhash >> (t.i * 15)) & 32767 AS band_val
+      |  FROM sig, unnest(generate_series(0, 3)) AS t(i)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         bit_count(xor(a.simhash, b.simhash)) AS hamming
+      |  FROM banded a JOIN banded b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |    AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** C58 oracle: positional shingle hashes, the same ±4 local-minimum
     * selection (value-based, tie-order-free), df cap, pair overlap. */

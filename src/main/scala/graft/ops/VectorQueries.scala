@@ -697,4 +697,84 @@ object VectorQueries {
         round(avg(when(!col("deg"), col("mean_c"))), 4).as("avg_mean_comp"))
       .orderBy(col("label"))
   }
+
+  /** Per-table DuckDB bucket expressions for a hyperplane LSH table set:
+    * the SAME seeded ±1 planes the Spark faces use
+    * ([[Vectors.hyperplanes]] is deterministic), INLINED as array
+    * literals at oracle-construction time. The sign test is engine-exact
+    * because both engines fold the dot product left-to-right over the
+    * same doubles (the property every green cosine oracle already rests
+    * on), so the buckets — and hence the candidate sets — are
+    * bit-identical cross-engine. */
+  private def bucketSql(numTables: Int, bitsPerTable: Int, dim: Int,
+      seedBase: Long): Seq[String] =
+    (0 until numTables).map { l =>
+      val planes = Vectors.hyperplanes(bitsPerTable, dim, seedBase + l)
+      planes.zipWithIndex.map { case (p, j) =>
+        val lits = p.map(x => if (x > 0) "1.0" else "-1.0")
+          .mkString("[", ", ", "]::DOUBLE[]")
+        s"(CASE WHEN list_dot_product(e, $lits) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    }
+
+  /** C7 oracle: generated from the same (L=4, bits=6, seed 42+l) plane
+    * set as [[simSearchLsh]] — banded corpus, bucket-mate candidates in
+    * any table, exact round-4 cosine rescore, rank <= 10. */
+  val simSearchLshOracle: String = {
+    val buckets = bucketSql(numTables = 4, bitsPerTable = 6,
+      dim = EmbeddingDim, seedBase = 42L)
+    val bandSelects = buckets.zipWithIndex.map { case (b, l) =>
+      s"  SELECT vec_id, e, nrm, $l AS tbl, $b AS bucket FROM n"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+       |banded AS (
+       |$bandSelects),
+       |q AS (SELECT vec_id AS query_id, tbl, bucket FROM banded WHERE vec_id < 5),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, b.vec_id
+       |  FROM banded b JOIN q ON b.tbl = q.tbl AND b.bucket = q.bucket
+       |  WHERE b.vec_id <> q.query_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |         round(list_dot_product(x.e, y.e)/(x.nrm*y.nrm), 4) AS cosine
+       |  FROM cand JOIN n x ON cand.query_id = x.vec_id
+       |            JOIN n y ON cand.vec_id = y.vec_id),
+       |r AS (SELECT *, rank() OVER (PARTITION BY query_id
+       |                             ORDER BY cosine DESC, vec_id) AS rnk
+       |      FROM scored)
+       |SELECT query_id, rnk, vec_id, cosine FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rnk, vec_id""".stripMargin
+  }
+
+  /** C5a oracle: generated from the same (L=8, bits=2, seed 142+l) plane
+    * set as [[dedupEmbeddingLsh]] — label-blocked bucket-mate candidates,
+    * exact tau=0.35 rescore, max-cos per pair (identical across the k
+    * colliding tables), round-4. */
+  val dedupEmbeddingLshOracle: String = {
+    val buckets = bucketSql(numTables = 8, bitsPerTable = 2,
+      dim = EmbeddingDim, seedBase = 142L)
+    val bandSelects = buckets.zipWithIndex.map { case (b, l) =>
+      s"  SELECT vec_id, label, e, nrm, $l AS tbl, $b AS bucket FROM n"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+       |banded AS (
+       |$bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label
+       |  FROM banded a JOIN banded b
+       |    ON a.label = b.label AND a.tbl = b.tbl AND a.bucket = b.bucket
+       |    AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cand.label AS label,
+       |       round(list_dot_product(x.e, y.e)/(x.nrm*y.nrm), 4) AS cosine
+       |FROM cand JOIN n x ON cand.vec_a = x.vec_id
+       |          JOIN n y ON cand.vec_b = y.vec_id
+       |WHERE list_dot_product(x.e, y.e)/(x.nrm*y.nrm) >= 0.35
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
 }
