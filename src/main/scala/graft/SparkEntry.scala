@@ -1480,6 +1480,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> DedupQueries.jaccardOracle,
     "dedup_minhash" -> DedupQueries.minhashOracle,
     "dedup_minhash_tuning" -> DedupQueries.minhashTuningOracle,
+    // C64: the estimator algebra replays in SQL because the sketch is
+    // DATA — identical md5-60 hashes build identical sketches
+    "corpus_overlap_kmv" -> DedupQueries.kmvOracle,
     "dedup_edit" -> DedupQueries.editOracle,
     "corpus_diff" -> graft.ingest.CorpusDiff.oracle,
     "dedup_exact_substr" -> ExactSubstr.oracle,

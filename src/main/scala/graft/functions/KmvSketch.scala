@@ -129,10 +129,18 @@ object KmvSketch {
   private def unit(v: Column): Column = v.cast("double") / Two64 + 0.5
 
   /** Distinct-count estimate from a sketch array: exact below k
-    * (the sketch holds the whole value set), (k-1)/u_(k) at k. */
-  def distinctEstimate(sketch: Column, k: Int): Column =
+    * (the sketch holds the whole value set), (k-1)/u_(k) at k.
+    * `hashBits` names the hash's value space: 64 = full signed-long
+    * hashes (xxhash64) mapped by the signed-shift unit; anything
+    * smaller = non-negative `hashBits`-bit hashes (e.g. the md5-derived
+    * 60-bit values the oracle-parity faces use) mapped by v / 2^bits. */
+  def distinctEstimate(sketch: Column, k: Int, hashBits: Int = 64): Column = {
+    val u =
+      if (hashBits == 64) unit(element_at(sketch, k))
+      else element_at(sketch, k).cast("double") / math.pow(2.0, hashBits)
     when(size(sketch) < k, size(sketch).cast("double"))
-      .otherwise(lit(k - 1).cast("double") / unit(element_at(sketch, k)))
+      .otherwise(lit(k - 1).cast("double") / u)
+  }
 
   /** The k smallest of two sketches' union — a valid KMV sketch of
     * the union of the two underlying sets. */

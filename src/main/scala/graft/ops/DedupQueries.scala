@@ -182,9 +182,13 @@ object DedupQueries {
     * never shuffles (map-side partial sketches merge to k longs per
     * source, merge-order independent so the result is bit-stable), and
     * the pairwise stage runs on an S-row frame (S = source count) —
-    * the S² work is on 256-element arrays, not documents. Estimates,
-    * not exact counts → rows-only; KmvSpec bounds the error vs the
-    * exact per-pair Jaccard and proves repartition-stability. */
+    * the S² work is on 256-element arrays, not documents. The shingle
+    * hash is the md5-derived 60-bit value (the repo's parity hash —
+    * SURVEY §4), so the ENTIRE estimator algebra replays in DuckDB and
+    * the face hash-checks end to end: a sketch is data, and identical
+    * hashes make both engines build identical sketches. KmvSpec
+    * additionally bounds the error vs the exact per-pair Jaccard and
+    * proves repartition-stability. */
   def corpusOverlapKmv(s: SparkSession, dir: String): DataFrame = {
     val k = 256
     // the S-row sketch frame feeds BOTH sides of the pairwise join — a
@@ -192,7 +196,8 @@ object DedupQueries {
     // content shuffle); the cache is S×k longs, metadata-scale
     val sk = docs(s, dir)
       .select(col("source"), explode(Dedup.shingles(col("text"), 3)).as("sh"))
-      .select(col("source"), xxhash64(col("sh")).as("h"))
+      .select(col("source"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
       .groupBy(col("source"))
       .agg(graft.functions.KmvSketch(col("h"), k).as("kmv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -201,7 +206,8 @@ object DedupQueries {
     val b = sk.select(col("source").as("src_b"), col("kmv").as("kb"))
     val jac = graft.functions.KmvSketch.jaccardEstimate(col("ka"), col("kb"), k)
     val uni = graft.functions.KmvSketch.distinctEstimate(
-      graft.functions.KmvSketch.unionSketch(col("ka"), col("kb"), k), k)
+      graft.functions.KmvSketch.unionSketch(col("ka"), col("kb"), k), k,
+      hashBits = 60)
     // S×S over the sketch frame: broadcast-tiny by construction (one
     // row per source), the audited exception to the no-cartesian rule
     a.join(b, col("src_a") < col("src_b"))
@@ -506,6 +512,44 @@ object DedupQueries {
        |FROM ($unioned) u, tc
        |ORDER BY bands DESC""".stripMargin
   }
+
+  /** C64 oracle: the KMV sketches and the whole estimator algebra
+    * replayed in SQL — per source, the 256 smallest distinct 60-bit
+    * md5 shingle hashes (a sketch is DATA: identical hashes give both
+    * engines identical sketches), then per pair the union-trim sketch,
+    * the both-members Jaccard fraction, and (k−1)/u_(k) with the
+    * 60-bit unit map, rounded exactly as the face rounds. */
+  val kmvOracle: String =
+    s"""WITH $toksCte,
+       |shs AS (
+       |  SELECT DISTINCT d.source,
+       |         CAST(concat('0x', substr(md5(sh0.s), 1, 15)) AS BIGINT) AS h
+       |  FROM sh0 JOIN documents d USING (doc_id)),
+       |rk AS (SELECT source, h,
+       |              row_number() OVER (PARTITION BY source ORDER BY h) AS r
+       |       FROM shs),
+       |sk AS (SELECT source, list(h ORDER BY h) AS kmv
+       |       FROM rk WHERE r <= 256 GROUP BY source),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |         list_slice(list_sort(list_distinct(list_concat(a.kmv, b.kmv))),
+       |                    1, 256) AS u,
+       |         a.kmv AS ka, b.kmv AS kb
+       |  FROM sk a JOIN sk b ON a.source < b.source),
+       |est AS (
+       |  SELECT src_a, src_b,
+       |         CASE WHEN len(u) = 0 THEN 0.0::DOUBLE
+       |              ELSE len(list_filter(u, v -> list_contains(ka, v)
+       |                                       AND list_contains(kb, v)))::DOUBLE
+       |                   / len(u) END AS jac,
+       |         CASE WHEN len(u) < 256 THEN len(u)::DOUBLE
+       |              ELSE 255::DOUBLE
+       |                   / (u[256]::DOUBLE / 1152921504606846976::DOUBLE) END AS uni
+       |  FROM pairs)
+       |SELECT src_a, src_b, round(jac, 4) AS est_jaccard,
+       |       round(uni)::BIGINT AS est_union,
+       |       round(jac * uni)::BIGINT AS est_shared
+       |FROM est ORDER BY src_a, src_b""".stripMargin
 
   /** C4 oracle: the 60-bit SimHash re-spelled as the exploded
     * 60-aggregate (the construction [[graft.functions.SimHash64]]

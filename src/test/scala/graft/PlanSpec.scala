@@ -429,4 +429,31 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"),
       s"the exact confirm must remain a semi-join:\n$plan")
   }
+
+  test("search_bm25: query side broadcasts, corpus never cartesians, scans pruned") {
+    val plan = executed("search_bm25")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    // the postings join must see the eval-sized query-term frame as the
+    // broadcast side — a shuffled hash join there reshuffles the corpus
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"query terms must broadcast into the postings join:\n$plan")
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchemas.contains("n_chars"), "reads n_chars it never uses")
+    assert(!readSchemas.contains("lang"), "reads lang it never uses")
+  }
+
+  test("search_hybrid: both arms stay cartesian-free; semantic arm broadcasts the queries") {
+    val plan = executed("search_hybrid")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the cosine arm must broadcast the query set:\n$plan")
+  }
+
+  test("dedup_minhash_tuning: band-equi joins only, one signature aggregate feeds all configs") {
+    val plan = executed("dedup_minhash_tuning")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    // every pair join must be keyed on (band_idx, band_key) — the
+    // reused cached signature frame appears once per config explode
+    assert(plan.contains("band_key"), s"band-keyed joins missing:\n$plan")
+  }
 }

@@ -45,6 +45,25 @@ class KmvSpec extends SparkSpec {
     assert(math.abs(estU - 100000) / 100000 < 0.15, s"union estimate $estU for true 100000")
   }
 
+  test("the 60-bit unit map (md5 parity hashes) estimates within sketch error") {
+    val k = 512
+    // the C64 face's hash: first 15 hex chars of md5 as a 60-bit long
+    val h60 = conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val sk = spark.range(0, 60000).select(h60.as("h"))
+      .agg(KmvSketch(col("h"), k).as("kmv"))
+    val est = sk.select(KmvSketch.distinctEstimate(col("kmv"), k, hashBits = 60))
+      .as[Double].head()
+    assert(math.abs(est - 60000) / 60000 < 0.15,
+      s"60-bit-unit distinct estimate $est for true 60000")
+    // the SIGNED unit map over these non-negative values would read the
+    // k-th value as ~0.5 and estimate ~2(k-1) — pin that the width-aware
+    // map is load-bearing, not cosmetic
+    val wrong = sk.select(KmvSketch.distinctEstimate(col("kmv"), k))
+      .as[Double].head()
+    assert(wrong < 1100, s"sanity: the 64-bit map on 60-bit values reads ~2(k-1), got $wrong")
+  }
+
   test("sketches are merge-order independent: bit-equal across repartitionings") {
     val k = 128
     val base = spark.range(0, 50000).select(xxhash64(col("id")).as("h"))
