@@ -1483,6 +1483,9 @@ object SparkEntry {
     // C64: the estimator algebra replays in SQL because the sketch is
     // DATA — identical md5-60 hashes build identical sketches
     "corpus_overlap_kmv" -> DedupQueries.kmvOracle,
+    // C77: same argument, plus the bloom-free exact confirm (C72 gate
+    // exactness) and NULL-for-untried semantics
+    "text_contamination_triage" -> graft.ops.Decontaminate.triageOracle,
     "dedup_edit" -> DedupQueries.editOracle,
     "corpus_diff" -> graft.ingest.CorpusDiff.oracle,
     "dedup_exact_substr" -> ExactSubstr.oracle,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -105,8 +105,11 @@ object Decontaminate {
     * exact counts equal the un-triaged pass restricted to them (the
     * triage never changes what the exact stage computes, only where it
     * runs), (b) planted dirty sources triage in / disjoint-vocab
-    * sources triage out, and (c) determinism. Rows-only (KMV estimates
-    * are sketch logic DuckDB can't mirror).
+    * sources triage out, and (c) determinism. SQL-checked: the md5-60
+    * parity hash makes the KMV sketches data both engines construct
+    * identically (the C64 argument), so the estimate columns, the
+    * triage cut, AND the exact confirm all replay in DuckDB (the
+    * oracle's confirm is bloom-free — the C72 gate exactness).
     *
     * Scale shape: the sketch pass is one partial-aggregated scan (S×k
     * longs of state); the estimate stage is S rows against one
@@ -127,13 +130,18 @@ object Decontaminate {
       explode(Dedup.shingles(col("text"), 2)).as("ngram"))
     val bench = grams.where(col("doc_id") < benchMaxId)
       .select(col("ngram")).distinct()
-    val benchSk = bench.agg(KmvSketch(xxhash64(col("ngram")), k).as("kb"))
+    // md5-60 parity hash (the C64 convention): the sketches become DATA
+    // both engines construct identically, so the estimate columns — not
+    // just the exact confirm — are oracle-checkable
+    val h60 = (c: Column) =>
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val benchSk = bench.agg(KmvSketch(h60(col("ngram")), k).as("kb"))
     val srcSk = grams.where(col("doc_id") >= benchMaxId)
-      .select(col("source"), xxhash64(col("ngram")).as("h"))
+      .select(col("source"), h60(col("ngram")).as("h"))
       .groupBy(col("source")).agg(KmvSketch(col("h"), k).as("ka"))
     val jac = KmvSketch.jaccardEstimate(col("ka"), col("kb"), k)
     val uni = KmvSketch.distinctEstimate(
-      KmvSketch.unionSketch(col("ka"), col("kb"), k), k)
+      KmvSketch.unionSketch(col("ka"), col("kb"), k), k, hashBits = 60)
     // every corpus source keeps a row — a source whose documents yield
     // no shingles (all empty/null text) reports a zero estimate rather
     // than vanishing from the card (the row-keeping degenerate posture)
@@ -177,6 +185,73 @@ object Decontaminate {
           coalesce(col("n_hits"), lit(0L))).as("n_hits"))
       .orderBy(col("source"))
   }
+
+  /** C77 oracle: the full triage replayed — KMV sketches from the same
+    * md5-60 hashes (k smallest distinct per side), estimate algebra,
+    * the minShared=50 triage cut, and a BLOOM-FREE exact confirm
+    * (the C72 gate exactness) with NULL counts for untried sources. */
+  val triageOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm
+      |  FROM documents),
+      |toks AS (SELECT doc_id, source, string_split(norm,' ') AS w FROM d),
+      |bg AS (
+      |  SELECT DISTINCT doc_id, source, w[i]||' '||w[i+1] AS ngram
+      |  FROM toks, unnest(generate_series(1, len(w)-1)) AS t(i)
+      |  WHERE len(w) >= 2),
+      |bench AS (SELECT DISTINCT ngram FROM bg WHERE doc_id < 5),
+      |bh AS (SELECT DISTINCT CAST(concat('0x', substr(md5(ngram),1,15)) AS BIGINT) AS h
+      |       FROM bench),
+      |kb AS (SELECT list(h ORDER BY h) AS kb
+      |       FROM (SELECT h, row_number() OVER (ORDER BY h) AS r FROM bh)
+      |       WHERE r <= 256),
+      |sh AS (SELECT DISTINCT source,
+      |              CAST(concat('0x', substr(md5(ngram),1,15)) AS BIGINT) AS h
+      |       FROM bg WHERE doc_id >= 5),
+      |ka AS (SELECT source, list(h ORDER BY h) AS ka
+      |       FROM (SELECT source, h,
+      |                    row_number() OVER (PARTITION BY source ORDER BY h) AS r
+      |             FROM sh)
+      |       WHERE r <= 256 GROUP BY source),
+      |allsrc AS (SELECT DISTINCT source FROM documents WHERE doc_id >= 5),
+      |est0 AS (
+      |  SELECT ka.source,
+      |         list_slice(list_sort(list_distinct(list_concat(ka.ka, kb.kb))),
+      |                    1, 256) AS u,
+      |         ka.ka, kb.kb
+      |  FROM ka, kb),
+      |est1 AS (
+      |  SELECT source,
+      |         CASE WHEN len(u) = 0 THEN 0.0::DOUBLE
+      |              ELSE len(list_filter(u, v -> list_contains(ka, v)
+      |                                       AND list_contains(kb, v)))::DOUBLE
+      |                   / len(u) END AS jac,
+      |         CASE WHEN len(u) < 256 THEN len(u)::DOUBLE
+      |              ELSE 255::DOUBLE
+      |                   / (u[256]::DOUBLE / 1152921504606846976::DOUBLE) END AS uni
+      |  FROM est0),
+      |est AS (
+      |  SELECT allsrc.source,
+      |         coalesce(round(est1.jac, 4), 0.0::DOUBLE) AS est_jaccard,
+      |         coalesce(round(est1.jac * est1.uni)::BIGINT, 0::BIGINT) AS est_shared
+      |  FROM allsrc LEFT JOIN est1 USING (source)),
+      |perdoc AS (
+      |  SELECT bg.source, bg.doc_id, count(*) AS n_hits
+      |  FROM bg JOIN bench USING (ngram)
+      |  WHERE bg.doc_id >= 5
+      |  GROUP BY 1, 2 HAVING count(*) >= 3),
+      |flagged AS (
+      |  SELECT source, count(*)::BIGINT AS n_flagged_docs,
+      |         sum(n_hits)::BIGINT AS n_hits
+      |  FROM perdoc GROUP BY source)
+      |SELECT est.source, est.est_jaccard, est.est_shared,
+      |       est.est_shared >= 50 AS triaged,
+      |       CASE WHEN est.est_shared >= 50
+      |            THEN coalesce(f.n_flagged_docs, 0::BIGINT) END AS n_flagged_docs,
+      |       CASE WHEN est.est_shared >= 50
+      |            THEN coalesce(f.n_hits, 0::BIGINT) END AS n_hits
+      |FROM est LEFT JOIN flagged f USING (source)
+      |ORDER BY est.source""".stripMargin
 
   /** The bloom-positive candidate stage alone (no confirm join) —
     * exposed so DeconSpec can measure the pruning and the
