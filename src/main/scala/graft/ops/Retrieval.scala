@@ -60,9 +60,11 @@ object Retrieval {
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
       .where(col("term") =!= "")
 
-  /** The scored-and-ranked BM25 frame (item_id, doc_id, score, rnk) —
-    * shared by the C97 face and the C98 hybrid fusion. */
-  private[graft] def bm25Ranked(s: SparkSession, dir: String): DataFrame = {
+  /** The fitted retrieval pieces: postings (tf), doc lengths (dl), and
+    * the per-item kept-term model with idf attached — shared by the
+    * batch ranking and the D25 streaming triage fit. */
+  private[graft] def fitted(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val t = tok(s, dir)
     // postings: one explode + one partial-agg groupBy; dl and df both
     // derive from tf so the corpus tokenizes once (the C20 tf/df shape)
@@ -81,17 +83,30 @@ object Retrieval {
     // of the postings join; the window runs on the eval-sized frame
     val qsel = Window.partitionBy(col("item_id"))
       .orderBy(col("df").asc, col("term"))
+    val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val qk = qterms.join(df, Seq("term")).crossJoin(broadcast(scalars))
       .where(col("df") * 10 <= col("n") * 9)
       .withColumn("__r", row_number().over(qsel)).where(col("__r") <= 8)
-      .select(col("term"), col("item_id"), col("df"), col("n"), col("avgdl"))
-    val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .select(col("term"), col("item_id"), col("df"), col("n"), col("avgdl"),
+        idf.as("idf"))
+    (tf, dl, qk)
+  }
+
+  /** The per-item kept-term model (item_id, term, df, n, avgdl, idf) —
+    * the frozen stats the streaming triage collapses to literals. */
+  private[graft] def queryModel(s: SparkSession, dir: String): DataFrame =
+    fitted(s, dir)._3
+
+  /** The scored-and-ranked BM25 frame (item_id, doc_id, score, rnk) —
+    * shared by the C97 face and the C98 hybrid fusion. */
+  private[graft] def bm25Ranked(s: SparkSession, dir: String): DataFrame = {
+    val (tf, dl, qk) = fitted(s, dir)
     val tfn = (col("tf") * lit(2.2)) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
     val scored = tf.join(broadcast(qk), Seq("term"))
       .join(dl, Seq("doc_id"))
       .groupBy(col("item_id"), col("doc_id"))
-      .agg(round(sum(idf * tfn), 4).as("score"))
+      .agg(round(sum(col("idf") * tfn), 4).as("score"))
     val w = Window.partitionBy(col("item_id"))
       .orderBy(col("score").desc, col("doc_id"))
     scored.withColumn("rnk", rank().over(w)).where(col("rnk") <= 10)
