@@ -224,7 +224,8 @@ object SparkEntry {
     "dedup_minhash" -> (DedupQueries.dedupMinhash _),
     // C99: the banding ablation — the same 16 minhashes re-banded 16x1 ..
     // 2x8, precision/recall vs the C2 truth (the LSH operating curve)
-    "dedup_minhash_tuning" -> (DedupQueries.dedupMinhashTuning _),
+    "dedup_minhash_tuning" -> ((s: SparkSession, d: String) =>
+      DedupQueries.dedupMinhashTuning(s, d)),
     // edit-distance confirmation of the MinHash candidates (two-stage fuzzy dedup)
     "dedup_edit" -> (DedupQueries.dedupEdit _),
     "dedup_simhash" -> (DedupQueries.dedupSimhash _),

@@ -42,9 +42,22 @@ object DedupQueries {
     * curve. Plan: ONE signature groupBy feeds all four band explodes
     * (band-equi pair joins, never all-pairs); ground truth is the C2
     * join, computed once — at 100 TB the truth side runs on a sampled
-    * document slice (the C87 recall-audit posture), the banding sides are
-    * production-cost by construction. */
-  def dedupMinhashTuning(s: SparkSession, dir: String): DataFrame = {
+    * document slice (the C87 recall-audit posture).
+    *
+    * HOT-BAND CAP (the C2 df-cap posture, measured necessary): a band
+    * group of size m emits m²/2 candidate pairs, and on a dup-heavy
+    * corpus the giant groups ARE the duplicate clusters — the loosest
+    * 16×1 banding degenerates toward any-overlap blocking (158 s at the
+    * 50k-doc sf1 decade, 30× super-linear, before the cap). A tuning
+    * card doesn't need a mega-cluster enumerated pair-by-pair to
+    * measure an operating point, so groups over `maxBand` are EXCLUDED
+    * from the pair join and REPORTED (`hot_bands`, `hot_band_docs`) —
+    * capped cells are visible, not silently truncated. The uncapped
+    * nesting theorem still governs the construction; when the cap
+    * binds, a cell's candidates are the capped construction's (the spec
+    * pins cap-off equality and the planted-mega-cluster accounting). */
+  def dedupMinhashTuning(s: SparkSession, dir: String,
+      maxBand: Int = 64): DataFrame = {
     val d = docs(s, dir)
     val sig = Dedup.minhashSignature(
         Dedup.shingleFrame(d, "doc_id", "text", 3), "doc_id", 16)
@@ -57,16 +70,28 @@ object DedupQueries {
     val truthCount = truth.agg(count(lit(1)).as("true_pairs"))
     val cards = TuningConfigs.map { case (bands, rows) =>
       val bnd = Dedup.lshBands(sig, "doc_id", bands, rows)
-      val pa = bnd.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
-      val pb = bnd.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key"))
+      // hot-band discovery is a partial-agg groupBy (map-side combined);
+      // over-cap groups are few by definition, so the exclusion is a
+      // broadcast anti-join — the banded frame never reshuffles for it
+      val groups = bnd.groupBy(col("band_idx"), col("band_key"))
+        .agg(count(lit(1)).as("__m"))
+      val hot = groups.where(col("__m") > maxBand)
+      val hotStats = hot.agg(
+        count(lit(1)).as("hot_bands"),
+        coalesce(sum(col("__m")), lit(0L)).as("hot_band_docs"))
+      val kept = bnd.join(broadcast(hot.select(col("band_idx"), col("band_key"))),
+        Seq("band_idx", "band_key"), "left_anti")
+      val pa = kept.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
+      val pb = kept.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key"))
       val cand = pa.join(pb, Seq("band_idx", "band_key"))
         .where(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
       cand.join(truth.withColumn("__hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
         .agg(count(lit(1)).as("candidates"),
           coalesce(sum(col("__hit")), lit(0L)).as("hits"))
+        .crossJoin(broadcast(hotStats))
         .select(lit(bands).as("bands"), lit(rows).as("rows_per_band"),
-          col("candidates"), col("hits"))
+          col("candidates"), col("hits"), col("hot_bands"), col("hot_band_docs"))
     }
     cards.reduce(_ union _)
       .crossJoin(broadcast(truthCount))
@@ -474,12 +499,23 @@ object DedupQueries {
       s"bands_$b AS (\n$sel)"
     }.mkString(",\n")
     val cardCtes = TuningConfigs.map { case (b, r) =>
-      s"""card_$b AS (
+      s"""hot_$b AS (
+         |  SELECT band_idx, band_key, count(*) AS m FROM bands_$b
+         |  GROUP BY 1, 2 HAVING count(*) > 64),
+         |hotstat_$b AS (
+         |  SELECT count(*)::BIGINT AS hot_bands,
+         |         coalesce(sum(m), 0)::BIGINT AS hot_band_docs FROM hot_$b),
+         |kept_$b AS (
+         |  SELECT bands_$b.* FROM bands_$b
+         |  ANTI JOIN hot_$b USING (band_idx, band_key)),
+         |card_$b AS (
          |  SELECT $b AS bands, $r AS rows_per_band,
          |         count(*)::BIGINT AS candidates,
-         |         count(t.doc_a)::BIGINT AS hits
+         |         count(t.doc_a)::BIGINT AS hits,
+         |         (SELECT hot_bands FROM hotstat_$b) AS hot_bands,
+         |         (SELECT hot_band_docs FROM hotstat_$b) AS hot_band_docs
          |  FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |        FROM bands_$b a JOIN bands_$b b
+         |        FROM kept_$b a JOIN kept_$b b
          |          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          |          AND a.doc_id < b.doc_id) c
          |  LEFT JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)""".stripMargin
@@ -504,7 +540,8 @@ object DedupQueries {
        |  FROM sh0 GROUP BY doc_id),
        |$bandCtes,
        |$cardCtes
-       |SELECT bands, rows_per_band, candidates, hits, tc.true_pairs,
+       |SELECT bands, rows_per_band, candidates, hits, hot_bands,
+       |       hot_band_docs, tc.true_pairs,
        |       CASE WHEN candidates = 0 THEN NULL
        |            ELSE hits * 10000 // candidates END AS precision_bp,
        |       CASE WHEN true_pairs = 0 THEN NULL

@@ -440,6 +440,12 @@ class PlanSpec extends SparkSpec {
     val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(!readSchemas.contains("n_chars"), "reads n_chars it never uses")
     assert(!readSchemas.contains("lang"), "reads lang it never uses")
+    // the per-item top-10 rank must prune MAP-SIDE (Partial
+    // WindowGroupLimit): the final |items|-partition window then sees
+    // <= 10 rows per map partition, not the whole candidate set — the
+    // difference between a straggler and a constant at 100 TB
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"rank<=10 must push a partial WindowGroupLimit below the exchange:\n$plan")
   }
 
   test("search_hybrid: both arms stay cartesian-free; semantic arm broadcasts the queries") {

@@ -8,13 +8,20 @@ import graft.SparkSpec
 class RetrievalTuningSpec extends SparkSpec {
   import spark.implicits._
 
-  private def candidatesFor(bands: Int, rows: Int, dir: String): Set[(Long, Long)] = {
+  /** The capped construction mirrored driver-side; maxBand=MaxValue is
+    * the pure (uncapped) construction the nesting theorem governs. */
+  private def candidatesFor(bands: Int, rows: Int, dir: String,
+      maxBand: Int = 64): Set[(Long, Long)] = {
     val sig = Dedup.minhashSignature(
       Dedup.shingleFrame(graft.sources.Tables(spark, dir, "documents"),
         "doc_id", "text", 3), "doc_id", 16)
     val bnd = Dedup.lshBands(sig, "doc_id", bands, rows)
-    val a = bnd.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
-    val b = bnd.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key"))
+    val hot = bnd.groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("m")).where(col("m") > maxBand)
+      .select(col("band_idx"), col("band_key"))
+    val kept = bnd.join(hot, Seq("band_idx", "band_key"), "left_anti")
+    val a = kept.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
+    val b = kept.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key"))
     a.join(b, Seq("band_idx", "band_key")).where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
       .as[(Long, Long)].collect().toSet
@@ -44,8 +51,10 @@ class RetrievalTuningSpec extends SparkSpec {
   test("stricter banding gives nested candidate sets (the S-curve chain theorem)") {
     // a shared 2r-row band implies both r-row halves are shared, so each
     // config's candidate set contains the next stricter one's — for ANY
-    // corpus, not just this one
-    val chain = DedupQueries.TuningConfigs.map { case (b, r) => candidatesFor(b, r, sfDir) }
+    // corpus, not just this one (the UNCAPPED construction; the hot-band
+    // cap is an orthogonal reported exclusion)
+    val chain = DedupQueries.TuningConfigs.map { case (b, r) =>
+      candidatesFor(b, r, sfDir, maxBand = Int.MaxValue) }
     chain.zip(chain.tail).foreach { case (looser, stricter) =>
       assert(stricter.subsetOf(looser), "candidate sets must be nested down the ladder")
     }
@@ -63,6 +72,33 @@ class RetrievalTuningSpec extends SparkSpec {
     rows.foreach { r =>
       assert(r.getAs[Long]("hits") <= r.getAs[Long]("candidates"))
       assert(r.getAs[Long]("hits") <= r.getAs[Long]("true_pairs"))
+    }
+  }
+
+  test("hot-band cap: a planted mega-cluster is excluded and REPORTED, not enumerated") {
+    val dir = tmpDir("lshhot")
+    val dupText = (1 to 40).map(i => s"dup$i").mkString(" ")
+    // 100 identical docs: every band of every config groups them (m=100
+    // > 64) — uncapped, each config would enumerate 4950 pairs
+    val rows = (0L until 100L).map(i => (i, dupText)) :+
+      (200L, (1 to 40).map(i => s"solo$i").mkString(" "))
+    rows.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = DedupQueries.dedupMinhashTuning(spark, dir).collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("hot_bands") >= 1,
+        s"config ${(r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band"))} must report the hot cluster")
+      assert(r.getAs[Long]("candidates") == 0L,
+        "the mega-cluster must be excluded from the pair join, not enumerated")
+      assert(r.getAs[Long]("hot_band_docs") >= 100L)
+      // the truth side (df-capped jaccard) still counts the real pairs —
+      // the card shows exactly what the cap traded away
+      assert(r.getAs[Long]("true_pairs") == 100L * 99L / 2L)
+    }
+    // cap lifted (maxBand over the cluster size) restores the uncapped pairs
+    val uncapped = DedupQueries.dedupMinhashTuning(spark, dir, maxBand = 1000).collect()
+    uncapped.foreach { r =>
+      assert(r.getAs[Long]("hot_bands") == 0L)
+      assert(r.getAs[Long]("candidates") == 100L * 99L / 2L)
     }
   }
 
