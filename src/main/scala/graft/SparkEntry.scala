@@ -274,6 +274,9 @@ object SparkEntry {
     // top-10 lists per item; ranks are round-before-rank integers, so the
     // fused score is engine-exact
     "search_hybrid" -> (graft.ops.Retrieval.searchHybrid _),
+    // C100: dimension-truncation recall audit (the Matryoshka question:
+    // how many dims does the index need) — SQL-checked prefix cosines
+    "ann_dim_audit" -> (VectorQueries.annDimAudit _),
     // C87: rows-only — measured recall@10 of the ANN ladder vs exact
     // ground truth on the sampled query set (the index-quality audit)
     "ann_recall_audit" -> (VectorQueries.annRecallAudit _),
@@ -1642,6 +1645,7 @@ object SparkEntry {
         |      FROM c)
         |SELECT query_id, rnk, vec_id, cosine FROM r WHERE rnk <= 10
         |ORDER BY query_id, rnk, vec_id""".stripMargin,
+    "ann_dim_audit" -> VectorQueries.annDimAuditOracle,
     "search_bm25" -> graft.ops.Retrieval.bm25Oracle,
     "search_hybrid" -> graft.ops.Retrieval.hybridOracle,
     // C7/C5a: the seeded plane sets are INLINED into generated SQL, so

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -696,6 +696,106 @@ object VectorQueries {
         round(max(when(!col("deg"), col("nrm"))), 4).as("max_norm"),
         round(avg(when(!col("deg"), col("mean_c"))), 4).as("avg_mean_comp"))
       .orderBy(col("label"))
+  }
+
+  /** C100: dimension-TRUNCATION recall audit (the Matryoshka question,
+    * Kusupati et al. NeurIPS 2022: "can we serve d < D dims?") — for
+    * d ∈ {8, 16, 32, 64}, the exact cosine top-10 per query computed in
+    * the d-dim PREFIX space vs the full-dim top-10 as ground truth,
+    * micro-averaged recall per d in integer bp. Sits beside the C87
+    * method audit: C87 asks which INDEX to serve from, this asks how
+    * many DIMENSIONS the index needs — 8-dim vectors are an 8× memory /
+    * bandwidth cut on every face that carries `e`.
+    *
+    * Plan: ONE projection adds the four prefix norms per vector (narrow,
+    * codegen), the C6 broadcast-query scored pass computes all four
+    * prefix cosines per (query, corpus) row, a generator explodes them
+    * to (d, cos) rows, and the per-(query, d) top-10 is the same
+    * round-before-rank window as C6 (partial WindowGroupLimit map-side —
+    * the final window sees ≤ 10 rows per map partition). Zero-norm
+    * PREFIXES (a vector whose first d dims are all 0 — possible even
+    * for healthy vectors) are dropped per-d with a mirrored guard, the
+    * ANSI-div posture of Vectors.withNorm applied per prefix space.
+    * SQL-checked: slices, dots, and norms are the same left-to-right
+    * folds every cosine oracle already rests on. */
+  def annDimAudit(s: SparkSession, dir: String): DataFrame = {
+    val dims = Seq(8, 16, 32, 64)
+    val v0 = emb(s, dir)
+    def pref(d: Int, c: Column): Column = slice(c, 1, d)
+    def prefNorm(d: Int): Column = sqrt(Vectors.dot(pref(d, col("e")), pref(d, col("e"))))
+    val v = v0.select(col("vec_id") +: col("e") +:
+      dims.map(d => prefNorm(d).as(s"n$d")): _*)
+    val queries = v.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id") +: col("e").as("qe") +:
+        dims.map(d => col(s"n$d").as(s"qn$d")): _*)
+    val scored = v.where(col("vec_id") >= 5).crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        explode(array(dims.map { d =>
+          struct(lit(d).as("dims"),
+            when(col(s"n$d") > 0 && col(s"qn$d") > 0,
+              round(Vectors.dot(pref(d, col("qe")), pref(d, col("e"))) /
+                (col(s"qn$d") * col(s"n$d")), 4)).as("cosine"))
+        }: _*)).as("dc"))
+      .select(col("query_id"), col("vec_id"),
+        col("dc.dims").as("dims"), col("dc.cosine").as("cosine"))
+      .where(col("cosine").isNotNull)
+    val w = Window.partitionBy(col("dims"), col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val top = scored.withColumn("rnk", rank().over(w)).where(col("rnk") <= 10)
+      .select(col("dims"), col("query_id"), col("vec_id"))
+    val truth = top.where(col("dims") === 64)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("__hit"))
+    top.join(truth, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("dims"))
+      .agg(countDistinct(col("query_id")).as("queries"),
+        coalesce(sum(col("__hit")), lit(0L)).as("hits"),
+        count(lit(1)).as("returned"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("truth"))))
+      .withColumn("recall_bp", expr("hits * 10000 div truth"))
+      .select(col("dims"), col("queries"), col("returned"), col("hits"),
+        col("truth"), col("recall_bp"))
+      .orderBy(col("dims"))
+  }
+
+  /** C100 oracle: the identical construction over list_slice prefixes. */
+  val annDimAuditOracle: String = {
+    val dims = Seq(8, 16, 32, 64)
+    val prefCos = dims.map { d =>
+      s"""    struct_pack(dims := $d, cosine := CASE
+         |      WHEN sqrt(list_dot_product(e[1:$d], e[1:$d])) > 0
+         |       AND sqrt(list_dot_product(qe[1:$d], qe[1:$d])) > 0
+         |      THEN round(list_dot_product(qe[1:$d], e[1:$d]) /
+         |           (sqrt(list_dot_product(qe[1:$d], qe[1:$d])) *
+         |            sqrt(list_dot_product(e[1:$d], e[1:$d]))), 4) END)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+       |sc0 AS (
+       |  SELECT query_id, vec_id, unnest([
+       |$prefCos
+       |  ]) AS dc
+       |  FROM v, q WHERE vec_id >= 5),
+       |sc AS (SELECT query_id, vec_id, dc.dims AS dims, dc.cosine AS cosine
+       |       FROM sc0 WHERE dc.cosine IS NOT NULL),
+       |r AS (SELECT *, rank() OVER (PARTITION BY dims, query_id
+       |                             ORDER BY cosine DESC, vec_id) AS rnk
+       |      FROM sc),
+       |top AS (SELECT dims, query_id, vec_id FROM r WHERE rnk <= 10),
+       |truth AS (SELECT query_id, vec_id FROM top WHERE dims = 64),
+       |tc AS (SELECT count(*)::BIGINT AS truth FROM truth),
+       |agg AS (
+       |  SELECT top.dims,
+       |         count(DISTINCT top.query_id)::BIGINT AS queries,
+       |         count(*)::BIGINT AS returned,
+       |         count(t.vec_id)::BIGINT AS hits
+       |  FROM top LEFT JOIN truth t
+       |    ON top.query_id = t.query_id AND top.vec_id = t.vec_id
+       |  GROUP BY top.dims)
+       |SELECT dims, queries, returned, hits, tc.truth,
+       |       hits * 10000 // tc.truth AS recall_bp
+       |FROM agg, tc ORDER BY dims""".stripMargin
   }
 
   /** Per-table DuckDB bucket expressions for a hyperplane LSH table set:

@@ -11,7 +11,10 @@ out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    try:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    except Exception:
+        pass  # partial corpora (e.g. docs-only decade dirs) skip absent tables
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fail = 0
