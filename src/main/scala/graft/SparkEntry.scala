@@ -123,6 +123,9 @@ object SparkEntry {
     "text_tokens" -> (TextQueries.textTokens _),
     "text_repetition" -> (TextQueries.textRepetition _),
     "text_redact" -> (TextQueries.textRedact _),
+    // C101: explicit-wordlist gate (fraction-based blocklist share)
+    "text_blocklist" -> ((s: SparkSession, d: String) =>
+      TextQueries.textBlocklist(s, d)),
     "text_fingerprint" -> (TextQueries.textFingerprint _),
     // sliding token windows + chunk-level (paragraph) dedup over them
     "text_chunk" -> (TextQueries.textChunk _),
@@ -1156,6 +1159,7 @@ object SparkEntry {
         |SELECT ngram, count(*) AS df
         |FROM bg GROUP BY ngram
         |ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
+    "text_blocklist" -> TextQueries.blocklistOracle,
     "text_redact" ->
       """WITH planted AS (
         |  SELECT doc_id, source,

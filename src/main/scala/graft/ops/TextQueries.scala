@@ -345,6 +345,64 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** C101: explicit-WORDLIST gate — the list-based filter every
+    * production pipeline runs beside the statistical batteries (C4's
+    * "bad word" page drops, RefinedWeb's NSFW URL/word lists): flag
+    * documents whose blocklisted-token SHARE clears a cut
+    * (fraction-based, the published rule — an absolute count would
+    * auto-flag every long document). Distinct from C9/C46 (statistical
+    * quality) and C27 (redaction rewrites content; this GATES documents
+    * wholesale). Plan: one token explode → per-doc conditional
+    * partial-agg (hits via a membership test against the tiny literal
+    * list — no join), per-source rollup; pure integer arithmetic
+    * (`hits·10⁴ ≥ total·cut_bp`), SQL-checked. Absent-from-corpus list
+    * entries cost nothing and flag nothing (spec-pinned). */
+  def textBlocklist(s: SparkSession, dir: String,
+      blocklist: Seq[String] = DefaultBlocklist, cutBp: Int = 600): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(Text.tokens(col("text"))).as("term"))
+      .where(col("term") =!= "")
+    val perDoc = tok.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("term").isin(blocklist: _*), 1L).otherwise(0L)).as("hits"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("hits")).as("block_tokens"),
+        sum(col("total")).as("total_tokens"),
+        sum(when(col("hits") * 10000 >= col("total") * cutBp, 1L)
+          .otherwise(0L)).as("flagged_docs"))
+      .withColumn("flagged_bp", expr("flagged_docs * 10000 div docs"))
+      .withColumn("block_share_bp", expr("block_tokens * 10000 div total_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** The demo blocklist: one term that exists in the synthetic corpus
+    * and two that don't (robustness: absent entries are free). */
+  private[graft] val DefaultBlocklist: Seq[String] = Seq("slow", "drop", "error")
+
+  /** C101 oracle: same explode, membership, integer share arithmetic. */
+  val blocklistOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source,
+      |         unnest(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS term
+      |  FROM documents),
+      |t2 AS (SELECT doc_id, source, term FROM tok WHERE term <> ''),
+      |d AS (
+      |  SELECT doc_id, source, count(*)::BIGINT AS total,
+      |         sum(CASE WHEN term IN ('slow','drop','error')
+      |                  THEN 1 ELSE 0 END)::BIGINT AS hits
+      |  FROM t2 GROUP BY 1, 2)
+      |SELECT source, count(*)::BIGINT AS docs,
+      |       sum(hits)::BIGINT AS block_tokens,
+      |       sum(total)::BIGINT AS total_tokens,
+      |       sum(CASE WHEN hits * 10000 >= total * 600
+      |                THEN 1 ELSE 0 END)::BIGINT AS flagged_docs,
+      |       (sum(CASE WHEN hits * 10000 >= total * 600 THEN 1 ELSE 0 END)::BIGINT
+      |        * 10000) // count(*) AS flagged_bp,
+      |       (sum(hits)::BIGINT * 10000) // sum(total)::BIGINT AS block_share_bp
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   /** Shared C30/C31 chunk frame: one row per sliding token window.
     *
     * Chunk rule: windows of `width` tokens starting at every `stride`
