@@ -126,6 +126,10 @@ object SparkEntry {
     // C101: explicit-wordlist gate (fraction-based blocklist share)
     "text_blocklist" -> ((s: SparkSession, d: String) =>
       TextQueries.textBlocklist(s, d)),
+    // C102 rows-only: unigram-LM (SentencePiece-family) tokenizer fit —
+    // learned/iterative; UnigramLmSpec proves the distributed fit equal
+    // to a driver reference, piece for piece
+    "text_unigram_lm" -> (graft.ops.UnigramLm.textUnigramLm _),
     "text_fingerprint" -> (TextQueries.textFingerprint _),
     // sliding token windows + chunk-level (paragraph) dedup over them
     "text_chunk" -> (TextQueries.textChunk _),

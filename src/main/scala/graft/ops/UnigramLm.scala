@@ -1,0 +1,207 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Unigram-LM tokenizer training (Kudo, ACL 2018 — the SentencePiece
+  * `--model_type=unigram` family), completing the subword-tokenizer
+  * pair next to BPE (C50/C57): BPE GROWS a vocabulary by merging, the
+  * unigram model SHRINKS one by pruning, segmenting with a Viterbi
+  * search under per-piece log-probabilities.
+  *
+  * This implementation is the deterministic HARD-EM variant (Viterbi
+  * counts in the E-step — the "EM with a Viterbi E-step" SentencePiece
+  * itself offers): every step is exactly reproducible across reruns,
+  * partitionings, and task retries, which is what a data pipeline needs
+  * from a tokenizer fit. Ties in the Viterbi max break toward the
+  * SHORTER final piece (larger split point), spec-pinned against a
+  * driver reference implementation.
+  *
+  * Scale shape at 100 TB (the C50 posture):
+  *  - The only corpus-sized work is the one-pass word histogram.
+  *    Everything else — seeding, every EM round, the final card —
+  *    operates on the histogram (vocabulary-sized).
+  *  - Seeding is one substring explode + partial-agg count over the
+  *    histogram; each EM round is ONE distributed aggregate (Viterbi
+  *    fold per word — a pure higher-order `aggregate`, no UDF) plus a
+  *    vocabulary-scale collect for the M-step (the KMeans
+  *    centroid-per-round pattern; the model is KBs).
+  *  - Words are capped at [[MaxWordChars]] chars for the DP bound —
+  *    longer "words" are unsegmentable junk by definition and only
+  *    their prefix informs the model.
+  */
+object UnigramLm {
+
+  /** DP bound: words longer than this are truncated for training. */
+  val MaxWordChars = 24
+
+  final case class Model(logp: Map[String, Double]) {
+    def pieces: Seq[String] = logp.keys.toSeq.sorted
+  }
+
+  /** Per-round training trace: corpus Viterbi log-likelihood under the
+    * model AFTER the round's M-step, and whether the round pruned. */
+  final case class Round(ll: Double, vocab: Int, pruned: Boolean)
+
+  final case class TrainedU(model: Model, rounds: Seq[Round], collects: Int)
+
+  /** (w, n) word histogram of a document frame — the one corpus-sized
+    * pass; the empty pseudo-token is not a word (C42 convention). */
+  def wordHistogram(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(Text.tokens(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .select(substring(col("w"), 1, MaxWordChars).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+
+  /** The Viterbi fold: best segmentation of `w` under `model`, as an
+    * array of piece strings. Position state rides as two accumulated
+    * arrays (scores, backpointers); the backwalk is a second fold.
+    * Unknown substrings score [[Unk]] — single chars outside the
+    * vocabulary still yield a total segmentation (spec-pinned). */
+  private val Unk = -1e9
+
+  def viterbiPieces(w: Column, model: Map[String, Double], maxLen: Int): Column = {
+    val m = typedLit(model)
+    val n = length(w)
+    val init = struct(
+      array(lit(0.0)).as("sc"),
+      array(lit(0)).as("bp"))
+    val dp = aggregate(sequence(lit(1), n), init, (acc, i) => {
+      val js = sequence(greatest(lit(0), i - maxLen), i - 1)
+      val cands = transform(js, j => struct(
+        (element_at(acc.getField("sc"), j + 1) +
+          coalesce(element_at(m, w.substr(j + 1, i - j)), lit(Unk))).as("s"),
+        j.as("j")))
+      val best = array_max(cands)
+      struct(
+        concat(acc.getField("sc"), array(best.getField("s"))).as("sc"),
+        concat(acc.getField("bp"), array(best.getField("j"))).as("bp"))
+    })
+    val bp = dp.getField("bp")
+    val walk = aggregate(sequence(lit(1), n),
+      struct(n.as("pos"), array().cast("array<string>").as("ps")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val j = element_at(bp, pos + 1)
+        when(pos > 0,
+          struct(j.as("pos"),
+            concat(acc.getField("ps"),
+              array(w.substr(j + 1, pos - j))).as("ps")))
+          .otherwise(acc)
+      },
+      acc => reverse(acc.getField("ps")))
+    when(n === 0, array().cast("array<string>")).otherwise(walk)
+  }
+
+  /** The corpus Viterbi log-likelihood under `model` (for the
+    * monotonicity trace): Σ_w n(w) · score(w). */
+  private def corpusLl(words: DataFrame, model: Map[String, Double],
+      maxLen: Int): Double = {
+    val ps = viterbiPieces(col("w"), model, maxLen)
+    val m = typedLit(model)
+    val wordLl = aggregate(ps, lit(0.0),
+      (acc, p) => acc + coalesce(element_at(m, p), lit(Unk)))
+    words.select(sum(wordLl * col("n"))).head().getDouble(0)
+  }
+
+  /** Seed vocabulary: every substring of length ≤ maxLen of every
+    * histogram word, counted weighted by word frequency; the top
+    * `seedSize` by (count desc, piece asc) plus ALL single characters
+    * (totality). One explode + partial-agg over the histogram. */
+  def seed(words: DataFrame, maxLen: Int, seedSize: Int): Map[String, Long] = {
+    val subs = words.select(col("n"), col("w"),
+        explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(col("n"), col("w"), col("i"),
+        explode(sequence(lit(1),
+          least(lit(maxLen), length(col("w")) - col("i") + 1))).as("l"))
+      .select(col("w").substr(col("i"), col("l")).as("p"), col("n"))
+      .groupBy(col("p")).agg(sum(col("n")).as("c"))
+    val top = subs.where(length(col("p")) > 1)
+      .orderBy(col("c").desc, col("p")).limit(seedSize)
+    val chars = subs.where(length(col("p")) === 1)
+    import words.sparkSession.implicits._
+    (top.union(chars)).as[(String, Long)].collect().toMap
+  }
+
+  /** Normalized log-probs from counts; chars are floored at count 1 so
+    * the model stays total over its own alphabet. */
+  private def mStep(counts: Map[String, Long], alphabet: Set[String])
+      : Map[String, Double] = {
+    val withChars = alphabet.foldLeft(counts) { (m, c) =>
+      if (m.getOrElse(c, 0L) > 0) m else m.updated(c, 1L) }
+    val total = withChars.values.sum.toDouble
+    withChars.map { case (p, c) => p -> math.log(c / total) }
+  }
+
+  /** Hard-EM training over a (w, n) histogram: seed → EM rounds with
+    * one prune down to `vocabTarget` at the midpoint. Deterministic
+    * end to end. Collect budget: 1 (histogram stats) + 1 (seed) +
+    * rounds × 2 (E-step counts + LL trace) — all vocabulary-scale. */
+  def train(words: DataFrame, vocabTarget: Int = 60, emRounds: Int = 4,
+      maxLen: Int = 6, seedSize: Int = 200): TrainedU = {
+    require(emRounds >= 2, s"need at least 2 EM rounds: $emRounds")
+    val sp = words.sparkSession
+    import sp.implicits._
+    val seeded = seed(words, maxLen, seedSize)
+    val alphabet = seeded.keySet.filter(_.length == 1)
+    var model = mStep(seeded, alphabet)
+    var collects = 1
+    val pruneAt = emRounds / 2
+    val trace = (1 to emRounds).map { r =>
+      val ps = viterbiPieces(col("w"), model, maxLen)
+      val counts = words.select(explode(ps).as("p"), col("n"))
+        .groupBy(col("p")).agg(sum(col("n")).as("c"))
+        .as[(String, Long)].collect().toMap
+      val pruned = r == pruneAt
+      val kept =
+        if (!pruned) counts
+        else {
+          // prune MULTI-CHAR pieces to the target; chars keep their true
+          // counts (flooring them at 1 would distort the whole M-step)
+          val multi = counts.toSeq.filter(_._1.length > 1)
+            .sortBy { case (p, c) => (-c, p) }
+            .take(math.max(0, vocabTarget - alphabet.size))
+          multi.toMap ++ counts.filter(_._1.length == 1)
+        }
+      model = mStep(kept, alphabet)
+      collects += 2
+      Round(corpusLl(words, model, maxLen), model.size, pruned)
+    }
+    TrainedU(Model(model), trace, collects)
+  }
+
+  private def docsT(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+
+  /** C102 query face: the learned unigram vocabulary card — top-30
+    * pieces by Viterbi count with probability and cumulative coverage
+    * in integer bp (the table a tokenizer owner reads before shipping
+    * the model). Rows-only: the model is learned/iterative (the C50
+    * spec-equality posture applies instead — UnigramLmSpec proves the
+    * full fit equal to a driver reference). */
+  def textUnigramLm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = wordHistogram(docsT(s, dir), "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheScope.releaseAfterAction(s, words)
+    val trained = train(words)
+    val ps = viterbiPieces(col("w"), trained.model.logp, 6)
+    val counts = words.select(explode(ps).as("piece"), col("n"))
+      .groupBy(col("piece")).agg(sum(col("n")).as("occurrences"))
+    val total = counts.agg(sum(col("occurrences")).as("t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("occurrences").desc, col("piece"))
+      .rowsBetween(Long.MinValue, 0)
+    counts.orderBy(col("occurrences").desc, col("piece")).limit(30)
+      .crossJoin(broadcast(total))
+      .withColumn("prob_bp", expr("occurrences * 10000 div t"))
+      .withColumn("cum_bp", expr("sum(occurrences) over (order by occurrences desc, piece rows between unbounded preceding and current row) * 10000 div t"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("occurrences").desc, col("piece"))))
+      .select(col("rank"), col("piece"), col("occurrences"),
+        col("prob_bp"), col("cum_bp"))
+      .orderBy(col("rank"))
+  }
+}
