@@ -277,6 +277,10 @@ object SparkEntry {
     // C97: lexical BM25 top-10 per benchmark item — the exact term-match
     // search family beside the ANN ladder (retrieval-based decontamination)
     "search_bm25" -> (graft.ops.Retrieval.searchBm25 _),
+    // C97a: BM25 against the PERSISTED postings + query model (the
+    // recurring serve cost); result-identical to search_bm25 by
+    // contract — same oracle
+    "search_bm25_cached" -> (graft.ops.Retrieval.searchBm25Cached _),
     // C98: hybrid retrieval — RRF (k=60) fusion of the BM25 and cosine
     // top-10 lists per item; ranks are round-before-rank integers, so the
     // fused score is engine-exact
@@ -1655,6 +1659,9 @@ object SparkEntry {
         |ORDER BY query_id, rnk, vec_id""".stripMargin,
     "ann_dim_audit" -> VectorQueries.annDimAuditOracle,
     "search_bm25" -> graft.ops.Retrieval.bm25Oracle,
+    // C97a: result-identical to search_bm25 by contract (same serve
+    // half over the persisted frames) — the C56a same-oracle posture
+    "search_bm25_cached" -> graft.ops.Retrieval.bm25Oracle,
     "search_hybrid" -> graft.ops.Retrieval.hybridOracle,
     // C7/C5a: the seeded plane sets are INLINED into generated SQL, so
     // the LSH faces hash-check end to end (bucket sign tests are

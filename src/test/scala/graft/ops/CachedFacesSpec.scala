@@ -68,4 +68,9 @@ class CachedFacesSpec extends SparkSpec {
     checkPair(SemanticPq.dedupSemanticIncremental(spark, sfDir),
       SemanticPq.dedupSemanticIncrementalCached(spark, sfDir))
   }
+
+  test("search_bm25_cached == search_bm25 (cold and warm)") {
+    checkPair(Retrieval.searchBm25(spark, sfDir),
+      Retrieval.searchBm25Cached(spark, sfDir))
+  }
 }
