@@ -74,18 +74,24 @@ class UnigramLmSpec extends SparkSpec {
 
   // ---- specs ----
 
-  test("the distributed fit equals the driver reference, piece for piece") {
+  test("BOTH fit paths equal the spec's independent reference, piece for piece") {
     val words = UnigramLm.wordHistogram(
       graft.sources.Tables(spark, sfDir, "documents"), "text")
     val hist = words.as[(String, Long)].collect().toSeq
     val expected = refTrain(hist, vocabTarget = 60, emRounds = 4,
       maxLen = 6, seedSize = 200)
-    val got = UnigramLm.train(words).model.logp
-    assert(got.keySet == expected.keySet,
-      s"vocab diff: ${(expected.keySet diff got.keySet).take(5)} missing, " +
-        s"${(got.keySet diff expected.keySet).take(5)} extra")
-    got.foreach { case (p, lp) =>
-      assert(math.abs(lp - expected(p)) < 1e-12, s"logp($p)") }
+    def check(name: String, got: Map[String, Double]): Unit = {
+      assert(got.keySet == expected.keySet,
+        s"$name vocab diff: ${(expected.keySet diff got.keySet).take(5)} missing, " +
+          s"${(got.keySet diff expected.keySet).take(5)} extra")
+      got.foreach { case (p, lp) =>
+        assert(math.abs(lp - expected(p)) < 1e-12, s"$name logp($p)") }
+    }
+    // the driver-finish path (the production default at vocabulary scale)
+    check("driver", UnigramLm.train(words).model.logp)
+    // the distributed fold path (the >100k-vocab guard)
+    check("distributed", UnigramLm.trainDistributed(words, vocabTarget = 60,
+      emRounds = 4, maxLen = 6, seedSize = 200).model.logp)
   }
 
   test("Viterbi segmentation: totality, concat identity, tie rule, unknown chars") {
