@@ -285,6 +285,10 @@ object SparkEntry {
     // top-10 lists per item; ranks are round-before-rank integers, so the
     // fused score is engine-exact
     "search_hybrid" -> (graft.ops.Retrieval.searchHybrid _),
+    // C103: hard-negative mining — BM25 ranks 11–50 per item (the
+    // DPR/SBERT negative pool a contrastive-training pipeline exports)
+    "retrieval_negatives" -> ((s: SparkSession, d: String) =>
+      graft.ops.Retrieval.retrievalNegatives(s, d)),
     // C100: dimension-truncation recall audit (the Matryoshka question:
     // how many dims does the index need) — SQL-checked prefix cosines
     "ann_dim_audit" -> (VectorQueries.annDimAudit _),
@@ -1662,6 +1666,7 @@ object SparkEntry {
     // C97a: result-identical to search_bm25 by contract (same serve
     // half over the persisted frames) — the C56a same-oracle posture
     "search_bm25_cached" -> graft.ops.Retrieval.bm25Oracle,
+    "retrieval_negatives" -> graft.ops.Retrieval.negativesOracle,
     "search_hybrid" -> graft.ops.Retrieval.hybridOracle,
     // C7/C5a: the seeded plane sets are INLINED into generated SQL, so
     // the LSH faces hash-check end to end (bucket sign tests are

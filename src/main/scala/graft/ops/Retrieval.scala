@@ -109,14 +109,14 @@ object Retrieval {
       .agg(round(sum(col("idf") * tfn), 4).as("score"))
     val w = Window.partitionBy(col("item_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rnk", rank().over(w)).where(col("rnk") <= 10)
+    scored.withColumn("rnk", rank().over(w))
   }
 
-  /** The scored-and-ranked BM25 frame (item_id, doc_id, score, rnk) —
-    * shared by the C97 face and the C98 hybrid fusion. */
+  /** The scored-and-ranked BM25 top-10 frame (item_id, doc_id, score,
+    * rnk) — shared by the C97 face and the C98 hybrid fusion. */
   private[graft] def bm25Ranked(s: SparkSession, dir: String): DataFrame = {
     val (tf, dl, qk) = fitted(s, dir)
-    rankFrom(tf, dl, qk)
+    rankFrom(tf, dl, qk).where(col("rnk") <= 10)
   }
 
   /** C97a: BM25 search against a PERSISTED index — postings, document
@@ -138,6 +138,7 @@ object Retrieval {
       ArtifactStore.load(s, dir, "bm25_tf"),
       ArtifactStore.load(s, dir, "bm25_dl"),
       ArtifactStore.load(s, dir, "bm25_qk"))
+      .where(col("rnk") <= 10)
       .select(col("item_id"), col("rnk"), col("doc_id"), col("score"))
       .orderBy(col("item_id"), col("rnk"), col("doc_id"))
   }
@@ -147,6 +148,23 @@ object Retrieval {
     bm25Ranked(s, dir)
       .select(col("item_id"), col("rnk"), col("doc_id"), col("score"))
       .orderBy(col("item_id"), col("rnk"), col("doc_id"))
+
+  /** C103: HARD-NEGATIVE mining — per benchmark item, the BM25 ranks
+    * 11–50: lexically similar but non-top documents, the standard
+    * negative pool a contrastive-embedding training pipeline exports
+    * (DPR/SBERT-style "BM25 hard negatives": random negatives are too
+    * easy, the top-k are presumed positives, the band between is where
+    * the training signal lives). Same machinery and plan as C97 with a
+    * deeper map-side-limited rank cut; the band edges ride as
+    * parameters. SQL-checked with the same generated arithmetic. */
+  def retrievalNegatives(s: SparkSession, dir: String,
+      lo: Int = 11, hi: Int = 50): DataFrame = {
+    val (tf, dl, qk) = fitted(s, dir)
+    rankFrom(tf, dl, qk)
+      .where(col("rnk") >= lo && col("rnk") <= hi)
+      .select(col("item_id"), col("rnk"), col("doc_id"), col("score"))
+      .orderBy(col("item_id"), col("rnk"), col("doc_id"))
+  }
 
   /** The cosine top-10 per item over the embedding corpus (vec_id >= 5),
     * the C6 plan restricted to the benchmark-item queries: broadcast
@@ -226,6 +244,13 @@ object Retrieval {
   val bm25Oracle: String =
     s"""WITH $bm25Ctes
        |SELECT item_id, rnk, doc_id, score FROM bmr WHERE rnk <= 10
+       |ORDER BY item_id, rnk, doc_id""".stripMargin
+
+  /** C103 oracle: the same generated chain, rank band 11–50. */
+  val negativesOracle: String =
+    s"""WITH $bm25Ctes
+       |SELECT item_id, rnk, doc_id, score FROM bmr
+       |WHERE rnk >= 11 AND rnk <= 50
        |ORDER BY item_id, rnk, doc_id""".stripMargin
 
   val hybridOracle: String =

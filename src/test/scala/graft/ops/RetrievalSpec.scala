@@ -138,6 +138,26 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("retrieval_negatives is the 11–50 band of the same ranking: disjoint from top-10, contiguous") {
+    val top = Retrieval.searchBm25(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("item_id"), r.getAs[Long]("doc_id"))).toSet
+    val neg = Retrieval.retrievalNegatives(spark, sfDir).collect()
+    assert(neg.nonEmpty, "the negative band must be non-empty at sf0.001")
+    neg.foreach { r =>
+      val rk = r.getAs[Int]("rnk")
+      assert(rk >= 11 && rk <= 50)
+      assert(!top.contains((r.getAs[Long]("item_id"), r.getAs[Long]("doc_id"))),
+        "a negative must never be a presumed positive")
+    }
+    // per item the band is contiguous from rank 11 (same ranking frame)
+    neg.groupBy(_.getAs[Long]("item_id")).foreach { case (item, rows) =>
+      val ranks = rows.map(_.getAs[Int]("rnk")).sorted
+      assert(ranks.head == 11, s"item $item band must start at 11")
+      assert(ranks.zip(ranks.tail).forall { case (a, b) => b == a + 1 },
+        s"item $item band must be contiguous (vec_id tiebreak => no gaps)")
+    }
+  }
+
   test("hybrid is deterministic and rank-bounded") {
     val a = Retrieval.searchHybrid(spark, sfDir).collect()
     val b = Retrieval.searchHybrid(spark, sfDir).collect()
