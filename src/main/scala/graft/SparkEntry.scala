@@ -292,6 +292,10 @@ object SparkEntry {
     // C100: dimension-truncation recall audit (the Matryoshka question:
     // how many dims does the index need) — SQL-checked prefix cosines
     "ann_dim_audit" -> (VectorQueries.annDimAudit _),
+    // C104: the serving pattern C100 informs — d=16 prefix shortlist,
+    // exact full-dim rescore (adaptive/funnel retrieval)
+    "sim_search_adaptive" -> ((s: SparkSession, d: String) =>
+      VectorQueries.simSearchAdaptive(s, d)),
     // C87: rows-only — measured recall@10 of the ANN ladder vs exact
     // ground truth on the sampled query set (the index-quality audit)
     "ann_recall_audit" -> (VectorQueries.annRecallAudit _),
@@ -1662,6 +1666,7 @@ object SparkEntry {
         |SELECT query_id, rnk, vec_id, cosine FROM r WHERE rnk <= 10
         |ORDER BY query_id, rnk, vec_id""".stripMargin,
     "ann_dim_audit" -> VectorQueries.annDimAuditOracle,
+    "sim_search_adaptive" -> VectorQueries.simSearchAdaptiveOracle,
     "search_bm25" -> graft.ops.Retrieval.bm25Oracle,
     // C97a: result-identical to search_bm25 by contract (same serve
     // half over the persisted frames) — the C56a same-oracle posture

@@ -757,6 +757,75 @@ object VectorQueries {
       .orderBy(col("dims"))
   }
 
+  /** C104: ADAPTIVE two-stage retrieval (the serving pattern the C100
+    * audit informs — Kusupati et al.'s adaptive retrieval / the
+    * funnel-serving shape): SHORTLIST with cheap d=16 prefix cosines
+    * (4× less bandwidth per candidate), then EXACT full-dim rescore of
+    * only the top-`shortlist` prefix candidates, final top-10. At
+    * 100 TB the first stage is the one that touches the corpus — it
+    * reads a quarter of every vector; the rescore touches `shortlist`
+    * rows per query. The C100 card says how much recall the shortlist
+    * stage risks (800 bp @ d=8 on these random vectors — hence d=16
+    * and a deep 100-candidate shortlist here, recall rescued by the
+    * rescore: DimAuditSpec's companion assertion measures it);
+    * deterministic round-before-rank at both stages, SQL-checked. */
+  def simSearchAdaptive(s: SparkSession, dir: String,
+      prefixDim: Int = 16, shortlist: Int = 100): DataFrame = {
+    val v0 = emb(s, dir)
+    def pref(c: Column): Column = slice(c, 1, prefixDim)
+    val v = v0.select(col("vec_id"), col("e"), col("nrm"),
+      sqrt(Vectors.dot(pref(col("e")), pref(col("e")))).as("np"))
+      .where(col("np") > 0)
+    val queries = v.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("np").as("qnp"))
+    val preCos = Vectors.dot(pref(col("qe")), pref(col("e"))) / (col("qnp") * col("np"))
+    val scored = v.where(col("vec_id") >= 5).crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"), col("e"), col("nrm"),
+        col("qe"), col("qn"), round(preCos, 4).as("pre"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("pre").desc, col("vec_id"))
+    val short = scored.withColumn("prnk", rank().over(w1))
+      .where(col("prnk") <= shortlist)
+    val full = Vectors.cosine(col("qe"), col("e"), col("qn"), col("nrm"))
+    val rescored = short.select(col("query_id"), col("vec_id"),
+      round(full, 4).as("cosine"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    rescored.withColumn("rnk", rank().over(w2)).where(col("rnk") <= 10)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rnk"), col("vec_id"))
+  }
+
+  /** C104 oracle: both stages replayed over list_slice prefixes. */
+  val simSearchAdaptiveOracle: String =
+    """WITH v0 AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      |  FROM embeddings),
+      |v AS (SELECT vec_id, e,
+      |             sqrt(list_dot_product(e, e)) AS nrm,
+      |             sqrt(list_dot_product(e[1:16], e[1:16])) AS np
+      |      FROM v0
+      |      WHERE sqrt(list_dot_product(e[1:16], e[1:16])) > 0),
+      |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, np AS qnp
+      |      FROM v WHERE vec_id < 5),
+      |sc AS (
+      |  SELECT query_id, vec_id, v.e, v.nrm, qe, qn,
+      |         round(list_dot_product(qe[1:16], v.e[1:16]) / (qnp * np), 4) AS pre
+      |  FROM v, q WHERE vec_id >= 5),
+      |s1 AS (SELECT *, rank() OVER (PARTITION BY query_id
+      |                              ORDER BY pre DESC, vec_id) AS prnk
+      |       FROM sc),
+      |short AS (SELECT * FROM s1 WHERE prnk <= 100),
+      |re AS (SELECT query_id, vec_id,
+      |              round(list_dot_product(qe, e)/(qn*nrm), 4) AS cosine
+      |       FROM short),
+      |r AS (SELECT *, rank() OVER (PARTITION BY query_id
+      |                             ORDER BY cosine DESC, vec_id) AS rnk
+      |      FROM re)
+      |SELECT query_id, rnk, vec_id, cosine FROM r WHERE rnk <= 10
+      |ORDER BY query_id, rnk, vec_id""".stripMargin
+
   /** C100 oracle: the identical construction over list_slice prefixes. */
   val annDimAuditOracle: String = {
     val dims = Seq(8, 16, 32, 64)
