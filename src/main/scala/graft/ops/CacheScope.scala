@@ -21,16 +21,27 @@ import org.apache.spark.sql.util.QueryExecutionListener
 object CacheScope {
 
   /** Unpersist `cached` after the next completed action on `s`. */
-  def releaseAfterAction(s: SparkSession, cached: DataFrame*): Unit = {
+  def releaseAfterAction(s: SparkSession, cached: DataFrame*): Unit =
+    releaseAfterActions(s, 1, cached: _*)
+
+  /** Unpersist `cached` after `actions` completed actions on `s` — for
+    * builders whose consumers run a KNOWN number of separate actions
+    * before the cache is dead (e.g. a serve face persisting three
+    * artifact tables). With `actions = 1` this is the plain
+    * next-action scope. Releasing late is always safe; releasing early
+    * only costs recomputation — both correctness-neutral. */
+  def releaseAfterActions(s: SparkSession, actions: Int, cached: DataFrame*): Unit = {
+    val remaining = new java.util.concurrent.atomic.AtomicInteger(actions)
     val listener = new QueryExecutionListener {
-      private def release(): Unit = {
-        cached.foreach(_.unpersist(blocking = false))
-        s.listenerManager.unregister(this)
-      }
+      private def tick(): Unit =
+        if (remaining.decrementAndGet() <= 0) {
+          cached.foreach(_.unpersist(blocking = false))
+          s.listenerManager.unregister(this)
+        }
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-        release()
+        tick()
       override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
-        release()
+        tick()
     }
     s.listenerManager.register(listener)
   }

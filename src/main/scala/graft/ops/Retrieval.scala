@@ -63,15 +63,20 @@ object Retrieval {
   /** The fitted retrieval pieces: postings (tf), doc lengths (dl), and
     * the per-item kept-term model with idf attached — shared by the
     * batch ranking and the D25 streaming triage fit. */
-  private[graft] def fitted(s: SparkSession, dir: String)
+  private[graft] def fitted(s: SparkSession, dir: String,
+      consumerActions: Int = 1)
       : (DataFrame, DataFrame, DataFrame) = {
     val t = tok(s, dir)
     // postings: one explode + one partial-agg groupBy; dl and df both
-    // derive from tf so the corpus tokenizes once (the C20 tf/df shape)
+    // derive from tf so the corpus tokenizes once (the C20 tf/df shape).
+    // The cache is scoped to the CALLER's action count: the inline
+    // faces materialize once, but the C97a first build runs THREE
+    // artifact saves — releasing after the first would re-tokenize the
+    // corpus for the dl and qk saves (the round-10 advice finding)
     val tf = t.where(col("doc_id") >= 5)
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    CacheScope.releaseAfterAction(s, tf)
+    CacheScope.releaseAfterActions(s, consumerActions, tf)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val scalars = dl.agg(count(lit(1)).as("n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
@@ -129,7 +134,8 @@ object Retrieval {
     * the SAME DuckDB oracle — the C56a posture. */
   def searchBm25Cached(s: SparkSession, dir: String): DataFrame = {
     if (!ArtifactStore.has(s, dir, "bm25_tf", "bm25_dl", "bm25_qk")) {
-      val (tf, dl, qk) = fitted(s, dir)
+      // three saves = three actions over the shared postings cache
+      val (tf, dl, qk) = fitted(s, dir, consumerActions = 3)
       ArtifactStore.save(tf, dir, "bm25_tf")
       ArtifactStore.save(dl, dir, "bm25_dl")
       ArtifactStore.save(qk, dir, "bm25_qk")
@@ -257,7 +263,8 @@ object Retrieval {
     s"""WITH $bm25Ctes,
        |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
        |      FROM embeddings),
-       |nv AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+       |nv AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+       |       WHERE sqrt(list_dot_product(e, e)) > 0),
        |q AS (SELECT vec_id AS item_id, e AS qe, nrm AS qn FROM nv WHERE vec_id < 5),
        |cscored AS (SELECT item_id, vec_id AS doc_id,
        |                   round(list_dot_product(qe, e)/(qn*nrm), 4) AS cosine

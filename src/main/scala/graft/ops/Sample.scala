@@ -334,7 +334,7 @@ object Sample {
   /** The [[DemoWeights]] copies expression as oracle SQL (shared by the
     * mixture oracles — generated, so the engines can only agree or fail
     * loudly). */
-  private def copiesCaseSql: String = {
+  private[graft] def copiesCaseSql: String = {
     val cases = DemoWeights.toSeq.sortBy(_._1).map { case (g, w) =>
       val base = math.floor(w).toInt
       val thr = hexThreshold(w - math.floor(w))
@@ -705,9 +705,13 @@ object Sample {
       .withColumn("__at", sum(col("achieved_tokens")).over(w))
       .select(col("source"), col("docs"), col("tokens"), col("factor_bp"),
         col("achieved_docs"), col("achieved_tokens"),
-        expr("(achieved_tokens * 10000) div __at").as("achieved_bp"),
+        // greatest(..., 1) floor: if every factor is < 10000 and every
+        // fractional coin misses, the achieved total is legitimately 0
+        // — degrade to 0 bp instead of an ANSI divide-by-zero (the
+        // saturating-denominator posture every other card here uses)
+        expr("(achieved_tokens * 10000) div greatest(__at, 1)").as("achieved_bp"),
         col("target_bp"),
-        expr("(achieved_tokens * 10000) div __at - target_bp").as("err_bp"))
+        expr("(achieved_tokens * 10000) div greatest(__at, 1) - target_bp").as("err_bp"))
       .orderBy(col("source"))
   }
 
@@ -748,9 +752,9 @@ object Sample {
       |at AS (SELECT cast(sum(achieved_tokens) AS BIGINT) AS t FROM a)
       |SELECT source, docs, tokens, factor_bp, achieved_docs,
       |       achieved_tokens,
-      |       (achieved_tokens * 10000) // t AS achieved_bp,
+      |       (achieved_tokens * 10000) // greatest(t, 1) AS achieved_bp,
       |       target_bp,
-      |       (achieved_tokens * 10000) // t - target_bp AS err_bp
+      |       (achieved_tokens * 10000) // greatest(t, 1) - target_bp AS err_bp
       |FROM a, at ORDER BY source""".stripMargin
 
   /** C92 oracle: the identical integer-sqrt-chain arithmetic in DuckDB. */

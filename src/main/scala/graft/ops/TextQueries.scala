@@ -366,14 +366,25 @@ object TextQueries {
     val perDoc = tok.groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("total"),
         sum(when(col("term").isin(blocklist: _*), 1L).otherwise(0L)).as("hits"))
-    perDoc.groupBy(col("source"))
+    // row-keeping degenerate posture: a token-less (empty/whitespace)
+    // document has no terms to flag but still IS a document of its
+    // source — left-join the stats back so the `docs` denominator
+    // counts it, unflagged (total=0 short-circuits the flag; the share
+    // denominators take the saturating floor)
+    val allDocs = docs(s, dir).select(col("doc_id"), col("source"))
+    allDocs.join(perDoc, Seq("doc_id", "source"), "left")
+      .select(col("source"),
+        coalesce(col("total"), lit(0L)).as("total"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .groupBy(col("source"))
       .agg(count(lit(1)).as("docs"),
         sum(col("hits")).as("block_tokens"),
         sum(col("total")).as("total_tokens"),
-        sum(when(col("hits") * 10000 >= col("total") * cutBp, 1L)
+        sum(when(col("total") > 0 && col("hits") * 10000 >= col("total") * cutBp, 1L)
           .otherwise(0L)).as("flagged_docs"))
       .withColumn("flagged_bp", expr("flagged_docs * 10000 div docs"))
-      .withColumn("block_share_bp", expr("block_tokens * 10000 div total_tokens"))
+      .withColumn("block_share_bp",
+        expr("block_tokens * 10000 div greatest(total_tokens, 1)"))
       .orderBy(col("source"))
   }
 
@@ -388,19 +399,26 @@ object TextQueries {
       |         unnest(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS term
       |  FROM documents),
       |t2 AS (SELECT doc_id, source, term FROM tok WHERE term <> ''),
-      |d AS (
+      |pd AS (
       |  SELECT doc_id, source, count(*)::BIGINT AS total,
       |         sum(CASE WHEN term IN ('slow','drop','error')
       |                  THEN 1 ELSE 0 END)::BIGINT AS hits
-      |  FROM t2 GROUP BY 1, 2)
+      |  FROM t2 GROUP BY 1, 2),
+      |d AS (
+      |  SELECT a.source, coalesce(pd.total, 0)::BIGINT AS total,
+      |         coalesce(pd.hits, 0)::BIGINT AS hits
+      |  FROM documents a LEFT JOIN pd
+      |    ON a.doc_id = pd.doc_id AND a.source = pd.source)
       |SELECT source, count(*)::BIGINT AS docs,
       |       sum(hits)::BIGINT AS block_tokens,
       |       sum(total)::BIGINT AS total_tokens,
-      |       sum(CASE WHEN hits * 10000 >= total * 600
+      |       sum(CASE WHEN total > 0 AND hits * 10000 >= total * 600
       |                THEN 1 ELSE 0 END)::BIGINT AS flagged_docs,
-      |       (sum(CASE WHEN hits * 10000 >= total * 600 THEN 1 ELSE 0 END)::BIGINT
+      |       (sum(CASE WHEN total > 0 AND hits * 10000 >= total * 600
+      |                 THEN 1 ELSE 0 END)::BIGINT
       |        * 10000) // count(*) AS flagged_bp,
-      |       (sum(hits)::BIGINT * 10000) // sum(total)::BIGINT AS block_share_bp
+      |       (sum(hits)::BIGINT * 10000)
+      |         // greatest(sum(total)::BIGINT, 1) AS block_share_bp
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
   /** Shared C30/C31 chunk frame: one row per sliding token window.

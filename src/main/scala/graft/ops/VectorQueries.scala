@@ -556,14 +556,22 @@ object VectorQueries {
     * Plan shape: each method's own (documented) plan runs once; the
     * audit overlay is joins over query-set-sized frames — at 100 TB the
     * exact side runs on the SAMPLED queries only, which is exactly how
-    * production recall audits bound their cost. */
+    * production recall audits bound their cost. Build-heavy methods are
+    * audited SERVE-COST-SHAPED (the round-10 verdict finding): `graph`
+    * runs against the persisted adjacency ([[GraphAnn
+    * .simSearchGraphCached]] — self-healing first build, spec-pinned
+    * row-identical to the inline trainer), because a card whose purpose
+    * is "continuously runnable" must not pay an index BUILD per
+    * invocation; the remaining methods' fits are one-pass
+    * (lsh: seeded planes, sq8: a min/max agg) or probe-bounded
+    * (ivf/pq: small-k Lloyd over the sampled corpus) and stay inline. */
   def annRecallAudit(s: SparkSession, dir: String): DataFrame =
     recallOverlay(s, dir, Seq(
       "lsh" -> simSearchLsh(s, dir),
       "ivf" -> simSearchIvf(s, dir),
       "pq" -> ProductQuant.simSearchPq(s, dir),
       "sq8" -> ScalarQuant.simSearchSq8(s, dir),
-      "graph" -> GraphAnn.simSearchGraph(s, dir)))
+      "graph" -> GraphAnn.simSearchGraphCached(s, dir)))
 
   /** C87a: the audit against the PERSISTED serve indexes (IVF-PQ and
     * OPQ ArtifactStore tables) — "are the artifacts we actually serve
@@ -898,7 +906,8 @@ object VectorQueries {
     s"""WITH v AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
        |  FROM embeddings),
-       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+       |      WHERE sqrt(list_dot_product(e, e)) > 0),
        |banded AS (
        |$bandSelects),
        |q AS (SELECT vec_id AS query_id, tbl, bucket FROM banded WHERE vec_id < 5),
@@ -931,7 +940,8 @@ object VectorQueries {
     s"""WITH v AS (
        |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e
        |  FROM embeddings),
-       |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+       |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+       |      WHERE sqrt(list_dot_product(e, e)) > 0),
        |banded AS (
        |$bandSelects),
        |cand AS (

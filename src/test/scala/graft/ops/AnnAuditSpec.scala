@@ -45,6 +45,23 @@ class AnnAuditSpec extends SparkSpec {
       s"graph traversal rescores exact cosines — must stay strong: $mean")
   }
 
+  test("serve-shaped graph audit rows == the inline trainer's overlap (round-11 re-shape)") {
+    // the audit serves `graph` from the persisted adjacency; its rows
+    // must be exactly what auditing the inline build would report
+    val exact = VectorQueries.simSearchTopk(spark, sfDir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val inline = GraphAnn.simSearchGraph(spark, sfDir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    VectorQueries.annRecallAudit(spark, sfDir).collect()
+      .filter(_.getAs[String]("method") == "graph").foreach { r =>
+        val q = r.getAs[Long]("query_id")
+        val expect = inline.getOrElse(q, Set.empty).intersect(exact(q)).size.toLong
+        assert(r.getAs[Long]("hits") == expect, s"graph query $q")
+      }
+  }
+
   test("cached-index audit: persisted serve artifacts keep their recall, warm == cold") {
     val cold = VectorQueries.annRecallAuditCached(spark, sfDir).collect()
     assert(cold.map(_.getAs[String]("method")).distinct.sorted.toSeq ==
