@@ -102,8 +102,10 @@ object SparkEntry {
     // hash-checked (type_old from DuckDB's own introspection) and
     // SchemaDiscoverySpec proves real two-zone evolution diffs
     "meta_schema_drift" -> (SchemaDiscovery.metaSchemaDrift _),
-    // B15: rows-only — per-partition file-health report over a planted
-    // fragmented zone (the measure-then-compact card)
+    // B15: per-partition file-health report over a planted fragmented
+    // zone (the measure-then-compact card) — SQL-checked since round 11:
+    // the planted layout is a deterministic function of the events day
+    // counts, so DuckDB replays files/bytes/avg/flag exactly
     "meta_partition_health" -> (graft.ingest.PartitionHealth.metaPartitionHealth _),
     // one-scan multi-distinct profile unpivoted via stack
     "meta_profile" -> (graft.ingest.Profile.metaProfile _),
@@ -329,7 +331,8 @@ object SparkEntry {
     "embed_kmeans" -> (graft.ops.KMeans.embedKmeans _),
     // rows-only: PCA variance-explained curve (eigensolve; spec-recounted)
     "embed_pca" -> (graft.ops.Pca.embedPca _),
-    // rows-only: k-means clusters labeled by their top terms (topic card)
+    // SQL-checked since round 11: learned clusters exported as data
+    // (TopicsAssignPath); the oracle replays df/lift/top-5 from the corpus
     "corpus_topics" -> (graft.ops.KMeans.corpusTopics _),
     "mm_metadata" -> (Multimodal.mmMetadata _),
     "mm_features" -> (Multimodal.mmFeatures _),
@@ -360,6 +363,12 @@ object SparkEntry {
     "pack_efficiency" -> ((s: SparkSession, d: String) =>
       graft.ops.Sample.packEfficiency(s, d)),
     "sample_curriculum" -> (graft.ops.Sample.sampleCurriculum _),
+    // C105: the reproducibility manifest of the full training export —
+    // clean → mixture → folds composed end-to-end, SQL-checked (the
+    // oracle replays the whole pipeline: quality formula, exact keeper,
+    // MinHash bands + recursive connected components, copy/fold coins,
+    // XOR content fingerprints)
+    "export_manifest" -> (graft.ops.Pipeline.exportManifest _),
     // bucketed interval join: range turned into (key, time-bucket) equi-join
     "range_join" -> (graft.ops.RangeJoin.rangeJoinErrors _),
     // §2.D streaming (batch faces of the streaming transforms)
@@ -1333,6 +1342,9 @@ object SparkEntry {
     "sample_pack" -> graft.ops.Sample.packOracle,
     "pack_efficiency" -> graft.ops.Sample.packEfficiencyOracle,
     "sample_curriculum" -> graft.ops.Sample.curriculumOracle,
+    "export_manifest" -> graft.ops.Pipeline.manifestOracle,
+    "meta_partition_health" -> graft.ingest.PartitionHealth.healthOracle,
+    "corpus_topics" -> graft.ops.KMeans.topicsOracle,
     // C33: cumulative funnel — flags from one normalized projection, the
     // keeper from the dedup hash-window, stages unpivoted from one agg row
     "quality_gopher" ->

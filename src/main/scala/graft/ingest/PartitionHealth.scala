@@ -70,24 +70,82 @@ object PartitionHealth {
 
   /** B15 query face: the report over a planted two-table zone — one
     * right-sized table and one partitioned table written deliberately
-    * fragmented (8 shards of a few KB per day), so the flag is
-    * non-vacuously exercised in both directions. Thresholds scale to
-    * the planted sizes; production uses the defaults. */
+    * fragmented, so the flag is non-vacuously exercised in both
+    * directions. SQL-CHECKED (round-11 promotion, the B14 planted-break
+    * posture): the zone's file LAYOUT is a deterministic function of
+    * the events table — per day, `2 + n%7` files of `100 + (n+i)%1000`
+    * bytes each (mixed above/below the 600-byte small cut), plus one
+    * healthy single-file table sized from the corpus total — so DuckDB
+    * replays files/bytes/avg/small/flag from the events counts alone,
+    * while the operator under test (the REAL Hadoop-FS crawl + leaf
+    * listing + grouping arithmetic) runs unchanged. The spec keeps the
+    * real-parquet loop: compactPartition clears the exact flag the
+    * report raised on genuinely fragmented Spark writes. Thresholds
+    * scale to the planted sizes; production uses the defaults. */
   def metaPartitionHealth(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.hadoop.fs.Path
     // zone keyed by the SANITIZED full dir string, not a 32-bit hash:
     // abs(hashCode) collides across dirs (and Int.MinValue stays
     // negative under math.abs), and two sessions pointing at different
     // corpora must never overwrite each other's zone mid-read
     val zone = s"${sys.props("java.io.tmpdir")}/graft_health_zone_" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val daily = LakeWriter.withTransferredDate(
-      graft.sources.Tables(s, dir, "events"), "ts")
-    daily.groupBy(col(LakeWriter.PartitionCol))
-      .agg(count(lit(1)).as("n_events"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$zone/healthy.parquet")
-    daily.repartition(8).write.mode("overwrite")
-      .partitionBy(LakeWriter.PartitionCol).parquet(s"$zone/fragmented")
-    report(s, zone, smallBytes = 1L * 1024 * 1024, targetFiles = 4)
+    // per-day event counts: a days-scale collect (the A40 argument —
+    // bounded by the calendar however large the corpus)
+    val days = LakeWriter.withTransferredDate(
+        graft.sources.Tables(s, dir, "events"), "ts")
+      .groupBy(col(LakeWriter.PartitionCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val conf = s.sessionState.newHadoopConf()
+    val root = new Path(zone)
+    val fs = root.getFileSystem(conf)
+    fs.delete(root, true)
+    def plant(p: Path, size: Long): Unit = {
+      val out = fs.create(p, true)
+      val chunk = Array.fill[Byte](8192)('x'.toByte)
+      var left = size
+      while (left > 0) {
+        val w = math.min(left, 8192L).toInt; out.write(chunk, 0, w); left -= w
+      }
+      out.close()
+    }
+    val total = days.map(_._2).sum
+    plant(new Path(root, "healthy/part-00000.bin"), 4096L + total % 1000L)
+    days.foreach { case (day, n) =>
+      val k = (2L + n % 7L).toInt
+      (0 until k).foreach { i =>
+        plant(new Path(root, s"fragmented/day=$day/part-0000$i.bin"),
+          100L + (n + i) % 1000L)
+      }
+    }
+    report(s, zone, smallBytes = 600L, targetFiles = 4)
   }
+
+  /** The B15 oracle: the planted layout's (files, bytes) replayed from
+    * the events day counts, then the identical flag arithmetic. */
+  val healthOracle: String =
+    """WITH days AS (
+      |  SELECT strftime(ts,'%Y-%m-%d') AS day, count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT coalesce(sum(n), 0)::BIGINT AS t FROM days),
+      |ff AS (
+      |  SELECT day, (100 + (n + i) % 1000)::BIGINT AS bytes
+      |  FROM days, unnest(generate_series(0, (2 + n % 7)::INT - 1)) AS u(i)),
+      |frag AS (
+      |  SELECT 'fragmented' AS table_name, 'day='||day AS "partition",
+      |         count(*)::INT AS files, sum(bytes)::BIGINT AS bytes,
+      |         (sum(bytes)::BIGINT // count(*))::BIGINT AS avg_bytes,
+      |         sum(CASE WHEN bytes < 600 THEN 1 ELSE 0 END)::INT AS small_files,
+      |         (count(*) > 4 AND (sum(bytes)::BIGINT // count(*)) < 600)
+      |           AS needs_compaction
+      |  FROM ff GROUP BY 2),
+      |healthy AS (
+      |  SELECT 'healthy' AS table_name, CAST(NULL AS VARCHAR) AS "partition",
+      |         1::INT AS files, (4096 + t % 1000)::BIGINT AS bytes,
+      |         (4096 + t % 1000)::BIGINT AS avg_bytes, 0::INT AS small_files,
+      |         FALSE AS needs_compaction
+      |  FROM tot)
+      |SELECT * FROM frag UNION ALL SELECT * FROM healthy
+      |ORDER BY table_name, "partition"""".stripMargin
 }

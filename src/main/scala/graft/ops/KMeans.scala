@@ -153,13 +153,26 @@ object KMeans {
     * one distinct-token explode, a vocabulary-sized df rollup, an id
     * equi-join to the assignments (the canonical bucketing candidate),
     * and the C28 partial-WindowGroupLimit top-5 per cluster — no
-    * global sort. Rows-only (downstream of the learned clustering);
-    * spec recounts the lift arithmetic and the partition property. */
+    * global sort.
+    *
+    * SQL-CHECKED since round 11 (the C56 cuts-are-data posture, taken
+    * one step further): the LEARNED half — the cluster assignment — is
+    * exported as a parquet side-table at [[TopicsAssignPath]], and the
+    * DuckDB oracle consumes it as DATA while replaying everything
+    * deterministic from the corpus itself (the distinct-token df, the
+    * cluster sizes, the lift arithmetic, the top-5 ranking). The
+    * Viterbi analog of the split: the learned state is spec-bounded
+    * (KMeansSpec determinism + assignment-is-argmax), the arithmetic
+    * downstream of it is engine-verified. Lift ships as INTEGER bp via
+    * the floor idiom (§4: per-row round() of arbitrary doubles is not
+    * parity-safe; floor(x·10⁴ + 0.5) is pure IEEE). */
   def corpusTopics(s: SparkSession, dir: String): DataFrame = {
     val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
       .select(col("vec_id"), col("e"), col("nrm"))
     val f = fit(v, k = adaptiveK(v.count()), iters = 4)
-    val assign = f.assignments.select(col("vec_id").as("doc_id"), col("cluster"))
+    f.assignments.select(col("vec_id").as("doc_id"), col("cluster"))
+      .coalesce(1).write.mode("overwrite").parquet(TopicsAssignPath)
+    val assign = s.read.parquet(TopicsAssignPath)
     val toks = Tables(s, dir, "documents")
       .select(col("doc_id"),
         explode(array_distinct(Text.tokens(col("text")))).as("term"))
@@ -172,15 +185,53 @@ object KMeans {
       .join(dfAll, Seq("term"))
       .join(broadcast(sizes), Seq("cluster"))
       .crossJoin(broadcast(total))
-      .withColumn("lift", round(col("docs_with_term").cast("double") * col("nd")
-        / (col("df") * col("n_docs")), 4))
+      .withColumn("lift_bp", floor(col("docs_with_term").cast("double")
+        * col("nd") * lit(10000) / (col("df") * col("n_docs")) + lit(0.5))
+        .cast("long"))
     import org.apache.spark.sql.expressions.Window
     counts
       .withColumn("rank", row_number().over(Window.partitionBy(col("cluster"))
-        .orderBy(col("lift").desc, col("docs_with_term").desc, col("term"))))
+        .orderBy(col("lift_bp").desc, col("docs_with_term").desc, col("term"))))
       .where(col("rank") <= 5)
       .select(col("cluster"), col("n_docs"), col("rank"),
-        col("term"), col("docs_with_term"), col("lift"))
+        col("term"), col("docs_with_term"), col("lift_bp"))
       .orderBy(col("cluster"), col("rank"))
   }
+
+  /** Where [[corpusTopics]] exports the learned assignment for the
+    * oracle ("the learned clusters ARE data"). tmpdir-fixed so the
+    * statically-built oracle string and the face agree on the path;
+    * Verify/gate runs are serial, so the last face invocation's export
+    * is always the one the immediately-following DuckDB replay reads. */
+  val TopicsAssignPath: String =
+    s"${sys.props("java.io.tmpdir")}/graft_topics_assign.parquet"
+
+  /** C59 oracle: the exported assignment as data + everything else
+    * replayed from the corpus (df, sizes, integer-bp lift, top-5). */
+  val topicsOracle: String =
+    s"""WITH assign AS (
+       |  SELECT doc_id, cluster FROM '$TopicsAssignPath/*.parquet'),
+       |toks AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(
+       |    trim(regexp_replace(lower(text),'\\s+',' ','g')),' '))) AS term
+       |  FROM documents),
+       |tot AS (SELECT count(*)::BIGINT AS nd FROM documents),
+       |dfa AS (SELECT term, count(*)::BIGINT AS df FROM toks GROUP BY 1),
+       |sz AS (SELECT cluster, count(*)::BIGINT AS n_docs FROM assign GROUP BY 1),
+       |cnt AS (
+       |  SELECT a.cluster, t.term, count(*)::BIGINT AS docs_with_term
+       |  FROM toks t JOIN assign a USING (doc_id) GROUP BY 1, 2),
+       |lifted AS (
+       |  SELECT c.cluster, sz.n_docs, c.term, c.docs_with_term,
+       |         CAST(floor(c.docs_with_term::DOUBLE * tot.nd * 10000
+       |           / (dfa.df * sz.n_docs) + 0.5) AS BIGINT) AS lift_bp
+       |  FROM cnt c JOIN dfa USING (term) JOIN sz USING (cluster), tot),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster
+       |    ORDER BY lift_bp DESC, docs_with_term DESC, term) AS rank
+       |  FROM lifted)
+       |SELECT cluster, n_docs, CAST(rank AS INT) AS rank, term,
+       |       docs_with_term, lift_bp
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY cluster, rank""".stripMargin
 }

@@ -60,7 +60,7 @@ class KMeansSpec extends SparkSpec {
   test("corpus topics: every cluster labeled, lift recounts, partition holds") {
     val rows = graft.ops.KMeans.corpusTopics(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3),
-        r.getLong(4), r.getDouble(5)))
+        r.getLong(4), r.getLong(5)))
     assert(rows.nonEmpty)
     // lift ranking can never empty a label set: all 8 clusters surface
     val byC = rows.groupBy(_._1)
@@ -83,8 +83,8 @@ class KMeansSpec extends SparkSpec {
       t.toLowerCase.replaceAll("\\s+", " ").trim.split(' ').toSet
     val df = texts.flatMap(t => toks(t._2)).groupBy(identity).view.mapValues(_.size).toMap
     rows.foreach { case (c, nd, _, term, cnt, lift) =>
-      val want = math.rint(cnt.toDouble * texts.length / (df(term) * nd) * 1e4) / 1e4
-      assert(math.abs(lift - want) <= 1e-9, s"cluster $c '$term' lift $lift vs $want")
+      val want = math.floor(cnt.toDouble * texts.length * 10000 / (df(term) * nd) + 0.5).toLong
+      assert(lift == want, s"cluster $c '$term' lift_bp $lift vs $want")
     }
   }
 
