@@ -128,9 +128,11 @@ object SparkEntry {
     // C101: explicit-wordlist gate (fraction-based blocklist share)
     "text_blocklist" -> ((s: SparkSession, d: String) =>
       TextQueries.textBlocklist(s, d)),
-    // C102 rows-only: unigram-LM (SentencePiece-family) tokenizer fit —
-    // learned/iterative; UnigramLmSpec proves the distributed fit equal
-    // to a driver reference, piece for piece
+    // C102: unigram-LM (SentencePiece-family) tokenizer fit —
+    // SQL-checked since round 11: the learned segmentation exported as
+    // data (SegsPath); the oracle replays the histogram, the join
+    // totality, and the integer-bp card (UnigramLmSpec additionally
+    // proves the fit equal to a driver reference, piece for piece)
     "text_unigram_lm" -> (graft.ops.UnigramLm.textUnigramLm _),
     "text_fingerprint" -> (TextQueries.textFingerprint _),
     // sliding token windows + chunk-level (paragraph) dedup over them
@@ -1345,6 +1347,7 @@ object SparkEntry {
     "export_manifest" -> graft.ops.Pipeline.manifestOracle,
     "meta_partition_health" -> graft.ingest.PartitionHealth.healthOracle,
     "corpus_topics" -> graft.ops.KMeans.topicsOracle,
+    "text_unigram_lm" -> graft.ops.UnigramLm.unigramOracle,
     // C33: cumulative funnel — flags from one normalized projection, the
     // keeper from the dedup hash-window, stages unpivoted from one agg row
     "quality_gopher" ->

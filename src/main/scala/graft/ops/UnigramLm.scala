@@ -37,6 +37,12 @@ object UnigramLm {
   /** DP bound: words longer than this are truncated for training. */
   val MaxWordChars = 24
 
+  /** Default max piece length — the ONE constant shared by [[train]]'s
+    * fit and the serve-side Viterbi passes (a hard-coded copy at a call
+    * site would silently diverge from the model if the default ever
+    * changed). */
+  val DefaultMaxLen = 6
+
   final case class Model(logp: Map[String, Double]) {
     def pieces: Seq[String] = logp.keys.toSeq.sorted
   }
@@ -151,7 +157,7 @@ object UnigramLm {
     * the fix at that scale is a native Viterbi kernel, the WordShingles
     * treatment) vs sub-second driver-side. */
   def train(words: DataFrame, vocabTarget: Int = 60, emRounds: Int = 4,
-      maxLen: Int = 6, seedSize: Int = 200,
+      maxLen: Int = DefaultMaxLen, seedSize: Int = 200,
       driverFinishRows: Long = 100000L): TrainedU = {
     require(emRounds >= 2, s"need at least 2 EM rounds: $emRounds")
     if (words.count() <= driverFinishRows) {
@@ -262,39 +268,71 @@ object UnigramLm {
 
   private def docsT(s: SparkSession, dir: String) = Tables(s, dir, "documents")
 
+  /** Where [[textUnigramLm]] exports the learned per-word segmentation
+    * for the oracle (the corpus_topics assignment-export posture:
+    * learned state IS data). tmpdir-fixed so the statically-built
+    * oracle string and the face agree; gate runs are serial. */
+  val SegsPath: String =
+    s"${sys.props("java.io.tmpdir")}/graft_unigram_segs.parquet"
+
   /** C102 query face: the learned unigram vocabulary card — top-30
     * pieces by Viterbi count with probability and cumulative coverage
     * in integer bp (the table a tokenizer owner reads before shipping
-    * the model). Rows-only: the model is learned/iterative (the C50
-    * spec-equality posture applies instead — UnigramLmSpec proves the
-    * full fit equal to a driver reference). */
+    * the model).
+    *
+    * SQL-CHECKED since round 11 (the corpus_topics split): the LEARNED
+    * half — each histogram word's Viterbi segmentation under the
+    * trained model — is exported as data at [[SegsPath]] (UnigramLmSpec
+    * already proves the fit piece-for-piece equal to a driver
+    * reference, and the full-SQL alternative is genuinely unsafe: the
+    * Viterbi argmax compares SUMS of ln-valued scores, where the
+    * model's ln is not correctly rounded cross-engine). The oracle
+    * replays everything deterministic from the corpus: the word
+    * histogram (the corpus-sized pass), the histogram⋈segmentation
+    * join (a histogram word missing a segmentation breaks the hash —
+    * totality is checked), the n-weighted piece counts, and the
+    * integer-bp card arithmetic. */
   def textUnigramLm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val words = wordHistogram(docsT(s, dir), "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    CacheScope.releaseAfterAction(s, words)
+    // the cache feeds MULTIPLE internal actions (this count, train()'s
+    // own count/collects, the piece-count pass) — scope it explicitly
+    // after the LAST consumer, not after the first action (the
+    // round-10 advice finding: releaseAfterAction here dropped the
+    // histogram before the EM even started, recomputing the
+    // corpus-sized scan ~3 extra times)
     val small = words.count() <= 100000L
     val trained = train(words)
     // final piece-utilization counts: driver-side when the histogram is
     // vocabulary-scale (it was already collected for the EM), the
-    // distributed fold otherwise — same rule as the trainer
+    // distributed fold otherwise — same rule as the trainer. Either
+    // way the per-word segmentation is exported for the oracle (the
+    // learned-state-is-data posture): the counts below are exactly the
+    // histogram⋈segmentation recount DuckDB replays.
     val counts =
       if (small) {
         val hist = words.as[(String, Long)].collect().toSeq
+        words.unpersist(blocking = false) // every consumer was eager
+        val segd = hist.map { case (w, _) =>
+          (w, driverViterbi(w, trained.model.logp, DefaultMaxLen)) }.toMap
+        segd.toSeq.toDF("w", "pieces")
+          .coalesce(1).write.mode("overwrite").parquet(SegsPath)
         val m = scala.collection.mutable.Map[String, Long]()
         hist.foreach { case (w, n) =>
-          driverViterbi(w.take(MaxWordChars), trained.model.logp, 6)
-            .foreach(p => m(p) = m.getOrElse(p, 0L) + n) }
+          segd(w).foreach(p => m(p) = m.getOrElse(p, 0L) + n) }
         m.toSeq.toDF("piece", "occurrences")
       } else {
-        val ps = viterbiPieces(col("w"), trained.model.logp, 6)
+        // the returned frame still reads `words` lazily: release after
+        // the segs export AND the caller's materializing action
+        CacheScope.releaseAfterActions(s, 2, words)
+        val ps = viterbiPieces(col("w"), trained.model.logp, DefaultMaxLen)
+        words.select(col("w"), ps.as("pieces"))
+          .coalesce(1).write.mode("overwrite").parquet(SegsPath)
         words.select(explode(ps).as("piece"), col("n"))
           .groupBy(col("piece")).agg(sum(col("n")).as("occurrences"))
       }
     val total = counts.agg(sum(col("occurrences")).as("t"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("occurrences").desc, col("piece"))
-      .rowsBetween(Long.MinValue, 0)
     counts.orderBy(col("occurrences").desc, col("piece")).limit(30)
       .crossJoin(broadcast(total))
       .withColumn("prob_bp", expr("occurrences * 10000 div t"))
@@ -306,4 +344,28 @@ object UnigramLm {
         col("prob_bp"), col("cum_bp"))
       .orderBy(col("rank"))
   }
+
+  /** C102 oracle: the exported segmentation as data + the histogram,
+    * join totality, n-weighted piece counts, and the integer-bp card
+    * replayed from the corpus. */
+  val unigramOracle: String =
+    s"""WITH hist AS (
+       |  SELECT substr(term, 1, $MaxWordChars) AS w, count(*)::BIGINT AS n
+       |  FROM (SELECT unnest(string_split(
+       |          trim(regexp_replace(lower(text),'\\s+',' ','g')),' ')) AS term
+       |        FROM documents)
+       |  WHERE term <> '' GROUP BY 1),
+       |segs AS (SELECT w, pieces FROM '$SegsPath/*.parquet'),
+       |pc AS (
+       |  SELECT piece, sum(n)::BIGINT AS occurrences
+       |  FROM hist JOIN segs USING (w), unnest(segs.pieces) AS u(piece)
+       |  GROUP BY 1),
+       |tot AS (SELECT sum(occurrences)::BIGINT AS t FROM pc),
+       |top AS (SELECT piece, occurrences,
+       |               row_number() OVER (ORDER BY occurrences DESC, piece) AS rank
+       |        FROM pc ORDER BY occurrences DESC, piece LIMIT 30)
+       |SELECT CAST(rank AS INT) AS rank, piece, occurrences,
+       |       (occurrences * 10000) // t AS prob_bp,
+       |       ((sum(occurrences) OVER (ORDER BY rank))::BIGINT * 10000) // t AS cum_bp
+       |FROM top, tot ORDER BY rank""".stripMargin
 }
