@@ -244,21 +244,101 @@ object Multimodal {
       .toDF("doc_id", "ahash")
   }
 
+  /** 64-bit DCT perceptual hash (pHash) of a decoded 32×32 image: luma
+    * plane → 2D DCT-II (separable, row then column passes) → the
+    * top-left 8×8 low-frequency block → one bit per coefficient above
+    * the block's median. Robust where aHash is not: a gamma/contrast
+    * shift moves every luma value relative to the MEAN (aHash bits flip
+    * wholesale) but barely reorders the low-frequency coefficients
+    * against their own MEDIAN — the structure, not the brightness, is
+    * hashed. The DC coefficient rides as an always-set constant bit
+    * (standard practice; it carries no discriminating structure).
+    * Degraded rows (empty pixels) hash to 0 and are excluded by
+    * [[imageNearDups]]. Pure per-row executor arithmetic — determinism
+    * across retries/partitions is IEEE, no cross-engine oracle needed
+    * (library row, spec-covered). */
+  def pHash64(p: PixelImage): Long = {
+    val n = 32
+    if (p.pixels.length != n * n * 3) 0L
+    else {
+      val luma = new Array[Double](n * n)
+      var i = 0
+      while (i < n * n) {
+        val r = p.pixels(i * 3) & 0xff
+        val g = p.pixels(i * 3 + 1) & 0xff
+        val b = p.pixels(i * 3 + 2) & 0xff
+        luma(i) = (299 * r + 587 * g + 114 * b) / 1000.0
+        i += 1
+      }
+      // separable DCT-II with a precomputed cosine table
+      val cosT = Array.tabulate(n, n)((k, x) =>
+        math.cos((2 * x + 1) * k * math.Pi / (2.0 * n)))
+      val rows = Array.ofDim[Double](n, n)
+      var y = 0
+      while (y < n) {
+        var k = 0
+        while (k < 8) { // only the first 8 frequencies are ever read
+          var s = 0.0; var x = 0
+          while (x < n) { s += luma(y * n + x) * cosT(k)(x); x += 1 }
+          rows(y)(k) = s; k += 1
+        }
+        y += 1
+      }
+      val block = new Array[Double](64)
+      var v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) {
+          var s = 0.0; var yy = 0
+          while (yy < n) { s += rows(yy)(u) * cosT(v)(yy); yy += 1 }
+          block(v * 8 + u) = s; u += 1
+        }
+        v += 1
+      }
+      val med = {
+        val sorted = block.sorted
+        (sorted(31) + sorted(32)) / 2.0
+      }
+      var h = 0L
+      i = 0
+      while (i < 64) {
+        if (block(i) > med) h |= (1L << i)
+        i += 1
+      }
+      h
+    }
+  }
+
+  /** (doc_id, phash) over a decoded-pixels frame: resize to 32×32 in
+    * the same narrow mapPartitions chain, then the DCT hash — like
+    * [[aHashFrame]], the decode→thumbnail→fingerprint pipeline never
+    * shuffles. */
+  def pHashFrame(decoded: DataFrame): DataFrame = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    resizePixels(decoded, 32, 32).as[PixelImage]
+      .map(p => (p.doc_id, pHash64(p)))
+      .toDF("doc_id", "phash")
+  }
+
   /** Image near-duplicate pairs by perceptual hash: 4 bands of 16 bits
     * block the candidates (pigeonhole: Hamming <= 3 of 64 bits shares
     * at least one band), exact `bit_count` Hamming filters — the
     * [[Dedup.simhashCandidates]] architecture applied to pixels, so the
     * join is band-equi, never all-pairs, and scales like the text
-    * SimHash face. Rows that failed to decode (hash 0) are excluded. */
-  def imageNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val live = hashes.where(col("ahash") =!= 0L)
-    val banded = live.select(col("doc_id"), col("ahash"),
+    * SimHash face. Rows that failed to decode (hash 0) are excluded.
+    * `hashCol` selects the fingerprint family — "ahash" (cheap,
+    * brightness-sensitive) or "phash" (DCT, gamma/contrast-robust). */
+  def imageNearDups(hashes: DataFrame, maxHamming: Int = 3,
+                    hashCol: String = "ahash"): DataFrame = {
+    val live = hashes.where(col(hashCol) =!= 0L)
+    val banded = live.select(col("doc_id"), col(hashCol).as("__h"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("ahash"), b * 16).bitwiseAND(0xFFFF).as(s"b$b")): _*))
+        shiftright(col(hashCol), b * 16).bitwiseAND(0xFFFF).as(s"b$b")): _*))
         .as(Seq("band_idx", "band_val")))
-    val a = banded.select(col("doc_id").as("doc_a"), col("ahash").as("h_a"),
+    val a = banded.select(col("doc_id").as("doc_a"), col("__h").as("h_a"),
       col("band_idx"), col("band_val"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("ahash").as("h_b"),
+    val b = banded.select(col("doc_id").as("doc_b"), col("__h").as("h_b"),
       col("band_idx"), col("band_val"))
     a.join(b, Seq("band_idx", "band_val")).where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),

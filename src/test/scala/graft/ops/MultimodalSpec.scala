@@ -270,4 +270,68 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 5L || b == 5L },
       "a degraded row leaked into the pair set")
   }
+
+  test("pHash pairs a gamma-shifted twin that aHash misses") {
+    def png(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = px(x, y); img.setRGB(x, y, v << 16 | v << 8 | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // a realistic aHash failure mode: low-contrast texture + one bright
+    // blob. Gamma compression rescales the blob against the background,
+    // dragging the global MEAN across much of the texture — aHash bits
+    // flip wholesale — while the DCT low-frequency structure (what
+    // pHash quantizes) barely reorders against its own median.
+    val amps = Seq(
+      (10.7153, 0.4307, 0.3660, 5.4830), (13.6691, 0.8901, 0.7531, 2.3013),
+      (15.9744, 0.7764, 0.9812, 3.9695), (17.5895, 0.6394, 0.3550, 0.8990))
+    def scene(x: Int, y: Int): Int = {
+      val v = 105.0 + amps.map { case (a, wx, wy, ph) =>
+        a * math.sin(wx * x + ph) * math.cos(wy * y + ph) }.sum
+      val lit = (x - 27) * (x - 27) + (y - 14) * (y - 14) < 25
+      math.max(0, math.min(255, if (lit) 250 else v.toInt))
+    }
+    def gammaShift(v: Int): Int =
+      math.min(255, (255.0 * math.pow(v / 255.0, 0.5)).toInt)
+    val base = png(32, 32)(scene)
+    val shifted = png(32, 32)((x, y) => gammaShift(scene(x, y)))
+    val checker = png(32, 32)((x, y) =>
+      if (((x / 4) + (y / 4)) % 2 == 0) 0x10 else 0xf0)
+    val d = Seq((1L, base), (2L, shifted), (3L, checker), (4L, "junk".getBytes))
+      .toDF("doc_id", "payload")
+    val decoded = Multimodal.decodePixels(d, "doc_id", "payload")()
+
+    // aHash misses the twin (the gap pHash exists to close)
+    val aPairs = Multimodal.imageNearDups(Multimodal.aHashFrame(decoded))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!aPairs.contains((1L, 2L)),
+      s"expected aHash to miss the gamma twin (the pHash motivation): $aPairs")
+
+    // pHash pairs it, keeps the checkerboard unpaired, drops the junk row
+    val ph = Multimodal.pHashFrame(decoded)
+    val hs = ph.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(4L) == 0L, "a failed decode must pHash to 0")
+    val pPairs = Multimodal.imageNearDups(ph, hashCol = "phash")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pPairs.contains((1L, 2L)) && pPairs((1L, 2L)) <= 3,
+      s"gamma twin must pair under pHash: $pPairs")
+    assert(!pPairs.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      s"the checkerboard paired under pHash: $pPairs")
+    assert(!pPairs.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      "a degraded row leaked into the pHash pair set")
+
+    // scale invariance: the same scene at 2x resolution hashes identically
+    // (nearest-neighbor 64->32 picks exactly the original pixels)
+    val scaled = png(64, 64)((x, y) => scene(x / 2, y / 2))
+    val hs2 = Multimodal.pHashFrame(Multimodal.decodePixels(
+        Seq((10L, base), (11L, scaled)).toDF("doc_id", "payload"),
+        "doc_id", "payload")())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs2(10L) == hs2(11L), "pHash must be resize-invariant for the same scene")
+  }
 }
