@@ -241,6 +241,10 @@ object SparkEntry {
     "dedup_edit" -> (DedupQueries.dedupEdit _),
     "dedup_simhash" -> (DedupQueries.dedupSimhash _),
     "dedup_cluster" -> (DedupQueries.dedupCluster _),
+    // C106: train/test split-leakage audit — cross-fold exact/near-dup
+    // pairs under the naive doc-keyed coin vs the cluster-keyed fix
+    // (clusters land whole; zeros computed, not assumed); SQL-checked
+    "dedup_split_leakage" -> (DedupQueries.dedupSplitLeakage _),
     // quality-aware keeper per dup cluster (argmax C9 score, not min-id)
     "dedup_keeper_quality" -> (DedupQueries.dedupKeeperQuality _),
     "dedup_embedding" -> ((s: SparkSession, d: String) => VectorQueries.dedupEmbedding(s, d)),
@@ -1569,6 +1573,7 @@ object SparkEntry {
         |         AS BIGINT) AS cum_users
         |FROM n ORDER BY day""".stripMargin,
     "dedup_cluster" -> DedupQueries.clusterOracle,
+    "dedup_split_leakage" -> DedupQueries.splitLeakageOracle,
     "mixture_plan" -> graft.ops.Sample.mixturePlanOracle,
     "mixture_temperature" -> graft.ops.Sample.mixtureTemperatureOracle,
     "mixture_apply" -> graft.ops.Sample.mixtureApplyOracle,

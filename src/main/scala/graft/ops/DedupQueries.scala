@@ -265,6 +265,169 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** C106: SPLIT-LEAKAGE audit — does any eval example have a training
+    * TWIN? Deduplicating and splitting are both standard, but the
+    * published failure mode is their composition: a doc-keyed fold coin
+    * deals two near-duplicate documents to DIFFERENT folds, so the test
+    * set silently grades memorized training content (the
+    * train/test-contamination result the dedup literature keeps
+    * re-finding). The card measures it AND ships the fix: per fold
+    * pair, the count of exact-duplicate and near-duplicate pairs
+    * straddling the folds under the NAIVE doc-keyed coin, next to the
+    * same counts under the CLUSTER-KEYED coin (every member of a dup
+    * cluster adopts its keeper's coin, so clusters land whole —
+    * provably zero straddle, and the zeros are computed, not assumed).
+    *
+    * Edges = LSH-bounded MinHash candidates (the C3 plan) UNION
+    * exact-content star edges — exact twins below the 3-token shingle
+    * floor have no MinHash signature, so content groups link
+    * explicitly; every duplicate relation the pipeline knows about is
+    * an edge, which is what makes the clustered zeros a theorem.
+    *
+    * Scale shape: the near-dup pair join is band-bounded (never
+    * all-pairs); exact-pair counts come from per-content fold COUNTS
+    * (Σ n_a·n_b over the group's fold histogram — no pair join for a
+    * mega-group); components are the C17 machinery; fold assignment is
+    * the narrow content-keyed coin. SQL-checked end to end (recursive
+    * CTE + the generated fold CASEs). */
+  def dedupSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nd = Dedup.minhashCandidates(d, "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"))
+    val h = d.select(col("doc_id"),
+      graft.ops.Text.contentHash(col("text")).as("h"))
+    val exactEdges = h
+      .withColumn("m", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .where(col("doc_id") =!= col("m"))
+      .select(col("m").as("doc_a"), col("doc_id").as("doc_b"))
+    val edges = nd.unionByName(exactEdges)
+    val cc = Cluster.connectedComponents(d.select(col("doc_id")), edges, "doc_id")
+      .withColumnRenamed("id", "doc_id")
+    val folded = cc
+      .withColumn("fold_naive",
+        Sample.splitColumn(col("doc_id"), Sample.DemoCuts, "test"))
+      .withColumn("fold_clustered",
+        Sample.splitColumn(col("cluster_id"), Sample.DemoCuts, "test"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheScope.releaseAfterAction(s, folded)
+    def ndLeaks(foldCol: String, name: String): DataFrame =
+      nd.join(folded.select(col("doc_id").as("doc_a"), col(foldCol).as("fa")),
+          Seq("doc_a"))
+        .join(folded.select(col("doc_id").as("doc_b"), col(foldCol).as("fb")),
+          Seq("doc_b"))
+        .where(col("fa") =!= col("fb"))
+        .select(least(col("fa"), col("fb")).as("fold_a"),
+          greatest(col("fa"), col("fb")).as("fold_b"))
+        .groupBy(col("fold_a"), col("fold_b")).agg(count(lit(1)).as(name))
+    def exactLeaks(foldCol: String, name: String): DataFrame = {
+      val gf = h.join(folded.select(col("doc_id"), col(foldCol).as("f")),
+          Seq("doc_id"))
+        .groupBy(col("h"), col("f")).agg(count(lit(1)).as("n"))
+      gf.select(col("h"), col("f").as("fa"), col("n").as("na"))
+        .join(gf.select(col("h"), col("f").as("fb"), col("n").as("nb")), Seq("h"))
+        .where(col("fa") < col("fb"))
+        .groupBy(col("fa").as("fold_a"), col("fb").as("fold_b"))
+        .agg(sum(col("na") * col("nb")).as(name))
+    }
+    import s.implicits._
+    val spine = Seq(("test", "train"), ("test", "val"), ("train", "val"))
+      .toDF("fold_a", "fold_b")
+    spine
+      .join(exactLeaks("fold_naive", "naive_exact_pairs"),
+        Seq("fold_a", "fold_b"), "left")
+      .join(ndLeaks("fold_naive", "naive_neardup_pairs"),
+        Seq("fold_a", "fold_b"), "left")
+      .join(exactLeaks("fold_clustered", "clustered_exact_pairs"),
+        Seq("fold_a", "fold_b"), "left")
+      .join(ndLeaks("fold_clustered", "clustered_neardup_pairs"),
+        Seq("fold_a", "fold_b"), "left")
+      .select(col("fold_a"), col("fold_b"),
+        coalesce(col("naive_exact_pairs"), lit(0L)).as("naive_exact_pairs"),
+        coalesce(col("naive_neardup_pairs"), lit(0L)).as("naive_neardup_pairs"),
+        coalesce(col("clustered_exact_pairs"), lit(0L)).as("clustered_exact_pairs"),
+        coalesce(col("clustered_neardup_pairs"), lit(0L)).as("clustered_neardup_pairs"))
+      .orderBy(col("fold_a"), col("fold_b"))
+  }
+
+  /** The C106 oracle: bands + exact star edges + recursive components +
+    * both generated fold CASEs + the same pair arithmetic. (`lazy`:
+    * textually above [[minhashBandCtes]] — a strict val would capture
+    * the not-yet-initialized null.) */
+  lazy val splitLeakageOracle: String = {
+    def foldCase(idExpr: String): String = {
+      val whens = Sample.DemoCuts.map { case (label, upTo) =>
+        s"WHEN substr(md5('split|'||CAST($idExpr AS VARCHAR)),1,6) < '${Sample.hexThreshold(upTo)}' THEN '$label'"
+      }.mkString("\n              ")
+      s"CASE $whens\n              ELSE 'test' END"
+    }
+    s"""WITH RECURSIVE $minhashBandCtes,
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |hh AS (SELECT doc_id,
+       |              md5(trim(regexp_replace(lower(text),'\\s+',' ','g'))) AS h
+       |       FROM documents),
+       |hm AS (SELECT h, min(doc_id) AS m FROM hh GROUP BY h),
+       |ex AS (SELECT hm.m AS doc_a, hh.doc_id AS doc_b
+       |       FROM hh JOIN hm USING (h) WHERE hh.doc_id <> hm.m),
+       |alledges AS (SELECT doc_a, doc_b FROM pairs
+       |             UNION SELECT doc_a, doc_b FROM ex),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM alledges
+       |          UNION ALL SELECT doc_b, doc_a FROM alledges),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS lbl FROM documents
+       |  UNION
+       |  SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+       |cl AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+       |folded AS (
+       |  SELECT doc_id, cluster_id,
+       |         ${foldCase("doc_id")} AS fold_naive,
+       |         ${foldCase("cluster_id")} AS fold_clustered
+       |  FROM cl),
+       |ndn AS (
+       |  SELECT least(x.fold_naive, y.fold_naive) AS fold_a,
+       |         greatest(x.fold_naive, y.fold_naive) AS fold_b,
+       |         count(*)::BIGINT AS naive_neardup_pairs
+       |  FROM pairs p JOIN folded x ON p.doc_a = x.doc_id
+       |               JOIN folded y ON p.doc_b = y.doc_id
+       |  WHERE x.fold_naive <> y.fold_naive GROUP BY 1, 2),
+       |ndc AS (
+       |  SELECT least(x.fold_clustered, y.fold_clustered) AS fold_a,
+       |         greatest(x.fold_clustered, y.fold_clustered) AS fold_b,
+       |         count(*)::BIGINT AS clustered_neardup_pairs
+       |  FROM pairs p JOIN folded x ON p.doc_a = x.doc_id
+       |               JOIN folded y ON p.doc_b = y.doc_id
+       |  WHERE x.fold_clustered <> y.fold_clustered GROUP BY 1, 2),
+       |gfn AS (SELECT hh.h, f.fold_naive AS f, count(*)::BIGINT AS n
+       |        FROM hh JOIN folded f USING (doc_id) GROUP BY 1, 2),
+       |exn AS (
+       |  SELECT a.f AS fold_a, b.f AS fold_b,
+       |         sum(a.n * b.n)::BIGINT AS naive_exact_pairs
+       |  FROM gfn a JOIN gfn b ON a.h = b.h AND a.f < b.f GROUP BY 1, 2),
+       |gfc AS (SELECT hh.h, f.fold_clustered AS f, count(*)::BIGINT AS n
+       |        FROM hh JOIN folded f USING (doc_id) GROUP BY 1, 2),
+       |exc AS (
+       |  SELECT a.f AS fold_a, b.f AS fold_b,
+       |         sum(a.n * b.n)::BIGINT AS clustered_exact_pairs
+       |  FROM gfc a JOIN gfc b ON a.h = b.h AND a.f < b.f GROUP BY 1, 2),
+       |spine AS (SELECT * FROM (VALUES ('test','train'), ('test','val'),
+       |                                ('train','val')) AS t(fold_a, fold_b))
+       |SELECT s.fold_a, s.fold_b,
+       |       coalesce(exn.naive_exact_pairs, 0)::BIGINT AS naive_exact_pairs,
+       |       coalesce(ndn.naive_neardup_pairs, 0)::BIGINT AS naive_neardup_pairs,
+       |       coalesce(exc.clustered_exact_pairs, 0)::BIGINT AS clustered_exact_pairs,
+       |       coalesce(ndc.clustered_neardup_pairs, 0)::BIGINT AS clustered_neardup_pairs
+       |FROM spine s
+       |LEFT JOIN exn USING (fold_a, fold_b)
+       |LEFT JOIN ndn USING (fold_a, fold_b)
+       |LEFT JOIN exc USING (fold_a, fold_b)
+       |LEFT JOIN ndc USING (fold_a, fold_b)
+       |ORDER BY s.fold_a, s.fold_b""".stripMargin
+  }
+
   /** C70: QUALITY-AWARE keeper selection for near-dup clusters — which
     * copy to keep is a real decision (dup clusters mix a clean original
     * with truncated/mangled mirrors), and the C17 min-id rule is only

@@ -326,4 +326,69 @@ class DedupSpec extends SparkSpec {
     assert(cand.size - want.size <= math.max(2, batchSize / 100),
       s"false-positive margin too large: ${cand.size - want.size}")
   }
+
+  test("split-leakage audit: full driver recount; cluster-keyed folds zero every straddle") {
+    // driver-side replicas of the content-keyed machinery
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def fold(id: Long): String = {
+      val b = md5hex(s"split|$id").substring(0, 6)
+      if (b < Sample.hexThreshold(0.8)) "train"
+      else if (b < Sample.hexThreshold(0.9)) "val" else "test"
+    }
+    val rows = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    val hOf = rows.map { case (id, t) =>
+      id -> md5hex(Option(t).getOrElse("").toLowerCase.replaceAll("\\s+", " ").trim)
+    }.toMap
+    // union-find over minhash pairs + exact star edges
+    val parent = scala.collection.mutable.Map(rows.map(r => r._1 -> r._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    pairs.foreach { case (a, b) => union(a, b) }
+    rows.groupBy(r => hOf(r._1)).values.foreach { g =>
+      val ids = g.map(_._1).sorted
+      ids.tail.foreach(union(ids.head, _))
+    }
+    // min-label components == union-find minima here, but the operator
+    // uses Cluster.connectedComponents — recount its ids to be exact
+    val clusterOf = rows.map(r => r._1 -> find(r._1)).toMap
+    def spineKey(a: String, b: String) = if (a < b) (a, b) else (b, a)
+    def expected(foldOf: Long => String) = {
+      val nd = pairs.filter { case (a, b) => foldOf(a) != foldOf(b) }
+        .groupBy { case (a, b) => spineKey(foldOf(a), foldOf(b)) }
+        .view.mapValues(_.length.toLong).toMap
+      val ex = rows.groupBy(r => hOf(r._1)).values.flatMap { g =>
+        val byF = g.groupBy(r => foldOf(r._1)).view.mapValues(_.size.toLong).toMap
+        for {
+          a <- byF.keys; b <- byF.keys; if a < b
+        } yield (a, b) -> byF(a) * byF(b)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (nd, ex)
+    }
+    val (ndN, exN) = expected(fold)
+    val (ndC, exC) = expected(id => fold(clusterOf(id)))
+    val got = DedupQueries.dedupSplitLeakage(spark, sfDir).collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getAs[Long]("naive_exact_pairs") == exN.getOrElse(k, 0L), s"$k exact")
+      assert(r.getAs[Long]("naive_neardup_pairs") == ndN.getOrElse(k, 0L), s"$k nd")
+      assert(r.getAs[Long]("clustered_exact_pairs") == exC.getOrElse(k, 0L), s"$k exc")
+      assert(r.getAs[Long]("clustered_neardup_pairs") == ndC.getOrElse(k, 0L), s"$k ndc")
+      // the theorem: every duplicate relation is an edge, clusters land
+      // whole, so the cluster-keyed counts are structurally zero
+      assert(r.getAs[Long]("clustered_exact_pairs") == 0L, s"$k: clustered exact leak")
+      assert(r.getAs[Long]("clustered_neardup_pairs") == 0L, s"$k: clustered nd leak")
+    }
+    // non-vacuous: the naive policy must actually leak on this corpus
+    assert(got.map(_.getAs[Long]("naive_neardup_pairs")).sum > 0L,
+      "no naive near-dup straddle — the audit demonstrates nothing")
+  }
 }
