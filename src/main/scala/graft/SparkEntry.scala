@@ -255,12 +255,15 @@ object SparkEntry {
     // the n-gram decontamination family structurally cannot)
     "contamination_semantic" -> ((s: SparkSession, d: String) =>
       VectorQueries.contaminationSemantic(s, d)),
-    // rows-only: IVF-blocked all-corpus kNN graph (KnnGraphSpec bounds recall)
+    // SQL-checked since round 11: learned cell centroids exported as data;
+    // the oracle replays multi-assign/pairs/top-3 (KnnGraphSpec bounds recall)
     "knn_graph" -> (VectorQueries.knnGraph _),
     "sim_search_lsh" -> (VectorQueries.simSearchLsh _),
-    // rows-only: centroid assignment is Scala-side plan logic
+    // SQL-checked since round 11: the centroid table exported as data; the
+    // oracle replays assignment/probes/rescore/rank from it
     "sim_search_ivf" -> (VectorQueries.simSearchIvf _),
-    // rows-only: learned clusters, engine-specific (recall spec-bounded)
+    // SQL-checked since round 11: learned centroids exported as data (same
+    // oracle machinery as sim_search_ivf); recall stays spec-bounded
     "sim_search_ivf_learned" -> (VectorQueries.simSearchIvfLearned _),
     // rows-only: PQ-ADC search over learned codebooks (recall spec-bounded)
     "sim_search_pq" -> (graft.ops.ProductQuant.simSearchPq _),
@@ -310,7 +313,8 @@ object SparkEntry {
     // C87a: the audit run against the PERSISTED serve indexes (the
     // batch companion to the D21 drift monitor)
     "ann_recall_audit_cached" -> (VectorQueries.annRecallAuditCached _),
-    // rows-only: SemDeDup within-learned-cluster prune (spec-bounded)
+    // SQL-checked since round 11: learned centroids exported as data; the
+    // oracle re-derives the argmax assignment + the tau-pair stage
     "dedup_semantic" -> ((s: SparkSession, d: String) => VectorQueries.dedupSemantic(s, d)),
     // rows-only: SemDeDup over PQ codes — the memory-bounded face
     // (spec pins card equality with dedup_semantic)
@@ -328,12 +332,14 @@ object SparkEntry {
     "embed_centroids" -> (VectorQueries.embedCentroids _),
     // C90: embedding-space source-divergence card (diagonal Fréchet)
     "embed_divergence" -> (VectorQueries.embedDivergence _),
-    // C91 rows-only: D4-style prototype pruning over learned clusters
+    // C91, SQL-checked since round 11: D4-style prototype pruning — frozen
+    // assignment + centroids exported as data, scoring/cut/card replayed
     "sample_diverse" -> ((s: SparkSession, d: String) =>
       VectorQueries.sampleDiverse(s, d)),
     // cross-table (documents x embeddings) dataset card per (source, label)
     "corpus_label_card" -> (VectorQueries.corpusLabelCard _),
-    // rows-only: learned clusters are iterative Scala-side plan logic
+    // SQL-checked since round 11: assignment + centroids exported as data,
+    // the tightness card replayed from them
     "embed_kmeans" -> (graft.ops.KMeans.embedKmeans _),
     // rows-only: PCA variance-explained curve (eigensolve; spec-recounted)
     "embed_pca" -> (graft.ops.Pca.embedPca _),
@@ -1351,6 +1357,17 @@ object SparkEntry {
     "export_manifest" -> graft.ops.Pipeline.manifestOracle,
     "meta_partition_health" -> graft.ingest.PartitionHealth.healthOracle,
     "corpus_topics" -> graft.ops.KMeans.topicsOracle,
+    // Round-11 learned-state-as-data promotions (the C59 posture over
+    // the k-means family): centroids (and where the face consumes the
+    // frozen last-round assignment, that too) export as parquet side
+    // tables; DuckDB replays the argmax assignment, probe selection,
+    // rescoring, ranking, and card arithmetic from them.
+    "dedup_semantic" -> VectorQueries.dedupSemanticOracle,
+    "sim_search_ivf" -> VectorQueries.simSearchIvfOracle,
+    "sim_search_ivf_learned" -> VectorQueries.simSearchIvfLearnedOracle,
+    "knn_graph" -> VectorQueries.knnGraphOracle,
+    "sample_diverse" -> VectorQueries.sampleDiverseOracle,
+    "embed_kmeans" -> graft.ops.KMeans.embedKmeansOracle,
     "text_unigram_lm" -> graft.ops.UnigramLm.unigramOracle,
     // C33: cumulative funnel — flags from one normalized projection, the
     // keeper from the dedup hash-window, stages unpivoted from one agg row

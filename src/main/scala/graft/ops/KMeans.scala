@@ -120,15 +120,25 @@ object KMeans {
     Fit(assigned.select(col("vec_id"), col("cluster")), cents, objective)
   }
 
-  /** Query face (`embed_kmeans`, rows-only): [[adaptiveK]]-derived
-    * learned clusters over the embeddings corpus (resolves to 8 at the
-    * test SFs), 4 Lloyd rounds; per-cluster population and tightness. */
+  /** Query face (`embed_kmeans`): [[adaptiveK]]-derived learned
+    * clusters over the embeddings corpus (resolves to 8 at the test
+    * SFs), 4 Lloyd rounds; per-cluster population and tightness.
+    * SQL-CHECKED since round 11 (the C59 learned-state-as-data
+    * posture): the last-round assignment (which lags the returned
+    * centroids by one Lloyd update — data by construction) and the
+    * centroid table export at [[KmeansAssignPath]]/[[KmeansCentsPath]],
+    * and the DuckDB oracle replays the cosine-tightness card from
+    * them. */
   def embedKmeans(s: SparkSession, dir: String): DataFrame = {
     val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
       .select(col("vec_id"), col("e"), col("nrm"))
     val f = fit(v, k = adaptiveK(v.count()), iters = 4)
-    f.assignments
-      .join(broadcast(f.centroids), Seq("cluster"))
+    graft.ops.VectorQueries.exportSide(
+      f.assignments.select(col("vec_id"), col("cluster")), KmeansAssignPath)
+    graft.ops.VectorQueries.exportSide(
+      f.centroids.select(col("cluster"), col("ce"), col("cn")), KmeansCentsPath)
+    s.read.parquet(KmeansAssignPath)
+      .join(broadcast(s.read.parquet(KmeansCentsPath)), Seq("cluster"))
       .join(v, Seq("vec_id"))
       .withColumn("cos", Vectors.cosine(col("e"), col("ce"), col("nrm"), col("cn")))
       .groupBy(col("cluster"))
@@ -205,6 +215,31 @@ object KMeans {
     * is always the one the immediately-following DuckDB replay reads. */
   val TopicsAssignPath: String =
     s"${sys.props("java.io.tmpdir")}/graft_topics_assign.parquet"
+
+  /** [[embedKmeans]]'s learned-state exports (same posture). */
+  val KmeansAssignPath: String =
+    s"${sys.props("java.io.tmpdir")}/graft_kmeans_assign.parquet"
+  val KmeansCentsPath: String =
+    s"${sys.props("java.io.tmpdir")}/graft_kmeans_cents.parquet"
+
+  /** C22 oracle: the exported assignment + centroid tables as data,
+    * the cosine-tightness card replayed from them (left-to-right dot
+    * parity; post-agg round-4 per §4). */
+  val embedKmeansOracle: String =
+    s"""WITH asg AS (SELECT vec_id, cluster FROM '$KmeansAssignPath/*.parquet'),
+       |cents AS (SELECT cluster, ce, cn FROM '$KmeansCentsPath/*.parquet'),
+       |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |      FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+       |      WHERE sqrt(list_dot_product(e, e)) > 0),
+       |j AS (SELECT a.cluster, c.cn,
+       |             list_dot_product(n.e, c.ce)/(n.nrm*c.cn) AS cos
+       |      FROM n JOIN asg a USING (vec_id) JOIN cents c USING (cluster))
+       |SELECT cluster, count(*)::BIGINT AS n_vecs,
+       |       round(avg(cos), 4) AS avg_cos,
+       |       round(min(cos), 4) AS min_cos,
+       |       round(max(cn), 4) AS centroid_norm
+       |FROM j GROUP BY cluster ORDER BY cluster""".stripMargin
 
   /** C59 oracle: the exported assignment as data + everything else
     * replayed from the corpus (df, sizes, integer-bp lift, top-5). */

@@ -33,6 +33,145 @@ object VectorQueries {
   private def emb(s: SparkSession, dir: String) =
     Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
 
+  /** Learned-state export for the round-11 oracle promotions — the C59
+    * "learned state IS data" posture widened to the whole k-means-backed
+    * ANN/dedup family: each face writes its model-scale learned frame
+    * (the k-row centroid table, and where the face consumes a frozen
+    * assignment, that too) to a tmpdir-fixed parquet path that the
+    * statically-built oracle string reads back as DATA. Everything
+    * DETERMINISTIC downstream of the learned state — the per-vector
+    * argmax assignment (left-to-right dot parity, the same IEEE
+    * argument the C5/C7 cosine oracles rest on), probe selection,
+    * candidate generation, exact rescoring, ranking, and the card
+    * arithmetic — replays in DuckDB and hash-checks. Verify/gate runs
+    * are serial, so the last face invocation's export is always the one
+    * the immediately-following DuckDB replay consumes. */
+  private[ops] def exportSide(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+  private def sidePath(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_$name.parquet"
+
+  val SemDedupCentsPath: String = sidePath("semdedup_cents")
+  val IvfCentsPath: String = sidePath("ivf_cents")
+  val IvfLearnedCentsPath: String = sidePath("ivf_learned_cents")
+  val KnnCentsPath: String = sidePath("knn_cents")
+  val DiverseCentsPath: String = sidePath("diverse_cents")
+  val DiverseAssignPath: String = sidePath("diverse_assign")
+
+  /** Shared oracle prelude: the exported centroid table as data, the
+    * zero-norm-guarded corpus (mirrors withNorm(dropDegenerate=true)),
+    * and every vector's dot/cn centroid score — the exact quantity
+    * [[graft.functions.NearestCentroids]] ranks (the vector's own norm
+    * is constant per row, so dot/cn ordering IS cosine ordering), with
+    * the same smaller-cluster tie rule. */
+  private def centScoreCtes(path: String): String =
+    s"""WITH cents AS (SELECT cluster, ce, cn FROM '$path/*.parquet'),
+       |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |      FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+       |      WHERE sqrt(list_dot_product(e, e)) > 0),
+       |sc AS (SELECT n.vec_id, n.e, n.nrm, c.cluster,
+       |              list_dot_product(n.e, c.ce)/c.cn AS s
+       |       FROM n, cents c)""".stripMargin
+
+  /** C16/C16a oracle: assignment (argmax), probes (top-2), posting-list
+    * candidates, exact round-4 rescore, and the tie-broken rank — all
+    * replayed from the exported centroids. */
+  private def ivfOracle(path: String): String =
+    s"""${centScoreCtes(path)},
+       |asg AS (SELECT vec_id, e, nrm, cluster FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vec_id
+       |            ORDER BY s DESC, cluster) AS rn FROM sc) WHERE rn = 1),
+       |pr AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, cluster FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vec_id
+       |            ORDER BY s DESC, cluster) AS rn FROM sc WHERE vec_id < 5)
+       |        WHERE rn <= 2),
+       |cand AS (SELECT pr.query_id, a.vec_id,
+       |                round(list_dot_product(pr.qe, a.e)/(pr.qn*a.nrm), 4)
+       |                  AS cosine
+       |         FROM asg a JOIN pr ON a.cluster = pr.cluster
+       |         WHERE a.vec_id <> pr.query_id),
+       |r AS (SELECT *, rank() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, vec_id) AS rnk FROM cand)
+       |SELECT query_id, rnk, vec_id, cosine FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rnk, vec_id""".stripMargin
+
+  val simSearchIvfOracle: String = ivfOracle(IvfCentsPath)
+  val simSearchIvfLearnedOracle: String = ivfOracle(IvfLearnedCentsPath)
+
+  /** C37 oracle: argmax assignment replayed from the exported
+    * centroids, then the within-cluster τ-pair stage and the card. */
+  val dedupSemanticOracle: String =
+    s"""${centScoreCtes(SemDedupCentsPath)},
+       |asg AS (SELECT vec_id, e, nrm, cluster FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vec_id
+       |            ORDER BY s DESC, cluster) AS rn FROM sc) WHERE rn = 1),
+       |pf AS (SELECT x.cluster, x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |              list_dot_product(x.e, y.e)/(x.nrm*y.nrm) AS cos
+       |       FROM asg x JOIN asg y
+       |         ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |       WHERE list_dot_product(x.e, y.e)/(x.nrm*y.nrm) >= 0.35),
+       |sz AS (SELECT cluster, count(*)::BIGINT AS n_vecs FROM asg GROUP BY 1),
+       |ps AS (SELECT cluster, count(*)::BIGINT AS n_pairs,
+       |              round(avg(cos), 4) AS avg_pair_cos FROM pf GROUP BY 1),
+       |pd AS (SELECT cluster, count(DISTINCT vec_b)::BIGINT AS n_pruned
+       |       FROM pf GROUP BY 1)
+       |SELECT sz.cluster, sz.n_vecs,
+       |       coalesce(pd.n_pruned, 0)::BIGINT AS n_pruned,
+       |       (sz.n_vecs - coalesce(pd.n_pruned, 0))::BIGINT AS n_kept,
+       |       coalesce(ps.n_pairs, 0)::BIGINT AS n_pairs,
+       |       coalesce(ps.avg_pair_cos, 0.0) AS avg_pair_cos
+       |FROM sz LEFT JOIN pd USING (cluster) LEFT JOIN ps USING (cluster)
+       |ORDER BY sz.cluster""".stripMargin
+
+  /** C68 oracle: 3-way multi-assignment replayed from the exported
+    * centroids (rn ≤ 3), within-cell pairs, cross-cell max-collapse,
+    * top-3 rank with the dst tie-break. */
+  val knnGraphOracle: String =
+    s"""${centScoreCtes(KnnCentsPath)},
+       |asg AS (SELECT vec_id, e, nrm, cluster FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vec_id
+       |            ORDER BY s DESC, cluster) AS rn FROM sc) WHERE rn <= 3),
+       |p AS (SELECT x.vec_id AS src, y.vec_id AS dst,
+       |             max(list_dot_product(x.e, y.e)/(x.nrm*y.nrm)) AS cos
+       |      FROM asg x JOIN asg y
+       |        ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+       |      GROUP BY 1, 2),
+       |r AS (SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+       |        ORDER BY cos DESC, dst) AS "rank" FROM p)
+       |SELECT src, "rank", dst, round(cos, 4) AS cos FROM r
+       |WHERE "rank" <= 3 ORDER BY src, "rank"""".stripMargin
+
+  /** C91 oracle: scoring + per-cell ranking + the ceil cut + the card,
+    * replayed from the exported frozen assignment and centroid table. */
+  val sampleDiverseOracle: String =
+    s"""WITH asg AS (SELECT vec_id, cluster FROM '$DiverseAssignPath/*.parquet'),
+       |cents AS (SELECT cluster, ce, cn FROM '$DiverseCentsPath/*.parquet'),
+       |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |      FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+       |      WHERE sqrt(list_dot_product(e, e)) > 0),
+       |scored AS (SELECT a.cluster, n.vec_id,
+       |                  list_dot_product(n.e, c.ce)/(n.nrm*c.cn) AS proto
+       |           FROM n JOIN asg a USING (vec_id)
+       |                  JOIN cents c USING (cluster)),
+       |rk AS (SELECT cluster, vec_id, proto,
+       |              row_number() OVER (PARTITION BY cluster
+       |                ORDER BY proto DESC, vec_id) AS r,
+       |              count(*) OVER (PARTITION BY cluster) AS cn_
+       |       FROM scored),
+       |fl AS (SELECT cluster, round(proto, 4) AS proto,
+       |              (r > ceil(0.25 * cn_)) AS kept FROM rk)
+       |SELECT cluster, count(*)::BIGINT AS n,
+       |       (count(*) FILTER (NOT kept))::BIGINT AS dropped,
+       |       (count(*) FILTER (kept))::BIGINT AS kept,
+       |       (count(*) FILTER (NOT kept))::BIGINT * 10000
+       |         // count(*)::BIGINT AS drop_bp,
+       |       round(avg(proto) FILTER (kept), 4) AS avg_kept_proto,
+       |       round(max(proto) FILTER (kept), 4) AS max_kept_proto
+       |FROM fl GROUP BY cluster ORDER BY cluster""".stripMargin
+
   /** C5: embedding cosine near-dup pairs within label blocks, tau=0.35.
     *
     * Exact face. Candidates block on label (the semantic key), but the
@@ -199,8 +338,13 @@ object VectorQueries {
     * re-shuffle the corpus on vec_id); the within-cluster pair join is
     * the C5 grid (each cluster split G×G so a giant cluster becomes G²
     * independent tasks, never one reducer). Per-cluster report.
-    * Rows-only oracle (learned clusters are iterative Scala-side plan
-    * logic); SemanticDedupSpec pins soundness, in-cluster completeness,
+    * SQL-CHECKED since round 11 (the C59 learned-state-as-data posture,
+    * strengthened): only the LEARNED half — the k-row centroid table —
+    * exports at [[SemDedupCentsPath]]; the DuckDB oracle re-derives the
+    * per-vector argmax assignment FROM those centroids (left-to-right
+    * dot parity) and replays the whole within-cluster pair stage, so the
+    * assignment arithmetic itself is engine-verified, not just consumed.
+    * SemanticDedupSpec still pins soundness, in-cluster completeness,
     * and determinism. Cluster count defaults to [[KMeans.adaptiveK]]
     * over the corpus size (k ≤ 0 means derive; resolves to 8 at the
     * test SFs) so per-cluster pair work stays bounded at any scale. */
@@ -209,8 +353,11 @@ object VectorQueries {
     val v = emb(s, dir).select(col("vec_id"), col("e"), col("nrm"))
     val kk = if (k > 0) k else KMeans.adaptiveK(v.count())
     val fit = KMeans.fit(v, k = kk, iters = iters)
-    val centsArr = fit.centroids.agg(array_sort(collect_list(
-      struct(col("cluster"), col("ce"), col("cn")))).as("cents"))
+    exportSide(fit.centroids.select(col("cluster"), col("ce"), col("cn")),
+      SemDedupCentsPath)
+    val centsArr = s.read.parquet(SemDedupCentsPath)
+      .agg(array_sort(collect_list(
+        struct(col("cluster"), col("ce"), col("cn")))).as("cents"))
     val assigned = v.crossJoin(broadcast(centsArr))
       .select(col("vec_id"), col("e"), col("nrm"),
         graft.functions.NearestCentroids(col("e"), col("cents"), 1)
@@ -285,25 +432,37 @@ object VectorQueries {
     * rows on vec_id just to rank a per-row maximum). Search: each query
     * probes only its `nprobe`=2 closest centroids' posting lists
     * (equi-join on the cluster id — bucket-bounded, no cross join), then
-    * exact cosine rescores and top-10 ranks. Rows-only oracle. */
+    * exact cosine rescores and top-10 ranks.
+    *
+    * SQL-CHECKED since round 11: the centroid table (whose per-label
+    * float means are aggregation-order-dependent — the one
+    * engine-unreplayable piece) exports at [[IvfCentsPath]] and the
+    * DuckDB oracle re-derives assignment, probes, rescore, and ranking
+    * from it (see [[exportSide]]). */
   def simSearchIvf(s: SparkSession, dir: String): DataFrame = {
     val v = emb(s, dir)
     val cents = Vectors.withNorm(centroidVectors(v), "centroid")
       .select(col("label").as("cluster"), col("e").as("ce"), col("nrm").as("cn"))
-    ivfSearch(v, cents)
+    exportSide(cents, IvfCentsPath)
+    ivfSearch(v, s.read.parquet(IvfCentsPath))
   }
 
   /** C16a: the same IVF search over LEARNED clusters — centroids come
     * from [[KMeans.fit]] instead of borrowing the label column, which is
     * the honest 100 TB build (real corpora carry no cluster labels).
     * [[KMeans.adaptiveK]] cells (8 at the test SFs), 3 Lloyd rounds;
-    * search identical to C16. Rows-only; recall spec-bounded vs brute
-    * force like the other ANN families. */
+    * search identical to C16. SQL-CHECKED since round 11: the learned
+    * centroids export at [[IvfLearnedCentsPath]] and the oracle replays
+    * assignment/probes/rescore/rank from them (see [[exportSide]]);
+    * recall stays spec-bounded vs brute force like the other ANN
+    * families. */
   def simSearchIvfLearned(s: SparkSession, dir: String): DataFrame = {
     val v = emb(s, dir)
     val vv = v.select(col("vec_id"), col("e"), col("nrm"))
     val fit = KMeans.fit(vv, k = KMeans.adaptiveK(vv.count()), iters = 3)
-    ivfSearch(v, fit.centroids.select(col("cluster"), col("ce"), col("cn")))
+    exportSide(fit.centroids.select(col("cluster"), col("ce"), col("cn")),
+      IvfLearnedCentsPath)
+    ivfSearch(v, s.read.parquet(IvfLearnedCentsPath))
   }
 
   /** Shared IVF search: assignment + probes as shuffle-free broadcast
@@ -393,13 +552,18 @@ object VectorQueries {
     * [[KMeans.adaptiveK]] derives k from one count agg (8 at the test
     * SFs, n/4096 cells beyond) so per-cell pair work stays bounded;
     * hot cells beyond the expectation are the grid split's job.
-    * Rows-only; KnnGraphSpec measures recall
-    * against the exact graph and pins determinism + the no-cartesian
-    * plan shape. */
+    * SQL-CHECKED since round 11: the learned cell centroids export at
+    * [[KnnCentsPath]] and the DuckDB oracle re-derives the 3-way
+    * multi-assignment, the within-cell pair stage, the cross-cell
+    * max-collapse, and the top-3 ranking from them (see
+    * [[exportSide]]); KnnGraphSpec still measures recall against the
+    * exact graph and pins determinism + the no-cartesian plan shape. */
   def knnGraph(s: SparkSession, dir: String): DataFrame = {
     val v = emb(s, dir).select(col("vec_id"), col("e"), col("nrm"))
     val fit = KMeans.fit(v, k = KMeans.adaptiveK(v.count()), iters = 3)
-    val centsArr = fit.centroids.select(col("cluster"), col("ce"), col("cn"))
+    exportSide(fit.centroids.select(col("cluster"), col("ce"), col("cn")),
+      KnnCentsPath)
+    val centsArr = s.read.parquet(KnnCentsPath)
       .agg(array_sort(collect_list(
         struct(col("cluster"), col("ce"), col("cn")))).as("cents"))
     val assigned = v.crossJoin(broadcast(centsArr))
@@ -436,10 +600,17 @@ object VectorQueries {
     * window per cluster whose partial WindowGroupLimit cannot apply
     * (rank depends on cluster size) but whose partitions are
     * adaptive-k-bounded cells, and a cluster-size equi-join — no pair
-    * stage anywhere. Rows-only (learned clusters); SampleDiverseSpec
-    * pins the ceil arithmetic, the threshold property (no kept member
-    * more prototypical than any dropped one), determinism, and the
-    * no-cartesian plan. */
+    * stage anywhere. SQL-CHECKED since round 11: the learned state —
+    * the frozen assignment (this face consumes [[KMeans.Fit]]'s
+    * last-round assignment, which lags the returned centroids by one
+    * Lloyd update, so the assignment itself is data, not replayable
+    * from the exported centroids) plus the centroid table — exports at
+    * [[DiverseAssignPath]]/[[DiverseCentsPath]], and the DuckDB oracle
+    * replays the prototypicality scoring, the per-cell ranking, the
+    * ceil cut, and the card arithmetic from them. SampleDiverseSpec
+    * still pins the ceil arithmetic, the threshold property (no kept
+    * member more prototypical than any dropped one), determinism, and
+    * the no-cartesian plan. */
   def sampleDiverse(s: SparkSession, dir: String,
                     dropShare: Double = 0.25): DataFrame = {
     val flags = sampleDiverseFlags(s, dir, dropShare)
@@ -462,8 +633,12 @@ object VectorQueries {
     require(dropShare >= 0.0 && dropShare < 1.0, s"bad dropShare: $dropShare")
     val v = emb(s, dir).select(col("vec_id"), col("e"), col("nrm"))
     val fit = KMeans.fit(v, k = KMeans.adaptiveK(v.count()), iters = 3)
-    val scored = fit.assignments.join(v, Seq("vec_id"))
-      .join(broadcast(fit.centroids), Seq("cluster"))
+    exportSide(fit.assignments.select(col("vec_id"), col("cluster")),
+      DiverseAssignPath)
+    exportSide(fit.centroids.select(col("cluster"), col("ce"), col("cn")),
+      DiverseCentsPath)
+    val scored = s.read.parquet(DiverseAssignPath).join(v, Seq("vec_id"))
+      .join(broadcast(s.read.parquet(DiverseCentsPath)), Seq("cluster"))
       .select(col("cluster"), col("vec_id"),
         Vectors.cosine(col("e"), col("ce"), col("nrm"), col("cn")).as("proto"))
     val w = Window.partitionBy(col("cluster"))
