@@ -278,7 +278,8 @@ object SparkEntry {
     "sim_search_opq_rot" -> (graft.ops.Opq.simSearchOpqRot _),
     // C38c: OPQ search against the persisted rotation + codebook
     "sim_search_opq_cached" -> (graft.ops.Opq.simSearchOpqCached _),
-    // rows-only: int8 scalar-quantized search (recall spec-bounded)
+    // SQL-checked since round 11 with NO export: SQ8's min/max fit is
+    // order-independent, so the whole pipeline replays from the corpus
     "sim_search_sq8" -> (graft.ops.ScalarQuant.simSearchSq8 _),
     // C89: graph-traversal ANN (DiskANN-style beam search over a
     // degree-8 kNN graph; serve cost independent of corpus size)
@@ -307,8 +308,9 @@ object SparkEntry {
     // exact full-dim rescore (adaptive/funnel retrieval)
     "sim_search_adaptive" -> ((s: SparkSession, d: String) =>
       VectorQueries.simSearchAdaptive(s, d)),
-    // C87: rows-only — measured recall@10 of the ANN ladder vs exact
-    // ground truth on the sampled query set (the index-quality audit)
+    // C87, SQL-checked since round 11: measured recall@10 of the ANN
+    // ladder vs exact ground truth (method lists exported as data; the
+    // exact side + overlay arithmetic replayed)
     "ann_recall_audit" -> (VectorQueries.annRecallAudit _),
     // C87a: the audit run against the PERSISTED serve indexes (the
     // batch companion to the D21 drift monitor)
@@ -1368,6 +1370,14 @@ object SparkEntry {
     "knn_graph" -> VectorQueries.knnGraphOracle,
     "sample_diverse" -> VectorQueries.sampleDiverseOracle,
     "embed_kmeans" -> graft.ops.KMeans.embedKmeansOracle,
+    // C51: NO export needed — SQ8's min/max "training" is
+    // order-independent, so the whole pipeline replays from the corpus
+    "sim_search_sq8" -> graft.ops.ScalarQuant.sq8Oracle,
+    // C87/C87a: method top-k lists exported as data (the C102
+    // export-the-learned-half posture); exact ground truth + the
+    // overlay arithmetic replayed from the corpus
+    "ann_recall_audit" -> VectorQueries.annRecallAuditOracle,
+    "ann_recall_audit_cached" -> VectorQueries.annRecallAuditCachedOracle,
     "text_unigram_lm" -> graft.ops.UnigramLm.unigramOracle,
     // C33: cumulative funnel — flags from one normalized projection, the
     // keeper from the dedup hash-window, stages unpivoted from one agg row

@@ -99,10 +99,62 @@ object ScalarQuant {
       .orderBy(col("query_id"), col("rnk"), col("vec_id"))
   }
 
-  /** C51 query face over the embeddings table. Rows-only: the byte grid
-    * is engine-specific; ScalarQuantSpec bounds reconstruction error
-    * and recall@10 against the exact C6 face. */
+  /** C51 query face over the embeddings table. SQL-CHECKED since round
+    * 11 — and unlike the k-means promotions, with NO learned-state
+    * export: the SQ8 "training" is a per-dimension min/max, and min/max
+    * of doubles is aggregation-ORDER-INDEPENDENT and exact, so the
+    * whole face (range fit → byte quantize → dequantize → approximate
+    * scan → margin cut → exact rescore → rank) replays in DuckDB from
+    * the corpus alone. The one rounding site, `round(…, 0)` inside
+    * quantize, is scale-0: both engines round the SAME double
+    * half-away-from-zero on its exact value (the §4 trap is
+    * scale>0 per-row rounding, where DuckDB's multiply-first
+    * introduces fp error). ScalarQuantSpec still bounds reconstruction
+    * error and recall@10 against the exact C6 face. */
   def simSearchSq8(s: SparkSession, dir: String): DataFrame =
     sq8TopK(Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
       .select(col("vec_id"), col("e"), col("nrm")))
+
+  /** C51 oracle: the full SQ8 pipeline replayed — per-dim ranges via
+    * order-independent min/max, list_zip-threaded quantize/dequantize,
+    * margin-40 approximate cut, exact rescore, rank. */
+  val sq8Oracle: String =
+    """WITH v0 AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v0
+      |      WHERE sqrt(list_dot_product(e, e)) > 0),
+      |u AS (SELECT vec_id, list_transform(e, x -> x/nrm) AS e FROM n),
+      |ex AS (SELECT vec_id, i, e[i] AS x
+      |       FROM u, generate_series(1, 64) t(i)),
+      |rngs AS (SELECT i, min(x) AS lo, max(x) AS hi FROM ex GROUP BY i),
+      |rr AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his
+      |       FROM rngs),
+      |qz AS (SELECT vec_id,
+      |         list_transform(list_zip(e, los, his), s ->
+      |           CASE WHEN s[3] = s[2] THEN 0
+      |                ELSE greatest(0, least(255,
+      |                  CAST(round((s[1] - s[2])
+      |                    / (s[3] - s[2]) * 255) AS INT))) END) AS q
+      |       FROM u, rr),
+      |dq AS (SELECT vec_id,
+      |         list_transform(list_zip(q, los, his), s ->
+      |           s[2] + s[1]::DOUBLE / 255 * (s[3] - s[2])) AS d
+      |       FROM qz, rr),
+      |qs AS (SELECT vec_id AS query_id, d AS qd FROM dq WHERE vec_id < 5),
+      |ap AS (SELECT qs.query_id, dq.vec_id,
+      |              list_dot_product(qs.qd, dq.d) AS adot
+      |       FROM dq, qs WHERE dq.vec_id <> qs.query_id),
+      |cand AS (SELECT query_id, vec_id FROM (
+      |           SELECT *, row_number() OVER (PARTITION BY query_id
+      |             ORDER BY adot DESC, vec_id) AS crk FROM ap)
+      |         WHERE crk <= 40),
+      |rs AS (SELECT c.query_id, c.vec_id,
+      |              round(list_dot_product(qu.e, cu.e), 4) AS cosine
+      |       FROM cand c JOIN u qu ON qu.vec_id = c.query_id
+      |                   JOIN u cu ON cu.vec_id = c.vec_id),
+      |r AS (SELECT *, rank() OVER (PARTITION BY query_id
+      |        ORDER BY cosine DESC, vec_id) AS rnk FROM rs)
+      |SELECT query_id, rnk, vec_id, cosine FROM r WHERE rnk <= 10
+      |ORDER BY query_id, rnk, vec_id""".stripMargin
 }

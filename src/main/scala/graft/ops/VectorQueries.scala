@@ -441,10 +441,26 @@ object VectorQueries {
     * from it (see [[exportSide]]). */
   def simSearchIvf(s: SparkSession, dir: String): DataFrame = {
     val v = emb(s, dir)
-    val cents = Vectors.withNorm(centroidVectors(v), "centroid")
-      .select(col("label").as("cluster"), col("e").as("ce"), col("nrm").as("cn"))
-    exportSide(cents, IvfCentsPath)
+    exportSide(ivfLabelCents(v), IvfCentsPath)
     ivfSearch(v, s.read.parquet(IvfCentsPath))
+  }
+
+  /** The C16 centroid build (label means + norms), shared with the
+    * export-free audit variant below. */
+  private def ivfLabelCents(v: DataFrame): DataFrame =
+    Vectors.withNorm(centroidVectors(v), "centroid")
+      .select(col("label").as("cluster"), col("e").as("ce"), col("nrm").as("cn"))
+
+  /** C16 WITHOUT the oracle export — for callers that embed the IVF
+    * search inside another face (the recall audit): re-exporting from
+    * inside a composite face could overwrite [[IvfCentsPath]] between
+    * the `sim_search_ivf` gate dump and its DuckDB replay (the exported
+    * label means are float aggregates; a recompute is only
+    * bit-identical under the same plan, so the gate must never depend
+    * on it). */
+  private[ops] def simSearchIvfInline(s: SparkSession, dir: String): DataFrame = {
+    val v = emb(s, dir)
+    ivfSearch(v, ivfLabelCents(v))
   }
 
   /** C16a: the same IVF search over LEARNED clusters — centroids come
@@ -739,11 +755,21 @@ object VectorQueries {
     * is "continuously runnable" must not pay an index BUILD per
     * invocation; the remaining methods' fits are one-pass
     * (lsh: seeded planes, sq8: a min/max agg) or probe-bounded
-    * (ivf/pq: small-k Lloyd over the sampled corpus) and stay inline. */
+    * (ivf/pq: small-k Lloyd over the sampled corpus) and stay inline.
+    *
+    * SQL-CHECKED since round 11 (the C102 export-the-learned-half
+    * posture): the method top-k LISTS — outputs of learned indexes,
+    * genuinely engine-path-dependent for pq/sq8/graph — export as ONE
+    * (method, query_id, vec_id) side-table, and the DuckDB oracle
+    * replays the part that IS deterministic: the exact brute-force
+    * ground truth from the corpus (the C6 construction) and the whole
+    * overlay arithmetic (per-query ground size, hits, integer-bp
+    * recall) — so the audit's MEASUREMENT is engine-verified even
+    * where its subjects are not. */
   def annRecallAudit(s: SparkSession, dir: String): DataFrame =
-    recallOverlay(s, dir, Seq(
+    recallOverlay(s, dir, AuditListsPath, Seq(
       "lsh" -> simSearchLsh(s, dir),
-      "ivf" -> simSearchIvf(s, dir),
+      "ivf" -> simSearchIvfInline(s, dir),
       "pq" -> ProductQuant.simSearchPq(s, dir),
       "sq8" -> ScalarQuant.simSearchSq8(s, dir),
       "graph" -> GraphAnn.simSearchGraphCached(s, dir)))
@@ -754,27 +780,70 @@ object VectorQueries {
     * D21 watches quantization error rise; this measures the recall the
     * degradation actually costs, on the same stored model the daily
     * probes use. First call builds the artifacts (self-healing, the
-    * *_cached convention); warm calls audit without retraining. */
+    * *_cached convention); warm calls audit without retraining.
+    * SQL-CHECKED since round 11 with the C87 machinery over its own
+    * exported list table. */
   def annRecallAuditCached(s: SparkSession, dir: String): DataFrame =
-    recallOverlay(s, dir, Seq(
+    recallOverlay(s, dir, AuditCachedListsPath, Seq(
       "ivfpq" -> IvfPq.simSearchIvfPqCached(s, dir),
       "opq" -> Opq.simSearchOpqCached(s, dir),
       "graph" -> GraphAnn.simSearchGraphCached(s, dir)))
 
-  private def recallOverlay(s: SparkSession, dir: String,
+  private def recallOverlay(s: SparkSession, dir: String, exportPath: String,
                             methods: Seq[(String, DataFrame)]): DataFrame = {
+    import s.implicits._
+    exportSide(methods.map { case (m, df) =>
+      df.select(lit(m).as("method"), col("query_id"), col("vec_id"))
+    }.reduce(_ unionAll _), exportPath)
+    val lists = s.read.parquet(exportPath)
     val exact = simSearchTopk(s, dir).select(col("query_id"), col("vec_id"))
     val exactK = exact.groupBy(col("query_id")).agg(count(lit(1)).as("exact_k"))
-    methods.map { case (m, df) =>
-      val hits = df.select(col("query_id"), col("vec_id"))
-        .join(exact, Seq("query_id", "vec_id"), "left_semi")
-        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
-      exactK.join(hits, Seq("query_id"), "left")
-        .select(lit(m).as("method"), col("query_id"), col("exact_k"),
-          coalesce(col("hits"), lit(0L)).as("hits"))
-        .withColumn("recall_bp", expr("hits * 10000 div exact_k"))
-    }.reduce(_ unionAll _).orderBy(col("method"), col("query_id"))
+    val hits = lists.join(exact, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("method"), col("query_id")).agg(count(lit(1)).as("hits"))
+    // every (method × query) keeps its row even at 0 hits: the method
+    // universe is code (the Seq above), the query set is exactK's
+    methods.map(_._1).toDF("method").crossJoin(exactK)
+      .join(hits, Seq("method", "query_id"), "left")
+      .select(col("method"), col("query_id"), col("exact_k"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_bp", expr("hits * 10000 div exact_k"))
+      .orderBy(col("method"), col("query_id"))
   }
+
+  val AuditListsPath: String = sidePath("audit_lists")
+  val AuditCachedListsPath: String = sidePath("audit_cached_lists")
+
+  /** C87/C87a oracle: method lists as data, exact side + overlay
+    * arithmetic replayed (the C6 ground-truth construction). */
+  private def recallAuditOracle(path: String, methods: Seq[String]): String =
+    s"""WITH m AS (SELECT method, query_id, vec_id FROM '$path/*.parquet'),
+       |v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |       FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v0
+       |      WHERE sqrt(list_dot_product(e, e)) > 0),
+       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n
+       |      WHERE vec_id < 5),
+       |c AS (SELECT query_id, vec_id,
+       |             round(list_dot_product(qe, e)/(qn*nrm), 4) AS cosine
+       |      FROM q, n WHERE vec_id <> query_id),
+       |ex AS (SELECT query_id, vec_id FROM (
+       |        SELECT *, rank() OVER (PARTITION BY query_id
+       |          ORDER BY cosine DESC, vec_id) AS rnk FROM c) WHERE rnk <= 10),
+       |ek AS (SELECT query_id, count(*)::BIGINT AS exact_k FROM ex GROUP BY 1),
+       |mm AS (SELECT unnest(${methods.map("'" + _ + "'").mkString("[", ", ", "]")}) AS method),
+       |h AS (SELECT m.method, m.query_id, count(*)::BIGINT AS hits
+       |      FROM m JOIN ex USING (query_id, vec_id) GROUP BY 1, 2)
+       |SELECT mm.method, ek.query_id, ek.exact_k,
+       |       coalesce(h.hits, 0)::BIGINT AS hits,
+       |       coalesce(h.hits, 0)::BIGINT * 10000 // ek.exact_k AS recall_bp
+       |FROM mm CROSS JOIN ek
+       |LEFT JOIN h ON h.method = mm.method AND h.query_id = ek.query_id
+       |ORDER BY mm.method, ek.query_id""".stripMargin
+
+  val annRecallAuditOracle: String =
+    recallAuditOracle(AuditListsPath, Seq("lsh", "ivf", "pq", "sq8", "graph"))
+  val annRecallAuditCachedOracle: String =
+    recallAuditOracle(AuditCachedListsPath, Seq("ivfpq", "opq", "graph"))
 
   /** C90: EMBEDDING-SPACE source-divergence card — the diagonal
     * Fréchet distance between every source pair's embedding
