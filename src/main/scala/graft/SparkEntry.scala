@@ -1373,6 +1373,40 @@ object SparkEntry {
     // C51: NO export needed — SQ8's min/max "training" is
     // order-independent, so the whole pipeline replays from the corpus
     "sim_search_sq8" -> graft.ops.ScalarQuant.sq8Oracle,
+    // C38 family: trained codebooks (+ permutation / rotation) exported
+    // as data; encode argmin, ADC fold, candidate cut, rescore and rank
+    // all replayed (bit-exact: diff-dot l2, ordered ones-dot ADC sum)
+    "sim_search_pq" -> graft.ops.ProductQuant.simSearchPqOracle,
+    "sim_search_opq" -> graft.ops.ProductQuant.simSearchOpqOracle,
+    "sim_search_opq_rot" -> graft.ops.Opq.simSearchOpqRotOracle,
+    "sim_search_opq_cached" -> graft.ops.Opq.simSearchOpqCachedOracle,
+    // C44/C44a: coarse centroids + residual codebook as data; the
+    // oracle re-derives the posting lists AND the serve path
+    "sim_search_ivfpq" -> graft.ops.IvfPq.simSearchIvfPqOracle,
+    "sim_search_ivfpq_cached" -> graft.ops.IvfPq.simSearchIvfPqCachedOracle,
+    // C76/C76a: centroids + residual codebook as data; assignment,
+    // residual encode, code-pair SDC gate (IEEE cut expression), exact
+    // confirm, and the card all replayed
+    "dedup_semantic_pq" -> graft.ops.SemanticPq.dedupSemanticPqOracle,
+    "dedup_semantic_pq_cached" -> graft.ops.SemanticPq.dedupSemanticPqCachedOracle,
+    // C89/C89a: edge-inline adjacency + entry medoids as data; the
+    // whole batched beam search replayed as unrolled hop CTEs
+    "sim_search_graph" -> graft.ops.GraphAnn.simSearchGraphOracle,
+    "sim_search_graph_cached" -> graft.ops.GraphAnn.simSearchGraphCachedOracle,
+    // C79/C79a: the frozen standing-corpus model as data; both sides'
+    // encode, the wider-margin SDC probe gate, exact confirm, and the
+    // per-label card replayed
+    "dedup_semantic_incremental" ->
+      graft.ops.SemanticPq.dedupSemanticIncrementalOracle,
+    "dedup_semantic_incremental_cached" ->
+      graft.ops.SemanticPq.dedupSemanticIncrementalCachedOracle,
+    // C42b/C42c: the 8-bit LM tables as data (their ln log-probs and
+    // sketch-cut codebooks are the learned state); scoring + drift
+    // card replayed, round-4 absorbing sum-order ulp (C42 posture)
+    "text_perplexity_quantized" ->
+      TextQueries.textPerplexityQuantizedOracle,
+    "text_perplexity_quantized_cached" ->
+      TextQueries.textPerplexityQuantizedCachedOracle,
     // C87/C87a: method top-k lists exported as data (the C102
     // export-the-learned-half posture); exact ground truth + the
     // overlay arithmetic replayed from the corpus

@@ -155,11 +155,21 @@ object GraphAnn {
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
 
   /** C89: inline face — build the graph, then serve (worst case,
-    * like the other inline trainers). */
+    * like the other inline trainers). SQL-CHECKED since round 11: the
+    * learned graph — the edge-inline adjacency (src, dst, de, dn) and
+    * the medoid entry points — exports as side tables, the serve runs
+    * from the RE-READ exports (the same frozen floats the oracle
+    * consumes), and the DuckDB oracle replays the entire batched beam
+    * search: H=$Hops unrolled hop CTEs, each = top-beam frontier cut,
+    * one-edge expansion scored from the edge payload, and the
+    * visited-pool max-fold; then the final rank. */
   def simSearchGraph(s: SparkSession, dir: String): DataFrame = {
     val v = emb(s, dir)
     val (adj, entries) = buildGraph(v)
-    beamSearch(adj, entries, queriesOf(v))
+    graft.ops.VectorQueries.exportSide(adj, GraphAdjPath)
+    graft.ops.VectorQueries.exportSide(entries, GraphEntryPath)
+    beamSearch(s.read.parquet(GraphAdjPath), s.read.parquet(GraphEntryPath),
+      queriesOf(v))
   }
 
   /** C89a: the SERVE face — beam search against the persisted
@@ -173,7 +183,72 @@ object GraphAnn {
       ArtifactStore.save(adj, dir, "graph_adj")
       ArtifactStore.save(entries, dir, "graph_entry")
     }
-    beamSearch(ArtifactStore.load(s, dir, "graph_adj"),
-      ArtifactStore.load(s, dir, "graph_entry"), queriesOf(v))
+    val adj = ArtifactStore.load(s, dir, "graph_adj")
+    val entries = ArtifactStore.load(s, dir, "graph_entry")
+    // own exported copies of the stored graph for the DuckDB replay
+    graft.ops.VectorQueries.exportSide(adj, GraphCachedAdjPath)
+    graft.ops.VectorQueries.exportSide(entries, GraphCachedEntryPath)
+    beamSearch(adj, entries, queriesOf(v))
   }
+
+  private def sidePath(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_$name.parquet"
+  val GraphAdjPath: String = sidePath("graph_adj_side")
+  val GraphEntryPath: String = sidePath("graph_entry_side")
+  val GraphCachedAdjPath: String = sidePath("graphc_adj_side")
+  val GraphCachedEntryPath: String = sidePath("graphc_entry_side")
+
+  /** C89/C89a oracle: adjacency + entries as data; the batched beam
+    * search replayed as [[Hops]] unrolled hop CTEs — frontier = the
+    * top-[[Beam]] unexpanded rows, expansion = one equi-join on `src`
+    * scored from the edge-inline destination vector, pool fold =
+    * group-max over (cos, expanded) — then the final top-10 rank.
+    * Every cosine is computed from the exported edge/entry floats, so
+    * the compared doubles are bit-identical across engines. */
+  private def graphOracle(adjPath: String, entryPath: String): String = {
+    val hopCtes = (1 to Hops).map { h =>
+      s"""f$h AS (SELECT query_id, vec_id FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, vec_id) AS br
+         |        FROM v${h - 1} WHERE NOT expanded) WHERE br <= $Beam),
+         |c$h AS (SELECT f.query_id, a.dst AS vec_id,
+         |               list_dot_product(q.qe, a.de)/(q.qn*a.dn) AS cos,
+         |               false AS expanded
+         |        FROM f$h f JOIN adj a ON a.src = f.vec_id
+         |                   JOIN q ON q.query_id = f.query_id),
+         |v$h AS (SELECT query_id, vec_id, max(cos) AS cos,
+         |               bool_or(expanded) AS expanded
+         |        FROM (
+         |          SELECT m.query_id, m.vec_id, m.cos,
+         |                 (m.expanded OR (f.vec_id IS NOT NULL)) AS expanded
+         |          FROM v${h - 1} m LEFT JOIN f$h f
+         |            ON f.query_id = m.query_id AND f.vec_id = m.vec_id
+         |          UNION ALL
+         |          SELECT query_id, vec_id, cos, expanded FROM c$h)
+         |        GROUP BY 1, 2),""".stripMargin
+    }.mkString("\n")
+    s"""WITH adj AS (SELECT src, dst, de, dn FROM '$adjPath/*.parquet'),
+       |ent AS (SELECT vec_id, e, nrm FROM '$entryPath/*.parquet'),
+       |v0q AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |        FROM embeddings),
+       |nn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v0q
+       |       WHERE sqrt(list_dot_product(e, e)) > 0),
+       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM nn
+       |      WHERE vec_id < 5),
+       |v0 AS (SELECT q.query_id, ent.vec_id,
+       |              list_dot_product(q.qe, ent.e)/(q.qn*ent.nrm) AS cos,
+       |              false AS expanded
+       |       FROM ent, q),
+       |$hopCtes
+       |fin AS (SELECT query_id, vec_id, round(cos, 4) AS cosine FROM v$Hops
+       |        WHERE vec_id <> query_id),
+       |r AS (SELECT *, rank() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, vec_id) AS rnk FROM fin)
+       |SELECT query_id, rnk, vec_id, cosine FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rnk, vec_id""".stripMargin
+  }
+
+  val simSearchGraphOracle: String = graphOracle(GraphAdjPath, GraphEntryPath)
+  val simSearchGraphCachedOracle: String =
+    graphOracle(GraphCachedAdjPath, GraphCachedEntryPath)
 }

@@ -83,6 +83,15 @@ object IvfPq {
     val numSub = 8; val subDim = 8; val k = 16
     val (v, unit) = frames(s, dir)
     val (coarse, cb, postings) = buildIndex(s, unit, numSub, subDim, k)
+    // round-11 oracle exports: coarse centroids + the shared residual
+    // codebook are the ONLY learned state — the posting lists re-derive
+    // from them deterministically, so the DuckDB replay rebuilds the
+    // whole index (assignment → residual → encode) and the serve path.
+    // Both frames are localCheckpoint-materialized, so the in-plan
+    // copies and the exported parquet carry identical doubles.
+    graft.ops.VectorQueries.exportSide(
+      coarse.select(col("cluster"), col("ce"), col("cn")), IvfPqCoarsePath)
+    graft.ops.VectorQueries.exportSide(cb, IvfPqCbPath)
     search(v, unit, coarse, cb, postings, numSub, subDim, nprobe = 2)
   }
 
@@ -100,12 +109,95 @@ object IvfPq {
       ArtifactStore.save(cb, dir, "ivfpq_cb")
       ArtifactStore.save(postings, dir, "ivfpq_postings")
     }
-    search(v, unit,
-      ArtifactStore.load(s, dir, "ivfpq_coarse"),
-      ArtifactStore.load(s, dir, "ivfpq_cb"),
+    val coarse = ArtifactStore.load(s, dir, "ivfpq_coarse")
+    val cb = ArtifactStore.load(s, dir, "ivfpq_cb")
+    // own exported copies of the stored model (replay independent of
+    // which face ran last); stored postings equal a re-encode from the
+    // stored model by construction, so the oracle re-derives them
+    graft.ops.VectorQueries.exportSide(
+      coarse.select(col("cluster"), col("ce"), col("cn")), IvfPqCachedCoarsePath)
+    graft.ops.VectorQueries.exportSide(cb, IvfPqCachedCbPath)
+    search(v, unit, coarse, cb,
       ArtifactStore.load(s, dir, "ivfpq_postings"),
       numSub, subDim, nprobe = 2)
   }
+
+  private def sidePath(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_$name.parquet"
+  val IvfPqCoarsePath: String = sidePath("ivfpq_coarse_side")
+  val IvfPqCbPath: String = sidePath("ivfpq_cb_side")
+  val IvfPqCachedCoarsePath: String = sidePath("ivfpqc_coarse_side")
+  val IvfPqCachedCbPath: String = sidePath("ivfpqc_cb_side")
+
+  /** C44/C44a oracle: coarse centroids + residual codebook as data; the
+    * oracle rebuilds the index (argmax assignment → residual → argmin
+    * encode) AND the serve path (probe selection, per-(query, cluster)
+    * residual ADC tables, bucket-bounded scan, exact rescore, rank) —
+    * the posting lists themselves are re-derived, not consumed. */
+  private def ivfPqOracle(coarsePath: String, cbPath: String): String =
+    s"""WITH cents AS (SELECT cluster, ce, cn FROM '$coarsePath/*.parquet'),
+       |cb AS (SELECT m, code, cv FROM '$cbPath/*.parquet'),
+       |v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |       FROM embeddings),
+       |nn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v0
+       |       WHERE sqrt(list_dot_product(e, e)) > 0),
+       |u AS (SELECT vec_id, list_transform(e, x -> x/nrm) AS e FROM nn),
+       |sc AS (SELECT u.vec_id, u.e, c.cluster, c.ce,
+       |              list_dot_product(u.e, c.ce)/c.cn AS s
+       |       FROM u, cents c),
+       |asg AS (SELECT vec_id, e, cluster, ce FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vec_id
+       |            ORDER BY s DESC, cluster) AS rn FROM sc) WHERE rn = 1),
+       |res AS (SELECT vec_id, cluster,
+       |               list_transform(list_zip(e, ce), z -> z[1]-z[2]) AS r
+       |        FROM asg),
+       |sv AS (SELECT vec_id, cluster, m, r[m*8+1 : m*8+8] AS sv
+       |       FROM res, generate_series(0, 7) t(m)),
+       |df2 AS (SELECT s2.vec_id, s2.cluster, s2.m, c2.code,
+       |               list_transform(list_zip(s2.sv, c2.cv), z -> z[1]-z[2]) AS dl
+       |        FROM sv s2 JOIN cb c2 ON s2.m = c2.m),
+       |dd AS (SELECT vec_id, cluster, m, code,
+       |              list_dot_product(dl, dl) AS d FROM df2),
+       |enc AS (SELECT vec_id, cluster, m, code FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |            ORDER BY d, code) AS rn FROM dd) WHERE rn = 1),
+       |pr AS (SELECT vec_id AS query_id, e, cluster, ce FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vec_id
+       |            ORDER BY s DESC, cluster) AS rn FROM sc WHERE vec_id < 5)
+       |       WHERE rn <= 2),
+       |qres AS (SELECT query_id, cluster,
+       |                list_transform(list_zip(e, ce), z -> z[1]-z[2]) AS r
+       |         FROM pr),
+       |qsv AS (SELECT query_id, cluster, m, r[m*8+1 : m*8+8] AS sv
+       |        FROM qres, generate_series(0, 7) t(m)),
+       |qdl AS (SELECT q.query_id, q.cluster, q.m, c2.code,
+       |               list_transform(list_zip(q.sv, c2.cv), z -> z[1]-z[2]) AS dl
+       |        FROM qsv q JOIN cb c2 ON q.m = c2.m),
+       |qd AS (SELECT query_id, cluster, m, code,
+       |              list_dot_product(dl, dl) AS d FROM qdl),
+       |ad AS (SELECT q.query_id, e2.vec_id,
+       |              list_dot_product(list(q.d ORDER BY q.m),
+       |                [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]) AS approx_d
+       |       FROM enc e2 JOIN qd q
+       |         ON e2.cluster = q.cluster AND e2.m = q.m AND e2.code = q.code
+       |       WHERE e2.vec_id <> q.query_id
+       |       GROUP BY 1, 2),
+       |cand AS (SELECT query_id, vec_id FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY approx_d, vec_id) AS crk FROM ad) WHERE crk <= 100),
+       |rs AS (SELECT c3.query_id, c3.vec_id,
+       |              round(list_dot_product(qn.e, cn2.e)/(qn.nrm*cn2.nrm), 4)
+       |                AS cosine
+       |       FROM cand c3 JOIN nn qn ON qn.vec_id = c3.query_id
+       |                    JOIN nn cn2 ON cn2.vec_id = c3.vec_id),
+       |r AS (SELECT *, rank() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, vec_id) AS rnk FROM rs)
+       |SELECT query_id, rnk, vec_id, cosine FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rnk, vec_id""".stripMargin
+
+  val simSearchIvfPqOracle: String = ivfPqOracle(IvfPqCoarsePath, IvfPqCbPath)
+  val simSearchIvfPqCachedOracle: String =
+    ivfPqOracle(IvfPqCachedCoarsePath, IvfPqCachedCbPath)
 
   /** The serve path: probe selection, per-(query, cluster) ADC tables,
     * bucket-bounded ADC scan, exact rescore. */

@@ -155,9 +155,32 @@ object Opq {
     * OPQ-P init + 2 OPQ-NP sweeps, then the shared C38 ADC scan +
     * exact rescore (cosine is rotation-invariant, so only the
     * candidate set differs from C38/C38a). */
-  def simSearchOpqRot(s: SparkSession, dir: String): DataFrame =
-    opqTopK(Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
-      .select(col("vec_id"), col("e"), col("nrm")))
+  def simSearchOpqRot(s: SparkSession, dir: String): DataFrame = {
+    val numSub = 8; val subDim = 8
+    val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
+      .select(col("vec_id"), col("e"), col("nrm"))
+    val unit0 = v
+      .select(col("vec_id"), transform(col("e"), x => x / col("nrm")).as("e"))
+      .localCheckpoint(true)
+    val (r, cb) =
+      refine(unit0, pcaAllocRotation(unit0, numSub, subDim), numSub, subDim,
+        k = 16, sweeps = 2)
+    // learned-state exports for the oracle: the rotation (driver-side
+    // data — the exported columns and the rotate() literals are the
+    // same array) and the codebook (re-read so face and replay share
+    // the frozen floats)
+    graft.ops.VectorQueries.exportSide(rotColsDf(s, r), ProductQuant.OpqRotPath)
+    graft.ops.VectorQueries.exportSide(cb, ProductQuant.OpqRotCbPath)
+    ProductQuant.adcSearch(v, rotate(unit0, r),
+      s.read.parquet(ProductQuant.OpqRotCbPath), numSub, subDim, cand = 100)
+  }
+
+  /** The rotation exported column-wise: (j, c) with c = R's column j —
+    * exactly the literal [[rotate]] dots each output dim against. */
+  private def rotColsDf(s: SparkSession, r: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    r.indices.map(j => (j, r.map(_(j)).toSeq)).toDF("j", "c")
+  }
 
   /** C38c: the PERSISTED-ARTIFACT face of C38b — production trains the
     * rotation + codebook once (here: first invocation, self-healing)
@@ -180,8 +203,19 @@ object Opq {
     }
     val r = ArtifactStore.loadMatrix(s, dir, "opq_rot")
     val cb = ArtifactStore.load(s, dir, "opq_cb")
-    ProductQuant.adcSearch(v, rotate(unit0, r), cb, numSub, subDim, cand = 100)
+    // same oracle machinery as the inline face, over THIS face's own
+    // exported copies of the stored model (so the replay never depends
+    // on which face ran last)
+    graft.ops.VectorQueries.exportSide(rotColsDf(s, r), ProductQuant.OpqCachedRotPath)
+    graft.ops.VectorQueries.exportSide(cb, ProductQuant.OpqCachedCbPath)
+    ProductQuant.adcSearch(v, rotate(unit0, r),
+      s.read.parquet(ProductQuant.OpqCachedCbPath), numSub, subDim, cand = 100)
   }
+
+  val simSearchOpqRotOracle: String = ProductQuant.pqOracle(
+    ProductQuant.OpqRotCbPath, rotPath = Some(ProductQuant.OpqRotPath))
+  val simSearchOpqCachedOracle: String = ProductQuant.pqOracle(
+    ProductQuant.OpqCachedCbPath, rotPath = Some(ProductQuant.OpqCachedRotPath))
 
   /** Shared rotated-PQ search over any (vec_id, e, nrm) frame (spec
     * entry point — OpqSpec drives it with a mixed anisotropic corpus

@@ -179,9 +179,15 @@ object ProductQuant {
     * top-100 by ADC distance per query; rescore: exact cosine from the
     * raw vectors (a broadcast of the 5×100 candidate list — the corpus
     * never re-shuffles); report top-10. */
-  def simSearchPq(s: SparkSession, dir: String): DataFrame =
-    pqTopK(Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
-      .select(col("vec_id"), col("e"), col("nrm")), balance = false)
+  def simSearchPq(s: SparkSession, dir: String): DataFrame = {
+    val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
+      .select(col("vec_id"), col("e"), col("nrm"))
+    val unit = v.select(col("vec_id"),
+      transform(col("e"), x => x / col("nrm")).as("e"))
+    val cb0 = fit(unit, numSub = 8, subDim = 8, k = 16, iters = 2)
+    VectorQueries.exportSide(cb0, PqCbPath)
+    adcSearch(v, unit, s.read.parquet(PqCbPath), numSub = 8, subDim = 8)
+  }
 
   /** C38a query face: PQ with the balanced-permutation "rotation" —
     * same code size, same ADC scan; only the subspace composition
@@ -189,9 +195,23 @@ object ProductQuant {
     * corpus is anisotropic; the final rescore is exact cosine on the
     * UNPERMUTED vectors (cosine is permutation-invariant, so the two
     * faces rank identically given the same candidates). */
-  def simSearchOpq(s: SparkSession, dir: String): DataFrame =
-    pqTopK(Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
-      .select(col("vec_id"), col("e"), col("nrm")), balance = true)
+  def simSearchOpq(s: SparkSession, dir: String): DataFrame = {
+    val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
+      .select(col("vec_id"), col("e"), col("nrm"))
+    val unit0 = v.select(col("vec_id"),
+      transform(col("e"), x => x / col("nrm")).as("e"))
+    val perm = balancedPermutation(unit0, numSub = 8, subDim = 8)
+    // the permutation is driver-side data: the exported table and the
+    // permute() operand are the SAME Seq, so no recompute risk
+    import s.implicits._
+    VectorQueries.exportSide(
+      perm.zipWithIndex.map { case (d, p) => (p, d) }.toDF("pos", "dim"),
+      OpqPermPath)
+    val unit = permute(unit0, perm)
+    val cb0 = fit(unit, numSub = 8, subDim = 8, k = 16, iters = 2)
+    VectorQueries.exportSide(cb0, OpqCbPath)
+    adcSearch(v, unit, s.read.parquet(OpqCbPath), numSub = 8, subDim = 8)
+  }
 
   /** Shared PQ/OPQ search over any (vec_id, e, nrm) frame (spec entry
     * point — PqSpec drives it with a constructed anisotropic corpus). */
@@ -255,4 +275,80 @@ object ProductQuant {
       .select(col("vec_id").as("query_id"),
         transform(sequence(lit(0), lit(numSub - 1)),
           i => element_at(col("tmap"), i)).as("dtabs"))
+
+  /** Learned-state export paths for the round-11 PQ-family oracle
+    * promotions (the [[VectorQueries.exportSide]] posture): the trained
+    * per-subspace codebook (and, per face, the permutation / rotation)
+    * is the ONLY engine-unreplayable piece — everything downstream
+    * (subvector slicing, the argmin encode, the per-query ADC tables,
+    * the ordered ADC fold, the candidate cut, exact rescore, rank)
+    * replays in DuckDB. */
+  private def sidePath(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_$name.parquet"
+  val PqCbPath: String = sidePath("pq_cb")
+  val OpqCbPath: String = sidePath("opq_cb")
+  val OpqPermPath: String = sidePath("opq_perm")
+  val OpqRotCbPath: String = sidePath("opqrot_cb")
+  val OpqRotPath: String = sidePath("opqrot_rot")
+  val OpqCachedCbPath: String = sidePath("opqcached_cb")
+  val OpqCachedRotPath: String = sidePath("opqcached_rot")
+
+  /** C38/C38a/C38b/C38c oracle: exported codebook (and permutation or
+    * rotation) as data; the encode argmin's squared-L2 is spelled
+    * `list_dot_product(diff, diff)` — the same left-to-right
+    * 0.0-seeded accumulation of (x−y)² terms as the Spark fold — and
+    * the ADC sum forces subspace order with an ordered ones-dot, so
+    * every compared double is bit-identical across engines. */
+  private[ops] def pqOracle(cbPath: String, permPath: Option[String] = None,
+      rotPath: Option[String] = None): String = {
+    val uVariant = (permPath, rotPath) match {
+      case (Some(p), None) =>
+        s"""perm AS (SELECT pos, dim FROM '$p/*.parquet'),
+           |u AS (SELECT vec_id, list(e[dim+1] ORDER BY pos) AS e
+           |      FROM u0, perm GROUP BY vec_id),""".stripMargin
+      case (None, Some(r)) =>
+        s"""rot AS (SELECT j, c FROM '$r/*.parquet'),
+           |u AS (SELECT vec_id, list(list_dot_product(e, c) ORDER BY j) AS e
+           |      FROM u0, rot GROUP BY vec_id),""".stripMargin
+      case (None, None) => "u AS (SELECT vec_id, e FROM u0),"
+      case _ => throw new IllegalArgumentException("perm XOR rot")
+    }
+    s"""WITH cb AS (SELECT m, code, cv FROM '$cbPath/*.parquet'),
+       |v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |       FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v0
+       |      WHERE sqrt(list_dot_product(e, e)) > 0),
+       |u0 AS (SELECT vec_id, list_transform(e, x -> x/nrm) AS e FROM n),
+       |$uVariant
+       |sv AS (SELECT vec_id, m, e[m*8+1 : m*8+8] AS sv
+       |       FROM u, generate_series(0, 7) t(m)),
+       |df2 AS (SELECT s.vec_id, s.m, c.code,
+       |               list_transform(list_zip(s.sv, c.cv), z -> z[1]-z[2]) AS dl
+       |        FROM sv s JOIN cb c ON s.m = c.m),
+       |dd AS (SELECT vec_id, m, code, list_dot_product(dl, dl) AS d FROM df2),
+       |enc AS (SELECT vec_id, m, code FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |            ORDER BY d, code) AS rn FROM dd) WHERE rn = 1),
+       |qd AS (SELECT vec_id AS query_id, m, code, d FROM dd WHERE vec_id < 5),
+       |ad AS (SELECT q.query_id, e2.vec_id,
+       |              list_dot_product(list(q.d ORDER BY q.m),
+       |                [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]) AS approx_d
+       |       FROM enc e2 JOIN qd q ON e2.m = q.m AND e2.code = q.code
+       |       WHERE e2.vec_id <> q.query_id
+       |       GROUP BY 1, 2),
+       |cand AS (SELECT query_id, vec_id FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY approx_d, vec_id) AS crk FROM ad) WHERE crk <= 100),
+       |rs AS (SELECT c.query_id, c.vec_id,
+       |              round(list_dot_product(qn.e, cn.e)/(qn.nrm*cn.nrm), 4) AS cosine
+       |       FROM cand c JOIN n qn ON qn.vec_id = c.query_id
+       |                   JOIN n cn ON cn.vec_id = c.vec_id),
+       |r AS (SELECT *, rank() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, vec_id) AS rnk FROM rs)
+       |SELECT query_id, rnk, vec_id, cosine FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rnk, vec_id""".stripMargin
+  }
+
+  val simSearchPqOracle: String = pqOracle(PqCbPath)
+  val simSearchOpqOracle: String = pqOracle(OpqCbPath, permPath = Some(OpqPermPath))
 }

@@ -377,12 +377,105 @@ object SemanticPq {
       .orderBy(col("cluster"))
   }
 
-  /** C76 query face over the embeddings table (rows-only oracle like
-    * C37 — learned clusters + codebooks are iterative plan logic;
-    * SemanticPqSpec is the correctness anchor). */
-  def dedupSemanticPq(s: SparkSession, dir: String): DataFrame =
-    card(Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
-      .select(col("vec_id"), col("e"), col("nrm")))
+  /** C76 query face over the embeddings table. SQL-CHECKED since round
+    * 11: the learned model — centroids + residual codebook — exports at
+    * [[SemPqCentsPath]]/[[SemPqCbPath]] and the DuckDB oracle re-derives
+    * EVERYTHING: the argmax assignment, the unit residuals, the argmin
+    * encode, the code-pair SDC table (l2 between codebook entries), the
+    * ordered SDC gate at the identical IEEE cut expression, the exact
+    * confirm, and the card. SemanticPqSpec stays the semantic anchor
+    * (card equality with C37, planted pairs, margin headroom). */
+  def dedupSemanticPq(s: SparkSession, dir: String): DataFrame = {
+    val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
+      .select(col("vec_id"), col("e"), col("nrm"))
+    val kk = KMeans.adaptiveK(v.count())
+    val m = buildModel(v, kk, iters = 3, numSub = 16, subDim = 4, pqK = 64)
+    graft.ops.VectorQueries.exportSide(
+      m.cents.select(col("cluster"), col("ce"), col("cn")), SemPqCentsPath)
+    graft.ops.VectorQueries.exportSide(m.cb, SemPqCbPath)
+    cardFrom(v, m.assigned, m.coded, m.dtabs,
+      tau = 0.35, margin = 0.15, grid = 4)
+  }
+
+  private def sidePath(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_$name.parquet"
+  val SemPqCentsPath: String = sidePath("sempq_cents")
+  val SemPqCbPath: String = sidePath("sempq_cb")
+  val SemPqCachedCentsPath: String = sidePath("sempqc_cents")
+  val SemPqCachedCbPath: String = sidePath("sempqc_cb")
+
+  /** C76/C76a oracle: centroids + residual codebook as data; assignment,
+    * unit residuals, argmin encode, the code-pair SDC table, the gate
+    * (the cut spelled as the same IEEE expression, never a rounded
+    * literal), exact confirm, and the card all replayed. */
+  private def semPqOracle(centsPath: String, cbPath: String): String =
+    s"""WITH cents AS (SELECT cluster, ce, cn,
+       |                      list_transform(ce, x -> x/cn) AS uce
+       |               FROM '$centsPath/*.parquet'),
+       |cb AS (SELECT m, code, cv FROM '$cbPath/*.parquet'),
+       |v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |       FROM embeddings),
+       |nn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v0
+       |       WHERE sqrt(list_dot_product(e, e)) > 0),
+       |sc AS (SELECT nn.vec_id, nn.e, nn.nrm, c.cluster, c.uce,
+       |              list_dot_product(nn.e, c.ce)/c.cn AS s
+       |       FROM nn, cents c),
+       |asg AS (SELECT vec_id, e, nrm, cluster, uce FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vec_id
+       |            ORDER BY s DESC, cluster) AS rn FROM sc) WHERE rn = 1),
+       |res AS (SELECT vec_id, cluster,
+       |               list_transform(list_zip(list_transform(e, x -> x/nrm),
+       |                 uce), z -> z[1]-z[2]) AS r
+       |        FROM asg),
+       |sv AS (SELECT vec_id, cluster, m, r[m*4+1 : m*4+4] AS sv
+       |       FROM res, generate_series(0, 15) t(m)),
+       |df2 AS (SELECT s2.vec_id, s2.m, c2.code,
+       |               list_transform(list_zip(s2.sv, c2.cv), z -> z[1]-z[2]) AS dl
+       |        FROM sv s2 JOIN cb c2 ON s2.m = c2.m),
+       |dd AS (SELECT vec_id, m, code, list_dot_product(dl, dl) AS d FROM df2),
+       |enc AS (SELECT vec_id, m, code FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |            ORDER BY d, code) AS rn FROM dd) WHERE rn = 1),
+       |cd AS (SELECT x.m, x.code AS ca, y.code AS cb2,
+       |              list_dot_product(
+       |                list_transform(list_zip(x.cv, y.cv), z -> z[1]-z[2]),
+       |                list_transform(list_zip(x.cv, y.cv), z -> z[1]-z[2])) AS d2
+       |       FROM cb x JOIN cb y ON x.m = y.m),
+       |pp AS (SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b
+       |       FROM asg a JOIN asg b
+       |         ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+       |sdc AS (SELECT p.cluster, p.vec_a, p.vec_b,
+       |               list_dot_product(list(cd.d2 ORDER BY cd.m),
+       |                 [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0,
+       |                  1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]) AS ad
+       |        FROM pp p
+       |        JOIN enc ea ON ea.vec_id = p.vec_a
+       |        JOIN enc eb ON eb.vec_id = p.vec_b AND eb.m = ea.m
+       |        JOIN cd ON cd.m = ea.m AND cd.ca = ea.code AND cd.cb2 = eb.code
+       |        GROUP BY 1, 2, 3),
+       |gated AS (SELECT cluster, vec_a, vec_b FROM sdc
+       |          WHERE ad <= 2.0*(1.0 - 0.35 + 0.15)),
+       |pf AS (SELECT g.cluster, g.vec_a, g.vec_b,
+       |              list_dot_product(x.e, y.e)/(x.nrm*y.nrm) AS cos
+       |       FROM gated g JOIN nn x ON x.vec_id = g.vec_a
+       |                    JOIN nn y ON y.vec_id = g.vec_b
+       |       WHERE list_dot_product(x.e, y.e)/(x.nrm*y.nrm) >= 0.35),
+       |sz AS (SELECT cluster, count(*)::BIGINT AS n_vecs FROM asg GROUP BY 1),
+       |ps AS (SELECT cluster, count(*)::BIGINT AS n_pairs,
+       |              round(avg(cos), 4) AS avg_pair_cos FROM pf GROUP BY 1),
+       |pd AS (SELECT cluster, count(DISTINCT vec_b)::BIGINT AS n_pruned
+       |       FROM pf GROUP BY 1)
+       |SELECT sz.cluster, sz.n_vecs,
+       |       coalesce(pd.n_pruned, 0)::BIGINT AS n_pruned,
+       |       (sz.n_vecs - coalesce(pd.n_pruned, 0))::BIGINT AS n_kept,
+       |       coalesce(ps.n_pairs, 0)::BIGINT AS n_pairs,
+       |       coalesce(ps.avg_pair_cos, 0.0) AS avg_pair_cos
+       |FROM sz LEFT JOIN pd USING (cluster) LEFT JOIN ps USING (cluster)
+       |ORDER BY sz.cluster""".stripMargin
+
+  val dedupSemanticPqOracle: String = semPqOracle(SemPqCentsPath, SemPqCbPath)
+  val dedupSemanticPqCachedOracle: String =
+    semPqOracle(SemPqCachedCentsPath, SemPqCachedCbPath)
 
   /** C79: semantic dedup's INCREMENTAL face — which of today's batch
     * vectors near-duplicate the STANDING corpus, completing the
@@ -402,10 +495,98 @@ object SemanticPq {
     val (standing, batch) = splitBatch(v)
     val m = buildModel(standing, k = KMeans.adaptiveK(standing.count()),
       iters = 3, numSub = 16, subDim = 4, pqK = 64)
+    // SQL-checked since round 11: the frozen standing-corpus model
+    // exports; the oracle re-derives BOTH sides' assignment/encode from
+    // it (standing codes equal a re-encode by construction), replays
+    // the SDC gate, exact confirm, and the per-label card
+    graft.ops.VectorQueries.exportSide(
+      m.cents.select(col("cluster"), col("ce"), col("cn")), SemIncCentsPath)
+    graft.ops.VectorQueries.exportSide(m.cb, SemIncCbPath)
     incrementalCard(v, probeAgainst(batch, standing, m.cents, m.cb,
       m.coded.select(col("vec_id"), col("cluster"), col("codes")),
       numSub = 16, subDim = 4, tau, margin))
   }
+
+  val SemIncCentsPath: String = sidePath("seminc_cents")
+  val SemIncCbPath: String = sidePath("seminc_cb")
+  val SemIncCachedCentsPath: String = sidePath("semincc_cents")
+  val SemIncCachedCbPath: String = sidePath("semincc_cb")
+
+  /** C79/C79a oracle: the standing-corpus model as data; batch AND
+    * standing assignment/residual/encode re-derived from it, the
+    * (batch × same-cluster standing) SDC gate at the wider probe
+    * margin, the exact confirm, per-vector flags, and the per-label
+    * card all replayed. */
+  private def semIncOracle(centsPath: String, cbPath: String): String =
+    s"""WITH cents AS (SELECT cluster, ce, cn,
+       |                      list_transform(ce, x -> x/cn) AS uce
+       |               FROM '$centsPath/*.parquet'),
+       |cb AS (SELECT m, code, cv FROM '$cbPath/*.parquet'),
+       |v0 AS (SELECT vec_id, label,
+       |              list_transform(embedding, x -> x::DOUBLE) AS e
+       |       FROM embeddings),
+       |nn AS (SELECT vec_id, label, e,
+       |              sqrt(list_dot_product(e, e)) AS nrm FROM v0
+       |       WHERE sqrt(list_dot_product(e, e)) > 0),
+       |sc AS (SELECT nn.vec_id, nn.e, nn.nrm, c.cluster, c.uce,
+       |              list_dot_product(nn.e, c.ce)/c.cn AS s
+       |       FROM nn, cents c),
+       |asg AS (SELECT vec_id, e, nrm, cluster, uce FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vec_id
+       |            ORDER BY s DESC, cluster) AS rn FROM sc) WHERE rn = 1),
+       |res AS (SELECT vec_id, cluster,
+       |               list_transform(list_zip(list_transform(e, x -> x/nrm),
+       |                 uce), z -> z[1]-z[2]) AS r
+       |        FROM asg),
+       |sv AS (SELECT vec_id, cluster, m, r[m*4+1 : m*4+4] AS sv
+       |       FROM res, generate_series(0, 15) t(m)),
+       |df2 AS (SELECT s2.vec_id, s2.m, c2.code,
+       |               list_transform(list_zip(s2.sv, c2.cv), z -> z[1]-z[2]) AS dl
+       |        FROM sv s2 JOIN cb c2 ON s2.m = c2.m),
+       |dd AS (SELECT vec_id, m, code, list_dot_product(dl, dl) AS d FROM df2),
+       |enc AS (SELECT vec_id, m, code FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |            ORDER BY d, code) AS rn FROM dd) WHERE rn = 1),
+       |cd AS (SELECT x.m, x.code AS ca, y.code AS cb2,
+       |              list_dot_product(
+       |                list_transform(list_zip(x.cv, y.cv), z -> z[1]-z[2]),
+       |                list_transform(list_zip(x.cv, y.cv), z -> z[1]-z[2])) AS d2
+       |       FROM cb x JOIN cb y ON x.m = y.m),
+       |pp AS (SELECT b.vec_id AS b_id, st.vec_id AS s_id
+       |       FROM asg b JOIN asg st ON b.cluster = st.cluster
+       |       WHERE b.vec_id % 5 = 4 AND st.vec_id % 5 <> 4),
+       |sdc AS (SELECT p.b_id, p.s_id,
+       |               list_dot_product(list(cd.d2 ORDER BY cd.m),
+       |                 [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0,
+       |                  1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]) AS ad
+       |        FROM pp p
+       |        JOIN enc ea ON ea.vec_id = p.b_id
+       |        JOIN enc eb ON eb.vec_id = p.s_id AND eb.m = ea.m
+       |        JOIN cd ON cd.m = ea.m AND cd.ca = ea.code AND cd.cb2 = eb.code
+       |        GROUP BY 1, 2),
+       |pf AS (SELECT g.b_id,
+       |              list_dot_product(x.e, y.e)/(x.nrm*y.nrm) AS cos
+       |       FROM (SELECT b_id, s_id FROM sdc
+       |             WHERE ad <= 2.0*(1.0 - 0.35 + 0.25)) g
+       |       JOIN nn x ON x.vec_id = g.b_id
+       |       JOIN nn y ON y.vec_id = g.s_id
+       |       WHERE list_dot_product(x.e, y.e)/(x.nrm*y.nrm) >= 0.35),
+       |fl AS (SELECT b_id AS vec_id, count(*)::BIGINT AS n_near,
+       |              round(max(cos), 4) AS best_cos FROM pf GROUP BY 1)
+       |SELECT nn.label,
+       |       count(*)::BIGINT AS batch_vecs,
+       |       count(fl.n_near)::BIGINT AS flagged,
+       |       coalesce(sum(fl.n_near), 0)::BIGINT AS near_pairs,
+       |       round(coalesce(avg(fl.best_cos), 0.0), 4) AS avg_best_cos,
+       |       count(fl.n_near)::BIGINT * 10000 // count(*)::BIGINT AS flagged_bp
+       |FROM nn LEFT JOIN fl ON fl.vec_id = nn.vec_id
+       |WHERE nn.vec_id % 5 = 4
+       |GROUP BY nn.label ORDER BY nn.label""".stripMargin
+
+  val dedupSemanticIncrementalOracle: String =
+    semIncOracle(SemIncCentsPath, SemIncCbPath)
+  val dedupSemanticIncrementalCachedOracle: String =
+    semIncOracle(SemIncCachedCentsPath, SemIncCachedCbPath)
 
   /** C79a: the SERVE face — probes against the [[IncrementalIndex]]
     * vector tables persisted under the [[ArtifactStore]] root
@@ -420,6 +601,12 @@ object SemanticPq {
     if (!ArtifactStore.has(s, dir,
         "vecindex/vcents", "vecindex/vcb", "vecindex/vcodes"))
       IncrementalIndex.writeVecIndex(root, standing)
+    // own exported copies of the stored model for the DuckDB replay
+    graft.ops.VectorQueries.exportSide(
+      s.read.parquet(s"$root/vcents").select(col("cluster"), col("ce"), col("cn")),
+      SemIncCachedCentsPath)
+    graft.ops.VectorQueries.exportSide(
+      s.read.parquet(s"$root/vcb"), SemIncCachedCbPath)
     incrementalCard(v, IncrementalIndex.probeVecs(s, root, batch, standing))
   }
 
@@ -443,6 +630,11 @@ object SemanticPq {
     }
     val cents = ArtifactStore.load(s, dir, "sempq_cents")
     val cb = ArtifactStore.load(s, dir, "sempq_cb")
+    // own exported copies of the stored model for the DuckDB replay
+    // (the C44a posture: stored codes equal a re-encode by construction)
+    graft.ops.VectorQueries.exportSide(
+      cents.select(col("cluster"), col("ce"), col("cn")), SemPqCachedCentsPath)
+    graft.ops.VectorQueries.exportSide(cb, SemPqCachedCbPath)
     cardFrom(v, assignWith(v, cents), ArtifactStore.load(s, dir, "sempq_codes"),
       sdcTables(cb, codeRemap(cb, numSub), numSub), tau, margin, grid)
   }

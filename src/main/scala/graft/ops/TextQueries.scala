@@ -1095,8 +1095,66 @@ object TextQueries {
   def textPerplexityQuantized(s: SparkSession, dir: String): DataFrame = {
     val (grams, c12, c1, c2, n) = bigramLm(s, dir)
     val (seen, uni, oov) = quantTables(c12, c1, c2, n)
-    scoreQuantized(grams, seen, uni, oov)
+    // SQL-checked since round 11: the quantized tables ARE the learned
+    // state (their ln-valued log-probs and sketch-cut codebooks are
+    // engine-path-dependent) — export them and score from the RE-READ
+    // copies, so the DuckDB replay consumes the identical doubles; the
+    // scoring join, per-doc xent, and the drift card replay (round-4
+    // absorbs sum-order ulp, the C42/C42a posture)
+    graft.ops.VectorQueries.exportSide(seen, QlmSeenPath)
+    graft.ops.VectorQueries.exportSide(uni, QlmUniPath)
+    graft.ops.VectorQueries.exportSide(oov, QlmOovPath)
+    scoreQuantized(grams, s.read.parquet(QlmSeenPath),
+      s.read.parquet(QlmUniPath), s.read.parquet(QlmOovPath))
   }
+
+  private def qlmSidePath(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_$name.parquet"
+  val QlmSeenPath: String = qlmSidePath("qlm_seen")
+  val QlmUniPath: String = qlmSidePath("qlm_uni")
+  val QlmOovPath: String = qlmSidePath("qlm_oov")
+  val QlmcSeenPath: String = qlmSidePath("qlmc_seen")
+  val QlmcUniPath: String = qlmSidePath("qlmc_uni")
+  val QlmcOovPath: String = qlmSidePath("qlmc_oov")
+
+  /** C42b/C42c oracle: quantized LM tables as data; the gram frame,
+    * the scoring coalesce-join, per-doc cross-entropies, and the
+    * per-source drift card replayed. */
+  private def qlmOracle(seenPath: String, uniPath: String,
+      oovPath: String): String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')),' ') AS ts
+       |  FROM documents),
+       |g0 AS (SELECT doc_id, source,
+       |    unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS g FROM d),
+       |gr AS (SELECT doc_id, source, g[1] AS w1, g[2] AS w2 FROM g0),
+       |tfq AS (SELECT doc_id, source, w1, w2, cast(count(*) AS BIGINT) AS tf
+       |        FROM gr GROUP BY doc_id, source, w1, w2),
+       |seen AS (SELECT w1, w2, lp_s, q_s FROM '$seenPath/*.parquet'),
+       |uni AS (SELECT w2, lp_u, q_u FROM '$uniPath/*.parquet'),
+       |oov AS (SELECT lp_oov FROM '$oovPath/*.parquet'),
+       |sc AS (SELECT f.doc_id, f.source, f.tf,
+       |              coalesce(se.q_s, u.q_u, o.lp_oov) AS lpq,
+       |              coalesce(se.lp_s, u.lp_u, o.lp_oov) AS lpf
+       |       FROM tfq f
+       |       LEFT JOIN seen se ON se.w1 = f.w1 AND se.w2 = f.w2
+       |       LEFT JOIN uni u ON u.w2 = f.w2
+       |       CROSS JOIN oov o),
+       |x AS (SELECT doc_id, source,
+       |             -(sum(tf * lpq) / sum(tf)) AS xq,
+       |             -(sum(tf * lpf) / sum(tf)) AS xf
+       |      FROM sc GROUP BY doc_id, source)
+       |SELECT source, count(*)::BIGINT AS docs,
+       |       round(avg(xq), 4) AS avg_xent_q8,
+       |       round(avg(xf), 4) AS avg_xent,
+       |       round(avg(abs(xq - xf)), 4) AS avg_abs_dev,
+       |       round(max(abs(xq - xf)), 4) AS max_abs_dev
+       |FROM x GROUP BY source ORDER BY source""".stripMargin
+
+  val textPerplexityQuantizedOracle: String =
+    qlmOracle(QlmSeenPath, QlmUniPath, QlmOovPath)
+  val textPerplexityQuantizedCachedOracle: String =
+    qlmOracle(QlmcSeenPath, QlmcUniPath, QlmcOovPath)
 
   /** C42c: C42b scored against PERSISTED quantized LM tables — the
     * production shape (train the LM once, ship the 8-bit tables, score
@@ -1114,10 +1172,14 @@ object TextQueries {
       ArtifactStore.save(uni, dir, "qlm_uni")
       ArtifactStore.save(oov, dir, "qlm_oov")
     }
-    scoreQuantized(grams,
-      ArtifactStore.load(s, dir, "qlm_seen"),
-      ArtifactStore.load(s, dir, "qlm_uni"),
-      ArtifactStore.load(s, dir, "qlm_oov"))
+    val seen = ArtifactStore.load(s, dir, "qlm_seen")
+    val uni = ArtifactStore.load(s, dir, "qlm_uni")
+    val oov = ArtifactStore.load(s, dir, "qlm_oov")
+    // own exported copies of the shipped tables for the DuckDB replay
+    graft.ops.VectorQueries.exportSide(seen, QlmcSeenPath)
+    graft.ops.VectorQueries.exportSide(uni, QlmcUniPath)
+    graft.ops.VectorQueries.exportSide(oov, QlmcOovPath)
+    scoreQuantized(grams, seen, uni, oov)
   }
 
   /** The 8-bit LM tables from the bigram counts: seen-bigram and
