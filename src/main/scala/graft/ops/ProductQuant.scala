@@ -189,6 +189,15 @@ object ProductQuant {
     adcSearch(v, unit, s.read.parquet(PqCbPath), numSub = 8, subDim = 8)
   }
 
+  /** C38 WITHOUT the oracle export — for composite callers (the recall
+    * audit): a re-trained codebook's float means are only bit-identical
+    * under the same plan, so the gate must never depend on a composite
+    * face re-writing [[PqCbPath]] between the `sim_search_pq` dump and
+    * its DuckDB replay (the simSearchIvfInline rationale). */
+  private[ops] def simSearchPqInline(s: SparkSession, dir: String): DataFrame =
+    pqTopK(Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
+      .select(col("vec_id"), col("e"), col("nrm")), balance = false)
+
   /** C38a query face: PQ with the balanced-permutation "rotation" —
     * same code size, same ADC scan; only the subspace composition
     * changes. The candidate set (and so recall) improves whenever the

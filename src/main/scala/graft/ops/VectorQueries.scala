@@ -770,7 +770,7 @@ object VectorQueries {
     recallOverlay(s, dir, AuditListsPath, Seq(
       "lsh" -> simSearchLsh(s, dir),
       "ivf" -> simSearchIvfInline(s, dir),
-      "pq" -> ProductQuant.simSearchPq(s, dir),
+      "pq" -> ProductQuant.simSearchPqInline(s, dir),
       "sq8" -> ScalarQuant.simSearchSq8(s, dir),
       "graph" -> GraphAnn.simSearchGraphCached(s, dir)))
 
