@@ -105,6 +105,17 @@ object Bench {
     val full = line(queriesJson(timings), 0)
     // Full per-query detail first (for humans / the repo log) ...
     println("BENCH_DETAIL " + full)
+    // ... and as a first-class file artifact: the harness that records the
+    // stdout line keeps only a bounded tail, so a 185-key map survives only
+    // here. One JSON object, every per-query time, no truncation.
+    try {
+      val dir = new java.io.File("target")
+      dir.mkdirs()
+      val w = new java.io.PrintWriter(new java.io.File(dir, "bench_queries_full.json"))
+      try w.println(full) finally w.close()
+    } catch { case e: Throwable =>
+      Console.err.println(s"bench artifact write failed: ${e.getMessage}")
+    }
     // ... then the machine-facing line LAST. The harness that records this
     // keeps only a bounded tail of stdout, so the final line must stay short:
     // if the full map would overflow, keep the slowest queries and count the rest.

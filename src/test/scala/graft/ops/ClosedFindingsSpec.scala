@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Regression pins for the six ADVICE findings closed in round 11 (the
+  * round-11 verdict asked for a spec per closed finding so none can
+  * silently regress in a refactor):
+  *
+  *  1. CacheScope multi-action scope — a cache registered with
+  *     `releaseAfterActions(n)` must survive the first n-1 actions and
+  *     release after the nth (the original bug released the unigram
+  *     histogram / BM25 postings caches after action #1 while consumers
+  *     #2 and #3 recomputed from scratch).
+  *  2. LSH oracles' zero-norm guard — a degenerate (zero-norm / null)
+  *     embedding must be invisible to the LSH faces, and the generated
+  *     oracle SQL must carry the matching `nrm > 0` guard so engine and
+  *     oracle drop the SAME rows.
+  *  3. `mixtureApply` saturating floor — degenerate corpora (all-null
+  *     text) must produce defined rows, never an ANSI divide-by-zero on
+  *     the achieved-total denominator.
+  *  4. `textBlocklist` row-keeping denominator — a token-less
+  *     (empty/whitespace) document has nothing to flag but still IS a
+  *     document of its source: the `docs` denominator must count it.
+  *  5. UnigramLm `maxLen` threading — train/seed/viterbi honor a
+  *     non-default maxLen end to end (the original bug hard-coded 6 in
+  *     the seed pass, so a caller's maxLen silently did nothing).
+  */
+class ClosedFindingsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def zone(tables: (String, DataFrame)*): String = {
+    val dir = tmpDir("closed")
+    tables.foreach { case (n, df) => df.write.parquet(s"$dir/$n.parquet") }
+    dir
+  }
+
+  test("CacheScope.releaseAfterActions(2): cache survives action 1, releases after action 2") {
+    val df = spark.range(100).toDF("x").persist()
+    df.count() // materialize the cache
+    assert(df.storageLevel.useMemory, "precondition: frame is cached")
+    CacheScope.releaseAfterActions(spark, 2, df)
+
+    def awaitStorage(expectCached: Boolean): Boolean = {
+      // the QueryExecutionListener fires on the async listener bus —
+      // poll briefly instead of racing it
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (df.storageLevel.useMemory != expectCached && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      df.storageLevel.useMemory == expectCached
+    }
+
+    spark.range(10).count() // action 1 of 2
+    Thread.sleep(300)       // give a wrong early release time to manifest
+    assert(df.storageLevel.useMemory,
+      "releaseAfterActions(2) must NOT release after the first action")
+    spark.range(10).count() // action 2 of 2
+    assert(awaitStorage(expectCached = false),
+      "cache must be released after the registered action count completes")
+  }
+
+  test("LSH faces: zero-norm and null embeddings are invisible; oracles carry the same guard") {
+    val emb = Seq(
+      (0L, Seq.fill(64)(0.0f), 0),                      // query id with zero norm
+      (1L, (1 to 64).map(i => i.toFloat / 64f), 0),
+      (2L, (1 to 64).map(i => (65 - i).toFloat / 64f), 0),
+      (3L, (1 to 64).map(i => (if (i % 2 == 0) 1f else -1f)), 1),
+      (10L, (1 to 64).map(i => i.toFloat / 64f), 0),    // near id 1
+      (11L, (1 to 64).map(i => (65 - i).toFloat / 64f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .union(Seq((12L, null.asInstanceOf[Seq[Float]], 1))
+        .toDF("vec_id", "embedding", "label"))
+    val dir = zone("embeddings" -> emb)
+
+    val topk = VectorQueries.simSearchLsh(spark, dir).collect()
+    assert(!topk.exists(r => r.getAs[Long]("query_id") == 0L ||
+      r.getAs[Long]("vec_id") == 0L || r.getAs[Long]("vec_id") == 12L),
+      s"degenerate vectors must never reach a cosine: ${topk.toSeq}")
+    assert(topk.nonEmpty, "the healthy vectors must still match")
+
+    val pairs = VectorQueries.dedupEmbeddingLsh(spark, dir).collect()
+    assert(!pairs.exists(r => Seq(r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))
+      .exists(v => v == 0L || v == 12L)),
+      s"degenerate vectors must never pair: ${pairs.toSeq}")
+
+    // the oracle half of the fix: both generated SQL strings filter on a
+    // positive norm BEFORE any cosine, mirroring withNorm(dropDegenerate)
+    Seq(VectorQueries.simSearchLshOracle, VectorQueries.dedupEmbeddingLshOracle)
+      .foreach { sql =>
+        assert(sql.contains("WHERE sqrt(list_dot_product(e, e)) > 0"),
+          "oracle lost its zero-norm guard")
+      }
+  }
+
+  test("mixtureApply: an all-null-text corpus gets defined rows, not a divide error") {
+    val docs = Seq((1L, "en", "s0", 0L), (2L, "en", "s0", 0L), (3L, "en", "s1", 0L))
+      .toDF("doc_id", "lang", "source", "n_chars")
+      .select(col("doc_id"), lit(null).cast("string").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val dir = zone("documents" -> docs)
+    val rows = Sample.mixtureApply(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("source")).toSeq == Seq("s0", "s1"),
+      "every source keeps its row")
+    // null token sums flow through as nulls (defined), never an ANSI error
+    rows.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("achieved_bp")) ||
+        r.getAs[Long]("achieved_bp") >= 0L)
+    }
+  }
+
+  test("mixtureApply: all-fractional factors (every factor_bp < 10000) still compose cleanly") {
+    // three sources engineered so each target share is a hair under its
+    // natural share (integer-division truncation): every factor is
+    // fractional and every copy rides the coin — the shape closest to
+    // the guarded zero-achieved corner that real data can reach
+    val mk = (src: String, n: Int) => (1 to n).map(i =>
+      (src.hashCode.toLong * 1000 + i, s"alpha beta gamma delta epsilon word$i", "en", src, 40L))
+    val docs = (mk("a", 7) ++ mk("b", 7) ++ mk("c", 7))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Sample.mixtureApply(spark, zone("documents" -> docs)).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val bp = r.getAs[Long]("achieved_bp")
+      assert(bp >= 0L && bp <= 10000L, s"achieved_bp out of range: $r")
+    }
+  }
+
+  test("textBlocklist: token-less docs stay in the docs denominator, unflagged") {
+    val docs = Seq(
+      (1L, "the the the the the the the the the the", "en", "s0", 39L), // 100% hits
+      (2L, "", "en", "s0", 0L),                                          // empty
+      (3L, "   ", "en", "s0", 3L),                                       // whitespace
+      (4L, "clean words only here without stopword hits", "en", "s0", 44L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextQueries.textBlocklist(spark, zone("documents" -> docs),
+      blocklist = Seq("the"), cutBp = 600).collect().head
+    assert(r.getAs[Long]("docs") == 4L,
+      s"empty/whitespace docs must count in the denominator: $r")
+    assert(r.getAs[Long]("flagged_docs") == 1L,
+      s"only the stopword-saturated doc flags: $r")
+    assert(r.getAs[Long]("flagged_bp") == 2500L,
+      s"flagged share uses the full 4-doc denominator: $r")
+  }
+
+  test("UnigramLm: a caller's maxLen bounds every learned multi-char piece") {
+    val words = Seq(("international", 50L), ("internet", 40L), ("interval", 30L),
+      ("nation", 20L), ("net", 10L)).toDF("w", "n")
+    val trained = UnigramLm.train(words, vocabTarget = 20, emRounds = 2, maxLen = 2)
+    val tooLong = trained.model.logp.keys.filter(_.length > 2)
+    assert(tooLong.isEmpty,
+      s"maxLen=2 must bound the vocabulary, got: ${tooLong.toSeq.sorted}")
+    // and the threaded viterbi respects the same bound: segmenting with
+    // the trained model can only emit pieces the model contains
+    val seg = UnigramLm.driverViterbi("internet", trained.model.logp, 2)
+    assert(seg.nonEmpty && seg.forall(_.length <= 2), s"viterbi pieces: $seg")
+  }
+}
