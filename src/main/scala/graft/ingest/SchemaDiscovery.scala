@@ -98,17 +98,30 @@ object SchemaDiscovery {
     StructField("nullable", BooleanType, nullable = false),
     StructField("is_partition", BooleanType, nullable = false)))
 
+  /** Footer-read schema of one crawled table, or None when the path
+    * holds no data files at all (an all-empty partitioned write leaves
+    * just _SUCCESS — no footers to read). Crawler-true: a data-less
+    * prefix is not a table; Glue crawlers skip it rather than fail the
+    * crawl, and so do we. */
+  private def schemaOf(spark: SparkSession, t: CrawledTable): Option[StructType] =
+    try Some(spark.read.parquet(t.path).schema)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+        if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+    }
+
   /** Crawl `zoneDir` and infer every discovered table's schema → one row
     * per column (partition columns flagged). */
   def discover(spark: SparkSession, zoneDir: String): DataFrame = {
     val tables = crawl(zoneDir, spark.sessionState.newHadoopConf())
     val rows = inParallel(tables) { t =>
-      val schema = spark.read.parquet(t.path).schema
-      val parts = t.partitionCols.toSet
-      schema.fields.zipWithIndex.map { case (f, i) =>
-        Row(t.name, f.name, i, f.dataType.sql.toLowerCase, f.nullable,
-          parts.contains(f.name))
-      }.toSeq
+      schemaOf(spark, t).toSeq.flatMap { schema =>
+        val parts = t.partitionCols.toSet
+        schema.fields.zipWithIndex.map { case (f, i) =>
+          Row(t.name, f.name, i, f.dataType.sql.toLowerCase, f.nullable,
+            parts.contains(f.name))
+        }.toSeq
+      }
     }.flatten
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), columnsSchema)
   }
@@ -139,8 +152,8 @@ object SchemaDiscovery {
   /** DDL export for every crawled table under `zoneDir` → (table_name, ddl). */
   def exportDdl(spark: SparkSession, zoneDir: String): DataFrame = {
     val rows = inParallel(crawl(zoneDir, spark.sessionState.newHadoopConf())) { t =>
-      Row(t.name, ddlFor(t.name, spark.read.parquet(t.path).schema, t.partitionCols))
-    }
+      schemaOf(spark, t).map(sch => Row(t.name, ddlFor(t.name, sch, t.partitionCols)))
+    }.flatten
     val schema = StructType(Seq(
       StructField("table_name", StringType, nullable = false),
       StructField("ddl", StringType, nullable = false)))

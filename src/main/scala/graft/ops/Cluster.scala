@@ -32,11 +32,30 @@ import org.apache.spark.storage.StorageLevel
   */
 object Cluster {
 
+  /** Outcome of one CC run, for specs and the skew-evidence probes:
+    * the label frame (over subgraph nodes only — callers join back),
+    * whether the loop reached fixpoint, how many rounds it took, and
+    * which method ran ("propagation", "star", or "propagation+star"). */
+  private[graft] final case class CcRun(labels: DataFrame, converged: Boolean,
+                                        rounds: Int, method: String)
+
   /** Per-node cluster assignment: (id, cluster_id) with cluster_id = the
     * min node id reachable through `edges`. `nodes` may contain ids never
     * mentioned in `edges`; they come back as their own cluster. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           idCol: String, maxIters: Int = 20): DataFrame = {
+    val run = propagationRun(edges, maxIters)
+    require(run.converged, s"connectedComponents did not converge in $maxIters rounds " +
+      "— component diameter exceeds the bound; raise maxIters or use " +
+      "connectedComponentsAuto (star fallback closes long chains in log rounds)")
+    joinBack(nodes, idCol, run.labels)
+  }
+
+  /** The min-label propagation loop, rounds exposed. Stops at fixpoint or
+    * the round budget — the caller decides whether a budget miss is fatal
+    * ([[connectedComponents]]) or a fallback trigger
+    * ([[connectedComponentsAuto]]). */
+  private[graft] def propagationRun(edges: DataFrame, maxIters: Int): CcRun = {
     val ea = edges.columns(0); val eb = edges.columns(1)
     val sym = edges.select(col(ea).as("src"), col(eb).as("dst"))
       .union(edges.select(col(eb).as("src"), col(ea).as("dst")))
@@ -54,6 +73,10 @@ object Cluster {
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
     var lastSum = labels.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    if (lastSum == null) { // empty edge set: no subgraph nodes, nothing to iterate
+      sym.unpersist()
+      return CcRun(labels, converged = true, rounds = 0, "propagation")
+    }
 
     var converged = false
     var i = 0
@@ -70,14 +93,62 @@ object Cluster {
       lastSum = nextSum
       i += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxIters rounds " +
-      "— component diameter exceeds the bound; raise maxIters")
+    sym.unpersist()
+    CcRun(labels, converged, i, "propagation")
+  }
 
-    val out = nodes.select(col(idCol).as("id"))
+  private def joinBack(nodes: DataFrame, idCol: String, labels: DataFrame): DataFrame =
+    nodes.select(col(idCol).as("id"))
       .join(labels.withColumnRenamed("label", "cluster_id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
-    sym.unpersist()
-    out
+
+  /** Shape-adaptive connected components: min-label propagation for
+    * `propagationBudget` rounds (one cheap keyed join per round — the
+    * right cost on near-dup graphs, whose components are dense blobs of
+    * diameter 2–4), then, ONLY if the budget misses fixpoint, contract
+    * the graph by the partial labels and finish with the alternating-star
+    * face (log-round convergence regardless of diameter).
+    *
+    * Why contraction composes: propagation labels only ever decrease
+    * toward each component's min id, so the partial label of a node is
+    * some node id inside its own component. Rewriting every edge
+    * (a, b) → (label(a), label(b)) therefore merges nodes WITHIN
+    * components only — the contracted graph has the same component
+    * structure over fewer (super-)nodes, and after `propagationBudget`
+    * rounds every node within distance `budget` of its component min has
+    * already collapsed into it, so the contracted graph is the residual
+    * long-chain skeleton — exactly the shape the star transforms close
+    * exponentially. Final label = star label of the propagation label.
+    *
+    * This is the production default for pair graphs whose shape is not
+    * known in advance (a 100 TB corpus with boilerplate chains — doc A
+    * near-dups B near-dups C without A~C — can produce deep components
+    * that a fixed propagation budget must not silently mislabel and a
+    * corpus-scale diameter must not be allowed to pay per-round). */
+  def connectedComponentsAuto(nodes: DataFrame, edges: DataFrame, idCol: String,
+                              propagationBudget: Int = 8, maxIters: Int = 25): DataFrame = {
+    val run = propagationRun(edges, propagationBudget)
+    if (run.converged) return joinBack(nodes, idCol, run.labels)
+
+    val ea = edges.columns(0); val eb = edges.columns(1)
+    val lbl = run.labels.localCheckpoint(true)
+    val contracted = edges
+      .join(lbl.withColumnRenamed("id", ea).withColumnRenamed("label", "ca"), ea)
+      .join(lbl.withColumnRenamed("id", eb).withColumnRenamed("label", "cb"), eb)
+      .select(col("ca").as("src"), col("cb").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    // star labels over SUPER-nodes; a super-node absent from the
+    // contracted edge set (its component fully collapsed in phase 1)
+    // keeps its own id as the final label
+    val starRun = starRun0(contracted, maxIters)
+    require(starRun.converged,
+      s"connectedComponentsAuto star phase did not converge in $maxIters rounds")
+    val composed = lbl
+      .join(starRun.labels.withColumnRenamed("label", "final")
+          .withColumnRenamed("id", "label"),
+        Seq("label"), "left")
+      .select(col("id"), coalesce(col("final"), col("label")).as("label"))
+    joinBack(nodes, idCol, composed)
   }
 
   /** Alternating large-star / small-star connected components (the
@@ -102,6 +173,18 @@ object Cluster {
   def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
                               idCol: String, maxIters: Int = 25): DataFrame = {
     val ea = edges.columns(0); val eb = edges.columns(1)
+    val run = starRun0(
+      edges.select(col(ea).as("src"), col(eb).as("dst")), maxIters)
+    require(run.converged,
+      s"connectedComponentsStar did not converge in $maxIters rounds")
+    nodes.select(col(idCol).as("id"))
+      .join(run.labels.withColumnRenamed("label", "cluster_id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
+  /** The alternating-star loop over a (src, dst) edge frame, rounds
+    * exposed. Returns labels over the subgraph's nodes. */
+  private[graft] def starRun0(edges0: DataFrame, maxIters: Int): CcRun = {
 
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -131,7 +214,7 @@ object Cluster {
         .withColumnRenamed("src", "id")
     }
 
-    var e = edges.select(col(ea).as("src"), col(eb).as("dst"))
+    var e = edges0
       .where(col("src") =!= col("dst")).distinct()
       .localCheckpoint(true)
     // termination = the EDGE SET is stable (the state here is the edge
@@ -148,10 +231,6 @@ object Cluster {
       e = next; cnt = nextCnt
       i += 1
     }
-    require(converged, s"connectedComponentsStar did not converge in $maxIters rounds")
-
-    nodes.select(col(idCol).as("id"))
-      .join(labelsOf(e).withColumnRenamed("label", "cluster_id"), Seq("id"), "left")
-      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    CcRun(labelsOf(e), converged, i, "star")
   }
 }

@@ -256,7 +256,7 @@ object DedupQueries {
     val d = docs(s, dir)
     val pairs = Dedup.minhashCandidates(d, "doc_id", "text")
       .select(col("doc_a"), col("doc_b"))
-    val cc = Cluster.connectedComponents(d.select(col("doc_id")), pairs, "doc_id")
+    val cc = Cluster.connectedComponentsAuto(d.select(col("doc_id")), pairs, "doc_id")
       .withColumnRenamed("id", "doc_id")
     val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, Seq("cluster_id"))
@@ -301,7 +301,7 @@ object DedupQueries {
       .where(col("doc_id") =!= col("m"))
       .select(col("m").as("doc_a"), col("doc_id").as("doc_b"))
     val edges = nd.unionByName(exactEdges)
-    val cc = Cluster.connectedComponents(d.select(col("doc_id")), edges, "doc_id")
+    val cc = Cluster.connectedComponentsAuto(d.select(col("doc_id")), edges, "doc_id")
       .withColumnRenamed("id", "doc_id")
     val folded = cc
       .withColumn("fold_naive",
@@ -442,7 +442,7 @@ object DedupQueries {
     val d = docs(s, dir)
     val pairs = Dedup.minhashCandidates(d, "doc_id", "text")
       .select(col("doc_a"), col("doc_b"))
-    val cc = Cluster.connectedComponents(d.select(col("doc_id")), pairs, "doc_id")
+    val cc = Cluster.connectedComponentsAuto(d.select(col("doc_id")), pairs, "doc_id")
       .withColumnRenamed("id", "doc_id")
     val sized = cc.withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))

@@ -101,10 +101,12 @@ object Opq {
     * EIGEN basis instead of the natural one. */
   def pcaAllocRotation(unit: DataFrame, numSub: Int, subDim: Int): Array[Array[Double]] = {
     val dim = numSub * subDim
+    val n = unit.count().toDouble
+    if (n == 0) // empty corpus: no covariance to rotate by — identity
+      return Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
     val mu = unit
       .select((0 until dim).map(j => avg(col("e").getItem(j)).as(s"m$j")): _*)
       .collect()(0)
-    val n = unit.count().toDouble
     val xx = crossMatrix(unit.select(col("e").as("a"), col("e").as("b")), dim)
     val cov = DenseMatrix.tabulate(dim, dim)((i, j) =>
       xx(i)(j) / n - mu.getDouble(i) * mu.getDouble(j))

@@ -38,10 +38,13 @@ object Pca {
     * symmetric eigensolve; components ordered by descending eigenvalue
     * (ties to the lower natural index, like [[Opq.pcaAllocRotation]]). */
   def fit(unit: DataFrame, dim: Int): Model = {
+    val n = unit.count().toDouble
+    if (n == 0) // empty corpus: zero model, identity basis — callers
+      return Model(Array.fill(dim)(0.0), Array.fill(dim)(0.0), // report no variance
+        Array.tabulate(dim, dim)((i, c) => if (i == c) 1.0 else 0.0))
     val mu = unit
       .select((0 until dim).map(j => avg(col("e").getItem(j)).as(s"m$j")): _*)
       .collect()(0)
-    val n = unit.count().toDouble
     val xx = Opq.crossMatrix(unit.select(col("e").as("a"), col("e").as("b")), dim)
     val cov = DenseMatrix.tabulate(dim, dim)((i, j) =>
       xx(i)(j) / n - mu.getDouble(i) * mu.getDouble(j))
@@ -76,6 +79,9 @@ object Pca {
       .select(col("vec_id"), transform(col("e"), x => x / col("nrm")).as("e"))
     val m = fit(v, dim = 64)
     val total = m.eigenvalues.sum
+    import s.implicits._
+    if (total <= 0) // no variance to apportion (empty or single-point corpus)
+      return Seq.empty[(Int, Long, Long)].toDF("component", "var_bp", "cum_bp")
     val rows = m.eigenvalues.take(16).zipWithIndex.scanLeft((0, 0L, 0.0)) {
       case ((_, _, acc), (ev, c)) => (c, (ev * 10000 / total).round, acc + ev)
     }.drop(1).map { case (c, bp, cum) =>

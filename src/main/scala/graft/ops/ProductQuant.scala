@@ -134,6 +134,7 @@ object ProductQuant {
       .select(posexplode(col("e")).as(Seq("dim", "x")))
       .groupBy(col("dim")).agg(var_pop(col("x")).as("v"))
       .collect().map(r => (r.getAs[Int]("dim"), r.getAs[Double]("v")))
+    if (vars.isEmpty) return Nil // empty corpus: no variances, no permutation
     require(vars.length == numSub * subDim,
       s"dim ${vars.length} != $numSub*$subDim")
     val logs = vars.map { case (i, v) => i -> math.log(v.max(1e-300)) }.toMap
@@ -216,7 +217,8 @@ object ProductQuant {
     VectorQueries.exportSide(
       perm.zipWithIndex.map { case (d, p) => (p, d) }.toDF("pos", "dim"),
       OpqPermPath)
-    val unit = permute(unit0, perm)
+    // empty corpus: no permutation was learnable — identity layout
+    val unit = if (perm.isEmpty) unit0 else permute(unit0, perm)
     val cb0 = fit(unit, numSub = 8, subDim = 8, k = 16, iters = 2)
     VectorQueries.exportSide(cb0, OpqCbPath)
     adcSearch(v, unit, s.read.parquet(OpqCbPath), numSub = 8, subDim = 8)
@@ -228,9 +230,8 @@ object ProductQuant {
       numSub: Int = 8, subDim: Int = 8, k: Int = 16, cand: Int = 100): DataFrame = {
     val unit0 = v.select(col("vec_id"),
       transform(col("e"), x => x / col("nrm")).as("e"))
-    val unit =
-      if (balance) permute(unit0, balancedPermutation(unit0, numSub, subDim))
-      else unit0
+    val perm = if (balance) balancedPermutation(unit0, numSub, subDim) else Nil
+    val unit = if (perm.isEmpty) unit0 else permute(unit0, perm)
     adcSearch(v, unit, fit(unit, numSub, subDim, k, iters = 2), numSub, subDim, cand)
   }
 

@@ -112,7 +112,12 @@ object QualityModel {
     * order, spec-bounded. */
   private[ops] def scored(s: SparkSession, dir: String): DataFrame = {
     val all = featurize(labeled(s, dir)).localCheckpoint(true)
-    val model = lr.fit(all.where(col("split") === "train"))
+    val train = all.where(col("split") === "train")
+    if (train.isEmpty) // no trainable rows (empty/near-empty corpus):
+      return all.where(lit(false)) // no model — the documented empty card
+        .select(col("doc_id"), col("source"), col("label"), col("split"),
+          lit(0.5).as("score"))
+    val model = lr.fit(train)
     model.transform(all)
       .select(col("doc_id"), col("source"), col("label"), col("split"),
         element_at(vector_to_array(col("probability")), 2).as("score"))

@@ -32,7 +32,11 @@ object ScalarQuant {
     val stats = unit.select(posexplode(col("e")).as(Seq("d", "x")))
       .groupBy(col("d")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
       .orderBy(col("d")).collect()
-    require(stats.length == dim, s"expected $dim dims, saw ${stats.length}")
+    // an EMPTY frame (a filtered-to-nothing partition) is a defined
+    // input — no ranges, caller short-circuits; any NON-empty frame must
+    // carry exactly the declared width
+    require(stats.isEmpty || stats.length == dim,
+      s"expected $dim dims, saw ${stats.length}")
     (stats.map(_.getDouble(1)).toSeq, stats.map(_.getDouble(2)).toSeq)
   }
 
@@ -69,6 +73,9 @@ object ScalarQuant {
     val unit = v.select(col("vec_id"),
       transform(col("e"), x => x / col("nrm")).as("e"))
     val (lo, hi) = dimRanges(unit, dim)
+    if (lo.isEmpty) // empty corpus: the documented empty result frame
+      return unit.where(lit(false)).select(col("vec_id").as("query_id"),
+        lit(1).as("rnk"), col("vec_id"), lit(0d).as("cosine"))
     val index = unit.select(col("vec_id"),
       quantize(col("e"), lo, hi).as("q"))
     val queries = index.where(col("vec_id") < 5)

@@ -213,12 +213,20 @@ object SemanticPq {
         r.getAs[scala.collection.Seq[Double]]("ce").toSeq,
         r.getAs[Double]("cn"))
     }
-    val centsArr = array(centRows.map { case (cl, ce, cn) =>
-      struct(lit(cl).as("cluster"), typedLit(ce).as("ce"), lit(cn).as("cn"))
-    }: _*)
-    val unitCentMap = map(centRows.flatMap { case (cl, ce, cn) =>
-      Seq(lit(cl), typedLit(ce.map(_ / cn)))
-    }: _*)
+    // an EMPTY standing index (first batch against a brand-new corpus)
+    // still needs TYPED literals — a bare array()/map() is array<null>
+    // and fails NearestCentroids' type check at analysis
+    val centsArr =
+      if (centRows.isEmpty)
+        array().cast("array<struct<cluster:bigint,ce:array<double>,cn:double>>")
+      else array(centRows.map { case (cl, ce, cn) =>
+        struct(lit(cl).as("cluster"), typedLit(ce).as("ce"), lit(cn).as("cn"))
+      }: _*)
+    val unitCentMap =
+      if (centRows.isEmpty) typedLit(Map.empty[Long, Seq[Double]])
+      else map(centRows.flatMap { case (cl, ce, cn) =>
+        Seq(lit(cl), typedLit(ce.map(_ / cn)))
+      }: _*)
     val cbRows = cb.collect().map { r =>
       (r.getAs[Int]("m"), r.getAs[Long]("code"),
         r.getAs[scala.collection.Seq[Double]]("cv").toSeq)

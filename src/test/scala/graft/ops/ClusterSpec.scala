@@ -84,6 +84,61 @@ class ClusterSpec extends SparkSpec {
       s"chain must collapse to min id, got ${got.toSeq.sortBy(_._1).take(8)}...")
   }
 
+  private def ccAuto(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      budget: Int = 8, maxIters: Int = 25) =
+    Cluster.connectedComponentsAuto(
+      nodes.toDF("doc_id"), edges.toDF("doc_a", "doc_b"), "doc_id", budget, maxIters)
+      .as[(Long, Long)].collect().toMap
+
+  test("auto face: blob graphs finish inside the propagation budget (star never engages)") {
+    // a dense 12-node blob (diameter 2) plus a triangle: propagation
+    // closes in ~3 rounds, so auto == propagation and no star phase runs
+    val blob = for (i <- 1L to 12L) yield (1L, i)
+    val tri = Seq((20L, 21L), (21L, 22L), (22L, 20L))
+    val edges = blob ++ tri
+    val run = Cluster.propagationRun(edges.toDF("doc_a", "doc_b"), 8)
+    assert(run.converged && run.rounds <= 4,
+      s"a diameter-2 blob must close in a few propagation rounds, took ${run.rounds}")
+    assert(ccAuto(1L to 22L, edges) == cc(1L to 22L, edges))
+  }
+
+  test("auto face: a 300-node chain exceeds the budget, star phase closes it correctly") {
+    val n = 300L
+    val chain = (1L until n).map(i => (i, i + 1))
+    // propagation alone would need ~299 rounds; auto must stay inside
+    // budget + log-star rounds and still label every node with the min
+    val got = ccAuto(1L to n, chain, budget = 6)
+    assert((1L to n).forall(got(_) == 1L),
+      s"auto must close the chain exactly: ${got.toSeq.sortBy(_._1).takeRight(5)}")
+    // sanity: the same budget WITHOUT the fallback trips the bound
+    intercept[IllegalArgumentException] { cc(1L to n, chain, maxIters = 6) }
+  }
+
+  test("auto face: singletons and an empty pair set stay their own cluster (no NPE)") {
+    val got = ccAuto(Seq(7L, 8L, 9L), Seq.empty)
+    assert(got == Map(7L -> 7L, 8L -> 8L, 9L -> 9L))
+    assert(cc(Seq(7L, 8L), Seq.empty) == Map(7L -> 7L, 8L -> 8L))
+  }
+
+  test("star rounds grow with LOG of the path length, not the diameter") {
+    def starRounds(n: Long): Int = {
+      val chain = (1L until n).map(i => (i, i + 1))
+      val run = Cluster.starRun0(chain.toDF("src", "dst"), 25)
+      assert(run.converged, s"path($n) star did not converge")
+      // correctness, not just convergence
+      val lbl = run.labels.as[(Long, Long)].collect().toMap
+      assert((1L to n).forall(lbl(_) == 1L), s"path($n) mislabeled")
+      run.rounds
+    }
+    val r256 = starRounds(256)
+    val r1024 = starRounds(1024)
+    // diameter grew 4x (255 -> 1023); log-convergence means the round
+    // count moves by a constant, not a factor
+    assert(r256 <= 10, s"path(256) took $r256 star rounds")
+    assert(r1024 <= r256 + 3,
+      s"4x the diameter must cost O(1) extra star rounds: $r256 -> $r1024")
+  }
+
   test("dedup_cluster query: keepers are cluster minima, sizes add to corpus") {
     val df = DedupQueries.dedupCluster(spark, sfDir)
     val rows = df.as[(Long, Long, Long, Int)].collect()

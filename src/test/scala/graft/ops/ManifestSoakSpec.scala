@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-12 `export_manifest` soak (round-11 verdict, task 4): the
+  * manifest's reproducibility claim, stress-tested —
+  *
+  *  1. N=5 consecutive re-exports of the SAME corpus produce
+  *     byte-identical manifests (the single re-export PipelineSpec pin,
+  *     soaked: any hidden nondeterminism — partitioning-sensitive
+  *     aggregation, iteration-order leaks in the cleaning stages —
+  *     gets five chances to show).
+  *  2. A ONE-DOCUMENT delta (dropping a single clean, unpaired doc)
+  *     changes EXACTLY the expected manifest rows: that doc's
+  *     (fold × source) cell, the totals row, and the funnel counts —
+  *     every other cell keeps its docs/rows/tokens/content_hash
+  *     bit-for-bit (share_bp may shift by integer rounding since the
+  *     token denominator moved; that column is excluded from the
+  *     unchanged-cell comparison).
+  */
+class ManifestSoakSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def manifestOf(docs: org.apache.spark.sql.DataFrame, out: String) = {
+    Pipeline.exportTrainingData(docs, s"$out/corpus", Sample.DemoWeights)
+    spark.read.parquet(s"$out/corpus_manifest")
+  }
+
+  test("soak: 5 consecutive re-exports yield byte-identical manifests") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val base = tmpDir("graft_soak")
+    val manifests = (1 to 5).map { i =>
+      manifestOf(docs, s"$base/run$i").collect().map(_.toString).sorted.toSeq
+    }
+    manifests.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+      assert(a == b, s"manifest drifted between re-export ${i + 1} and ${i + 2}")
+    }
+  }
+
+  test("one-document delta changes exactly the victim's cell, the totals, and the funnel") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val base = tmpDir("graft_delta")
+
+    // a victim with provably LOCAL footprint: survives the full clean,
+    // and sits in no exact- or near-dup relation (so its removal cannot
+    // re-elect another cluster's keeper)
+    val paired = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val exactDup = docs.groupBy(md5(col("text"))).agg(
+        collect_list(col("doc_id")).as("ids"), count(lit(1)).as("n"))
+      .where(col("n") > 1).select(explode(col("ids")).as("doc_id"))
+    val shippedA = {
+      Pipeline.exportTrainingData(docs, s"$base/a/corpus", Sample.DemoWeights)
+      spark.read.parquet(s"$base/a/corpus")
+    }
+    val victim = shippedA.select(col("doc_id"), col("fold"), col("source"))
+      .join(paired, Seq("doc_id"), "left_anti")
+      .join(exactDup, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id")).limit(1).collect().head
+    val (vid, vfold, vsrc) =
+      (victim.getAs[Long]("doc_id"), victim.getAs[String]("fold"),
+        victim.getAs[String]("source"))
+
+    val ma = spark.read.parquet(s"$base/a/corpus_manifest").collect()
+    val mb = manifestOf(docs.where(col("doc_id") =!= vid), s"$base/b").collect()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("section"), r.getAs[String]("fold"), r.getAs[String]("source"))
+    def payload(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("docs"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("tokens"), r.getAs[Long]("content_hash"))
+    val byA = ma.map(r => key(r) -> payload(r)).toMap
+    val byB = mb.map(r => key(r) -> payload(r)).toMap
+    assert(byA.keySet == byB.keySet,
+      s"one-doc delta must not create/destroy cells: ${byA.keySet.diff(byB.keySet)} ${byB.keySet.diff(byA.keySet)}")
+
+    val changed = byA.keySet.filter(k => byA(k) != byB(k))
+    val expected = Set(
+      ("cell", vfold, vsrc),                 // the victim's own cell
+      ("total", "-", "-"),                   // exact sums/XOR move with it
+      ("funnel", "-", "0_input"), ("funnel", "-", "1_quality"),
+      ("funnel", "-", "2_exact"), ("funnel", "-", "3_neardup"))
+    assert(changed == expected,
+      s"delta fingerprint wrong.\n  changed:  ${changed.toSeq.sorted}\n  expected: ${expected.toSeq.sorted}")
+
+    // and the victim's cell moved by exactly one document
+    val (da, db) = (byA(("cell", vfold, vsrc)), byB(("cell", vfold, vsrc)))
+    assert(da._1 - db._1 == 1L, s"victim cell docs: ${da._1} -> ${db._1}")
+    assert(byA(("funnel", "-", "0_input"))._1 - byB(("funnel", "-", "0_input"))._1 == 1L)
+  }
+}

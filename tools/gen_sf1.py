@@ -18,7 +18,14 @@ space GROWS with the corpus (real corpora) instead of saturating
 With --vecs-only --nvecs N it writes JUST an embeddings table (same
 64-dim unit-norm shape and 0.5% planted near-dup rate as the default)
 — used to extend the ANN/semantic-dedup scale curves a further decade
-past sf1's 8k vectors."""
+past sf1's 8k vectors.
+
+With --skew-docs --ndocs N it writes JUST a documents table with a
+PLANTED POWER-LAW duplicate-cluster distribution: ~10% of all docs are
+near-duplicates of ONE seed (a single mega-component for the
+connected-components stage), the next clusters follow a Zipf size law,
+and the rest are unique — the skew-resilience corpus for
+dedup_cluster / dedup_split_leakage (round-11 verdict, task 2)."""
 import os
 import sys
 
@@ -38,6 +45,7 @@ ZIPF_VOCAB = int(flags.get("--vocab", 0))
 N_DOCS_OVERRIDE = int(flags.get("--ndocs", 0))
 VECS_ONLY = "--vecs-only" in flags
 N_VECS_OVERRIDE = int(flags.get("--nvecs", 0))
+SKEW_DOCS = "--skew-docs" in flags
 
 N_CUST, N_SUPP, N_PART = 150_000, 10_000, 200_000
 N_ORDERS, N_LINE = 1_500_000, 6_000_000
@@ -46,6 +54,56 @@ N_EVENTS, N_DOCS, N_VECS = 1_000_000, 50_000, 8_000
 def write(name, table):
     pq.write_table(table, f"{OUT}/{name}.parquet")
     print(name, table.num_rows)
+
+if SKEW_DOCS:
+    n_docs = N_DOCS_OVERRIDE or 50_000
+    V = 30_000
+    vocab = np.array([f"w{i:05d}" for i in range(V)])
+    p = 1.0 / np.power(np.arange(1, V + 1), 1.07)
+    p /= p.sum()
+
+    def fresh_text():
+        n = rng.randint(30, 100)
+        return " ".join(vocab[rng.choice(V, n, p=p)])
+
+    def near_dup(t):
+        w = t.split()
+        for _ in range(2):                   # two words flipped, like the
+            w[rng.randint(0, len(w))] = "dup"  # default generator's near-dups
+        return " ".join(w)
+
+    # cluster-size plan: one mega-cluster of 10% of the corpus, then
+    # Zipf(1.5) sizes (capped at 1% of corpus) until ~25% of docs are in
+    # some cluster; everything else is unique
+    sizes = [max(2, n_docs // 10)]
+    budget = n_docs // 4 - sizes[0]
+    rank = 2
+    while budget > 0:
+        s = min(max(2, int(sizes[0] / rank ** 1.5)), n_docs // 100)
+        sizes.append(s)
+        budget -= s
+        rank += 1
+    texts = []
+    for s in sizes:
+        seed = fresh_text()
+        texts.append(seed)
+        texts.extend(near_dup(seed) for _ in range(s - 1))
+    while len(texts) < n_docs:
+        texts.append(fresh_text())
+    texts = texts[:n_docs]
+    order = rng.permutation(n_docs)          # clusters scattered over ids
+    texts = [texts[i] for i in order]
+    langs = ["de", "en", "es", "fr", "zh"]
+    write("documents", pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        "text": texts,
+        "lang": [langs[j] for j in rng.choice(5, n_docs, p=[.12, .40, .12, .12, .24])],
+        "source": [f"src{i % 20}" for i in range(n_docs)],
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())}))
+    print("mega cluster:", sizes[0], "planted clusters:", len(sizes),
+          "clustered docs:", sum(sizes))
+    print("DONE", OUT)
+    sys.exit(0)
 
 if VECS_ONLY:
     n_vecs = N_VECS_OVERRIDE or 64_000
