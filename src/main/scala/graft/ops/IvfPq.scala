@@ -184,7 +184,8 @@ object IvfPq {
        |       GROUP BY 1, 2),
        |cand AS (SELECT query_id, vec_id FROM (
        |           SELECT *, row_number() OVER (PARTITION BY query_id
-       |             ORDER BY approx_d, vec_id) AS crk FROM ad) WHERE crk <= 100),
+       |             ORDER BY approx_d, vec_id) AS crk FROM ad)
+       |         WHERE crk <= greatest(100, (SELECT count(*) FROM nn) // 80)),
        |rs AS (SELECT c3.query_id, c3.vec_id,
        |              round(list_dot_product(qn.e, cn2.e)/(qn.nrm*cn2.nrm), 4)
        |                AS cosine
@@ -241,8 +242,11 @@ object IvfPq {
         lit(0.0), (acc, x) => acc + x))
     val byAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_d"), col("vec_id"))
+    // corpus-adaptive budget (ProductQuant.adaptiveCand): identical to
+    // the old fixed 100 up to 8k vectors, then ~1.25% of the corpus —
+    // the round-12 64k sweep showed the fixed cut halving recall
     val cand = scored.withColumn("crnk", row_number().over(byAdc))
-      .where(col("crnk") <= 100)
+      .where(col("crnk") <= ProductQuant.adaptiveCand(v.count()))
       .select(col("query_id"), col("vec_id"))
 
     val q = v.where(col("vec_id") < 5)

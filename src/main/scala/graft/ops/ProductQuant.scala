@@ -241,8 +241,21 @@ object ProductQuant {
     * in `v` (cosine is invariant under any orthogonal transform, so all
     * PQ faces rank identical candidates identically). Shared by the
     * permutation face above and [[Opq.opqTopK]]. */
+  /** Corpus-adaptive ADC candidate budget: max(floor, n/80). A FIXED
+    * cut is the classic ANN scale bug — the round-12 64k sweep measured
+    * PQ recall@10 halving (0.52 → 0.26) as the corpus grew 8× past a
+    * static 100-candidate budget, while IVF (whose cell count already
+    * adapts) HELD. Scaling the budget with corpus size keeps the
+    * rescore set a constant ~1.25% of the corpus: recall stays roughly
+    * flat and the exact-rescore cost grows linearly with data like the
+    * scan itself. Below n = 80·floor the rule is the old constant, so
+    * every gate-SF result (and the sf1 decade) is bit-identical. */
+  private[ops] def adaptiveCand(n: Long, floor: Int = 100): Int =
+    math.max(floor, (n / 80L).toInt)
+
   private[ops] def adcSearch(v: DataFrame, unit: DataFrame, cb: DataFrame,
       numSub: Int, subDim: Int, cand: Int = 100): DataFrame = {
+    val candN = adaptiveCand(v.count(), cand)
     val codes = encode(unit, cb, numSub, subDim)
     // query-side distance tables: per subspace, map(code -> exact d²)
     val qtabs = assignCodeTables(subFrame(unit.where(col("vec_id") < 5),
@@ -255,7 +268,7 @@ object ProductQuant {
     val byAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_d"), col("vec_id"))
     val cands = scored.withColumn("crnk", row_number().over(byAdc))
-      .where(col("crnk") <= cand)
+      .where(col("crnk") <= candN)
       .select(col("query_id"), col("vec_id"))
     val q = v.where(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
@@ -348,7 +361,8 @@ object ProductQuant {
        |       GROUP BY 1, 2),
        |cand AS (SELECT query_id, vec_id FROM (
        |           SELECT *, row_number() OVER (PARTITION BY query_id
-       |             ORDER BY approx_d, vec_id) AS crk FROM ad) WHERE crk <= 100),
+       |             ORDER BY approx_d, vec_id) AS crk FROM ad)
+       |         WHERE crk <= greatest(100, (SELECT count(*) FROM n) // 80)),
        |rs AS (SELECT c.query_id, c.vec_id,
        |              round(list_dot_product(qn.e, cn.e)/(qn.nrm*cn.nrm), 4) AS cosine
        |       FROM cand c JOIN n qn ON qn.vec_id = c.query_id
