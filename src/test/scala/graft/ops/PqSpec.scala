@@ -151,4 +151,17 @@ class PqSpec extends SparkSpec {
     val b = ProductQuant.simSearchOpq(spark, sfDir).collect().map(_.toString).toSeq
     assert(a == b, "OPQ search is deterministic run over run")
   }
+
+  test("adaptive ADC candidate budget: constant at gate scales, ~1.25% of the corpus beyond") {
+    // the round-12 scale fix's contract: every gate/sf1 size keeps the
+    // historical constant (hashes unchanged); past 8k the budget tracks
+    // the corpus so recall cannot decay toward zero under growth
+    assert(ProductQuant.adaptiveCand(200) == 100)    // sf0.001
+    assert(ProductQuant.adaptiveCand(2000) == 100)   // sf0.1
+    assert(ProductQuant.adaptiveCand(8000) == 100)   // sf1 — boundary
+    assert(ProductQuant.adaptiveCand(64000) == 800)  // vec64k
+    assert(ProductQuant.adaptiveCand(1000000) == 12500)
+    assert(ProductQuant.adaptiveCand(64000, floor = 200) == 800)
+    assert(ProductQuant.adaptiveCand(10000, floor = 200) == 200)
+  }
 }
