@@ -86,13 +86,18 @@ object StreamingDocs {
     // InjectRuntimeFilter contract), so the standing index goes in as a
     // temp view — same mechanism as the batch face (DedupQueries.dedupBloom).
     standing.createOrReplaceTempView("bloom_stream_standing")
+    // coalesce(.., false): `bloom_filter_agg` over an EMPTY standing
+    // index (day one of a pipeline, or a wiped index) yields a NULL
+    // bloom and might_contain(NULL, x) is NULL — without the guard
+    // BOTH filter branches below drop the row and the whole intake is
+    // silently lost (StreamingDegenerateSpec pins the admit-all)
     val probed = docs
       .withColumn("fp", graft.ops.Text.fingerprint(col("text")))
-      .withColumn("__maybe", expr(
+      .withColumn("__maybe", coalesce(expr(
         s"""might_contain(
            |  (SELECT bloom_filter_agg(xxhash64(fp), $estItems)
            |   FROM bloom_stream_standing),
-           |  xxhash64(fp))""".stripMargin))
+           |  xxhash64(fp))""".stripMargin), lit(false)))
     probed.where(!col("__maybe")).drop("__maybe")
       .unionByName(
         probed.where(col("__maybe")).drop("__maybe")
