@@ -287,12 +287,37 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rnk"), col("vec_id"))
   }
 
-  /** C7: LSH-bucketed ANN — L=4 hyperplane tables x 6 bits; candidates =
-    * bucket-mates in any table; exact cosine rescore; top-10 per query.
-    * (Rows-only oracle: the plane set is generated Scala-side.) */
+  /** C7: LSH-bucketed ANN — L=4 hyperplane tables at a CORPUS-ADAPTIVE
+    * operating point: signature width b = [[Vectors.adaptiveLshBits]]
+    * (constant expected bucket occupancy ≈128) and query-side Hamming-1
+    * multi-probe once the width adapts ([[Vectors.adaptiveLshRadius]]).
+    * Candidates = mates of any probed bucket in any table; exact cosine
+    * rescore; top-10 per query. The operating point is the
+    * measurement-driven knee from the 8k/64k/512k grid (see the rule
+    * scaladoc: recall roughly doubles at flat cost at every decade,
+    * while the hypothesized constant-occupancy rule starves recall and
+    * falls off a codegen cliff). Below n = 8192 the point IS the
+    * previously shipped (6 bits, radius 0), so gate SFs and the sf1
+    * decade are bit-identical. SQL-checked: the oracle inlines all
+    * [[Vectors.MaxLshBits]] seeded planes (prefix property:
+    * `Array.fill` is row-major, so the first b rows of the 12-plane set
+    * ARE the b-plane set) and replays the SAME integer-threshold rule
+    * from its own corpus count. */
   def simSearchLsh(s: SparkSession, dir: String): DataFrame = {
-    val numTables = 4; val bitsPerTable = 6; val dim = EmbeddingDim
     val v = emb(s, dir)
+    val n = v.count()
+    simSearchLshAt(v, numTables = 4,
+      bitsPerTable = Vectors.adaptiveLshBits(n),
+      radius = Vectors.adaptiveLshRadius(n))
+  }
+
+  /** [[simSearchLsh]] at an explicit (tables, bits, radius) operating
+    * point — exposed so specs can pin the adaptive face row-identical
+    * to the fixed-constant face at gate scale, and measure recall per
+    * point at the decade scales. */
+  private[graft] def simSearchLshAt(v: DataFrame, numTables: Int,
+      bitsPerTable: Int, radius: Int): DataFrame = {
+    val dim = EmbeddingDim
     val buckets = (0 until numTables).map { l =>
       struct(lit(l).as("tbl"),
         Vectors.lshBucket(col("e"), Vectors.hyperplanes(bitsPerTable, dim, 42L + l))
@@ -302,9 +327,16 @@ object VectorQueries {
         explode(array(buckets: _*)).as("tb"))
       .select(col("vec_id"), col("e"), col("nrm"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    // Hamming-1 probes explode on the QUERY side only (query-set-sized);
+    // the corpus side stays a pure equi-join on (tbl, bucket).
+    val probeArr =
+      if (radius == 0) array(col("bucket"))
+      else array((col("bucket") +: (0 until bitsPerTable).map(j =>
+        col("bucket").bitwiseXOR(lit(1L << j)))): _*)
     val queries = banded.where(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"),
-        col("tbl"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("tbl"),
+        explode(probeArr).as("bucket"))
     val cand = banded.join(queries, Seq("tbl", "bucket"))
       .where(col("vec_id") =!= col("query_id"))
       .dropDuplicates("query_id", "vec_id")
@@ -1138,23 +1170,51 @@ object VectorQueries {
       }.mkString("(", " + ", ")")
     }
 
-  /** C7 oracle: generated from the same (L=4, bits=6, seed 42+l) plane
-    * set as [[simSearchLsh]] — banded corpus, bucket-mate candidates in
-    * any table, exact round-4 cosine rescore, rank <= 10. */
+  /** Per-table masked bucket expressions for the ADAPTIVE C7 oracle:
+    * all [[Vectors.MaxLshBits]] seeded planes inline (the b-plane set is
+    * a row-major prefix of the 12-plane set at the same seed), each
+    * plane's term gated on `j < p.b` so the replayed signature width is
+    * the scalar the `p` CTE derives from the corpus count — the oracle
+    * inlines the RULE, not one operating point. */
+  private def maskedBucketSql(numTables: Int, dim: Int,
+      seedBase: Long): Seq[String] =
+    (0 until numTables).map { l =>
+      val planes = Vectors.hyperplanes(Vectors.MaxLshBits, dim, seedBase + l)
+      planes.zipWithIndex.map { case (p, j) =>
+        val lits = p.map(x => if (x > 0) "1.0" else "-1.0")
+          .mkString("[", ", ", "]::DOUBLE[]")
+        s"(CASE WHEN $j < p.b AND list_dot_product(e, $lits) > 0 THEN ${1L << j}::BIGINT ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    }
+
+  /** C7 oracle: generated from the same (L=4, seed 42+l) plane set as
+    * [[simSearchLsh]], replaying the same adaptive operating point —
+    * signature width from [[Vectors.adaptiveLshBits]] (an exact integer
+    * CASE, no floating log2) and query-side Hamming-1 probes once the
+    * width adapts. Banded corpus, probed-bucket-mate candidates in any
+    * table, exact round-4 cosine rescore, rank <= 10. */
   val simSearchLshOracle: String = {
-    val buckets = bucketSql(numTables = 4, bitsPerTable = 6,
-      dim = EmbeddingDim, seedBase = 42L)
+    val buckets = maskedBucketSql(numTables = 4, dim = EmbeddingDim,
+      seedBase = 42L)
     val bandSelects = buckets.zipWithIndex.map { case (b, l) =>
-      s"  SELECT vec_id, e, nrm, $l AS tbl, $b AS bucket FROM n"
+      s"  SELECT vec_id, e, nrm, $l AS tbl, $b AS bucket FROM n, p"
     }.mkString("\n  UNION ALL\n")
     s"""WITH v AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
        |  FROM embeddings),
        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
        |      WHERE sqrt(list_dot_product(e, e)) > 0),
+       |p AS (SELECT CASE WHEN count(*) <= 8192 THEN 6 ELSE 7 END AS b,
+       |             CASE WHEN count(*) > 8192 THEN 1 ELSE 0 END AS r
+       |      FROM n),
        |banded AS (
        |$bandSelects),
-       |q AS (SELECT vec_id AS query_id, tbl, bucket FROM banded WHERE vec_id < 5),
+       |q AS (SELECT query_id, tbl, unnest(probes) AS bucket FROM (
+       |        SELECT vec_id AS query_id, tbl,
+       |               CASE WHEN p.r = 1 THEN list_prepend(bucket,
+       |                 list_transform(range(p.b), j -> xor(bucket, (1::BIGINT << j))))
+       |               ELSE [bucket] END AS probes
+       |        FROM banded, p WHERE vec_id < 5)),
        |cand AS (
        |  SELECT DISTINCT q.query_id, b.vec_id
        |  FROM banded b JOIN q ON b.tbl = q.tbl AND b.bucket = q.bucket

@@ -61,4 +61,48 @@ object Vectors {
     planes.zipWithIndex.map { case (p, j) =>
       when(dot(v, typedLit(p.toSeq)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((x, y) => x + y)
+
+  /** Width cap for the C7 oracle's plane inline: the oracle carries
+    * this many seeded planes per table (masked to the rule's width), so
+    * any future operating-point retune up to 12 bits replays without
+    * re-deriving the oracle text. The ENGINE rule stays far below it —
+    * the round-12 512k grid measured a hard codegen cliff past b≈9 (the
+    * 4-table×b-plane signature expression falls out of whole-stage
+    * codegen: b=10 cost 13.8 s where b=9 cost 2.7 s on the same 64k
+    * corpus), so wide signatures are a measured anti-pattern here. */
+  val MaxLshBits = 12
+
+  /** Corpus-adaptive LSH signature width for the C7 face: 6 bits at
+    * gate scale, 7 bits past n = targetOcc·2^base = 8192 — the
+    * MEASURED-best operating point, not the theoretic one. The round-13
+    * queue hypothesized constant bucket occupancy (b ~ log2(n)), like
+    * the PQ family's adaptive ADC budget; the 8k/64k/512k grid REFUTED
+    * it on this corpus geometry: at 512k, constant-occupancy (b=12,r=1)
+    * read recall 0.18 at 148 s where the shipped point reads 0.78 at
+    * 18 s. On weak-contrast embeddings recall tracks the candidate
+    * FRACTION (sign-LSH amplification is mild — see the C5a scaladoc),
+    * so the right posture is the PQ one transposed: keep the candidate
+    * set a constant ~25% fraction (L·(1+b)/2^b at radius 1) and buy
+    * recall with probe locality. Grid, recall@10 (cost flat ±5%
+    * except as noted):
+    *   n=8k:   (6,0) 0.32 | (7,1) 0.68 | (8,1) 0.62 | (9,1) 0.46
+    *   n=64k:  (6,0) 0.42 | (7,1) 0.70 | (8,1) 0.52 | (10,1) 0.34 @5×cost
+    *   n=512k: (6,0) 0.38 | (7,1) 0.78 | (9,1) 0.54 | (12,1) 0.18 @8×cost
+    * Below the threshold the point IS the previously shipped constant
+    * (6 bits, radius 0), so every gate-SF result and the sf1 decade are
+    * bit-identical. Exact integer comparison — no floating log2. */
+  def adaptiveLshBits(n: Long, base: Int = 6, targetOcc: Int = 128): Int =
+    if (n > (targetOcc.toLong << base)) base + 1 else base
+
+  /** Multi-probe radius paired with [[adaptiveLshBits]]: past the same
+    * threshold each query also probes the b buckets at Hamming distance
+    * 1 from its own signature (Lv et al., VLDB'07) — the recall lever
+    * that does not multiply tables. With the +1 width the probe shell
+    * holds the candidate fraction at a constant ~L·(1+b)/2^b ≈ 25%, and
+    * the grid above measures recall roughly DOUBLING at flat cost at
+    * every decade. Probes explode on the QUERY side only
+    * (query-set-sized), so the corpus join stays a pure equi-join on
+    * (tbl, bucket). Radius 0 below the threshold — gate-identical. */
+  def adaptiveLshRadius(n: Long, base: Int = 6, targetOcc: Int = 128): Int =
+    if (n > (targetOcc.toLong << base)) 1 else 0
 }
