@@ -249,8 +249,13 @@ object SemanticPq {
   private[graft] def litAssignCode(df: DataFrame, lm: LitModel,
       numSub: Int, subDim: Int): DataFrame = {
     val withRes = df
+      // get(), not [0]: against an EMPTY centroid set (first deploy,
+      // round-12 degenerate sweep) nearest_centroids returns [] and an
+      // ANSI index access would kill the intake query; a null cluster
+      // flows to defined null codes/qerr instead (and joins/flags drop
+      // it naturally downstream)
       .withColumn("cluster",
-        graft.functions.NearestCentroids(col("e"), lm.centsArr, 1).getItem(0))
+        get(graft.functions.NearestCentroids(col("e"), lm.centsArr, 1), lit(0)))
       .withColumn("__r", zip_with(
         transform(col("e"), x => x / col("nrm")),
         element_at(lm.unitCentMap, col("cluster")),

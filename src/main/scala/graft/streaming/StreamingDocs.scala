@@ -165,8 +165,15 @@ object StreamingDocs {
     val bloomBytes = standingWins
       .agg(expr(s"bloom_filter_agg(xxhash64(h), ${estItems}L)").as("b"))
       .collect()(0).getAs[Array[Byte]](0)
-    require(bloomBytes != null,
-      "standing window set is empty — build the span index first")
+    // EMPTY standing window set (first deploy): nothing can be recycled
+    // FROM, so every arrival reads 0 bp — same first-intake posture as
+    // dedupBloomStream's null-bloom guard, same output schema as the
+    // indexed path (round-12 degenerate sweep)
+    if (bloomBytes == null)
+      return docs
+        .withColumn("total_tokens", size(Text.tokens(col("text"))))
+        .withColumn("recycled_tokens", lit(0))
+        .withColumn("recycled_bp", lit(0L))
     def mightContain(b: Column, v: Column): Column =
       org.apache.spark.sql.GraftBridge.column(
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(

@@ -38,10 +38,17 @@ object StreamingDsir {
     val tab = Sample.dsirRatioTable(docs, isTarget, buckets)
       .select(col("b"), col("lr"), col("tt"), col("rt"))
       .collect()
-    val ratios = tab.map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val (tt, rt) = (tab.head.getLong(2), tab.head.getLong(3))
-    val default = math.log(1.0 / (tt + buckets)) - math.log(1.0 / (rt + buckets))
-    DsirModel(ratios, default, buckets)
+    // EMPTY fit corpus (first deploy, round-12 degenerate sweep): the
+    // ratio table has no rows, and the smoothing default at tt=rt=0 is
+    // ln(1/B)−ln(1/B) = 0 — every arrival scores logw 0, the neutral
+    // weight, exactly what the batch formula would assign
+    if (tab.isEmpty) DsirModel(Map.empty, 0.0, buckets)
+    else {
+      val ratios = tab.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val (tt, rt) = (tab.head.getLong(2), tab.head.getLong(3))
+      val default = math.log(1.0 / (tt + buckets)) - math.log(1.0 / (rt + buckets))
+      DsirModel(ratios, default, buckets)
+    }
   }
 
   /** Score an arriving documents frame (needs `text`): original

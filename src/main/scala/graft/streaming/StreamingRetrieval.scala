@@ -63,7 +63,6 @@ object StreamingRetrieval {
     * come from the document's own token array. */
   def scoreStream(docs: DataFrame, model: Bm25Model,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(model.items.nonEmpty, "empty retrieval model")
     def tfOf(term: String): Column =
       size(filter(col("__ts"), x => x === lit(term)))
     def scoreOf(it: ItemTerms): Column =
@@ -75,9 +74,15 @@ object StreamingRetrieval {
           .otherwise(lit(0.0))
       }.reduce(_ + _)
     // argmax via struct max on (score, -item_id): ties pick the LOWEST
-    // item id (item ids are non-negative, so negation inverts the order)
-    val scoreArr = array(model.items.map(it =>
-      struct(lit(it.itemId).as("item_id"), scoreOf(it).as("score"))): _*)
+    // item id (item ids are non-negative, so negation inverts the order).
+    // An EMPTY benchmark (first deploy) needs a TYPED empty literal —
+    // bare array() is array<null> and fails getField at analysis; the
+    // arrivals then carry scores=[] and null best_* (round-12 sweep)
+    val scoreArr =
+      if (model.items.isEmpty)
+        array().cast("array<struct<item_id:bigint,score:double>>")
+      else array(model.items.map(it =>
+        struct(lit(it.itemId).as("item_id"), scoreOf(it).as("score"))): _*)
     val bestNeg = array_max(transform(col("scores"),
       s => struct(s.getField("score").as("s"), (-s.getField("item_id")).as("ni"))))
     docs
@@ -93,5 +98,7 @@ object StreamingRetrieval {
     * any benchmark item clears `cut` to review. */
   def gateStream(docs: DataFrame, model: Bm25Model, cut: Double): DataFrame =
     scoreStream(docs, model)
-      .withColumn("retrieval_flagged", col("best_score") >= cut)
+      // null best_score (empty benchmark) is "nothing to leak": unflagged
+      .withColumn("retrieval_flagged",
+        coalesce(col("best_score") >= cut, lit(false)))
 }

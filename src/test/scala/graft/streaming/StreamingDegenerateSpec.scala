@@ -86,4 +86,149 @@ class StreamingDegenerateSpec extends SparkSpec {
         s"nothing can be contaminated by an empty benchmark: $r")
     }
   }
+
+  test("spanRecycleStream: an EMPTY standing window set reads 0 bp for every arrival") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val noWins = Seq.empty[Tuple1[String]].toDF("h")
+    val got = StreamingDocs.spanRecycleStream(docs, noWins)
+      .select("doc_id", "recycled_bp").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L),
+      s"nothing can be recycled from an empty index: $got")
+  }
+
+  test("DSIR: an EMPTY fit corpus gives the neutral model; null-text arrivals keep rows") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val m = StreamingDsir.fit(empty, lit(true))
+    assert(m.ratios.isEmpty && m.default == 0.0,
+      s"empty fit must be the neutral model: $m")
+    val docs = Seq((1L, "some arriving document text here"),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = StreamingDsir.scoreStream(docs, m)
+      .select("doc_id", "logw").collect()
+    assert(got.length == 2, "every arrival keeps its row")
+    val w1 = got.find(_.getLong(0) == 1L).get
+    assert(!w1.isNullAt(1) && w1.getDouble(1) == 0.0,
+      s"neutral model scores every document logw 0: $w1")
+  }
+
+  test("anomaly flagStream: an EMPTY fence table flags nothing and loses nothing") {
+    val events = Seq((1L, "click", 5.0), (2L, "view", 1e12),
+      (3L, "click", Double.NaN)).toDF("event_id", "event_type", "value")
+    val noFences = Seq.empty[(String, Double)].toDF("event_type", "fence")
+    val got = StreamingAnomaly.flagStream(events, noFences)
+      .select("event_id", "is_anomaly").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> false, 2L -> false, 3L -> false),
+      s"no fence, no anomaly: $got")
+    assert(StreamingAnomaly.gateStream(events, noFences).count() == 3)
+  }
+
+  test("volume monitorStream: an EMPTY baseline reports windows un-flagged, not lost") {
+    val t = java.sql.Timestamp.valueOf("2026-01-01 10:15:00")
+    val events = Seq(("click", t), ("click", t), ("view", t))
+      .toDF("event_type", "ts")
+    val noBase = Seq.empty[(String, Long)].toDF("event_type", "base_x2")
+    val got = StreamingVolume.monitorStream(events, noBase).collect()
+    assert(got.length == 2, s"both (hour, type) windows must report: ${got.toSeq}")
+    got.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("ratio_bp")), "no baseline → null ratio")
+      assert(r.getAs[Int]("is_spike") == 0, "a new type is a schema question, not a spike")
+    }
+  }
+
+  test("qualityDriftStream: EMPTY baseline + null-text arrivals report drifting, defined") {
+    val t = java.sql.Timestamp.valueOf("2026-01-01 10:15:00")
+    val docs = Seq(("web", "good document text here", t),
+      ("web", null.asInstanceOf[String], t)).toDF("source", "text", "ts")
+    val noBase = Seq.empty[(String, Double)].toDF("source", "base_q")
+    val got = StreamingDrift.qualityDriftStream(docs, noBase, "ts").collect()
+    assert(got.length == 1, s"one (window, source) row: ${got.toSeq}")
+    assert(got.head.getAs[Long]("n_docs") == 2, "null-text arrivals still count")
+    assert(got.head.getAs[Boolean]("drifting"), "a source with no baseline is novel")
+  }
+
+  test("shareDriftStream: EMPTY baseline + null-text arrivals report drifted, defined") {
+    val t = java.sql.Timestamp.valueOf("2026-01-01 10:15:00")
+    val docs = Seq(("web", "five whole tokens right here now", t),
+      ("pdf", null.asInstanceOf[String], t)).toDF("source", "text", "ts")
+    val noBase = Seq.empty[(String, Long)].toDF("source", "base_bp")
+    val got = StreamingMixture.shareDriftStream(docs, noBase, "ts")
+      .orderBy("source").collect()
+    assert(got.length == 2, s"both sources report: ${got.toSeq}")
+    got.foreach(r => assert(r.getAs[Boolean]("drifted"),
+      "sources with no baseline are novel by definition"))
+  }
+
+  test("retrieval scoreStream/gateStream: an EMPTY benchmark model flags nothing") {
+    val docs = Seq((1L, "what is the capital of france"),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val m = StreamingRetrieval.Bm25Model(Seq.empty, avgdl = 1.0)
+    val got = StreamingRetrieval.gateStream(docs, m, cut = 1.0).collect()
+    assert(got.length == 2, "every arrival keeps its row")
+    got.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Any]]("scores").isEmpty)
+      assert(r.isNullAt(r.fieldIndex("best_score")))
+      assert(!r.getAs[Boolean]("retrieval_flagged"),
+        "an empty benchmark can leak nothing")
+    }
+  }
+
+  private val emptyCents = Seq.empty[(Long, Seq[Double], Double)]
+    .toDF("cluster", "ce", "cn")
+  private val emptyCb = Seq.empty[(Int, Long, Seq[Double])]
+    .toDF("m", "code", "cv")
+
+  test("nearDupStream: an EMPTY vector index admits every arrival unflagged, zero-norm survives") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = java.sql.Timestamp.valueOf("2026-01-01 10:15:00")
+    val emptyCodes = Seq.empty[(Long, Long, Seq[Int])]
+      .toDF("vec_id", "cluster", "codes")
+    val emptyStandingVecs = Seq.empty[(Long, Seq[Double], Double)]
+      .toDF("vec_id", "e", "nrm")
+    val stream = MemoryStream[(Long, Seq[Double], Double, java.sql.Timestamp)]
+    val q = StreamingVectors.nearDupStream(
+        stream.toDF().toDF("vec_id", "e", "nrm", "ts"),
+        emptyCents, emptyCb, emptyCodes, emptyStandingVecs, "ts",
+        numSub = 2, subDim = 2)
+      .writeStream.format("memory").queryName("deg_neardup")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq((1L, Seq(1.0, 0.0, 0.0, 0.0), 1.0, t),
+        (2L, Seq(0.0, 0.0, 0.0, 0.0), 0.0, t)))    // failed encoder
+      q.processAllAvailable()
+      val got = spark.table("deg_neardup").collect()
+      assert(got.isEmpty, s"an empty index can near-duplicate nothing: ${got.toSeq}")
+    } finally q.stop()
+  }
+
+  test("decontaminateSemanticStream: an EMPTY benchmark flags nothing, zero-norm survives") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = java.sql.Timestamp.valueOf("2026-01-01 10:15:00")
+    val noItems = Seq.empty[(Long, Seq[Double], Double)].toDF("vec_id", "e", "nrm")
+    val stream = MemoryStream[(Long, Seq[Double], Double, java.sql.Timestamp)]
+    val q = StreamingVectors.decontaminateSemanticStream(
+        stream.toDF().toDF("vec_id", "e", "nrm", "ts"), noItems, "ts")
+      .writeStream.format("memory").queryName("deg_semdecon")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq((1L, Seq(1.0, 0.0), 1.0, t), (2L, Seq(0.0, 0.0), 0.0, t)))
+      q.processAllAvailable()
+      val got = spark.table("deg_semdecon").collect()
+      assert(got.isEmpty, s"an empty benchmark can leak nothing: ${got.toSeq}")
+    } finally q.stop()
+  }
+
+  test("vector driftStream: an EMPTY model + baseline reports stale windows, not a crash") {
+    val t = java.sql.Timestamp.valueOf("2026-01-01 10:15:00")
+    val vecs = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0), 1.0, t))
+      .toDF("vec_id", "e", "nrm", "ts")
+    val noBase = Seq.empty[(Long, Double)].toDF("cluster", "base_qerr")
+    val got = StreamingVectors.driftStream(vecs, emptyCents, emptyCb, noBase,
+      "ts", numSub = 2, subDim = 2).collect()
+    assert(got.length == 1, s"the window must report: ${got.toSeq}")
+    assert(got.head.getAs[Boolean]("stale"),
+      "arrivals assigning against an empty model are by definition novel")
+  }
 }
