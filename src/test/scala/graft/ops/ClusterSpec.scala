@@ -162,4 +162,46 @@ class ClusterSpec extends SparkSpec {
       assert(label(a) == label(b), s"paired docs $a,$b landed in different clusters")
     }
   }
+
+  test("dedup_cluster end-to-end on a planted chain corpus: the star fallback engages INSIDE the shipping query") {
+    // Round-13 queue item (c): a corpus whose near-dup relation is
+    // transitive-but-not-direct — sliding token windows, so doc_i
+    // near-dups doc_{i±1..3} (Jaccard ≈ (W−ks−2)/(W+ks−2)) but nothing
+    // further, and the MinHash component's DIAMETER grows with the
+    // corpus instead of staying the dense-blob 2–4. 300 windows over a
+    // unique-token stream: diameter ≈ 100 ≫ the 8-round propagation
+    // budget, so correctness of the shipped face on this corpus PROVES
+    // the label-contracted star phase ran end-to-end (ClusterSpec's
+    // other cases only probe the CC internals on synthetic edges).
+    // step 2 of width 100: adjacent Jaccard ≈ 96/100, so a chain break
+    // needs >=3 consecutive independent band misses (~1e-9) — the chain
+    // is statistically certain while distance >~6 shares nothing
+    val width = 100; val step = 2; val nDocs = 300
+    val stream = (0 until (nDocs * step + width)).map(i => s"w$i")
+    val docs = (0 until nDocs).map { i =>
+      (i.toLong, stream.slice(i * step, i * step + width).mkString(" "),
+        "en", "chain", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("chaincorpus")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // the planted shape really is chain-shaped and really exceeds the
+    // budget: propagation alone under the auto face's default budget
+    // must NOT reach fixpoint on this pair graph
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .select("doc_a", "doc_b")
+    assert(!Cluster.propagationRun(pairs, 8).converged,
+      "chain corpus must exceed the propagation budget, or this test proves nothing")
+
+    val clustered = DedupQueries.dedupCluster(spark, dir)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(clustered.length == nDocs)
+    // every window is reachable from doc 0 through its neighbors: ONE
+    // component, labeled by the chain's min doc id — a propagation
+    // budget miss would leave far windows labeled by a mid-chain id
+    assert(clustered.forall(_._2 == 0L),
+      s"chain must close to one component: ${clustered.filter(_._2 != 0L).take(5).toSeq}")
+    assert(clustered.forall(_._3 == nDocs.toLong))
+    assert(clustered.count(_._4 == 1) == 1)
+  }
 }

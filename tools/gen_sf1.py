@@ -25,7 +25,16 @@ PLANTED POWER-LAW duplicate-cluster distribution: ~10% of all docs are
 near-duplicates of ONE seed (a single mega-component for the
 connected-components stage), the next clusters follow a Zipf size law,
 and the rest are unique — the skew-resilience corpus for
-dedup_cluster / dedup_split_leakage (round-11 verdict, task 2)."""
+dedup_cluster / dedup_split_leakage (round-11 verdict, task 2).
+
+With --chain-docs --ndocs N it writes JUST a documents table of
+SLIDING TOKEN WINDOWS over one long unique-token stream (width 100,
+step 2): doc_i near-dups only its ~±6 neighbors, so the MinHash
+component is ONE chain whose diameter GROWS with the corpus — the
+transitive-but-not-direct shape that forces connectedComponentsAuto
+past its propagation budget into the star phase inside the shipping
+dedup_cluster query (round-13 queue item c; ClusterSpec carries the
+300-doc correctness twin)."""
 import os
 import sys
 
@@ -46,6 +55,7 @@ N_DOCS_OVERRIDE = int(flags.get("--ndocs", 0))
 VECS_ONLY = "--vecs-only" in flags
 N_VECS_OVERRIDE = int(flags.get("--nvecs", 0))
 SKEW_DOCS = "--skew-docs" in flags
+CHAIN_DOCS = "--chain-docs" in flags
 
 N_CUST, N_SUPP, N_PART = 150_000, 10_000, 200_000
 N_ORDERS, N_LINE = 1_500_000, 6_000_000
@@ -54,6 +64,23 @@ N_EVENTS, N_DOCS, N_VECS = 1_000_000, 50_000, 8_000
 def write(name, table):
     pq.write_table(table, f"{OUT}/{name}.parquet")
     print(name, table.num_rows)
+
+if CHAIN_DOCS:
+    n_docs = N_DOCS_OVERRIDE or 50_000
+    width, step = 100, 2
+    stream = [f"w{i}" for i in range(n_docs * step + width)]
+    texts = [" ".join(stream[i * step:i * step + width]) for i in range(n_docs)]
+    langs = ["de", "en", "es", "fr", "zh"]
+    write("documents", pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        "text": texts,
+        "lang": [langs[j] for j in rng.choice(5, n_docs, p=[.12, .40, .12, .12, .24])],
+        "source": [f"src{i % 20}" for i in range(n_docs)],
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())}))
+    print("chain corpus: width", width, "step", step,
+          "expected diameter ~", n_docs // 6)
+    print("DONE", OUT)
+    sys.exit(0)
 
 if SKEW_DOCS:
     n_docs = N_DOCS_OVERRIDE or 50_000
