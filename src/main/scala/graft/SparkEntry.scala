@@ -383,6 +383,7 @@ object SparkEntry {
     // MinHash bands + recursive connected components, copy/fold coins,
     // XOR content fingerprints)
     "export_manifest" -> (graft.ops.Pipeline.exportManifest _),
+    "export_manifest_delta" -> (graft.ops.Pipeline.exportManifestDelta _),
     // bucketed interval join: range turned into (key, time-bucket) equi-join
     "range_join" -> (graft.ops.RangeJoin.rangeJoinErrors _),
     // §2.D streaming (batch faces of the streaming transforms)
@@ -1357,6 +1358,7 @@ object SparkEntry {
     "pack_efficiency" -> graft.ops.Sample.packEfficiencyOracle,
     "sample_curriculum" -> graft.ops.Sample.curriculumOracle,
     "export_manifest" -> graft.ops.Pipeline.manifestOracle,
+    "export_manifest_delta" -> graft.ops.Pipeline.manifestDeltaOracle,
     "meta_partition_health" -> graft.ingest.PartitionHealth.healthOracle,
     "corpus_topics" -> graft.ops.KMeans.topicsOracle,
     // Round-11 learned-state-as-data promotions (the C59 posture over

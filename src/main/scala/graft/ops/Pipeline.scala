@@ -252,11 +252,127 @@ object Pipeline {
     manifest(dealt, stats)
   }
 
+  /** INCREMENTAL manifest (the round-13 queue's item e): the cell-level
+    * diff between two reproducibility manifests — exactly the cells an
+    * incremental exporter must RE-SHIP when the corpus changed, instead
+    * of re-shipping the whole export. Keys on (section, fold, source);
+    * a cell is re-shipped when its identity tuple
+    * (docs, n_rows, tokens, content_hash) differs — `share_bp` is
+    * deliberately NOT a change trigger and not carried: it is a global
+    * ratio that moves for EVERY cell whenever total token mass moves,
+    * so keying on it would defeat the locality the round-12
+    * one-doc-delta soak proved (ManifestSoakSpec). Emits only changed
+    * rows, with status added/removed/changed and both sides' metrics
+    * (absent side null). Both inputs are cell-count-sized frames, so
+    * the diff is metadata-scale at any corpus size. */
+  def manifestDelta(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val keys = Seq("section", "fold", "source")
+    val metrics = Seq("docs", "n_rows", "tokens", "content_hash")
+    val p = prev.select((keys ++ metrics).map(col): _*)
+      .withColumnRenamed("docs", "docs_prev")
+      .withColumnRenamed("n_rows", "rows_prev")
+      .withColumnRenamed("tokens", "tokens_prev")
+      .withColumnRenamed("content_hash", "hash_prev")
+      .withColumn("__p", lit(1))
+    val c = cur.select((keys ++ metrics).map(col): _*)
+      .withColumnRenamed("docs", "docs_new")
+      .withColumnRenamed("n_rows", "rows_new")
+      .withColumnRenamed("tokens", "tokens_new")
+      .withColumnRenamed("content_hash", "hash_new")
+      .withColumn("__c", lit(1))
+    c.join(p, keys, "full_outer")
+      .withColumn("status",
+        when(col("__p").isNull, lit("added"))
+          .when(col("__c").isNull, lit("removed"))
+          .otherwise(lit("changed")))
+      .where(col("__p").isNull || col("__c").isNull ||
+        col("docs_new") =!= col("docs_prev") ||
+        col("rows_new") =!= col("rows_prev") ||
+        col("tokens_new") =!= col("tokens_prev") ||
+        col("hash_new") =!= col("hash_prev"))
+      .select(col("section"), col("fold"), col("source"), col("status"),
+        col("docs_prev"), col("docs_new"), col("rows_prev"), col("rows_new"),
+        col("tokens_prev"), col("tokens_new"), col("hash_prev"), col("hash_new"))
+      .orderBy(col("section"), col("fold"), col("source"))
+  }
+
+  /** Query face (`export_manifest_delta`): [[manifestDelta]] driven
+    * end-to-end — the manifest of the corpus as-is against the manifest
+    * of the corpus WITHOUT its latest arrival (max raw doc_id, a
+    * deterministic and oracle-replayable choice), i.e. "one document
+    * arrived since the last export: which cells does the incremental
+    * exporter re-ship?". The funnel's input row always changes; the
+    * arrival's own (fold × source) cells change when it ships; and a
+    * removed arrival can promote a near-dup twin into the keeper set,
+    * whose cells then also surface — real incremental semantics, all
+    * replayed by the oracle (both pipelines + the diff in one DuckDB
+    * statement). Cost is two cleaning passes by construction (the
+    * batch-vs-index probe shape C36/C79 also pay); the library API for
+    * a deployment that KEEPS manifests is [[manifestDelta]] on two
+    * stored cards — metadata-scale. */
+  def exportManifestDelta(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables(s, dir, "documents")
+    // Option, not getLong: an empty corpus has a null max (degenerate
+    // sweep posture) — prev then equals cur and the delta is empty
+    val kOpt = Option(docs.agg(max(col("doc_id"))).head.get(0))
+      .map(_.asInstanceOf[Long])
+    val prevDocs = kOpt.fold(docs)(k => docs.where(col("doc_id") =!= k))
+    val (cleanPrev, statsPrev) = cleanCorpus(prevDocs, persistResult = true,
+      clusteredNearDup = true)
+    val (cleanCur, statsCur) = cleanCorpus(docs, persistResult = true,
+      clusteredNearDup = true)
+    // both cleaning passes' remaining consumer is the single delta
+    // materialization — registered AFTER both builders' own count
+    // actions so neither cache dies early (the round-11 CacheScope rule)
+    CacheScope.releaseAfterAction(s, cleanPrev, cleanCur)
+    def card(cleaned: DataFrame, stats: CorpusStats): DataFrame =
+      manifest(Sample.sampleMixture(cleaned, "doc_id", "source", Sample.DemoWeights)
+        .withColumn("fold", Sample.splitColumn(col("doc_id"), Sample.DemoCuts, "test")),
+        stats)
+    manifestDelta(card(cleanPrev, statsPrev), card(cleanCur, statsCur))
+  }
+
   /** The `export_manifest` oracle: the whole pipeline unrolled as one
     * DuckDB statement, generated from the SAME constants the Spark
     * plan uses (16 minhashes × 4 bands, DemoWeights copy coins,
     * DemoCuts fold cuts). */
-  val manifestOracle: String = {
+  val manifestOracle: String = manifestSql("documents")
+
+  /** The `export_manifest_delta` oracle: BOTH corpus states' pipelines
+    * ([[manifestSql]] over `documents`, and over `documents` minus the
+    * max raw doc_id) plus the cell diff, in one statement. The null-max
+    * guard mirrors the face's Option: an empty corpus diffs two equal
+    * empty pipelines. */
+  val manifestDeltaOracle: String = {
+    val curSql = manifestSql("documents")
+    val prevSql = manifestSql(
+      "(SELECT * FROM documents WHERE (SELECT kd FROM k) IS NULL " +
+        "OR doc_id <> (SELECT kd FROM k)) d0")
+    s"""WITH k AS (SELECT max(doc_id) AS kd FROM documents),
+       |cur AS ($curSql),
+       |prev AS ($prevSql)
+       |SELECT coalesce(c.section, p.section) AS section,
+       |       coalesce(c.fold, p.fold) AS fold,
+       |       coalesce(c.source, p.source) AS source,
+       |       CASE WHEN p.section IS NULL THEN 'added'
+       |            WHEN c.section IS NULL THEN 'removed'
+       |            ELSE 'changed' END AS status,
+       |       p.docs AS docs_prev, c.docs AS docs_new,
+       |       p.n_rows AS rows_prev, c.n_rows AS rows_new,
+       |       p.tokens AS tokens_prev, c.tokens AS tokens_new,
+       |       p.content_hash AS hash_prev, c.content_hash AS hash_new
+       |FROM cur c FULL JOIN prev p
+       |  ON c.section = p.section AND c.fold = p.fold AND c.source = p.source
+       |WHERE p.section IS NULL OR c.section IS NULL
+       |   OR c.docs <> p.docs OR c.n_rows <> p.n_rows
+       |   OR c.tokens <> p.tokens OR c.content_hash <> p.content_hash
+       |ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  /** The pipeline-replay statement over any documents relation —
+    * parameterized so [[manifestDeltaOracle]] can replay TWO corpus
+    * states (full, and minus the latest arrival) in one statement. */
+  private def manifestSql(docsRel: String): String = {
     val mins = (0 until 16).map(k => s"    min(md5('$k|'||s)) AS m$k").mkString(",\n")
     val bandSelects = (0 until 4).map { b =>
       val ms = (0 until 4).map(r => s"m${b * 4 + r}").mkString("||'|'||")
@@ -268,7 +384,7 @@ object Pipeline {
     s"""WITH RECURSIVE m0 AS (
        |  SELECT doc_id, source, text,
        |         trim(regexp_replace(lower(text),'\\s+',' ','g')) AS norm
-       |  FROM documents),
+       |  FROM $docsRel),
        |mm AS (
        |  SELECT doc_id, source, text, norm,
        |    cast(len(string_split(norm,' ')) AS DOUBLE) AS n_tok,
@@ -325,8 +441,8 @@ object Pipeline {
        |       unnest(generate_series(1, mx.copies)) AS u(i)),
        |hashes AS (
        |  SELECT fold, source, doc_id, tok,
-       |         CAST(concat('0x', substr(md5('manifest|'||CAST(doc_id AS VARCHAR)
-       |           ||'|'||CAST(copy_idx AS VARCHAR)||'|'||md5(text)),1,15)) AS BIGINT) AS h
+       |         CAST(concat('0x', substr(md5('manifest|'||CAST(doc_id AS VARCHAR)||
+       |           '|'||CAST(copy_idx AS VARCHAR)||'|'||md5(text)),1,15)) AS BIGINT) AS h
        |  FROM shipped),
        |cells AS (
        |  SELECT fold, source, count(DISTINCT doc_id)::BIGINT AS docs,
@@ -346,7 +462,7 @@ object Pipeline {
        |  FROM cells
        |  UNION ALL
        |  SELECT 'funnel', '-', '0_input',
-       |         (SELECT count(*) FROM documents)::BIGINT, 0::BIGINT, 0::BIGINT,
+       |         (SELECT count(*) FROM $docsRel)::BIGINT, 0::BIGINT, 0::BIGINT,
        |         0::BIGINT, 0::BIGINT
        |  UNION ALL
        |  SELECT 'funnel', '-', '1_quality', (SELECT count(*) FROM q)::BIGINT,

@@ -91,4 +91,43 @@ class ManifestSoakSpec extends SparkSpec {
     assert(da._1 - db._1 == 1L, s"victim cell docs: ${da._1} -> ${db._1}")
     assert(byA(("funnel", "-", "0_input"))._1 - byB(("funnel", "-", "0_input"))._1 == 1L)
   }
+
+  test("manifestDelta: identical cards re-ship nothing; added/removed/changed classified; share_bp never triggers") {
+    def card(rows: Seq[(String, String, String, Long, Long, Long, Long, Long)]) =
+      rows.toDF("section", "fold", "source", "docs", "n_rows", "tokens",
+        "share_bp", "content_hash")
+    val a = card(Seq(
+      ("cell", "train", "web", 10L, 12L, 100L, 6666L, 555L),
+      ("cell", "test", "pdf", 5L, 5L, 50L, 3333L, 777L),
+      ("total", "-", "-", 15L, 17L, 150L, 10000L, 222L)))
+    assert(Pipeline.manifestDelta(a, a).collect().isEmpty,
+      "an unchanged corpus must re-ship nothing")
+
+    // b: web cell's hash moved (changed), pdf cell gone (removed), a new
+    // epub cell (added), total docs moved — and web's share_bp also
+    // moved, which alone must NOT have been a trigger
+    val b = card(Seq(
+      ("cell", "train", "web", 10L, 12L, 100L, 9999L, 556L),
+      ("cell", "train", "epub", 2L, 2L, 20L, 1L, 888L),
+      ("total", "-", "-", 12L, 14L, 120L, 10000L, 111L)))
+    val delta = Pipeline.manifestDelta(a, b)
+      .select("section", "fold", "source", "status", "docs_prev", "docs_new")
+      .as[(String, String, String, String, Option[Long], Option[Long])]
+      .collect().map(r => (r._1, r._2, r._3) -> ((r._4, r._5, r._6))).toMap
+    assert(delta.keySet == Set(
+      ("cell", "train", "web"), ("cell", "train", "epub"),
+      ("cell", "test", "pdf"), ("total", "-", "-")))
+    assert(delta(("cell", "train", "web")) == (("changed", Some(10L), Some(10L))))
+    assert(delta(("cell", "train", "epub")) == (("added", None, Some(2L))))
+    assert(delta(("cell", "test", "pdf")) == (("removed", Some(5L), None)))
+    assert(delta(("total", "-", "-")) == (("changed", Some(15L), Some(12L))))
+
+    // share_bp-only movement (the global-ratio column): not re-shipped
+    val c = card(Seq(
+      ("cell", "train", "web", 10L, 12L, 100L, 1234L, 555L),
+      ("cell", "test", "pdf", 5L, 5L, 50L, 8766L, 777L),
+      ("total", "-", "-", 15L, 17L, 150L, 10000L, 222L)))
+    assert(Pipeline.manifestDelta(a, c).collect().isEmpty,
+      "share_bp is derived from the whole export and must not trigger a re-ship")
+  }
 }
