@@ -259,6 +259,7 @@ object SparkEntry {
     // the oracle replays multi-assign/pairs/top-3 (KnnGraphSpec bounds recall)
     "knn_graph" -> (VectorQueries.knnGraph _),
     "sim_search_lsh" -> (VectorQueries.simSearchLsh _),
+    "sim_search_lsh_cached" -> (VectorQueries.simSearchLshCached _),
     // SQL-checked since round 11: the centroid table exported as data; the
     // oracle replays assignment/probes/rescore/rank from it
     "sim_search_ivf" -> (VectorQueries.simSearchIvf _),
@@ -1761,6 +1762,9 @@ object SparkEntry {
     // engine-exact — the same left-to-right dot parity the cosine
     // oracles rest on)
     "sim_search_lsh" -> VectorQueries.simSearchLshOracle,
+    // serve face: same oracle by contract — the persisted banding is
+    // deterministic data, so warm results equal the inline build's
+    "sim_search_lsh_cached" -> VectorQueries.simSearchLshOracle,
     "dedup_embedding_lsh" -> VectorQueries.dedupEmbeddingLshOracle,
     "embed_centroids" ->
       """WITH v AS (

@@ -316,17 +316,31 @@ object VectorQueries {
     * to the fixed-constant face at gate scale, and measure recall per
     * point at the decade scales. */
   private[graft] def simSearchLshAt(v: DataFrame, numTables: Int,
-      bitsPerTable: Int, radius: Int): DataFrame = {
+      bitsPerTable: Int, radius: Int): DataFrame =
+    lshServe(lshBand(v, numTables, bitsPerTable), bitsPerTable, radius)
+
+  /** The C7 banded corpus (seed 42+l tables) — the frame
+    * [[simSearchLshCached]] persists: banding is the whole
+    * corpus-linear cost of an LSH query, so the serve face stores it
+    * once and every later search is just the probe equi-join. */
+  private[graft] def lshBand(v: DataFrame, numTables: Int,
+      bitsPerTable: Int): DataFrame = {
     val dim = EmbeddingDim
     val buckets = (0 until numTables).map { l =>
       struct(lit(l).as("tbl"),
         Vectors.lshBucket(col("e"), Vectors.hyperplanes(bitsPerTable, dim, 42L + l))
           .as("bucket"))
     }
-    val banded = v.select(col("vec_id"), col("e"), col("nrm"),
+    v.select(col("vec_id"), col("e"), col("nrm"),
         explode(array(buckets: _*)).as("tb"))
       .select(col("vec_id"), col("e"), col("nrm"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** Probe + exact rescore + rank over an (inline or persisted) banded
+    * corpus. */
+  private def lshServe(banded: DataFrame, bitsPerTable: Int,
+      radius: Int): DataFrame = {
     // Hamming-1 probes explode on the QUERY side only (query-set-sized);
     // the corpus side stays a pure equi-join on (tbl, bucket).
     val probeArr =
@@ -350,6 +364,34 @@ object VectorQueries {
       .where(col("rnk") <= 10)
       .select(col("query_id"), col("rnk"), col("vec_id"), col("cosine"))
       .orderBy(col("query_id"), col("rnk"), col("vec_id"))
+  }
+
+  /** C7a: the LSH SERVE face — the last ANN family to gain one. The
+    * banded corpus is the whole corpus-linear cost of an LSH query
+    * (the signature projection over every vector); [[simSearchLsh]]
+    * re-pays it per invocation, which is the honest inline-build
+    * number but not what a deployment's recurring probe costs. This
+    * face persists the banded table plus its (bits, radius) operating
+    * point in the ArtifactStore (self-healing first build, the *_cached
+    * convention), so warm searches are ONE probe equi-join + the
+    * query-set-sized rescore. Storing the operating point matters: the
+    * adaptive rule keys on corpus size, and a serve path re-deriving it
+    * from a fresh count() would silently band-mismatch a stored index
+    * built at a different size. Same oracle as C7 by contract (the
+    * banding is deterministic data; C97a precedent). */
+  def simSearchLshCached(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    if (!ArtifactStore.has(s, dir, "lsh_banded", "lsh_meta")) {
+      val v = emb(s, dir)
+      val n = v.count()
+      ArtifactStore.save(lshBand(v, 4, Vectors.adaptiveLshBits(n)),
+        dir, "lsh_banded")
+      ArtifactStore.save(Seq((Vectors.adaptiveLshBits(n),
+        Vectors.adaptiveLshRadius(n))).toDF("bits", "radius"), dir, "lsh_meta")
+    }
+    val meta = ArtifactStore.load(s, dir, "lsh_meta").head()
+    lshServe(ArtifactStore.load(s, dir, "lsh_banded"),
+      meta.getAs[Int]("bits"), meta.getAs[Int]("radius"))
   }
 
   /** C37: SEMANTIC dedup (the SemDeDup recipe): cluster the corpus with

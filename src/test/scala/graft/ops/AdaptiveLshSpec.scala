@@ -45,6 +45,24 @@ class AdaptiveLshSpec extends SparkSpec {
     assert(adaptive == fixed)
   }
 
+  test("cached serve face: cold build == warm load == inline face, artifacts present after first call") {
+    val fresh = tmpDir("lsh_artifacts")
+    ArtifactStore.rootOverride = Some(fresh)
+    try {
+      val inline = VectorQueries.simSearchLsh(spark, sfDir).collect().toSeq
+      assert(!ArtifactStore.has(spark, sfDir, "lsh_banded", "lsh_meta"))
+      val cold = VectorQueries.simSearchLshCached(spark, sfDir).collect().toSeq
+      assert(ArtifactStore.has(spark, sfDir, "lsh_banded", "lsh_meta"),
+        "first call must persist the banded corpus and operating point")
+      val warm = VectorQueries.simSearchLshCached(spark, sfDir).collect().toSeq
+      assert(cold == inline, "cold build must serve the inline results")
+      assert(warm == inline, "warm load must serve the inline results")
+      // the stored operating point is the build-time rule output
+      val meta = ArtifactStore.load(spark, sfDir, "lsh_meta").head()
+      assert(meta.getAs[Int]("bits") == 6 && meta.getAs[Int]("radius") == 0)
+    } finally ArtifactStore.rootOverride = None
+  }
+
   test("Hamming-1 probing never loses recall at the same width") {
     import spark.implicits._
     val v = Vectors.withNorm(graft.sources.Tables(spark, sfDir, "embeddings"), "embedding")
