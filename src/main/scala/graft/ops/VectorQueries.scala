@@ -247,15 +247,12 @@ object VectorQueries {
     * way; the vector width is known when the corpus is. */
   private def bandedCorpus(v: DataFrame, numTables: Int,
       bitsPerTable: Int, dim: Int): DataFrame = {
-    val buckets = (0 until numTables).map { l =>
-      struct(lit(l).as("tbl"),
-        Vectors.lshBucket(col("e"), Vectors.hyperplanes(bitsPerTable, dim, 142L + l))
-          .as("bucket"))
-    }
+    // the fused signature kernel (see lshBand) on the C5a seed set
+    val planes = (0 until numTables).flatMap(l =>
+      Vectors.hyperplanes(bitsPerTable, dim, 142L + l)).toArray
     v.select(col("vec_id"), col("label"), col("e"), col("nrm"),
-        explode(array(buckets: _*)).as("tb"))
-      .select(col("vec_id"), col("label"), col("e"), col("nrm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        posexplode(graft.functions.LshSignature(col("e"), planes,
+          numTables, bitsPerTable)).as(Seq("tbl", "bucket")))
   }
 
   private[graft] def lshCandidates(v: DataFrame, numTables: Int,
@@ -317,29 +314,35 @@ object VectorQueries {
     * point at the decade scales. */
   private[graft] def simSearchLshAt(v: DataFrame, numTables: Int,
       bitsPerTable: Int, radius: Int): DataFrame =
-    lshServe(lshBand(v, numTables, bitsPerTable), bitsPerTable, radius)
+    lshServe(lshBand(v, numTables, bitsPerTable), v, bitsPerTable, radius)
 
   /** The C7 banded corpus (seed 42+l tables) — the frame
     * [[simSearchLshCached]] persists: banding is the whole
     * corpus-linear cost of an LSH query, so the serve face stores it
-    * once and every later search is just the probe equi-join. */
+    * once and every later search is just the probe equi-join. SLIM by
+    * design — (vec_id, tbl, bucket) only: carrying the 64-dim vectors
+    * through the ×numTables explode quadruples the corpus through the
+    * probe join's shuffle (measured the dominant cost at 512k vectors);
+    * the rescore re-attaches vectors for CANDIDATE rows only. */
   private[graft] def lshBand(v: DataFrame, numTables: Int,
       bitsPerTable: Int): DataFrame = {
-    val dim = EmbeddingDim
-    val buckets = (0 until numTables).map { l =>
-      struct(lit(l).as("tbl"),
-        Vectors.lshBucket(col("e"), Vectors.hyperplanes(bitsPerTable, dim, 42L + l))
-          .as("bucket"))
-    }
-    v.select(col("vec_id"), col("e"), col("nrm"),
-        explode(array(buckets: _*)).as("tb"))
-      .select(col("vec_id"), col("e"), col("nrm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    // one fused kernel for all tables' signatures (graft.functions
+    // .LshSignature): reads each vector element once instead of
+    // numTables×bits times, and — unlike the composed per-plane dot
+    // spelling — cannot fall out of whole-stage codegen as the width
+    // grows. Buckets are bit-identical (per-plane left-to-right ±1
+    // accumulation; LshSignatureSpec pins row equality).
+    val planes = (0 until numTables).flatMap(l =>
+      Vectors.hyperplanes(bitsPerTable, EmbeddingDim, 42L + l)).toArray
+    v.select(col("vec_id"),
+        posexplode(graft.functions.LshSignature(col("e"), planes,
+          numTables, bitsPerTable)).as(Seq("tbl", "bucket")))
   }
 
-  /** Probe + exact rescore + rank over an (inline or persisted) banded
-    * corpus. */
-  private def lshServe(banded: DataFrame, bitsPerTable: Int,
+  /** Probe + exact rescore + rank over an (inline or persisted) slim
+    * banded corpus; `v` supplies the vectors, attached only to the
+    * candidate-set-sized frames. */
+  private def lshServe(banded: DataFrame, v: DataFrame, bitsPerTable: Int,
       radius: Int): DataFrame = {
     // Hamming-1 probes explode on the QUERY side only (query-set-sized);
     // the corpus side stays a pure equi-join on (tbl, bucket).
@@ -348,16 +351,19 @@ object VectorQueries {
       else array((col("bucket") +: (0 until bitsPerTable).map(j =>
         col("bucket").bitwiseXOR(lit(1L << j)))): _*)
     val queries = banded.where(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"),
-        col("nrm").as("qn"), col("tbl"),
+      .select(col("vec_id").as("query_id"), col("tbl"),
         explode(probeArr).as("bucket"))
-    val cand = banded.join(queries, Seq("tbl", "bucket"))
+    val cand = banded.join(broadcast(queries), Seq("tbl", "bucket"))
       .where(col("vec_id") =!= col("query_id"))
       .dropDuplicates("query_id", "vec_id")
-      .select(col("query_id"), col("vec_id"), col("qe"), col("qn"),
-        col("e"), col("nrm"))
+    val qv = broadcast(v.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn")))
     val cos = Vectors.cosine(col("qe"), col("e"), col("qn"), col("nrm"))
-    val scored = cand.select(col("query_id"), col("vec_id"), round(cos, 4).as("cosine"))
+    val scored = cand
+      .join(v.select(col("vec_id"), col("e"), col("nrm")), Seq("vec_id"))
+      .join(qv, Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), round(cos, 4).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rnk", rank().over(w))
@@ -390,8 +396,12 @@ object VectorQueries {
         Vectors.adaptiveLshRadius(n))).toDF("bits", "radius"), dir, "lsh_meta")
     }
     val meta = ArtifactStore.load(s, dir, "lsh_meta").head()
-    lshServe(ArtifactStore.load(s, dir, "lsh_banded"),
-      meta.getAs[Int]("bits"), meta.getAs[Int]("radius"))
+    // explicit slim projection: tolerant of banded artifacts written
+    // before the slim-schema change (extra columns would collide with
+    // the rescore's vector re-attach)
+    lshServe(ArtifactStore.load(s, dir, "lsh_banded")
+        .select(col("vec_id"), col("tbl"), col("bucket")),
+      emb(s, dir), meta.getAs[Int]("bits"), meta.getAs[Int]("radius"))
   }
 
   /** C37: SEMANTIC dedup (the SemDeDup recipe): cluster the corpus with
