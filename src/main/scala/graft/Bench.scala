@@ -107,8 +107,11 @@ object Bench {
     println("BENCH_DETAIL " + full)
     // ... and as a first-class file artifact: the harness that records the
     // stdout line keeps only a bounded tail, so a 185-key map survives only
-    // here. One JSON object, every per-query time, no truncation.
-    try {
+    // here. One JSON object, every per-query time, no truncation. Only a
+    // FULL sweep may write it: a filtered iteration run overwriting the
+    // round artifact with a 2-query map would silently shadow the real
+    // surface (filtered runs are already marked in their stdout line).
+    if (only.isEmpty) try {
       val dir = new java.io.File("target")
       dir.mkdirs()
       val w = new java.io.PrintWriter(new java.io.File(dir, "bench_queries_full.json"))

@@ -62,7 +62,10 @@ object GraphAnn {
 
   /** Degree-R kNN adjacency + per-cell medoid entry points over
     * `v` = (vec_id, e, nrm). */
-  def buildGraph(v: DataFrame, degree: Int = Degree): (DataFrame, DataFrame) = {
+  def buildGraph(v0: DataFrame, degree: Int = Degree): (DataFrame, DataFrame) = {
+    // see Vectors.ensureParallelism: the multi-assign and within-cell
+    // pair stages below replay the corpus several times
+    val v = Vectors.ensureParallelism(v0)
     val fit = KMeans.fit(v, k = KMeans.adaptiveK(v.count()), iters = 3)
     val centsArr = fit.centroids.select(col("cluster"), col("ce"), col("cn"))
       .agg(array_sort(collect_list(

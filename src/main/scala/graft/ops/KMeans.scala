@@ -78,11 +78,14 @@ object KMeans {
   /** `trackObjective=false` (the production setting) skips the
     * per-round objective scan — one fewer pass over the corpus per
     * round; the spec turns it on to pin monotonicity. */
-  def fit(v: DataFrame, k: Int, iters: Int,
+  def fit(v0: DataFrame, k: Int, iters: Int,
           initCentroids: Option[DataFrame] = None,
           trackObjective: Boolean = false): Fit = {
     require(k >= 1, s"k must be positive: $k")
     require(iters >= 1, s"iters must be positive: $iters")
+    // one up-front spread beats `iters` serial assign passes over an
+    // unsplittable single-rowgroup scan (Vectors.ensureParallelism doc)
+    val v = Vectors.ensureParallelism(v0)
     // cluster ids are the seed vec_ids themselves — any atomic id works
     // for the argmax, and it avoids a global row-number window over the
     // seed set (id contiguity buys nothing)

@@ -75,8 +75,10 @@ object ProductQuant {
     * subvectors (deterministic, like [[KMeans.fit]]); the codebook
     * frame is the ONLY thing that iterates and is localCheckpoint'ed
     * each round so the corpus plan never deepens. Returns (m, code, cv). */
-  def fit(v: DataFrame, numSub: Int, subDim: Int, k: Int, iters: Int): DataFrame = {
+  def fit(v0: DataFrame, numSub: Int, subDim: Int, k: Int, iters: Int): DataFrame = {
     require(numSub >= 1 && subDim >= 1 && k >= 1 && iters >= 1)
+    // see Vectors.ensureParallelism: iterative fit, spread once up front
+    val v = Vectors.ensureParallelism(v0)
     val subs = subFrame(v, numSub, subDim)
     val seeds = v.orderBy(col("vec_id")).limit(k)
     var cb = subFrame(seeds, numSub, subDim)

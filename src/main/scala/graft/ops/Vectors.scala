@@ -32,6 +32,24 @@ object Vectors {
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 
+  /** Guard for ITERATIVE fits (k-means/PQ/OPQ Lloyd loops, graph
+    * builds): ensure the corpus frame has enough partitions to use the
+    * cluster. A single-rowgroup parquet file is unsplittable — Spark
+    * scans it as ONE task no matter what maxPartitionBytes says — and
+    * an iterative fit then replays its whole compute serially every
+    * round (measured: the 512k-vector decade's coarse k-means ran on 2
+    * of 32 cores for half an hour). One up-front round-robin shuffle is
+    * noise next to even a single Lloyd round over the same rows.
+    * Results are partitioning-independent by construction everywhere
+    * this is used (sorted collect_lists, per-row argmax, min/avg
+    * aggregates — the learned-state-as-data oracles already depend on
+    * it), so this changes cost, never output. No-op on frames that are
+    * already spread (the 100 TB case: thousands of input splits). */
+  def ensureParallelism(v: DataFrame): DataFrame = {
+    val want = v.sparkSession.sparkContext.defaultParallelism
+    if (v.rdd.getNumPartitions * 2 >= want) v else v.repartition(want)
+  }
+
   /** Corpus with `e` (double vector) and `nrm` columns added.
     * DEGENERATE vectors — null or zero-norm (a failed encoder's output,
     * absent from testdata but guaranteed in a real 100 TB corpus) — are

@@ -62,7 +62,13 @@ N_ORDERS, N_LINE = 1_500_000, 6_000_000
 N_EVENTS, N_DOCS, N_VECS = 1_000_000, 50_000, 8_000
 
 def write(name, table):
-    pq.write_table(table, f"{OUT}/{name}.parquet")
+    # bounded row groups: pyarrow's default writes ONE group for these
+    # table sizes, and a single-rowgroup parquet file is UNSPLITTABLE —
+    # Spark scans it as one task no matter what maxPartitionBytes says
+    # (measured: the 512k-vector decade's k-means fits ran on 2 of 32
+    # cores). 64k rows ≈ 16–20 MB groups here — the layout any real
+    # writer produces.
+    pq.write_table(table, f"{OUT}/{name}.parquet", row_group_size=64 * 1024)
     print(name, table.num_rows)
 
 if CHAIN_DOCS:
