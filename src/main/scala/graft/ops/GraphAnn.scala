@@ -80,10 +80,26 @@ object GraphAnn {
     val b = assigned.select(col("cluster"), col("vec_id").as("dst"),
       col("e").as("de"), col("nrm").as("dn"))
     val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
-    val topR = a.join(b, Seq("cluster")).where(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
+    // DISTRIBUTIVE top-R: fold each (cell, src)'s ~cell-size candidate
+    // stream into a bounded top-R state map-side (TopKByScore) — the
+    // Σcell² pair stream never reaches a sort or a shuffle. Exact, not
+    // approximate: any edge in src's GLOBAL top-R has fewer than R
+    // better candidates overall, hence fewer than R in its own cell, so
+    // it survives the per-cell cut under the same (cos DESC, dst) total
+    // order. Before this, the pair stream shipped whole through a
+    // groupBy(src,dst) shuffle — ~58 GB at 512k vectors, which spilled
+    // the bench disk dry; the folded shape ships ≤ R structs per
+    // (cell, src). Duplicate (src,dst) across a vector's ≤3 probe cells
+    // carry the identical cosine, so dropDuplicates replaces the old
+    // groupBy.max exactly.
+    val localTop = a.join(b, Seq("cluster")).where(col("src") =!= col("dst"))
+      .select(col("cluster"), col("src"), col("dst"),
         (Vectors.dot(col("se"), col("de")) / (col("sn") * col("dn"))).as("cos"))
-      .groupBy(col("src"), col("dst")).agg(max(col("cos")).as("cos"))
+      .groupBy(col("cluster"), col("src"))
+      .agg(graft.functions.TopKByScore(col("dst"), col("cos"), degree).as("top"))
+      .select(col("src"), explode(col("top")).as("t"))
+      .select(col("src"), col("t.id").as("dst"), col("t.score").as("cos"))
+    val topR = localTop.dropDuplicates("src", "dst")
       .withColumn("rnk", row_number().over(w)).where(col("rnk") <= degree)
     // attach the destination vector to the edge (n·R rows ⋈ corpus)
     val adj = topR.join(
