@@ -16,14 +16,20 @@ import graft.sources.Tables
   *
   * Build = the C68 machinery widened to degree R: IVF-cell blocking
   * (learned [[KMeans]] cells, 3-probe multi-assign, pairs only within
-  * a cell — never all-pairs), per-src top-R by cosine. Two artifacts:
+  * a cell — never all-pairs), per-(cell, src) top-R folded map-side by
+  * the bounded [[graft.functions.TopKByScore]] aggregate (distributive
+  * top-k — exact; the unfolded pair shuffle ran a 512k-vector build
+  * out of disk). Two artifacts:
   *
-  *   - adjacency `(src, dst, de, dn)` — the destination vector rides
-  *     INLINE on the edge (the DiskANN layout: vectors live with the
-  *     graph). Storage is ×R the corpus, but a serve hop is then ONE
-  *     equi-join frontier⋈adjacency on `src`; storing ids alone would
-  *     force a second full-corpus join per hop to fetch vectors, which
-  *     is exactly what a 100 TB serve path cannot afford.
+  *   - adjacency `(src, dst)` — SLIM. The edges originally carried the
+  *     destination vectors inline (the DiskANN layout); measured at
+  *     512k vectors that payload made every hop a ~4 GB scan and the
+  *     per-invocation oracle export ×16 the ids, while the re-attach
+  *     alternative touches vectors only for the CANDIDATE set (a
+  *     broadcast-hash probe of one corpus scan per hop — candidates
+  *     are query×beam×degree-sized, never corpus-sized). The inline
+  *     layout pays off when the serve is point-lookups against a
+  *     key-value store; under Spark scans the slim layout won 4×.
   *   - entry points — each cell's MEDOID (member nearest its
   *     centroid): k deterministic, well-spread starting nodes so a
   *     query lands in its own region of the graph in hop 0.
@@ -101,11 +107,13 @@ object GraphAnn {
       .select(col("src"), col("t.id").as("dst"), col("t.score").as("cos"))
     val topR = localTop.dropDuplicates("src", "dst")
       .withColumn("rnk", row_number().over(w)).where(col("rnk") <= degree)
-    // attach the destination vector to the edge (n·R rows ⋈ corpus)
-    val adj = topR.join(
-        v.select(col("vec_id").as("dst"), col("e").as("de"), col("nrm").as("dn")),
-        Seq("dst"))
-      .select(col("src"), col("dst"), col("de"), col("dn"))
+    // SLIM adjacency — (src, dst) only. The edges used to carry the
+    // destination vectors, which made the artifact n·R·dim doubles and
+    // the beam re-scan ~4 GB per hop at 512k vectors; the search
+    // re-attaches vectors to its candidate-set-sized frontier from the
+    // corpus instead (same doubles — the edge copies WERE the corpus
+    // rows — so every cosine, and the oracle replay, is bit-identical).
+    val adj = topR.select(col("src"), col("dst"))
     // entry points: each cell's medoid under the cosine objective
     val one = v.crossJoin(broadcast(centsArr))
       .select(col("vec_id"), col("e"), col("nrm"),
@@ -122,11 +130,14 @@ object GraphAnn {
   }
 
   /** Batched beam search: top-10 graph neighbors of each query.
-    * `queries` = (query_id, qe, qn); self-matches are excluded. */
+    * `queries` = (query_id, qe, qn); `corpus` = (vec_id, e, nrm) for
+    * the frontier-side vector re-attach; self-matches are excluded. */
   def beamSearch(adj: DataFrame, entries: DataFrame,
-                 queries: DataFrame, beam: Int = Beam,
+                 queries: DataFrame, corpus: DataFrame, beam: Int = Beam,
                  hops: Int = Hops): DataFrame = {
     val q = broadcast(queries)
+    val vecs = corpus.select(col("vec_id").as("__did"),
+      col("e").as("de"), col("nrm").as("dn"))
     val cosQ = Vectors.cosine(col("qe"), col("de"), col("qn"), col("dn"))
     // hop 0: score every entry medoid for every query (both frames tiny)
     var visited = entries
@@ -141,7 +152,13 @@ object GraphAnn {
       val frontier = visited.where(!col("expanded"))
         .withColumn("br", row_number().over(bw)).where(col("br") <= beam)
         .select(col("query_id"), col("vec_id"))
+      // expansion: slim (src, dst) hop, then vectors re-attached to the
+      // candidate-set-sized frame — the per-hop scan reads two id
+      // columns of the adjacency plus one pass of the corpus, not an
+      // edge-inline vector payload
       val cand = frontier.join(adj, frontier("vec_id") === adj("src"))
+        .select(col("query_id"), col("dst"))
+        .join(vecs, col("dst") === col("__did"))
         .join(q, Seq("query_id"))
         .select(col("query_id"), col("dst").as("vec_id"), cosQ.as("cos"),
           lit(false).as("expanded"))
@@ -175,20 +192,21 @@ object GraphAnn {
 
   /** C89: inline face — build the graph, then serve (worst case,
     * like the other inline trainers). SQL-CHECKED since round 11: the
-    * learned graph — the edge-inline adjacency (src, dst, de, dn) and
-    * the medoid entry points — exports as side tables, the serve runs
-    * from the RE-READ exports (the same frozen floats the oracle
-    * consumes), and the DuckDB oracle replays the entire batched beam
-    * search: H=$Hops unrolled hop CTEs, each = top-beam frontier cut,
-    * one-edge expansion scored from the edge payload, and the
-    * visited-pool max-fold; then the final rank. */
+    * learned graph — the slim (src, dst) adjacency and the medoid
+    * entry points — exports as side tables, the serve runs from the
+    * RE-READ exports, and the DuckDB oracle replays the entire batched
+    * beam search: H=$Hops unrolled hop CTEs, each = top-beam frontier
+    * cut, one-edge expansion scored from the corpus vectors re-derived
+    * in the oracle's own `nn` CTE (the exact doubles the edge payload
+    * used to copy), and the visited-pool max-fold; then the final
+    * rank. */
   def simSearchGraph(s: SparkSession, dir: String): DataFrame = {
     val v = emb(s, dir)
     val (adj, entries) = buildGraph(v)
     graft.ops.VectorQueries.exportSide(adj, GraphAdjPath)
     graft.ops.VectorQueries.exportSide(entries, GraphEntryPath)
     beamSearch(s.read.parquet(GraphAdjPath), s.read.parquet(GraphEntryPath),
-      queriesOf(v))
+      queriesOf(v), v)
   }
 
   /** C89a: the SERVE face — beam search against the persisted
@@ -207,7 +225,7 @@ object GraphAnn {
     // own exported copies of the stored graph for the DuckDB replay
     graft.ops.VectorQueries.exportSide(adj, GraphCachedAdjPath)
     graft.ops.VectorQueries.exportSide(entries, GraphCachedEntryPath)
-    beamSearch(adj, entries, queriesOf(v))
+    beamSearch(adj, entries, queriesOf(v), v)
   }
 
   private def sidePath(name: String): String =
@@ -217,13 +235,12 @@ object GraphAnn {
   val GraphCachedAdjPath: String = sidePath("graphc_adj_side")
   val GraphCachedEntryPath: String = sidePath("graphc_entry_side")
 
-  /** C89/C89a oracle: adjacency + entries as data; the batched beam
-    * search replayed as [[Hops]] unrolled hop CTEs — frontier = the
-    * top-[[Beam]] unexpanded rows, expansion = one equi-join on `src`
-    * scored from the edge-inline destination vector, pool fold =
-    * group-max over (cos, expanded) — then the final top-10 rank.
-    * Every cosine is computed from the exported edge/entry floats, so
-    * the compared doubles are bit-identical across engines. */
+  /** C89/C89a oracle: slim adjacency + entries as data; the batched
+    * beam search replayed as [[Hops]] unrolled hop CTEs — frontier =
+    * the top-[[Beam]] unexpanded rows, expansion = one equi-join on
+    * `src` scored from the corpus vectors (the `nn` CTE — the same
+    * doubles the engine re-attaches), pool fold = group-max over
+    * (cos, expanded) — then the final top-10 rank. */
   private def graphOracle(adjPath: String, entryPath: String): String = {
     val hopCtes = (1 to Hops).map { h =>
       s"""f$h AS (SELECT query_id, vec_id FROM (
@@ -231,9 +248,10 @@ object GraphAnn {
          |          ORDER BY cos DESC, vec_id) AS br
          |        FROM v${h - 1} WHERE NOT expanded) WHERE br <= $Beam),
          |c$h AS (SELECT f.query_id, a.dst AS vec_id,
-         |               list_dot_product(q.qe, a.de)/(q.qn*a.dn) AS cos,
+         |               list_dot_product(q.qe, d.e)/(q.qn*d.nrm) AS cos,
          |               false AS expanded
          |        FROM f$h f JOIN adj a ON a.src = f.vec_id
+         |                   JOIN nn d ON d.vec_id = a.dst
          |                   JOIN q ON q.query_id = f.query_id),
          |v$h AS (SELECT query_id, vec_id, max(cos) AS cos,
          |               bool_or(expanded) AS expanded
@@ -246,7 +264,7 @@ object GraphAnn {
          |          SELECT query_id, vec_id, cos, expanded FROM c$h)
          |        GROUP BY 1, 2),""".stripMargin
     }.mkString("\n")
-    s"""WITH adj AS (SELECT src, dst, de, dn FROM '$adjPath/*.parquet'),
+    s"""WITH adj AS (SELECT src, dst FROM '$adjPath/*.parquet'),
        |ent AS (SELECT vec_id, e, nrm FROM '$entryPath/*.parquet'),
        |v0q AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
        |        FROM embeddings),

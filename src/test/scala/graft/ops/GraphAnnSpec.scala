@@ -55,7 +55,7 @@ class GraphAnnSpec extends SparkSpec {
     assert(a == b)
   }
 
-  test("graph build: degree bound, no self-edges, inline vectors consistent") {
+  test("graph build: degree bound, no self-edges, edges land on real corpus ids") {
     val v = Vectors.withNorm(
       graft.sources.Tables(spark, sfDir, "embeddings"), "embedding")
     val (adj, entries) = GraphAnn.buildGraph(v)
@@ -67,14 +67,11 @@ class GraphAnnSpec extends SparkSpec {
       "no self-edges")
     // every node has a full fan-out at this SF (cells are larger than R)
     assert(bySrc.values.forall(_.length == GraphAnn.Degree))
-    // the inline dst vector is the real corpus vector
+    // the slim adjacency is pure ids — both ends must be corpus ids
+    // (the serve path re-attaches vectors by joining the corpus, so a
+    // dangling dst would silently drop its edge)
     val byId = vecs.toMap
-    rows.take(50).foreach { r =>
-      val want = byId(r.getLong(1))
-      val gotV = r.getSeq[Double](2).toArray
-      assert(gotV.zip(want).forall { case (x, y) => math.abs(x - y) < 1e-12 },
-        s"edge to ${r.getLong(1)} carries a stale vector")
-    }
+    assert(rows.forall(r => byId.contains(r.getLong(0)) && byId.contains(r.getLong(1))))
     // entry points: one medoid per learned cell, all distinct corpus ids
     val ents = entries.collect().map(_.getLong(0))
     assert(ents.distinct.length == ents.length)
