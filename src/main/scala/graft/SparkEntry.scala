@@ -250,6 +250,9 @@ object SparkEntry {
     "dedup_embedding" -> ((s: SparkSession, d: String) => VectorQueries.dedupEmbedding(s, d)),
     // rows-only: LSH-blocked scale face of C5 (recall spec-bounded)
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => VectorQueries.dedupEmbeddingLsh(s, d)),
+    // C5b: knee-routed hand-over — exact LSH face below DedupLshKnee
+    // (all gate SFs), cluster-blocked linear candidates past it
+    "dedup_embedding_auto" -> ((s: SparkSession, d: String) => VectorQueries.dedupEmbeddingAuto(s, d)),
     "sim_search_topk" -> (VectorQueries.simSearchTopk _),
     // C83: embedding-space eval-leakage gate (catches paraphrased leaks
     // the n-gram decontamination family structurally cannot)
@@ -1766,6 +1769,8 @@ object SparkEntry {
     // deterministic data, so warm results equal the inline build's
     "sim_search_lsh_cached" -> VectorQueries.simSearchLshOracle,
     "dedup_embedding_lsh" -> VectorQueries.dedupEmbeddingLshOracle,
+    // gate SFs sit below the knee, where the auto face IS the exact face
+    "dedup_embedding_auto" -> VectorQueries.dedupEmbeddingLshOracle,
     "embed_centroids" ->
       """WITH v AS (
         |  SELECT label, list_transform(embedding, x -> x::DOUBLE) AS e

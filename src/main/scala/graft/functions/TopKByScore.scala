@@ -67,9 +67,20 @@ case class TopKByScore(
   override def createAggregationBuffer(): mutable.ArrayBuffer[(Long, Double)] =
     mutable.ArrayBuffer.empty
 
-  // total order: higher score first, lower id breaks ties
-  private def beats(a: (Long, Double), b: (Long, Double)): Boolean =
-    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+  /** Spark's double total order (SQLOrderingUtil.compareDoubles): NaN
+    * is GREATEST (so a NaN score ranks FIRST, exactly like the window
+    * `row_number() over (order by score desc)` spelling this aggregate
+    * replaces), and -0.0 == 0.0. Primitive `>`/`==` would silently
+    * rank NaN LAST and break the equals-the-window-spelling contract
+    * on overflowing cosines (Inf/Inf). */
+  private def cmpScore(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
+
+  // total order: higher score first (NaN greatest), lower id breaks ties
+  private def beats(a: (Long, Double), b: (Long, Double)): Boolean = {
+    val c = cmpScore(a._2, b._2)
+    c > 0 || (c == 0 && a._1 < b._1)
+  }
 
   /** Insert keeping the buffer rank-sorted and bounded at k. O(k) —
     * k is a small constant (graph degree), so a heap buys nothing. */

@@ -71,8 +71,9 @@ object GraphAnn {
   def buildGraph(v0: DataFrame, degree: Int = Degree): (DataFrame, DataFrame) = {
     // see Vectors.ensureParallelism: the multi-assign and within-cell
     // pair stages below replay the corpus several times
-    val v = Vectors.ensureParallelism(v0)
-    val fit = KMeans.fit(v, k = KMeans.adaptiveK(v.count()), iters = 3)
+    val n = v0.count()
+    val v = Vectors.ensureParallelism(v0, n)
+    val fit = KMeans.fit(v, k = KMeans.adaptiveK(n), iters = 3, rows = n)
     val centsArr = fit.centroids.select(col("cluster"), col("ce"), col("cn"))
       .agg(array_sort(collect_list(
         struct(col("cluster"), col("ce"), col("cn")))).as("cents"))

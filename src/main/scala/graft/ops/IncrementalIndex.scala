@@ -138,8 +138,9 @@ object IncrementalIndex {
     * the index: the memory-resident part is codes; exact rescore reads
     * candidates from the cold corpus (the PQ posture throughout). */
   def writeVecIndex(root: String, v: DataFrame): Unit = {
-    val m = SemanticPq.buildModel(v, KMeans.adaptiveK(v.count()),
-      VecIters, VecM, VecSubDim, VecPqK)
+    val n = v.count()
+    val m = SemanticPq.buildModel(v, KMeans.adaptiveK(n),
+      VecIters, VecM, VecSubDim, VecPqK, rows = n)
     m.cents.write.mode("overwrite").parquet(s"$root/vcents")
     m.cb.write.mode("overwrite").parquet(s"$root/vcb")
     // ONE literal-model pass produces both the codes table and the D21
@@ -181,6 +182,70 @@ object IncrementalIndex {
         s.read.parquet(s"$root/vcents"), s.read.parquet(s"$root/vcb"),
         VecM, VecSubDim)
       .write.mode("append").parquet(s"$root/vcodes")
+
+  // ---- LSH serve index (the C7a banded table, append cadence) -------
+
+  /** Tables the C7a-shaped LSH serve path reads: `lbanded`
+    * (vec_id, tbl, bucket — the slim banding) + `lmeta` (bits, radius,
+    * n, tables). Banding is the whole corpus-linear cost of an LSH
+    * search, so it persists once and appends band ONLY the admitted
+    * batch — the same append-only cadence the text (`keys`/`bands`/
+    * `wins`) and PQ-vector (`vcodes`) standing indexes already have.
+    * The operating point is FROZEN at build (stored in `lmeta`), and
+    * because [[Vectors.hyperplanes]] is seed-deterministic, a batch
+    * banded at the stored width lands in exactly the buckets a full
+    * rebuild at that width would give it — append-then-serve equals
+    * rebuild-then-serve row-identically while the adaptive rule's
+    * answer is unchanged (IncrementalLshSpec pins frame equality). */
+  private val LshTables = 4
+
+  /** Create (overwrite) the LSH index at the corpus-adaptive operating
+    * point. `v` is a [[Vectors.withNorm]] frame. */
+  def writeLshIndex(root: String, v: DataFrame): Unit = {
+    val s = v.sparkSession
+    import s.implicits._
+    val n = v.count()
+    VectorQueries.lshBand(v, LshTables, Vectors.adaptiveLshBits(n))
+      .write.mode("overwrite").parquet(s"$root/lbanded")
+    Seq((Vectors.adaptiveLshBits(n), Vectors.adaptiveLshRadius(n), n,
+        LshTables)).toDF("bits", "radius", "n", "tables")
+      .write.mode("overwrite").parquet(s"$root/lmeta")
+  }
+
+  /** Append an admitted batch: band it at the STORED width (same
+    * seeds → same buckets as a rebuild) and bump the corpus count in
+    * `lmeta`. Returns false when the grown corpus crosses the adaptive
+    * rule's threshold — the stored width no longer matches
+    * [[Vectors.adaptiveLshBits]] of the new count, so serving would
+    * band-mismatch (the round-12 ADVICE finding on the cached face);
+    * the caller must [[writeLshIndex]]-rebuild over the full corpus
+    * before the next serve. Appending first is still correct: the
+    * banded rows written are exactly the rebuild's rows for this batch
+    * at the OLD width, and the rebuild overwrites everything. */
+  def appendLshIndex(s: SparkSession, root: String, batch: DataFrame): Boolean = {
+    import s.implicits._
+    val meta = s.read.parquet(s"$root/lmeta").head()
+    val bits = meta.getAs[Int]("bits")
+    VectorQueries.lshBand(batch, meta.getAs[Int]("tables"), bits)
+      .write.mode("append").parquet(s"$root/lbanded")
+    val n = meta.getAs[Long]("n") + batch.count()
+    Seq((bits, meta.getAs[Int]("radius"), n, meta.getAs[Int]("tables")))
+      .toDF("bits", "radius", "n", "tables")
+      .write.mode("overwrite").parquet(s"$root/lmeta")
+    bits == Vectors.adaptiveLshBits(n) &&
+      meta.getAs[Int]("radius") == Vectors.adaptiveLshRadius(n)
+  }
+
+  /** Serve the C7 top-10 search from the standing banded table.
+    * `v` supplies the vectors (attached only to candidate-set-sized
+    * frames, the C7a rule). */
+  def serveLsh(s: SparkSession, root: String, v: DataFrame): DataFrame = {
+    val meta = s.read.parquet(s"$root/lmeta").head()
+    VectorQueries.lshServe(
+      s.read.parquet(s"$root/lbanded")
+        .select(col("vec_id"), col("tbl"), col("bucket")),
+      v, meta.getAs[Int]("bits"), meta.getAs[Int]("radius"))
+  }
 
   /** Probe a batch of vectors against the standing index: SDC-gated
     * candidates within the batch vector's cluster, exact-cosine

@@ -51,7 +51,7 @@ object IvfIndex {
   /** Create (overwrite) the index: offline k-means on the standing
     * corpus, then one assignment pass builds the inverted file. */
   def build(root: String, v: DataFrame, k: Int, iters: Int): Unit = {
-    val fit = KMeans.fit(v, k, iters)
+    val fit = KMeans.fit(v, k, iters, rows = v.count())
     fit.centroids.write.mode("overwrite").parquet(s"$root/centroids")
     assign(v, fit.centroids).write.mode("overwrite").parquet(s"$root/postings")
   }
@@ -112,7 +112,7 @@ object IvfIndex {
     val v = s.read.parquet(s"$root/postings")
       .select(col("vec_id"), col("e"), col("nrm"))
       .localCheckpoint(true)
-    val fit = KMeans.fit(v, k, iters)
+    val fit = KMeans.fit(v, k, iters, rows = v.count())
     fit.centroids.write.mode("overwrite").parquet(s"$root/centroids")
     assign(v, fit.centroids).write.mode("overwrite").parquet(s"$root/postings")
   }

@@ -63,13 +63,14 @@ object IvfPq {
     * pass over residuals. */
   private def buildIndex(s: SparkSession, unit: DataFrame,
       numSub: Int, subDim: Int, k: Int): (DataFrame, DataFrame, DataFrame) = {
+    val n = unit.count()
     val coarse = KMeans.fit(unit,
-      k = KMeans.adaptiveK(unit.count()), iters = 3).centroids
+      k = KMeans.adaptiveK(n), iters = 3, rows = n).centroids
     val res = residuals(unit, coarse)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     CacheScope.releaseAfterAction(s, res)
     val rFrame = res.select(col("vec_id"), col("r").as("e"))
-    val cb = ProductQuant.fit(rFrame, numSub, subDim, k, iters = 2)
+    val cb = ProductQuant.fit(rFrame, numSub, subDim, k, iters = 2, rows = n)
     val postings = ProductQuant.encode(rFrame, cb, numSub, subDim)
       .join(res.select(col("vec_id"), col("cluster")), Seq("vec_id"))
     (coarse, cb, postings)

@@ -77,15 +77,19 @@ object KMeans {
     * k-means|| can pass their own via `initCentroids`). */
   /** `trackObjective=false` (the production setting) skips the
     * per-round objective scan — one fewer pass over the corpus per
-    * round; the spec turns it on to pin monotonicity. */
+    * round; the spec turns it on to pin monotonicity.
+    * `rows` (when the caller already counted the corpus for
+    * [[adaptiveK]]) makes the up-front spread row-aware — see
+    * [[Vectors.ensureParallelism]]. */
   def fit(v0: DataFrame, k: Int, iters: Int,
           initCentroids: Option[DataFrame] = None,
-          trackObjective: Boolean = false): Fit = {
+          trackObjective: Boolean = false,
+          rows: Long = -1L): Fit = {
     require(k >= 1, s"k must be positive: $k")
     require(iters >= 1, s"iters must be positive: $iters")
     // one up-front spread beats `iters` serial assign passes over an
     // unsplittable single-rowgroup scan (Vectors.ensureParallelism doc)
-    val v = Vectors.ensureParallelism(v0)
+    val v = Vectors.ensureParallelism(v0, rows)
     // cluster ids are the seed vec_ids themselves — any atomic id works
     // for the argmax, and it avoids a global row-number window over the
     // seed set (id contiguity buys nothing)
@@ -135,7 +139,8 @@ object KMeans {
   def embedKmeans(s: SparkSession, dir: String): DataFrame = {
     val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
       .select(col("vec_id"), col("e"), col("nrm"))
-    val f = fit(v, k = adaptiveK(v.count()), iters = 4)
+    val n = v.count()
+    val f = fit(v, k = adaptiveK(n), iters = 4, rows = n)
     graft.ops.VectorQueries.exportSide(
       f.assignments.select(col("vec_id"), col("cluster")), KmeansAssignPath)
     graft.ops.VectorQueries.exportSide(
@@ -182,7 +187,8 @@ object KMeans {
   def corpusTopics(s: SparkSession, dir: String): DataFrame = {
     val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
       .select(col("vec_id"), col("e"), col("nrm"))
-    val f = fit(v, k = adaptiveK(v.count()), iters = 4)
+    val n = v.count()
+    val f = fit(v, k = adaptiveK(n), iters = 4, rows = n)
     f.assignments.select(col("vec_id").as("doc_id"), col("cluster"))
       .coalesce(1).write.mode("overwrite").parquet(TopicsAssignPath)
     val assign = s.read.parquet(TopicsAssignPath)

@@ -99,9 +99,10 @@ object Opq {
     * into the least-loaded subspace under Σ log λ — the same balance
     * criterion as [[ProductQuant.balancedPermutation]], applied to the
     * EIGEN basis instead of the natural one. */
-  def pcaAllocRotation(unit: DataFrame, numSub: Int, subDim: Int): Array[Array[Double]] = {
+  def pcaAllocRotation(unit: DataFrame, numSub: Int, subDim: Int,
+      rows: Long = -1L): Array[Array[Double]] = {
     val dim = numSub * subDim
-    val n = unit.count().toDouble
+    val n = (if (rows >= 0) rows else unit.count()).toDouble
     if (n == 0) // empty corpus: no covariance to rotate by — identity
       return Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
     val mu = unit
@@ -127,10 +128,11 @@ object Opq {
     * sub-steps are descent steps on ‖XR − X̂‖²_F, so the objective
     * never increases across sweeps. Returns the final (R, codebook). */
   def refine(unit: DataFrame, r0: Array[Array[Double]], numSub: Int, subDim: Int,
-      k: Int, sweeps: Int): (Array[Array[Double]], DataFrame) = {
+      k: Int, sweeps: Int, rows: Long = -1L): (Array[Array[Double]], DataFrame) = {
     val dim = numSub * subDim
     var r = r0
-    var cb = ProductQuant.fit(rotate(unit, r), numSub, subDim, k, iters = 2)
+    var cb = ProductQuant.fit(rotate(unit, r), numSub, subDim, k, iters = 2,
+      rows = rows)
     for (_ <- 1 to sweeps) {
       val xhat = reconstruct(rotate(unit, r), cb, numSub, subDim)
       r = procrustes(crossMatrix(
@@ -164,9 +166,10 @@ object Opq {
     val unit0 = v
       .select(col("vec_id"), transform(col("e"), x => x / col("nrm")).as("e"))
       .localCheckpoint(true)
+    val n = unit0.count()
     val (r, cb) =
-      refine(unit0, pcaAllocRotation(unit0, numSub, subDim), numSub, subDim,
-        k = 16, sweeps = 2)
+      refine(unit0, pcaAllocRotation(unit0, numSub, subDim, rows = n),
+        numSub, subDim, k = 16, sweeps = 2, rows = n)
     // learned-state exports for the oracle: the rotation (driver-side
     // data — the exported columns and the rotate() literals are the
     // same array) and the codebook (re-read so face and replay share
@@ -198,8 +201,10 @@ object Opq {
       .select(col("vec_id"), transform(col("e"), x => x / col("nrm")).as("e"))
     if (!ArtifactStore.has(s, dir, "opq_rot", "opq_cb")) {
       val u = unit0.localCheckpoint(true)
+      val n = u.count()
       val (r, cb) =
-        refine(u, pcaAllocRotation(u, numSub, subDim), numSub, subDim, k, sweeps = 2)
+        refine(u, pcaAllocRotation(u, numSub, subDim, rows = n),
+          numSub, subDim, k, sweeps = 2, rows = n)
       ArtifactStore.save(ArtifactStore.matrixDf(s, r), dir, "opq_rot")
       ArtifactStore.save(cb, dir, "opq_cb")
     }
@@ -227,8 +232,10 @@ object Opq {
     val unit0 = v
       .select(col("vec_id"), transform(col("e"), x => x / col("nrm")).as("e"))
       .localCheckpoint(true)
+    val n = unit0.count()
     val (r, cb) =
-      refine(unit0, pcaAllocRotation(unit0, numSub, subDim), numSub, subDim, k, sweeps)
+      refine(unit0, pcaAllocRotation(unit0, numSub, subDim, rows = n),
+        numSub, subDim, k, sweeps, rows = n)
     ProductQuant.adcSearch(v, rotate(unit0, r), cb, numSub, subDim, cand)
   }
 }

@@ -75,10 +75,12 @@ object ProductQuant {
     * subvectors (deterministic, like [[KMeans.fit]]); the codebook
     * frame is the ONLY thing that iterates and is localCheckpoint'ed
     * each round so the corpus plan never deepens. Returns (m, code, cv). */
-  def fit(v0: DataFrame, numSub: Int, subDim: Int, k: Int, iters: Int): DataFrame = {
+  def fit(v0: DataFrame, numSub: Int, subDim: Int, k: Int, iters: Int,
+          rows: Long = -1L): DataFrame = {
     require(numSub >= 1 && subDim >= 1 && k >= 1 && iters >= 1)
     // see Vectors.ensureParallelism: iterative fit, spread once up front
-    val v = Vectors.ensureParallelism(v0)
+    // (row-aware when the caller already counted the corpus)
+    val v = Vectors.ensureParallelism(v0, rows)
     val subs = subFrame(v, numSub, subDim)
     val seeds = v.orderBy(col("vec_id")).limit(k)
     var cb = subFrame(seeds, numSub, subDim)

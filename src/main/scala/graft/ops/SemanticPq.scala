@@ -129,12 +129,12 @@ object SemanticPq {
     * residuals vs the unit-normalized centroid, residual PQ codebook,
     * coded corpus, SDC tables. */
   private[ops] def buildModel(v: DataFrame, k: Int, iters: Int,
-      numSub: Int, subDim: Int, pqK: Int): Model = {
-    val fit = KMeans.fit(v, k = k, iters = iters)
+      numSub: Int, subDim: Int, pqK: Int, rows: Long = -1L): Model = {
+    val fit = KMeans.fit(v, k = k, iters = iters, rows = rows)
     val assigned = assignWith(v, fit.centroids)
     val res = residualsOf(assigned, fit.centroids)
     val cb = ProductQuant.fit(res.select(col("vec_id"), col("e")),
-      numSub, subDim, pqK, iters = 2).localCheckpoint(true)
+      numSub, subDim, pqK, iters = 2, rows = rows).localCheckpoint(true)
     val remap = codeRemap(cb, numSub)
     val coded = toDense(
       ProductQuant.encode(res.select(col("vec_id"), col("e")), cb, numSub, subDim),
@@ -145,8 +145,9 @@ object SemanticPq {
 
   /** Back-compat tuple face used by the card and specs. */
   private[ops] def build(v: DataFrame, k: Int, iters: Int,
-      numSub: Int, subDim: Int, pqK: Int): (DataFrame, DataFrame, DataFrame) = {
-    val m = buildModel(v, k, iters, numSub, subDim, pqK)
+      numSub: Int, subDim: Int, pqK: Int,
+      rows: Long = -1L): (DataFrame, DataFrame, DataFrame) = {
+    val m = buildModel(v, k, iters, numSub, subDim, pqK, rows)
     (m.assigned, m.coded, m.dtabs)
   }
 
@@ -353,8 +354,10 @@ object SemanticPq {
       numSub: Int = 16, subDim: Int = 4, pqK: Int = 64): DataFrame = {
     // k ≤ 0 → derive from corpus size (the SURVEY §5 lever as code;
     // resolves to 8 at the test SFs, n/4096 cells at scale)
-    val kk = if (k > 0) k else KMeans.adaptiveK(v.count())
-    val (assigned, coded, dtabs) = build(v, kk, iters, numSub, subDim, pqK)
+    val n = v.count()
+    val kk = if (k > 0) k else KMeans.adaptiveK(n)
+    val (assigned, coded, dtabs) =
+      build(v, kk, iters, numSub, subDim, pqK, rows = n)
     cardFrom(v, assigned, coded, dtabs, tau, margin, grid)
   }
 
@@ -401,8 +404,9 @@ object SemanticPq {
   def dedupSemanticPq(s: SparkSession, dir: String): DataFrame = {
     val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
       .select(col("vec_id"), col("e"), col("nrm"))
-    val kk = KMeans.adaptiveK(v.count())
-    val m = buildModel(v, kk, iters = 3, numSub = 16, subDim = 4, pqK = 64)
+    val n = v.count()
+    val m = buildModel(v, KMeans.adaptiveK(n), iters = 3,
+      numSub = 16, subDim = 4, pqK = 64, rows = n)
     graft.ops.VectorQueries.exportSide(
       m.cents.select(col("cluster"), col("ce"), col("cn")), SemPqCentsPath)
     graft.ops.VectorQueries.exportSide(m.cb, SemPqCbPath)
@@ -506,8 +510,9 @@ object SemanticPq {
       tau: Double = 0.35, margin: Double = 0.25): DataFrame = {
     val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
     val (standing, batch) = splitBatch(v)
-    val m = buildModel(standing, k = KMeans.adaptiveK(standing.count()),
-      iters = 3, numSub = 16, subDim = 4, pqK = 64)
+    val nStand = standing.count()
+    val m = buildModel(standing, k = KMeans.adaptiveK(nStand),
+      iters = 3, numSub = 16, subDim = 4, pqK = 64, rows = nStand)
     // SQL-checked since round 11: the frozen standing-corpus model
     // exports; the oracle re-derives BOTH sides' assignment/encode from
     // it (standing codes equal a re-encode by construction), replays
@@ -633,8 +638,9 @@ object SemanticPq {
     val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
       .select(col("vec_id"), col("e"), col("nrm"))
     if (!ArtifactStore.has(s, dir, "sempq_cents", "sempq_cb", "sempq_codes")) {
-      val m = buildModel(v, k = KMeans.adaptiveK(v.count()), iters = 3,
-        numSub, subDim, pqK = 64)
+      val n = v.count()
+      val m = buildModel(v, k = KMeans.adaptiveK(n), iters = 3,
+        numSub, subDim, pqK = 64, rows = n)
       ArtifactStore.save(m.cents, dir, "sempq_cents")
       ArtifactStore.save(m.cb, dir, "sempq_cb")
       ArtifactStore.save(

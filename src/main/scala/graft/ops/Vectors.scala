@@ -44,11 +44,39 @@ object Vectors {
     * this is used (sorted collect_lists, per-row argmax, min/avg
     * aggregates — the learned-state-as-data oracles already depend on
     * it), so this changes cost, never output. No-op on frames that are
-    * already spread (the 100 TB case: thousands of input splits). */
-  def ensureParallelism(v: DataFrame): DataFrame = {
-    val want = v.sparkSession.sparkContext.defaultParallelism
-    if (v.rdd.getNumPartitions * 2 >= want) v else v.repartition(want)
+    * already spread (the 100 TB case: thousands of input splits).
+    *
+    * ROW-AWARE (round 13): the first cut unconditionally fanned to
+    * defaultParallelism, which taxed every small-corpus iterative face
+    * with 32-task scheduling overhead per Lloyd round (the round-12
+    * driver sweep read the whole k-means family at 2.0–2.6× pin from
+    * this one mechanism). Callers that already know the corpus count
+    * (every adaptiveK site does) pass it, and the spread target
+    * becomes `min(defaultParallelism, ceil(rows / rowsPerTask))` — a
+    * 2k-row bench corpus fits in 4 tasks and never fans to 32, while
+    * the 512k build still lands on all cores (512k/512 ≫ 32).
+    * `rows < 0` (unknown) keeps the conservative full fan-out.
+    * Partition count is read off the physical plan's RDD
+    * (`queryExecution.toRdd`) — the cached plan later actions reuse —
+    * not `.rdd`, which builds a separate deserializer plan just to ask
+    * a number. */
+  def ensureParallelism(v: DataFrame, rows: Long = -1L,
+                        rowsPerTask: Long = RowsPerTask): DataFrame = {
+    val cores = v.sparkSession.sparkContext.defaultParallelism
+    val want =
+      if (rows < 0) cores
+      else math.min(cores.toLong,
+        math.max(1L, (rows + rowsPerTask - 1L) / rowsPerTask)).toInt
+    if (v.queryExecution.toRdd.getNumPartitions * 2 >= want) v
+    else v.repartition(want)
   }
+
+  /** Rows per task the row-aware [[ensureParallelism]] targets. 512
+    * matches [[KMeans.TargetCellSize]]'s measured small-work quantum:
+    * per-task scheduling overhead (~ms) stays under ~1% of a task that
+    * scores 512 × 64-dim vectors per Lloyd round, while any corpus
+    * past 16k rows (512·32) still spreads to every local core. */
+  val RowsPerTask: Long = 512L
 
   /** Corpus with `e` (double vector) and `nrm` columns added.
     * DEGENERATE vectors — null or zero-norm (a failed encoder's output,

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.ops.{Pipeline, Text}
 
@@ -41,10 +42,14 @@ object StreamingDocs {
     * (`dropDuplicatesWithinWatermark` on the content hash).
     *
     * The static side is the maintained index frame, not the corpus: at
-    * 100 TB the anti-join probes two key-only tables (re-planned each
-    * micro-batch, so a nightly index refresh is picked up without a
-    * restart), and state holds one hash per in-horizon arrival — never
-    * corpus history. The C36 MinHash-band probe stays in the nightly
+    * 100 TB the anti-join probes two key-only tables, and state holds
+    * one hash per in-horizon arrival — never corpus history. The index
+    * is FROZEN for the life of the query: a path-backed static frame
+    * binds its file listing at stream start (measured in
+    * StreamingSoakSpec — appended index files + refreshByPath do NOT
+    * land mid-run), so a nightly index refresh needs either a restart
+    * or [[dedupAgainstLiveIndex]], whose foreachBatch re-reads the
+    * index per micro-batch. The C36 MinHash-band probe stays in the nightly
     * batch sweep: its signature aggregation can't precede a stateful
     * dedup in an append stream, and that split — cheap exact probes
     * inline, banded probes nightly — is how production intake actually
@@ -72,9 +77,11 @@ object StreamingDocs {
     * bloom-positives (true duplicates plus the εN false-positive
     * margin) pay the exact fingerprint anti-join confirm, so the
     * admitted set is EXACTLY the plain stream-static anti-join's
-    * (blooms never false-negative; the confirm removes the FPs). Both
-    * static sides are re-planned per micro-batch: a nightly index
-    * rebuild and its refreshed bloom land live without a restart. At
+    * (blooms never false-negative; the confirm removes the FPs). The
+    * static sides are FROZEN at stream start like D11's (the file
+    * listing binds at analysis — StreamingSoakSpec measured it): a
+    * nightly index rebuild lands via restart or via
+    * [[dedupBloomLiveIndex]]'s per-micro-batch re-read. At
     * 100 TB the bloom is a few hundred MB of broadcast bits standing
     * in for billions of index keys — the difference between every
     * micro-batch paying a corpus-scale join and only its duplicate
@@ -104,6 +111,46 @@ object StreamingDocs {
           .join(standing.select(col("fp")).distinct(), Seq("fp"), "left_anti"))
   }
 
+  /** D11 with a LIVE standing index — the nightly-refresh cadence
+    * WITHOUT a restart. [[dedupAgainstStream]] binds its static side's
+    * file listing at query start, so refresh-without-restart requires
+    * per-micro-batch re-analysis: exactly what foreachBatch gives. The
+    * stateful half (watermark dedup on the content hash) stays in the
+    * streaming plan; the index anti-joins move into the batch closure
+    * over a FRESH read of `standingPath` each micro-batch. Reordering
+    * state-dedup before the anti-join admits the same set: an
+    * index-dup hash occupying dedup state can only suppress later
+    * arrivals of the same text, which the index rejects anyway.
+    * `sink` receives each micro-batch's admitted rows; the caller
+    * starts/owns the returned writer. */
+  def dedupAgainstLiveIndex(docs: DataFrame, standingPath: String,
+      tsCol: String, watermarkDelay: String = "1 hour")(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    docs
+      .withColumn("content_hash", Text.contentHash(col("text")))
+      .withColumn("fp", Text.fingerprint(col("text")))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        val standing = batch.sparkSession.read.parquet(standingPath)
+        sink(batch
+          .join(standing.select(col("h").as("content_hash")).distinct(),
+            Seq("content_hash"), "left_anti")
+          .join(standing.select(col("fp")).distinct(), Seq("fp"), "left_anti"))
+      }
+
+  /** D14 with a LIVE standing index: the bloom face is stateless, so
+    * the WHOLE probe moves into foreachBatch over a fresh index read —
+    * the bloom scalar, the negative fast-path and the positive confirm
+    * are per-micro-batch plans, so a rebuilt index (and its refreshed
+    * bloom) lands on the next batch. */
+  def dedupBloomLiveIndex(docs: DataFrame, standingPath: String,
+      estItems: Int = 1 << 20)(sink: DataFrame => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(dedupBloomStream(batch,
+        batch.sparkSession.read.parquet(standingPath), estItems))
+    }
+
   /** D13: streaming benchmark decontamination — the C23 contamination
     * gate run inline on the intake feed, so an eval-set leak is flagged
     * the moment the document arrives instead of at the nightly sweep.
@@ -116,9 +163,10 @@ object StreamingDocs {
     * streaming aggregation, no watermark, no state store. Occurrence
     * semantics match the batch face exactly: each shingle OCCURRENCE
     * that appears in the benchmark counts one hit (the C23 join counts
-    * occurrence rows against the distinct bench side). The static side
-    * is re-planned per micro-batch, so a benchmark refresh is picked up
-    * without a restart. */
+    * occurrence rows against the distinct bench side). The benchmark set is
+    * frozen at stream start (the static-side rule above); eval suites
+    * change on release cadence, so restart-to-refresh is the honest
+    * posture here. */
   def decontaminateStream(docs: DataFrame, benchNgrams: DataFrame,
                           minHits: Int = 3): DataFrame = {
     val benchSet = benchNgrams
@@ -167,13 +215,18 @@ object StreamingDocs {
       .collect()(0).getAs[Array[Byte]](0)
     // EMPTY standing window set (first deploy): nothing can be recycled
     // FROM, so every arrival reads 0 bp — same first-intake posture as
-    // dedupBloomStream's null-bloom guard, same output schema as the
-    // indexed path (round-12 degenerate sweep)
+    // dedupBloomStream's null-bloom guard, same output schema AND null
+    // semantics as the indexed path (round-12 degenerate sweep): a
+    // null-text arrival reads null total_tokens there (ANSI size(null)),
+    // recycled_tokens 0 (empty-array fold), and null recycled_bp (the
+    // div's null propagation) — so recycled_bp gates on total_tokens
+    // being non-null instead of a bare literal.
     if (bloomBytes == null)
       return docs
         .withColumn("total_tokens", size(Text.tokens(col("text"))))
         .withColumn("recycled_tokens", lit(0))
-        .withColumn("recycled_bp", lit(0L))
+        .withColumn("recycled_bp",
+          when(col("total_tokens").isNotNull, lit(0L)))
     def mightContain(b: Column, v: Column): Column =
       org.apache.spark.sql.GraftBridge.column(
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.ops.{SemanticPq, Vectors}
 
@@ -15,9 +16,12 @@ import graft.ops.{SemanticPq, Vectors}
   * assignment, residual coding, quantization error, and the SDC gate
   * are ONE narrow stateless projection per arriving vector (the D19
   * posture: model fixed at start, refresh = restart). The corpus-scale
-  * pieces stay FRAMES: stream-static joins re-planned per micro-batch,
-  * so a nightly index refresh is picked up without a restart (the D11
-  * trade, the opposite of the literal model).
+  * pieces stay FRAMES — stream-static joins — but like every
+  * path-backed static side their file listing binds at stream start
+  * (StreamingSoakSpec measured it), so the standing index/corpus are
+  * ALSO frozen for the life of the query; the refresh-without-restart
+  * cadence is [[nearDupLiveIndex]], whose foreachBatch re-reads the
+  * index tables per micro-batch.
   */
 object StreamingVectors {
 
@@ -66,6 +70,31 @@ object StreamingVectors {
       .select(col("vec_id"), col(tsCol))
       .dropDuplicatesWithinWatermark("vec_id")
   }
+
+  /** D20 with a LIVE standing index — the nightly-refresh cadence
+    * without a restart, and the appendVecIndex cadence landing between
+    * batches. State (watermark dedup, now keyed on EVERY in-horizon
+    * arrival, flagged or not) stays in the streaming plan; the probe —
+    * assignment, SDC gate, exact confirm — moves into foreachBatch over
+    * a fresh read of the [[graft.ops.IncrementalIndex]] tables at
+    * `indexRoot` and the cold corpus at `corpusPath`. Because the probe
+    * runs as a BATCH plan it can afford the aggregation the inline
+    * stream face forgoes: `sink` receives the full
+    * (vec_id, n_near, best_cos) probe card per micro-batch. */
+  def nearDupLiveIndex(vecs: DataFrame, indexRoot: String,
+      corpusPath: String, tsCol: String,
+      tau: Double = 0.35, margin: Double = 0.25,
+      watermarkDelay: String = "1 hour")(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    vecs
+      .where(col("nrm").isNotNull && col("nrm") > 0)
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("vec_id")
+      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        sink(graft.ops.IncrementalIndex.probeVecs(s, indexRoot,
+          batch, s.read.parquet(corpusPath), tau, margin))
+      }
 
   /** D22: SEMANTIC decontamination at INTAKE — C83's embedding-space
     * eval-leakage gate turned to face the corpus side: flag each

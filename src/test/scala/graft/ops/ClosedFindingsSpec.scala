@@ -156,4 +156,62 @@ class ClosedFindingsSpec extends SparkSpec {
     val seg = UnigramLm.driverViterbi("internet", trained.model.logp, 2)
     assert(seg.nonEmpty && seg.forall(_.length <= 2), s"viterbi pieces: $seg")
   }
+
+  // ---- round-12 ADVICE findings, closed in round 13 ------------------
+
+  test("TopKByScore: NaN scores rank GREATEST, like the window spelling") {
+    // Inf/Inf cosines on overflowing vectors produce NaN scores; Spark's
+    // double ordering (row_number over score DESC) sorts NaN FIRST. The
+    // original primitive > comparator silently ranked NaN LAST.
+    val df = Seq((1L, 1.0), (2L, Double.NaN), (3L, 2.0), (4L, 0.5))
+      .toDF("id", "score")
+    val agg = df.agg(graft.functions.TopKByScore(col("id"), col("score"), 2)
+        .as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.id")).as[Long].collect().toSeq
+    val win = df.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("id"))))
+      .where(col("rn") <= 2).orderBy(col("rn"))
+      .select(col("id")).as[Long].collect().toSeq
+    assert(win.head == 2L, s"precondition: Spark ranks NaN first, got $win")
+    assert(agg == win, s"aggregate $agg must equal window spelling $win")
+  }
+
+  test("simSearchLshCached: a stale stored operating point rebuilds in place") {
+    val saved = ArtifactStore.rootOverride
+    ArtifactStore.rootOverride = Some(tmpDir("lsh_stale_store"))
+    try {
+      val fresh = VectorQueries.simSearchLshCached(spark, sfDir).collect().toSeq
+      // corrupt the stored point to one the adaptive rule would never
+      // pick for this corpus size (as if the corpus had shrunk across
+      // the threshold since the artifact was banded)
+      import spark.implicits._
+      ArtifactStore.save(Seq((7, 1)).toDF("bits", "radius"), sfDir, "lsh_meta")
+      val served = VectorQueries.simSearchLshCached(spark, sfDir).collect().toSeq
+      assert(served == fresh,
+        "stale meta must trigger a rebuild, not a band-mismatched serve")
+      val m = ArtifactStore.load(spark, sfDir, "lsh_meta").head()
+      assert(m.getAs[Int]("bits") == Vectors.adaptiveLshBits(500L))
+    } finally ArtifactStore.rootOverride = saved
+  }
+
+  test("spanRecycleStream: empty-index guard matches the indexed path on null text") {
+    import graft.streaming.StreamingDocs
+    val docs = Seq((1L, "a b c d e f g h i j"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    def rows(standing: DataFrame) =
+      StreamingDocs.spanRecycleStream(docs, standing)
+        .select(col("doc_id"), col("total_tokens"), col("recycled_tokens"),
+          col("recycled_bp"))
+        .orderBy(col("doc_id")).collect().toSeq
+    val guard = rows(Seq.empty[String].toDF("h"))          // null bloom
+    val indexed = rows(Seq("no-such-window-hash").toDF("h")) // real bloom, 0 hits
+    assert(guard == indexed,
+      s"guard $guard must agree with indexed path $indexed on degenerate arrivals")
+    // and the null-text arrival propagates nulls, never a fake 0 bp
+    val nullDoc = guard.find(_.getLong(0) == 2L).get
+    assert(nullDoc.isNullAt(1) && nullDoc.isNullAt(3),
+      s"null text must read null total_tokens/recycled_bp: $nullDoc")
+  }
 }

@@ -87,16 +87,21 @@ class StreamingDegenerateSpec extends SparkSpec {
     }
   }
 
-  test("spanRecycleStream: an EMPTY standing window set reads 0 bp for every arrival") {
+  test("spanRecycleStream: an EMPTY standing window set reads 0 bp per tokenized arrival") {
+    // round-12 ADVICE: the guard must mirror the INDEXED path's null
+    // semantics — a null-text arrival reads null total_tokens (ANSI
+    // size(null)) and null recycled_bp, never a fabricated 0
     val docs = Seq(
       (1L, "one two three four five six seven eight nine ten"),
       (2L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
     val noWins = Seq.empty[Tuple1[String]].toDF("h")
     val got = StreamingDocs.spanRecycleStream(docs, noWins)
-      .select("doc_id", "recycled_bp").as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 0L, 2L -> 0L),
-      s"nothing can be recycled from an empty index: $got")
+      .select("doc_id", "recycled_bp").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got == Map(1L -> Some(0L), 2L -> None),
+      s"empty index: 0 bp for tokenized text, null for null text: $got")
   }
 
   test("DSIR: an EMPTY fit corpus gives the neutral model; null-text arrivals keep rows") {
