@@ -245,10 +245,13 @@ object VectorQueries {
     * AND the exact ANSWER itself is Θ(n²) rows (P(cos≥0.35)≈0.26% on
     * isotropic 64-dim — 26 pairs at n=500 scaling to ~34M at 512k), so
     * every exact face is output-bound quadratic regardless of blocking.
-    * The knee is set where the measured candidate throughput
-    * (~43M pairs/s at local[32], the round-12 512k reading) prices the
-    * exact face at ~60 s — past it, exactness at τ below the corpus's
-    * random-similarity floor buys noise, not dedup. */
+    * The knee is from measured walls (round 13, local[32], min-of-3):
+    * the exact face reads 4.07 s at 64k (≈4.1×10⁸ candidates — ~100M
+    * pairs/s), quadratic in n, so ~22 s at 150k and ~260 s at 512k;
+    * the clustered branch reads 35.1 s at 512k and is k-means-dominated
+    * (~linear). The crossover sits near ~110k; 150k gives the exact
+    * face the benefit of the doubt — past it, exactness at τ below the
+    * corpus's random-similarity floor buys noise, not dedup. */
   val DedupLshKnee: Long = 150000L
 
   /** C5b: the AUTOMATIC hand-over face for embedding near-dup pairs —
