@@ -922,8 +922,15 @@ object VectorQueries {
     * on the (sampled) query set, as a CARD rather than a test assertion,
     * so index degradation (drifted data quantizing badly, an unlucky
     * plane set, a stale codebook) is an operational number, not a CI
-    * surprise. Per (method ∈ lsh/ivf/pq/sq8/graph × query): ground-truth
-    * size, hits (approximate ∩ exact), integer-bp recall@10.
+    * surprise. Per (method ∈ lsh/ivf/pq/sq8/graph/adaptive × query):
+    * ground-truth size, hits (approximate ∩ exact), integer-bp
+    * recall@10. `adaptive` joined the ladder in round 13 AFTER the
+    * vec4M decade found its recall had silently collapsed at scale
+    * (0.08 at 512k, 0.00 at 4M — fixed prefix/shortlist) precisely
+    * because it was the one serve face the audit never covered: a
+    * face can be gate-green (its oracle replays the algorithm) and
+    * cost-flat while returning garbage — only a recall audit catches
+    * that class.
     *
     * Plan shape: each method's own (documented) plan runs once; the
     * audit overlay is joins over query-set-sized frames — at 100 TB the
@@ -953,7 +960,8 @@ object VectorQueries {
       "ivf" -> simSearchIvfInline(s, dir),
       "pq" -> ProductQuant.simSearchPqInline(s, dir),
       "sq8" -> ScalarQuant.simSearchSq8(s, dir),
-      "graph" -> GraphAnn.simSearchGraphCached(s, dir)))
+      "graph" -> GraphAnn.simSearchGraphCached(s, dir),
+      "adaptive" -> simSearchAdaptive(s, dir)))
 
   /** C87a: the audit against the PERSISTED serve indexes (IVF-PQ and
     * OPQ ArtifactStore tables) — "are the artifacts we actually serve
@@ -1022,7 +1030,8 @@ object VectorQueries {
        |ORDER BY mm.method, ek.query_id""".stripMargin
 
   val annRecallAuditOracle: String =
-    recallAuditOracle(AuditListsPath, Seq("lsh", "ivf", "pq", "sq8", "graph"))
+    recallAuditOracle(AuditListsPath,
+      Seq("lsh", "ivf", "pq", "sq8", "graph", "adaptive"))
   val annRecallAuditCachedOracle: String =
     recallAuditOracle(AuditCachedListsPath, Seq("ivfpq", "opq", "graph"))
 

@@ -12,7 +12,7 @@ class AnnAuditSpec extends SparkSpec {
       .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
     val got = VectorQueries.annRecallAudit(spark, sfDir).collect()
     assert(got.map(_.getAs[String]("method")).distinct.sorted.toSeq ==
-      Seq("graph", "ivf", "lsh", "pq", "sq8"))
+      Seq("adaptive", "graph", "ivf", "lsh", "pq", "sq8"))
     // every (method, query) row present, arithmetic exact
     got.foreach { r =>
       val q = r.getAs[Long]("query_id")
@@ -21,7 +21,7 @@ class AnnAuditSpec extends SparkSpec {
       assert(hits >= 0L && hits <= r.getAs[Long]("exact_k"))
       assert(r.getAs[Long]("recall_bp") == hits * 10000 / r.getAs[Long]("exact_k"))
     }
-    assert(got.length == 5 * exact.size)
+    assert(got.length == 6 * exact.size) // 6 methods x 5 queries
     // one independent recount: lsh hits really are the set overlap
     val lsh = VectorQueries.simSearchLsh(spark, sfDir)
       .select("query_id", "vec_id").as[(Long, Long)].collect()
@@ -43,6 +43,10 @@ class AnnAuditSpec extends SparkSpec {
       s"quantized-rescore methods must stay strong: $mean")
     assert(mean("graph") >= 5000L,
       s"graph traversal rescores exact cosines — must stay strong: $mean")
+    // adaptive's 16-dim-prefix shortlist is strong at gate scale (its
+    // measured collapse starts past ~10^5 vectors — BASELINE round-13)
+    assert(mean("adaptive") >= 5000L,
+      s"adaptive must stay strong at gate scale: $mean")
   }
 
   test("serve-shaped graph audit rows == the inline trainer's overlap (round-11 re-shape)") {
