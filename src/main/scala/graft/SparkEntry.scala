@@ -2238,4 +2238,16 @@ pieces AS (
 tot AS (SELECT sum(cnt)::BIGINT AS t FROM pieces)
 SELECT piece, cnt AS count, (cnt * 10000 // t)::BIGINT AS share_bp
 FROM pieces, tot ORDER BY cnt DESC, piece LIMIT 30"""
+
+  /** Verify-gate ROUTE assertions for the knee-routed faces (round-13
+    * ADVICE): each of these registers the oracle of its BELOW-KNEE
+    * branch in [[oracleSql]], valid only while the verified corpus
+    * stays below the knee. Verify runs the matching check before
+    * dumping the face, so an above-knee gate corpus fails with an
+    * explicit routing message instead of an opaque row-diff. */
+  def oracleRouteChecks: Map[String, (SparkSession, String) => Unit] = Map(
+    "dedup_embedding_auto" -> ((s: SparkSession, d: String) =>
+      graft.ops.VectorQueries.requireBelowKnee(s, d,
+        graft.ops.VectorQueries.DedupLshKnee,
+        "dedup_embedding_auto", "exact LSH-blocked")))
 }

@@ -30,9 +30,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        // knee-routed faces: fail with a ROUTING message when the gate
+        // corpus would take the branch the registered oracle does not
+        // replay (round-13 ADVICE), instead of an opaque row-diff
+        SparkEntry.oracleRouteChecks.get(name).foreach(_(spark, sfDir))
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -213,7 +213,7 @@ object IncrementalIndex {
   }
 
   /** Append an admitted batch: band it at the STORED width (same
-    * seeds → same buckets as a rebuild) and bump the corpus count in
+    * seeds → same buckets as a rebuild) and refresh the corpus count in
     * `lmeta`. Returns false when the grown corpus crosses the adaptive
     * rule's threshold — the stored width no longer matches
     * [[Vectors.adaptiveLshBits]] of the new count, so serving would
@@ -221,14 +221,26 @@ object IncrementalIndex {
     * the caller must [[writeLshIndex]]-rebuild over the full corpus
     * before the next serve. Appending first is still correct: the
     * banded rows written are exactly the rebuild's rows for this batch
-    * at the OLD width, and the rebuild overwrites everything. */
+    * at the OLD width, and the rebuild overwrites everything.
+    *
+    * RETRY SEMANTICS (round-13 ADVICE): the two writes cannot be
+    * atomic, so `n` is DERIVED from the banded table itself
+    * (count(DISTINCT vec_id)) rather than bumped from the stored
+    * counter. A crash between the append and the meta overwrite
+    * self-heals on the next append's recount, and a RETRIED append is
+    * idempotent for the staleness decision: its duplicate banded rows
+    * collapse in the distinct count (and are harmless to serves, which
+    * dedup candidates per (query, vec) — [[VectorQueries.lshServe]]).
+    * The staleness rule therefore always prices the table as it
+    * actually is, never a counter that drifted from it. */
   def appendLshIndex(s: SparkSession, root: String, batch: DataFrame): Boolean = {
     import s.implicits._
     val meta = s.read.parquet(s"$root/lmeta").head()
     val bits = meta.getAs[Int]("bits")
     VectorQueries.lshBand(batch, meta.getAs[Int]("tables"), bits)
       .write.mode("append").parquet(s"$root/lbanded")
-    val n = meta.getAs[Long]("n") + batch.count()
+    val n = s.read.parquet(s"$root/lbanded")
+      .agg(countDistinct(col("vec_id"))).head.getLong(0)
     Seq((bits, meta.getAs[Int]("radius"), n, meta.getAs[Int]("tables")))
       .toDF("bits", "radius", "n", "tables")
       .write.mode("overwrite").parquet(s"$root/lmeta")

@@ -254,6 +254,24 @@ object VectorQueries {
     * corpus's random-similarity floor buys noise, not dedup. */
   val DedupLshKnee: Long = 150000L
 
+  /** Routing assertion for the knee-routed faces' VERIFY runs
+    * (round-13 ADVICE): a knee-routed face registers the oracle of its
+    * BELOW-KNEE branch, which silently stops being the right replay the
+    * moment a gate/scale corpus crosses the knee — the face would route
+    * to the other branch and fail as an opaque row-diff. Verify calls
+    * this (via SparkEntry.oracleRouteChecks) before dumping such a
+    * face, so an above-knee corpus fails with an explicit routing
+    * message instead. The count is the same [[Vectors.withNorm]]
+    * corpus count the face itself routes on. */
+  private[graft] def requireBelowKnee(s: SparkSession, dir: String,
+      knee: Long, face: String, branch: String): Unit = {
+    val n = emb(s, dir).count()
+    require(n <= knee,
+      s"$face routes to its above-knee branch at corpus n=$n > knee=$knee; " +
+        s"its registered oracle replays the $branch branch only — " +
+        "re-adjudicate the oracle before verifying above the knee")
+  }
+
   /** C5b: the AUTOMATIC hand-over face for embedding near-dup pairs —
     * the round-12 verdict's one `weak` mark closed as code, the
     * [[graft.ops.Cluster.connectedComponentsAuto]] posture transposed.
@@ -483,8 +501,25 @@ object VectorQueries {
       val m = ArtifactStore.load(s, dir, "lsh_meta").head()
       m.getAs[Int]("bits") != wantBits || m.getAs[Int]("radius") != wantRadius
     }
-    if (stale || !ArtifactStore.has(s, dir, "lsh_banded", "lsh_meta")) {
-      ArtifactStore.save(lshBand(vLive, 4, wantBits), dir, "lsh_banded")
+    // torn-save detection (round-13 ADVICE): meta alone cannot vouch
+    // for the banded artifact — the two saves are not atomic, so a
+    // crash between them (in either order) can leave a pair whose
+    // widths DISAGREE while meta still matches the adaptive rule
+    // (e.g. banded rewritten at a new width, meta save failed, corpus
+    // later shrinks back across the threshold). The banded table
+    // therefore carries its own `bits` column, and the serve
+    // cross-checks one sampled row against meta before trusting the
+    // pair; any disagreement — or a pre-width-column artifact —
+    // rebuilds in place (self-healing, like the rule check above).
+    val torn = !stale && ArtifactStore.has(s, dir, "lsh_banded", "lsh_meta") && {
+      val banded = ArtifactStore.load(s, dir, "lsh_banded")
+      !banded.columns.contains("bits") ||
+        banded.select(col("bits")).limit(1).collect()
+          .exists(_.getInt(0) != wantBits)
+    }
+    if (stale || torn || !ArtifactStore.has(s, dir, "lsh_banded", "lsh_meta")) {
+      ArtifactStore.save(lshBand(vLive, 4, wantBits)
+        .withColumn("bits", lit(wantBits)), dir, "lsh_banded")
       ArtifactStore.save(Seq((wantBits, wantRadius)).toDF("bits", "radius"),
         dir, "lsh_meta")
     }

@@ -80,7 +80,23 @@ object StreamingVectors {
     * `indexRoot` and the cold corpus at `corpusPath`. Because the probe
     * runs as a BATCH plan it can afford the aggregation the inline
     * stream face forgoes: `sink` receives the full
-    * (vec_id, n_near, best_cos) probe card per micro-batch. */
+    * (vec_id, n_near, best_cos) probe card per micro-batch.
+    *
+    * REFRESH VISIBILITY for RE-ARRIVALS (round-13 ADVICE, pinned
+    * intended): the watermark dedup sits BEFORE the probe, so a vector
+    * re-sent while its key is still inside the watermark horizon is
+    * suppressed by dedup state and does NOT re-probe — an index refresh
+    * landing mid-run becomes visible to re-arrivals only after their
+    * keys age out of the horizon (NEW vec_ids see the refreshed index
+    * on their very next batch, which is the claim that distinguishes
+    * this face from the frozen stream-static spelling). This is the
+    * deliberate trade: dedup-first keeps the per-batch probe bounded by
+    * distinct arrivals — dedup-after-probe would re-pay the probe for
+    * every duplicate delivery of a hot key, the exact amplification an
+    * at-least-once feed produces. [[graft.streaming]] soak coverage
+    * pins both sides: in-horizon re-sends stay suppressed, post-horizon
+    * re-sends probe the refreshed index
+    * (StreamingVectorsSpec). */
   def nearDupLiveIndex(vecs: DataFrame, indexRoot: String,
       corpusPath: String, tsCol: String,
       tau: Double = 0.35, margin: Double = 0.25,

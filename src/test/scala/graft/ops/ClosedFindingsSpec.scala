@@ -196,6 +196,69 @@ class ClosedFindingsSpec extends SparkSpec {
     } finally ArtifactStore.rootOverride = saved
   }
 
+  // ---- round-13 ADVICE findings, closed in round 14 ------------------
+
+  test("appendLshIndex: a RETRIED append cannot drift the staleness counter") {
+    val emb = Vectors.withNorm(
+      graft.sources.Tables(spark, sfDir, "embeddings"), "embedding")
+    val standing = emb.where(col("vec_id") < 300)
+    val batch = emb.where(col("vec_id") >= 300)
+
+    val root = tmpDir("lshidx_retry")
+    IncrementalIndex.writeLshIndex(root, standing)
+    assert(IncrementalIndex.appendLshIndex(spark, root, batch))
+    // the at-least-once retry: the SAME batch appends again (a crash
+    // after the banded write, before meta, replays the whole call)
+    assert(IncrementalIndex.appendLshIndex(spark, root, batch))
+    val meta = spark.read.parquet(s"$root/lmeta").head()
+    assert(meta.getAs[Long]("n") == emb.count(),
+      s"n must be recounted from the table (distinct vec_ids), got $meta")
+    // and the duplicate banded rows are invisible to a serve
+    val rootClean = tmpDir("lshidx_clean")
+    IncrementalIndex.writeLshIndex(rootClean, emb)
+    val served = IncrementalIndex.serveLsh(spark, root, emb).collect().toSeq
+    val clean = IncrementalIndex.serveLsh(spark, rootClean, emb).collect().toSeq
+    assert(served.nonEmpty && served == clean,
+      "retried append's duplicate rows must not change serve results")
+  }
+
+  test("simSearchLshCached: a TORN save (banded width != meta) rebuilds in place") {
+    val saved = ArtifactStore.rootOverride
+    ArtifactStore.rootOverride = Some(tmpDir("lsh_torn_store"))
+    try {
+      val fresh = VectorQueries.simSearchLshCached(spark, sfDir).collect().toSeq
+      // simulate the torn save the round-13 ADVICE describes: the
+      // banded artifact rewritten at a different width while meta still
+      // matches the adaptive rule for this corpus (bits=6, radius=0)
+      val emb = Vectors.withNorm(
+        graft.sources.Tables(spark, sfDir, "embeddings"), "embedding")
+      ArtifactStore.save(VectorQueries.lshBand(emb, 4, 7)
+        .withColumn("bits", lit(7)), sfDir, "lsh_banded")
+      val served = VectorQueries.simSearchLshCached(spark, sfDir).collect().toSeq
+      assert(served == fresh,
+        "width disagreement between banded and meta must rebuild, not serve")
+      // and a pre-width-column artifact (no `bits` column) also rebuilds
+      ArtifactStore.save(VectorQueries.lshBand(emb, 4, 6), sfDir, "lsh_banded")
+      val served2 = VectorQueries.simSearchLshCached(spark, sfDir).collect().toSeq
+      assert(served2 == fresh, "legacy banded artifact must trigger a rebuild")
+    } finally ArtifactStore.rootOverride = saved
+  }
+
+  test("knee-routed faces: Verify asserts the route with a routing message") {
+    // below the knee: the check is silent (the gate regime)
+    VectorQueries.requireBelowKnee(spark, sfDir,
+      VectorQueries.DedupLshKnee, "dedup_embedding_auto", "exact LSH-blocked")
+    // above the knee: an explicit routing message, never a row-diff
+    val e = intercept[IllegalArgumentException] {
+      VectorQueries.requireBelowKnee(spark, sfDir, 1L,
+        "dedup_embedding_auto", "exact LSH-blocked")
+    }
+    assert(e.getMessage.contains("routes to its above-knee branch") &&
+      e.getMessage.contains("dedup_embedding_auto"), e.getMessage)
+    // and the map Verify consults actually carries the knee-routed faces
+    assert(graft.SparkEntry.oracleRouteChecks.contains("dedup_embedding_auto"))
+  }
+
   test("spanRecycleStream: empty-index guard matches the indexed path on null text") {
     import graft.streaming.StreamingDocs
     val docs = Seq((1L, "a b c d e f g h i j"), (2L, null.asInstanceOf[String]))

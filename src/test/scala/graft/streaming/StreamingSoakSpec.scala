@@ -246,4 +246,71 @@ class StreamingSoakSpec extends SparkSpec {
         s"state must decline once arrivals age out: $stateRows")
     } finally q.stop()
   }
+
+  test("D20: an IN-horizon re-send after a mid-run refresh stays suppressed " +
+      "(horizon-delayed visibility, pinned intended)") {
+    // the round-13 ADVICE observation on nearDupLiveIndex: dedup state
+    // sits BEFORE the probe, so a vector re-sent while its key is still
+    // inside the watermark horizon does not re-probe even if the index
+    // refreshed in between — visibility for RE-ARRIVALS is delayed by
+    // the horizon; NEW keys see the refresh on their next batch. This
+    // pins both halves of that documented contract.
+    val emb = Vectors.withNorm(
+      graft.sources.Tables(spark, sfDir, "embeddings"), "embedding")
+      .select(col("vec_id"), col("e"), col("nrm"))
+    val corpusDir = tmpDir("soak_d20h_corpus")
+    val root = tmpDir("soak_d20h_index")
+    val standing0 = emb.where(col("vec_id") < 400)
+    standing0.write.mode("overwrite").parquet(corpusDir)
+    IncrementalIndex.writeVecIndex(root, standing0)
+
+    val arrivals = emb.where(col("vec_id") >= 400)
+      .as[(Long, Seq[Double], Double)].collect().sortBy(_._1)
+    val preFlagged = IncrementalIndex.probeVecs(spark, root,
+        emb.where(col("vec_id") >= 400), standing0)
+      .select("vec_id").as[Long].collect().toSet
+    // X: an arrival the pre-refresh index does NOT flag; its own vector
+    // joins the index mid-run, so whether a re-send flags is purely a
+    // question of refresh visibility
+    val x = arrivals.map(_._1).filterNot(preFlagged).head
+    val (_, xe, xn) = arrivals.find(_._1 == x).get
+
+    val flagged = mutable.ArrayBuffer.empty[Long]
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Double], Double, Timestamp)]
+    val q = StreamingVectors.nearDupLiveIndex(
+        stream.toDF().toDF("vec_id", "e", "nrm", "ts"),
+        root, corpusDir, "ts") { b =>
+        flagged.synchronized {
+          flagged ++= b.select("vec_id").as[Long].collect()
+        }
+      }
+      .option("checkpointLocation", tmpDir("soak_d20h_ckpt"))
+      .start()
+    try {
+      def send(rows: (Long, Seq[Double], Double, Timestamp)*): Unit = {
+        stream.addData(rows.toIndexedSeq); q.processAllAvailable()
+      }
+      send((x, xe, xn, ts(0)))                  // batch 0: X arrives, no flag
+      assert(flagged.synchronized(!flagged.contains(x)),
+        "precondition: X must not flag against the pre-refresh index")
+      // MID-RUN REFRESH: X's own vector joins index + corpus
+      val grow = emb.where(col("vec_id") === x)
+      IncrementalIndex.appendVecIndex(spark, root, grow)
+      grow.write.mode("append").parquet(corpusDir)
+      send((x, xe, xn, ts(10)))                 // IN-horizon re-send (10 min)
+      assert(flagged.synchronized(!flagged.contains(x)),
+        "in-horizon re-send must stay suppressed by dedup state " +
+          "(the documented horizon-delayed visibility)")
+      // spacer batches advance the watermark past X's last event time
+      val spacers = arrivals.filterNot(a => a._1 == x).take(4)
+      spacers.zipWithIndex.foreach { case ((id, e, n), i) =>
+        send((id, e, n, ts(30L + i * 30L)))
+      }
+      send((x, xe, xn, ts(180)))                // post-horizon re-send
+      assert(flagged.synchronized(flagged.count(_ == x) == 1),
+        s"post-horizon re-send must probe the refreshed index and flag X " +
+          s"exactly once: ${flagged.synchronized(flagged.toSeq)}")
+    } finally q.stop()
+  }
 }
