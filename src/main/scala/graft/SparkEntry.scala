@@ -263,6 +263,11 @@ object SparkEntry {
     "knn_graph" -> (VectorQueries.knnGraph _),
     "sim_search_lsh" -> (VectorQueries.simSearchLsh _),
     "sim_search_lsh_cached" -> (VectorQueries.simSearchLshCached _),
+    // C7b: knee-routed hand-over — the artifact-backed LSH serve below
+    // LshServeKnee (all gate SFs), the exact scan past it (measured
+    // cheaper AND recall-1.0 at 4M; BASELINE r13 envelope)
+    "sim_search_lsh_auto" -> ((s: SparkSession, d: String) =>
+      VectorQueries.simSearchLshAuto(s, d)),
     // SQL-checked since round 11: the centroid table exported as data; the
     // oracle replays assignment/probes/rescore/rank from it
     "sim_search_ivf" -> (VectorQueries.simSearchIvf _),
@@ -1768,6 +1773,9 @@ object SparkEntry {
     // serve face: same oracle by contract — the persisted banding is
     // deterministic data, so warm results equal the inline build's
     "sim_search_lsh_cached" -> VectorQueries.simSearchLshOracle,
+    // gate SFs sit below LshServeKnee, where the auto face IS the
+    // cached serve (Verify asserts the route)
+    "sim_search_lsh_auto" -> VectorQueries.simSearchLshOracle,
     "dedup_embedding_lsh" -> VectorQueries.dedupEmbeddingLshOracle,
     // gate SFs sit below the knee, where the auto face IS the exact face
     "dedup_embedding_auto" -> VectorQueries.dedupEmbeddingLshOracle,
@@ -2249,5 +2257,13 @@ FROM pieces, tot ORDER BY cnt DESC, piece LIMIT 30"""
     "dedup_embedding_auto" -> ((s: SparkSession, d: String) =>
       graft.ops.VectorQueries.requireBelowKnee(s, d,
         graft.ops.VectorQueries.DedupLshKnee,
-        "dedup_embedding_auto", "exact LSH-blocked")))
+        "dedup_embedding_auto", "exact LSH-blocked")),
+    "sim_search_adaptive" -> ((s: SparkSession, d: String) =>
+      graft.ops.VectorQueries.requireBelowKnee(s, d,
+        graft.ops.VectorQueries.AdaptiveFunnelKnee,
+        "sim_search_adaptive", "prefix-funnel")),
+    "sim_search_lsh_auto" -> ((s: SparkSession, d: String) =>
+      graft.ops.VectorQueries.requireBelowKnee(s, d,
+        graft.ops.VectorQueries.LshServeKnee,
+        "sim_search_lsh_auto", "artifact-backed LSH serve")))
 }
