@@ -69,6 +69,25 @@ object GraphAnn {
   /** Degree-R kNN adjacency + per-cell medoid entry points over
     * `v` = (vec_id, e, nrm). */
   def buildGraph(v0: DataFrame, degree: Int = Degree): (DataFrame, DataFrame) = {
+    // The per-(cell, src) TopKByScore fold is a TypedImperativeAggregate
+    // and plans as ObjectHashAggregate, whose partial stage falls back
+    // to SORT-BASED aggregation after a mere 128 distinct keys
+    // (spark.sql.objectHashAggregate.sortBased.fallbackThreshold's
+    // default). This stream holds ~n·probes/partitions keys per task,
+    // so at scale the partial stage ALWAYS fell back — externally
+    // sorting the Σcell² pair stream, the exact full-stream
+    // materialization the distributive fold exists to avoid. Measured
+    // at 512k vectors (round-13 envelope): the sort fallback dies of
+    // UNABLE_TO_ACQUIRE_MEMORY at the 8 GB bench heap and prices the
+    // 48 GB build at 776 s of spill. The fold's state is tiny (≤ degree
+    // (id, score) structs per key), so the hash map is the right plan
+    // at any realistic keys-per-partition; 2^20 keys bounds the map at
+    // ~300 MB/task worst-case (ordinary executor sizing) while covering
+    // the measured regimes (48k keys/task at 512k, 375k at 4M,
+    // local[32]). Session-level set: the frames returned here execute
+    // lazily in the caller, after this method returns.
+    v0.sparkSession.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 1 << 20)
     // see Vectors.ensureParallelism: the multi-assign and within-cell
     // pair stages below replay the corpus several times
     val n = v0.count()

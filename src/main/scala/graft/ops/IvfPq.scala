@@ -35,16 +35,20 @@ import graft.sources.Tables
   */
 object IvfPq {
 
-  /** Corpus → (cluster, centroid arrays, residual frame). */
+  /** Corpus → (cluster, centroid arrays, residual frame). The assigned
+    * centroid attaches via a BROADCAST HASH JOIN on the cluster id —
+    * shuffle-free like the argmax, but without rebuilding a k-entry
+    * map per corpus row (the measured hot allocation of the C76 build;
+    * the query-side ADC tables below keep the map spelling, which is
+    * query-set-sized). */
   private def residuals(v: DataFrame, cents: DataFrame): DataFrame = {
     val centsArr = cents.agg(array_sort(collect_list(
       struct(col("cluster"), col("ce"), col("cn")))).as("cents"))
     v.crossJoin(broadcast(centsArr))
       .withColumn("cluster",
         graft.functions.NearestCentroids(col("e"), col("cents"), 1).getItem(0))
-      .withColumn("ce", element_at(
-        map_from_entries(transform(col("cents"),
-          c => struct(c.getField("cluster"), c.getField("ce")))), col("cluster")))
+      .drop("cents")
+      .join(broadcast(cents.select(col("cluster"), col("ce"))), Seq("cluster"))
       .select(col("vec_id"), col("cluster"), col("e"), col("nrm"),
         zip_with(col("e"), col("ce"), (x, y) => x - y).as("r"))
   }
@@ -60,17 +64,39 @@ object IvfPq {
 
   /** Index build: coarse centroids, shared residual codebook, postings
     * (vec_id, codes, cluster). One KMeans pass + one PQ train/encode
-    * pass over residuals. */
-  private def buildIndex(s: SparkSession, unit: DataFrame,
-      numSub: Int, subDim: Int, k: Int): (DataFrame, DataFrame, DataFrame) = {
+    * pass over residuals.
+    *
+    * SAMPLE-TRAIN / ENCODE-ALL since round 14 (round-13 verdict item
+    * 3): both fits train on [[Vectors.trainSample]] (bit-identical
+    * below the ~2^17-row cap — every gate SF and the 64k decade), and
+    * the coarse cell count is bounded by what the sample supports
+    * (adaptiveK of the sample). This is exactly FAISS's documented
+    * practice for IVF-PQ at corpus scale and what turned the 4M build
+    * from >66 min (inline fit at adaptiveK(4M)=7813 cells over all 4M
+    * rows) into a measured single-digit-minute build: the Θ(rows × k)
+    * fit rounds run on the capped sample, while assignment + PQ encode
+    * — the inherent touch-every-row-once cost — run on the corpus.
+    * `trainCap` is a test seam. */
+  private[ops] def buildIndex(s: SparkSession, unit: DataFrame,
+      numSub: Int, subDim: Int, k: Int,
+      trainCap: Long = Vectors.TrainSampleCap): (DataFrame, DataFrame, DataFrame) = {
     val n = unit.count()
-    val coarse = KMeans.fit(unit,
-      k = KMeans.adaptiveK(n), iters = 3, rows = n).centroids
+    val (tu, tn) = Vectors.trainSample(unit, n, trainCap)
+    val sampled = tn >= 0 && tn < n
+    val coarse = KMeans.fit(tu,
+      k = KMeans.adaptiveK(if (sampled) tn else n), iters = 3, rows = tn)
+      .centroids
     val res = residuals(unit, coarse)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     CacheScope.releaseAfterAction(s, res)
     val rFrame = res.select(col("vec_id"), col("r").as("e"))
-    val cb = ProductQuant.fit(rFrame, numSub, subDim, k, iters = 2, rows = n)
+    // the codebook trains on the sample's residuals (one extra
+    // cap-bounded argmax pass when sampling; the full-corpus `res`
+    // plan stays single-purpose for the encode)
+    val rTrain =
+      if (sampled) residuals(tu, coarse).select(col("vec_id"), col("r").as("e"))
+      else rFrame
+    val cb = ProductQuant.fit(rTrain, numSub, subDim, k, iters = 2, rows = tn)
     val postings = ProductQuant.encode(rFrame, cb, numSub, subDim)
       .join(res.select(col("vec_id"), col("cluster")), Seq("vec_id"))
     (coarse, cb, postings)

@@ -296,6 +296,26 @@ object Pipeline {
       .orderBy(col("section"), col("fold"), col("source"))
   }
 
+  /** The demo-export card of a cleaned corpus (shared by the delta
+    * face's two sides). */
+  private def demoCard(cleaned: DataFrame, stats: CorpusStats): DataFrame =
+    manifest(Sample.sampleMixture(cleaned, "doc_id", "source", Sample.DemoWeights)
+      .withColumn("fold", Sample.splitColumn(col("doc_id"), Sample.DemoCuts, "test")),
+      stats)
+
+  /** Content identity of a corpus state for the delta face's standing
+    * prev-card: a 60-bit XOR over (doc_id, source, md5(text)) — every
+    * input the manifest pipeline consumes — in ONE narrow scan (no
+    * cleaning, no shingles, no components). Order/partitioning-
+    * independent like the manifest's own cell hash; empty corpus → 0. */
+  private def corpusFingerprint(docs: DataFrame): Long = {
+    val h = conv(substring(md5(concat_ws("|", lit("state"),
+      col("doc_id").cast("string"), coalesce(col("source"), lit("")),
+      coalesce(md5(col("text")), lit("")))), 1, 15), 16, 10).cast("long")
+    Option(docs.select(h.as("__h")).agg(expr("bit_xor(__h)")).head.get(0))
+      .fold(0L)(_.asInstanceOf[Long])
+  }
+
   /** Query face (`export_manifest_delta`): [[manifestDelta]] driven
     * end-to-end — the manifest of the corpus as-is against the manifest
     * of the corpus WITHOUT its latest arrival (max raw doc_id, a
@@ -306,10 +326,22 @@ object Pipeline {
     * removed arrival can promote a near-dup twin into the keeper set,
     * whose cells then also surface — real incremental semantics, all
     * replayed by the oracle (both pipelines + the diff in one DuckDB
-    * statement). Cost is two cleaning passes by construction (the
-    * batch-vs-index probe shape C36/C79 also pay); the library API for
-    * a deployment that KEEPS manifests is [[manifestDelta]] on two
-    * stored cards — metadata-scale. */
+    * statement).
+    *
+    * INCREMENTAL since round 14 (round-13 verdict item 6): the PREV
+    * side is a STANDING CARD, not a second cleaning pass. The card the
+    * prev corpus state exports persists in the [[ArtifactStore]]
+    * (self-healing first build, the *_cached convention) keyed by a
+    * one-scan [[corpusFingerprint]] of that state — the staleness rule
+    * every cached face follows: the stored meta validates against the
+    * live corpus on every serve and a mismatch rebuilds in place. Warm
+    * cost is therefore ONE cleaning pass (the current corpus — the
+    * export that must happen anyway) + one narrow fingerprint scan +
+    * a metadata-scale diff, ∝ batch rather than 2× corpus. The stored
+    * card is byte-identical to a recompute (manifest determinism is
+    * spec-pinned), so the full-recompute ORACLE replays the warm serve
+    * exactly; ManifestSoakSpec pins warm == cold == oracle-spelling
+    * and the fingerprint-staleness rebuild. */
   def exportManifestDelta(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val docs = graft.sources.Tables(s, dir, "documents")
     // Option, not getLong: an empty corpus has a null max (degenerate
@@ -317,19 +349,26 @@ object Pipeline {
     val kOpt = Option(docs.agg(max(col("doc_id"))).head.get(0))
       .map(_.asInstanceOf[Long])
     val prevDocs = kOpt.fold(docs)(k => docs.where(col("doc_id") =!= k))
-    val (cleanPrev, statsPrev) = cleanCorpus(prevDocs, persistResult = true,
-      clusteredNearDup = true)
+    val prevFp = corpusFingerprint(prevDocs)
+    val prevFresh =
+      ArtifactStore.has(s, dir, "manifest_prev", "manifest_prev_meta") &&
+        ArtifactStore.load(s, dir, "manifest_prev_meta").head()
+          .getAs[Long]("fp") == prevFp
+    if (!prevFresh) {
+      val (cleanPrev, statsPrev) = cleanCorpus(prevDocs, persistResult = true,
+        clusteredNearDup = true)
+      // the cleaning pass's one remaining consumer is the card save —
+      // registered AFTER the builder's own count actions (CacheScope rule)
+      CacheScope.releaseAfterAction(s, cleanPrev)
+      ArtifactStore.save(demoCard(cleanPrev, statsPrev), dir, "manifest_prev")
+      import s.implicits._
+      ArtifactStore.save(Seq(prevFp).toDF("fp"), dir, "manifest_prev_meta")
+    }
     val (cleanCur, statsCur) = cleanCorpus(docs, persistResult = true,
       clusteredNearDup = true)
-    // both cleaning passes' remaining consumer is the single delta
-    // materialization — registered AFTER both builders' own count
-    // actions so neither cache dies early (the round-11 CacheScope rule)
-    CacheScope.releaseAfterAction(s, cleanPrev, cleanCur)
-    def card(cleaned: DataFrame, stats: CorpusStats): DataFrame =
-      manifest(Sample.sampleMixture(cleaned, "doc_id", "source", Sample.DemoWeights)
-        .withColumn("fold", Sample.splitColumn(col("doc_id"), Sample.DemoCuts, "test")),
-        stats)
-    manifestDelta(card(cleanPrev, statsPrev), card(cleanCur, statsCur))
+    CacheScope.releaseAfterAction(s, cleanCur)
+    manifestDelta(ArtifactStore.load(s, dir, "manifest_prev"),
+      demoCard(cleanCur, statsCur))
   }
 
   /** The `export_manifest` oracle: the whole pipeline unrolled as one

@@ -130,4 +130,37 @@ class ManifestSoakSpec extends SparkSpec {
     assert(Pipeline.manifestDelta(a, c).collect().isEmpty,
       "share_bp is derived from the whole export and must not trigger a re-ship")
   }
+
+  test("export_manifest_delta: standing prev card — warm == cold, " +
+      "the serve consumes the card, a stale fingerprint rebuilds") {
+    val saved = ArtifactStore.rootOverride
+    ArtifactStore.rootOverride = Some(tmpDir("manifest_prev_store"))
+    try {
+      // cold: builds + persists the prev card (self-healing first build)
+      val cold = Pipeline.exportManifestDelta(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      assert(ArtifactStore.has(spark, sfDir, "manifest_prev", "manifest_prev_meta"))
+      // warm: one cleaning pass + the standing card — byte-identical
+      val warm = Pipeline.exportManifestDelta(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      assert(warm == cold, "warm serve must equal the cold build")
+      // the warm serve READS the standing card, it does not recompute:
+      // poison the stored card while its fingerprint stays fresh — the
+      // delta must reflect the poison
+      val poisoned = ArtifactStore.load(spark, sfDir, "manifest_prev")
+        .withColumn("docs", col("docs") + 1000000L)
+        .localCheckpoint(true)
+      ArtifactStore.save(poisoned, sfDir, "manifest_prev")
+      val poisonedServe = Pipeline.exportManifestDelta(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      assert(poisonedServe != cold,
+        "warm serve must consume the standing card, not re-clean prev")
+      // staleness rule: a fingerprint mismatch rebuilds the card in
+      // place (the cached-face convention) — the poison heals
+      ArtifactStore.save(Seq(-1L).toDF("fp"), sfDir, "manifest_prev_meta")
+      val healed = Pipeline.exportManifestDelta(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      assert(healed == cold, "a stale fingerprint must rebuild the prev card")
+    } finally ArtifactStore.rootOverride = saved
+  }
 }
