@@ -92,7 +92,16 @@ object GraphAnn {
     // pair stages below replay the corpus several times
     val n = v0.count()
     val v = Vectors.ensureParallelism(v0, n)
-    val fit = KMeans.fit(v, k = KMeans.adaptiveK(n), iters = 3, rows = n)
+    // SAMPLE-TRAINED cell fit (round 14): the cells are pure blocking
+    // structure here — k stays adaptiveK(n) (pair volume is n·cell·p²,
+    // so SHRINKING k with the sample would square the pair stage), but
+    // the Θ(rows × k) Lloyd rounds run on the capped trainer sample
+    // (bit-identical below the cap; the 4M build's fit drops from
+    // 4M×7813 to ~131k×7813 scores per round). Blocking quality
+    // degrades gracefully with a thin per-centroid sample — recall is
+    // what the C87 audit measures, not a correctness invariant.
+    val (tv, tn) = Vectors.trainSample(v, n)
+    val fit = KMeans.fit(tv, k = KMeans.adaptiveK(n), iters = 3, rows = tn)
     val centsArr = fit.centroids.select(col("cluster"), col("ce"), col("cn"))
       .agg(array_sort(collect_list(
         struct(col("cluster"), col("ce"), col("cn")))).as("cents"))

@@ -79,13 +79,14 @@ object IvfPq {
     * `trainCap` is a test seam. */
   private[ops] def buildIndex(s: SparkSession, unit: DataFrame,
       numSub: Int, subDim: Int, k: Int,
-      trainCap: Long = Vectors.TrainSampleCap): (DataFrame, DataFrame, DataFrame) = {
+      trainCap: Long = Vectors.TrainSampleCap,
+      coarseK: Int = -1): (DataFrame, DataFrame, DataFrame) = {
     val n = unit.count()
     val (tu, tn) = Vectors.trainSample(unit, n, trainCap)
     val sampled = tn >= 0 && tn < n
-    val coarse = KMeans.fit(tu,
-      k = KMeans.adaptiveK(if (sampled) tn else n), iters = 3, rows = tn)
-      .centroids
+    val kc = if (coarseK > 0) coarseK
+      else KMeans.adaptiveK(if (sampled) tn else n)
+    val coarse = KMeans.fit(tu, k = kc, iters = 3, rows = tn).centroids
     val res = residuals(unit, coarse)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     CacheScope.releaseAfterAction(s, res)
@@ -147,6 +148,17 @@ object IvfPq {
     search(v, unit, coarse, cb,
       ArtifactStore.load(s, dir, "ivfpq_postings"),
       numSub, subDim, nprobe = 2)
+  }
+
+  /** Build + serve at an EXPLICIT coarse cell count — the measurement
+    * seam behind the round-14 operating-point grid (no exports, no
+    * artifacts). */
+  private[ops] def simSearchIvfPqAt(s: SparkSession, dir: String,
+      coarseK: Int, trainCap: Long = Vectors.TrainSampleCap): DataFrame = {
+    val (v, unit) = frames(s, dir)
+    val (coarse, cb, postings) = buildIndex(s, unit, numSub = 8, subDim = 8,
+      k = 16, trainCap = trainCap, coarseK = coarseK)
+    search(v, unit, coarse, cb, postings, numSub = 8, subDim = 8, nprobe = 2)
   }
 
   private def sidePath(name: String): String =
