@@ -51,6 +51,19 @@ object ArtifactStore {
   def save(df: DataFrame, dir: String, name: String): Unit =
     df.write.mode("overwrite").parquet(path(dir, name))
 
+  /** Remove named artifacts outright (recursive). Used by multi-
+    * artifact writers that must invalidate a validator BEFORE
+    * rewriting what it vouches for, so no crash window can leave a
+    * stale validator pointing at fresh data (round-14 ADVICE on the
+    * manifest-delta prev card). */
+  def delete(s: SparkSession, dir: String, names: String*): Unit = {
+    val conf = s.sessionState.newHadoopConf()
+    names.foreach { n =>
+      val p = new org.apache.hadoop.fs.Path(path(dir, n))
+      p.getFileSystem(conf).delete(p, true)
+    }
+  }
+
   def load(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(path(dir, name))
 

@@ -66,28 +66,52 @@ object GraphAnn {
   private def emb(s: SparkSession, dir: String) =
     Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
 
+  /** Runs `body` — which must MATERIALIZE every frame returned by
+    * [[buildGraph]] — with the ObjectHashAggregate sort-fallback
+    * threshold widened, restoring the session's prior value after.
+    *
+    * Why widen: the build's per-(cell, src) TopKByScore fold is a
+    * TypedImperativeAggregate and plans as ObjectHashAggregate, whose
+    * partial stage falls back to SORT-BASED aggregation after a mere
+    * 128 distinct keys (the conf's default). That stream holds
+    * ~n·probes/partitions keys per task, so at scale the partial stage
+    * ALWAYS fell back — externally sorting the Σcell² pair stream, the
+    * exact full-stream materialization the distributive fold exists to
+    * avoid. Measured at 512k vectors (round-13 envelope): the sort
+    * fallback dies of UNABLE_TO_ACQUIRE_MEMORY at the 8 GB bench heap
+    * and prices the 48 GB build at 776 s of spill. The fold's state is
+    * tiny (≤ degree (id, score) structs per key), so the hash map is
+    * the right plan at any realistic keys-per-partition; 2^20 keys
+    * bounds the map at ~300 MB/task worst-case while covering the
+    * measured regimes (48k keys/task at 512k, 375k at 4M, local[32]).
+    *
+    * Why scoped (round-14 ADVICE): a session-level set leaked to every
+    * later query on the long-lived session — aggregates elsewhere with
+    * genuinely unbounded per-key state (collect_list over
+    * high-cardinality keys) would lose the graceful sort fallback and
+    * OOM where they previously spilled. The threshold is a SESSION conf
+    * read at execution time, so wrapping the materializing ACTION (not
+    * the plan construction) is sufficient; save-and-restore in finally
+    * keeps the widening invisible outside the build. The driver is
+    * single-threaded through these faces, so no concurrent query
+    * observes the temporary value. */
+  def withWideAggFallback[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, (1 << 20).toString)
+    try body
+    finally prev.fold(s.conf.unset(key))(p => s.conf.set(key, p))
+  }
+
   /** Degree-R kNN adjacency + per-cell medoid entry points over
-    * `v` = (vec_id, e, nrm). */
+    * `v` = (vec_id, e, nrm).
+    *
+    * The frames returned are LAZY — the caller must materialize them
+    * inside [[withWideAggFallback]] (see that scaladoc for why the
+    * ObjectHashAggregate fallback threshold must be widened for the
+    * build's TopKByScore fold, and why the widening is scoped rather
+    * than session-global). */
   def buildGraph(v0: DataFrame, degree: Int = Degree): (DataFrame, DataFrame) = {
-    // The per-(cell, src) TopKByScore fold is a TypedImperativeAggregate
-    // and plans as ObjectHashAggregate, whose partial stage falls back
-    // to SORT-BASED aggregation after a mere 128 distinct keys
-    // (spark.sql.objectHashAggregate.sortBased.fallbackThreshold's
-    // default). This stream holds ~n·probes/partitions keys per task,
-    // so at scale the partial stage ALWAYS fell back — externally
-    // sorting the Σcell² pair stream, the exact full-stream
-    // materialization the distributive fold exists to avoid. Measured
-    // at 512k vectors (round-13 envelope): the sort fallback dies of
-    // UNABLE_TO_ACQUIRE_MEMORY at the 8 GB bench heap and prices the
-    // 48 GB build at 776 s of spill. The fold's state is tiny (≤ degree
-    // (id, score) structs per key), so the hash map is the right plan
-    // at any realistic keys-per-partition; 2^20 keys bounds the map at
-    // ~300 MB/task worst-case (ordinary executor sizing) while covering
-    // the measured regimes (48k keys/task at 512k, 375k at 4M,
-    // local[32]). Session-level set: the frames returned here execute
-    // lazily in the caller, after this method returns.
-    v0.sparkSession.conf.set(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 1 << 20)
     // see Vectors.ensureParallelism: the multi-assign and within-cell
     // pair stages below replay the corpus several times
     val n = v0.count()
@@ -232,8 +256,10 @@ object GraphAnn {
   def simSearchGraph(s: SparkSession, dir: String): DataFrame = {
     val v = emb(s, dir)
     val (adj, entries) = buildGraph(v)
-    graft.ops.VectorQueries.exportSide(adj, GraphAdjPath)
-    graft.ops.VectorQueries.exportSide(entries, GraphEntryPath)
+    withWideAggFallback(s) {
+      graft.ops.VectorQueries.exportSide(adj, GraphAdjPath)
+      graft.ops.VectorQueries.exportSide(entries, GraphEntryPath)
+    }
     beamSearch(s.read.parquet(GraphAdjPath), s.read.parquet(GraphEntryPath),
       queriesOf(v), v)
   }
@@ -246,8 +272,10 @@ object GraphAnn {
     val v = emb(s, dir)
     if (!ArtifactStore.has(s, dir, "graph_adj", "graph_entry")) {
       val (adj, entries) = buildGraph(v)
-      ArtifactStore.save(adj, dir, "graph_adj")
-      ArtifactStore.save(entries, dir, "graph_entry")
+      withWideAggFallback(s) {
+        ArtifactStore.save(adj, dir, "graph_adj")
+        ArtifactStore.save(entries, dir, "graph_entry")
+      }
     }
     val adj = ArtifactStore.load(s, dir, "graph_adj")
     val entries = ArtifactStore.load(s, dir, "graph_entry")

@@ -304,16 +304,39 @@ object Pipeline {
       stats)
 
   /** Content identity of a corpus state for the delta face's standing
-    * prev-card: a 60-bit XOR over (doc_id, source, md5(text)) — every
-    * input the manifest pipeline consumes — in ONE narrow scan (no
-    * cleaning, no shingles, no components). Order/partitioning-
-    * independent like the manifest's own cell hash; empty corpus → 0. */
-  private def corpusFingerprint(docs: DataFrame): Long = {
-    val h = conv(substring(md5(concat_ws("|", lit("state"),
-      col("doc_id").cast("string"), coalesce(col("source"), lit("")),
-      coalesce(md5(col("text")), lit("")))), 1, 15), 16, 10).cast("long")
-    Option(docs.select(h.as("__h")).agg(expr("bit_xor(__h)")).head.get(0))
-      .fold(0L)(_.asInstanceOf[Long])
+    * prev-card — ONE narrow scan (no cleaning, no shingles, no
+    * components) over (doc_id, source, md5(text)), every input the
+    * manifest pipeline consumes. Order/partitioning-independent like
+    * the manifest's own cell hash; empty corpus → "0:0:0".
+    *
+    * Hardened per round-14 ADVICE, two holes in the original 60-bit
+    * XOR spelling:
+    *   - XOR alone cancels any EVEN-multiplicity change of identical
+    *     rows (the same raw row appearing twice vs absent read as the
+    *     same state). The fingerprint now carries the row COUNT and
+    *     the wrapping-free decimal SUM of the row hashes alongside the
+    *     XOR — a multiset identity a duplicated row cannot cancel out
+    *     of.
+    *   - concat_ws silently SKIPS null fields, so (null doc_id,
+    *     source='a') encoded like (doc_id='a', null source). Each
+    *     field is now hashed ALONE and prefixed with an explicit
+    *     null/value tag (fixed-width md5, so no separator ambiguity
+    *     either) — null and every possible value occupy disjoint
+    *     codes. */
+  private[graft] def corpusFingerprint(docs: DataFrame): String = {
+    def tagged(c: org.apache.spark.sql.Column) =
+      when(c.isNull, lit("n!")).otherwise(concat(lit("v:"), md5(c.cast("string"))))
+    val h = conv(substring(md5(concat(lit("state|"),
+      tagged(col("doc_id")), tagged(col("source")), tagged(col("text")))),
+      1, 15), 16, 10).cast("long")
+    val r = docs.select(h.as("__h"))
+      .agg(count(lit(1)).as("n"),
+        // decimal(38,0): 10^14 rows × 2^60 ≈ 10^32 < 10^38 — the sum
+        // can never overflow (ANSI mode would throw on a long sum)
+        sum(col("__h").cast("decimal(38,0)")).as("s"),
+        expr("bit_xor(__h)").as("x")).head()
+    if (r.getAs[Long]("n") == 0L) "0:0:0"
+    else s"${r.getAs[Long]("n")}:${r.get(1)}:${r.get(2)}"
   }
 
   /** Query face (`export_manifest_delta`): [[manifestDelta]] driven
@@ -350,24 +373,43 @@ object Pipeline {
       .map(_.asInstanceOf[Long])
     val prevDocs = kOpt.fold(docs)(k => docs.where(col("doc_id") =!= k))
     val prevFp = corpusFingerprint(prevDocs)
+    // Freshness needs BOTH sides to vouch (round-14 ADVICE: the card
+    // overwrite and the meta save cannot be atomic, so neither alone
+    // may validate the pair): meta's fp must match the live corpus AND
+    // the card itself carries the fp it was built under (__fp column)
+    // — a torn pair (new card, older meta, or vice versa) can only
+    // agree when both describe the same corpus state, in which case it
+    // is not torn. A legacy pre-__fp card, or the old long-typed meta,
+    // fails the schema probe and rebuilds.
     val prevFresh =
-      ArtifactStore.has(s, dir, "manifest_prev", "manifest_prev_meta") &&
-        ArtifactStore.load(s, dir, "manifest_prev_meta").head()
-          .getAs[Long]("fp") == prevFp
+      ArtifactStore.has(s, dir, "manifest_prev", "manifest_prev_meta") && {
+        val m = ArtifactStore.load(s, dir, "manifest_prev_meta")
+        val card = ArtifactStore.load(s, dir, "manifest_prev")
+        m.schema.fieldNames.contains("fp") &&
+          m.schema("fp").dataType == org.apache.spark.sql.types.StringType &&
+          m.head().getAs[String]("fp") == prevFp &&
+          card.schema.fieldNames.contains("__fp") &&
+          card.select(col("__fp")).limit(1).collect()
+            .forall(_.getAs[String]("__fp") == prevFp)
+      }
     if (!prevFresh) {
+      // invalidate the validator FIRST: after this delete, every crash
+      // window leaves a metaless card, which can never serve
+      ArtifactStore.delete(s, dir, "manifest_prev_meta")
       val (cleanPrev, statsPrev) = cleanCorpus(prevDocs, persistResult = true,
         clusteredNearDup = true)
       // the cleaning pass's one remaining consumer is the card save —
       // registered AFTER the builder's own count actions (CacheScope rule)
       CacheScope.releaseAfterAction(s, cleanPrev)
-      ArtifactStore.save(demoCard(cleanPrev, statsPrev), dir, "manifest_prev")
+      ArtifactStore.save(demoCard(cleanPrev, statsPrev)
+        .withColumn("__fp", lit(prevFp)), dir, "manifest_prev")
       import s.implicits._
       ArtifactStore.save(Seq(prevFp).toDF("fp"), dir, "manifest_prev_meta")
     }
     val (cleanCur, statsCur) = cleanCorpus(docs, persistResult = true,
       clusteredNearDup = true)
     CacheScope.releaseAfterAction(s, cleanCur)
-    manifestDelta(ArtifactStore.load(s, dir, "manifest_prev"),
+    manifestDelta(ArtifactStore.load(s, dir, "manifest_prev").drop("__fp"),
       demoCard(cleanCur, statsCur))
   }
 

@@ -277,4 +277,111 @@ class ClosedFindingsSpec extends SparkSpec {
     assert(nullDoc.isNullAt(1) && nullDoc.isNullAt(3),
       s"null text must read null total_tokens/recycled_bp: $nullDoc")
   }
+
+  // ------------------------------------------------------------------
+  // round-14 ADVICE pins
+  // ------------------------------------------------------------------
+
+  test("graph build: the wide agg-fallback threshold is scoped, never leaked") {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val before = spark.conf.get(key) // SQL conf with a default — always readable
+    // inside the scope the build sees the widened value...
+    GraphAnn.withWideAggFallback(spark) {
+      assert(spark.conf.get(key) == (1 << 20).toString)
+    }
+    // ...and outside it the session's prior value is restored exactly
+    assert(spark.conf.get(key) == before,
+      "withWideAggFallback must restore the prior threshold")
+    // the production faces route their materialization through the
+    // scope: a sentinel set before the COLD build survives it
+    val saved = ArtifactStore.rootOverride
+    ArtifactStore.rootOverride = Some(tmpDir("graph_conf_store"))
+    spark.conf.set(key, "97")
+    try {
+      GraphAnn.simSearchGraphCached(spark, sfDir).collect()
+      assert(spark.conf.get(key) == "97",
+        "simSearchGraphCached's cold build must not leak the widened threshold")
+      GraphAnn.simSearchGraph(spark, sfDir).collect()
+      assert(spark.conf.get(key) == "97",
+        "simSearchGraph must not leak the widened threshold")
+    } finally {
+      spark.conf.set(key, before)
+      ArtifactStore.rootOverride = saved
+    }
+  }
+
+  test("corpusFingerprint: even-multiplicity changes and null-field aliasing both move it") {
+    def docs(rows: Seq[(java.lang.Long, String, String)]) =
+      rows.toDF("doc_id", "source", "text")
+    val others = Seq[(java.lang.Long, String, String)](
+      (2L, "web", "alpha"), (3L, "pdf", "beta"))
+    // the same raw row appearing TWICE vs ABSENT: a pure-XOR identity
+    // cancels it (even multiplicity); the count/sum components must not
+    val twice = Pipeline.corpusFingerprint(
+      docs(others :+ ((1L: java.lang.Long), "web", "dup") :+ ((1L: java.lang.Long), "web", "dup")))
+    val absent = Pipeline.corpusFingerprint(docs(others))
+    assert(twice != absent,
+      "a row present twice must fingerprint differently from the row absent")
+    // null-field aliasing: null source vs empty source (concat_ws's
+    // null-skip made these identical)
+    val nullSrc = Pipeline.corpusFingerprint(
+      docs(Seq(((1L: java.lang.Long), null, "t"))))
+    val emptySrc = Pipeline.corpusFingerprint(
+      docs(Seq(((1L: java.lang.Long), "", "t"))))
+    assert(nullSrc != emptySrc, "null and '' sources must never alias")
+    val nullText = Pipeline.corpusFingerprint(
+      docs(Seq(((1L: java.lang.Long), "web", null))))
+    val emptyText = Pipeline.corpusFingerprint(
+      docs(Seq(((1L: java.lang.Long), "web", ""))))
+    assert(nullText != emptyText, "null and '' text must never alias")
+    // and it is still order/partitioning-independent
+    val shuffled = Pipeline.corpusFingerprint(
+      docs(others.reverse).repartition(7))
+    assert(shuffled == absent, "fingerprint must be order-independent")
+  }
+
+  test("export_manifest_delta: a torn prev-card (fp disagrees with meta) rebuilds, never serves") {
+    val saved = ArtifactStore.rootOverride
+    ArtifactStore.rootOverride = Some(tmpDir("manifest_torn_store"))
+    try {
+      val cold = Pipeline.exportManifestDelta(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      // simulate the round-14 ADVICE crash: the card overwritten (from
+      // some OTHER corpus state — its self-describing __fp differs)
+      // while meta still matches the live corpus. The old pair
+      // validated on meta alone and served the mismatched card.
+      val torn = ArtifactStore.load(spark, sfDir, "manifest_prev")
+        .withColumn("docs", col("docs") + 1000000L)
+        .withColumn("__fp", lit("some-other-corpus-state"))
+        .localCheckpoint(true)
+      ArtifactStore.save(torn, sfDir, "manifest_prev")
+      val served = Pipeline.exportManifestDelta(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      assert(served == cold,
+        "a card whose own fp disagrees with the live corpus must rebuild in place")
+    } finally ArtifactStore.rootOverride = saved
+  }
+
+  test("appendLshIndex: a fresh watermark-ordered batch appends without the history recount") {
+    val emb = Vectors.withNorm(
+      graft.sources.Tables(spark, sfDir, "embeddings"), "embedding")
+    val standing = emb.where(col("vec_id") < 300)
+    val fresh = emb.where(col("vec_id") >= 300)
+
+    val root = tmpDir("lshidx_fast")
+    IncrementalIndex.writeLshIndex(root, standing)
+    IncrementalIndex.appendLshIndex(spark, root, fresh)
+    assert(!IncrementalIndex.lastAppendRecounted,
+      "a batch strictly above the id watermark must take the ∝-batch path")
+    val meta = spark.read.parquet(s"$root/lmeta").head()
+    assert(meta.getAs[Long]("n") == emb.count(),
+      s"the arithmetic path must still land the exact distinct count: $meta")
+    // and the re-SENT batch (at/below the watermark) pays the recount
+    // exactly once, converging to the same exact n
+    IncrementalIndex.appendLshIndex(spark, root, fresh)
+    assert(IncrementalIndex.lastAppendRecounted,
+      "a re-sent batch must be caught by the watermark and recounted")
+    val meta2 = spark.read.parquet(s"$root/lmeta").head()
+    assert(meta2.getAs[Long]("n") == emb.count(), s"recount must heal n: $meta2")
+  }
 }

@@ -20,6 +20,19 @@ With --vecs-only --nvecs N it writes JUST an embeddings table (same
 — used to extend the ANN/semantic-dedup scale curves a further decade
 past sf1's 8k vectors.
 
+With --blob-vecs --nvecs N [--blobs B] it writes JUST an embeddings
+table with PLANTED CLUSTER GEOMETRY: B blob centers (default
+ceil(N/512) == KMeans.adaptiveK(N)) drawn isotropically, each vector =
+normalize(center + N(0, 0.08)^64) giving within-blob cos ~= 0.71 vs
+the isotropic sea's ~0.125-sd noise floor — the round-14 diagnosis's
+"real embedding corpora have cluster structure this corpus
+deliberately lacks" corpus, used to re-run the C87 recall ladder
+where blocking-by-quantization CAN carry signal. Blob membership is
+round-robin by vec_id (vec i -> blob i % B) so the k lowest vec_ids —
+KMeans's deterministic seeds — hit k DISTINCT blobs (the seed caveat
+in the round-14 diagnosis); the 0.5% planted near-dup twins are kept
+(same construction as --vecs-only).
+
 With --skew-docs --ndocs N it writes JUST a documents table with a
 PLANTED POWER-LAW duplicate-cluster distribution: ~10% of all docs are
 near-duplicates of ONE seed (a single mega-component for the
@@ -56,6 +69,8 @@ VECS_ONLY = "--vecs-only" in flags
 N_VECS_OVERRIDE = int(flags.get("--nvecs", 0))
 SKEW_DOCS = "--skew-docs" in flags
 CHAIN_DOCS = "--chain-docs" in flags
+BLOB_VECS = "--blob-vecs" in flags
+N_BLOBS_OVERRIDE = int(flags.get("--blobs", 0))
 
 N_CUST, N_SUPP, N_PART = 150_000, 10_000, 200_000
 N_ORDERS, N_LINE = 1_500_000, 6_000_000
@@ -135,6 +150,38 @@ if SKEW_DOCS:
         "n_chars": pa.array([len(t) for t in texts], pa.int64())}))
     print("mega cluster:", sizes[0], "planted clusters:", len(sizes),
           "clustered docs:", sum(sizes))
+    print("DONE", OUT)
+    sys.exit(0)
+
+if BLOB_VECS:
+    n_vecs = N_VECS_OVERRIDE or 512_000
+    B = N_BLOBS_OVERRIDE or -(-n_vecs // 512)   # ceil = KMeans.adaptiveK(n)
+    centers = rng.normal(0, 1, (B, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # round-robin membership: the k lowest vec_ids (KMeans's seeds when
+    # k <= B) land in k distinct blobs
+    assign = np.arange(n_vecs) % B
+    # per-coordinate sd 0.08 -> total noise norm^2 ~= 64*0.0064 = 0.41,
+    # within-blob cos ~= 1/(1+0.41) ~= 0.71 (printed below on every run)
+    E = centers[assign] + 0.08 * rng.normal(0, 1, (n_vecs, 64))
+    # the same 0.5% planted near-dup twins as --vecs-only (per-i draws
+    # AFTER the bulk normal draw, replayable from the seed)
+    for i in range(200, n_vecs):
+        if rng.random_sample() < 0.005:
+            j = rng.randint(0, i)
+            E[i] = E[j] + rng.normal(0, 0.05, 64)
+            assign[i] = assign[j]
+    E = (E / np.linalg.norm(E, axis=1, keepdims=True)).astype(np.float32)
+    write("embeddings", pa.table({
+        "vec_id": pa.array(range(n_vecs), pa.int64()),
+        "embedding": pa.array([row for row in E.tolist()], pa.list_(pa.float32())),
+        "label": pa.array(rng.randint(0, 10, n_vecs), pa.int32())}))
+    # within- vs cross-blob contrast, printed so every regeneration
+    # documents the geometry it produced
+    same = [float(np.dot(E[i], E[i + B])) for i in range(200) if i + B < n_vecs]
+    cross = [float(np.dot(E[i], E[i + 1])) for i in range(200)]
+    print("blobs:", B, "within-blob cos ~", round(float(np.mean(same)), 3),
+          "cross-blob cos ~", round(float(np.mean(cross)), 3))
     print("DONE", OUT)
     sys.exit(0)
 
