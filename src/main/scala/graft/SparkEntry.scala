@@ -295,6 +295,11 @@ object SparkEntry {
     "sim_search_graph" -> (graft.ops.GraphAnn.simSearchGraph _),
     // C89a: beam search against the persisted graph + entry artifacts
     "sim_search_graph_cached" -> (graft.ops.GraphAnn.simSearchGraphCached _),
+    // C89b: knee-routed graph serve — the cached beam serve below
+    // GraphServeKnee (all gate SFs; the C89a oracle replays
+    // bit-identically), the exact scan past it (measured cheaper AND
+    // recall-1.0 at every decade from 8k up, both geometries)
+    "sim_search_graph_auto" -> (graft.ops.GraphAnn.simSearchGraphAuto(_, _)),
     // C97: lexical BM25 top-10 per benchmark item — the exact term-match
     // search family beside the ANN ladder (retrieval-based decontamination)
     "search_bm25" -> (graft.ops.Retrieval.searchBm25 _),
@@ -1404,6 +1409,10 @@ object SparkEntry {
     // whole batched beam search replayed as unrolled hop CTEs
     "sim_search_graph" -> graft.ops.GraphAnn.simSearchGraphOracle,
     "sim_search_graph_cached" -> graft.ops.GraphAnn.simSearchGraphCachedOracle,
+    // C89b: gate SFs sit below GraphServeKnee, where the auto face IS
+    // the cached beam serve — its oracle replays unchanged (Verify
+    // asserts the route)
+    "sim_search_graph_auto" -> graft.ops.GraphAnn.simSearchGraphCachedOracle,
     // C79/C79a: the frozen standing-corpus model as data; both sides'
     // encode, the wider-margin SDC probe gate, exact confirm, and the
     // per-label card replayed
@@ -2265,5 +2274,20 @@ FROM pieces, tot ORDER BY cnt DESC, piece LIMIT 30"""
     "sim_search_lsh_auto" -> ((s: SparkSession, d: String) =>
       graft.ops.VectorQueries.requireBelowKnee(s, d,
         graft.ops.VectorQueries.LshServeKnee,
-        "sim_search_lsh_auto", "artifact-backed LSH serve")))
+        "sim_search_lsh_auto", "artifact-backed LSH serve")),
+    "sim_search_graph_auto" -> ((s: SparkSession, d: String) =>
+      graft.ops.VectorQueries.requireBelowKnee(s, d,
+        graft.ops.GraphAnn.GraphServeKnee,
+        "sim_search_graph_auto", "artifact-backed graph beam serve"))) ++
+    // TRAINER-CAP seam (round-14 verdict item 4): the sample-trained
+    // oracle-checked faces were adjudicated where trainSample == the
+    // corpus itself; an above-cap gate corpus must fail explicitly.
+    // (C87/C87a audits exempt: overlay-arithmetic oracles are
+    // regime-independent — see requireBelowTrainCap's scaladoc.)
+    Seq("sim_search_ivfpq", "sim_search_ivfpq_cached",
+      "sim_search_graph", "sim_search_graph_cached",
+      "dedup_semantic_pq", "dedup_semantic_pq_cached",
+      "dedup_semantic_incremental", "dedup_semantic_incremental_cached")
+      .map(f => f -> ((s: SparkSession, d: String) =>
+        graft.ops.VectorQueries.requireBelowTrainCap(s, d, f))).toMap
 }

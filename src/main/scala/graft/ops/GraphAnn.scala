@@ -285,6 +285,46 @@ object GraphAnn {
     beamSearch(adj, entries, queriesOf(v), v)
   }
 
+  /** Corpus-count knee where [[simSearchGraphAuto]] hands the cached
+    * beam serve to the exact scan. Under this engine's execution model
+    * the beam serve is NOT corpus-independent: the slim adjacency
+    * re-attaches candidate vectors from the corpus each hop (the
+    * documented 4×-cheaper layout under Spark scans), so every hop
+    * pays a corpus-linear scan with a join on top — which the exact
+    * scan's single broadcast-nested-loop pass beats at every measured
+    * decade on BOTH geometries (round-15 grid, local[32], warm
+    * artifacts; recall vs exact truth in parens):
+    *
+    *   - isotropic: 54.7 s vs 4.9 s at 4M (recall 0.00)
+    *   - planted-blob: 2.3 s vs 0.5 s at 8k (0.66), 5.0 s vs 1.7 s at
+    *     512k (0.44), see BASELINE round-15
+    *
+    * The knee sits at the first measured decade (8192): below it the
+    * face IS [[simSearchGraphCached]] — all gate SFs and the sf1
+    * decade, so the C89a oracle replays bit-identically — and past it
+    * the exact scan is both cheaper and recall-1.0. The graph family's
+    * at-scale value in this engine is the build/append cost envelope
+    * and the audit row, not the Spark-side serve; a point-lookup
+    * serving tier (key-value adjacency) would price the beam serve
+    * differently, and is out of engine scope by design. */
+  val GraphServeKnee: Long = 8192L
+
+  /** C89b: the AUTOMATIC hand-over face for the graph serve — the C7b
+    * posture transposed (round-14 verdict item 2, closing its one weak
+    * mark). Below [[GraphServeKnee]] it IS [[simSearchGraphCached]]
+    * (artifact-backed beam serve; oracle-replayed regime). Past the
+    * knee it serves the exact scan ([[VectorQueries.exactTopkFrom]] —
+    * same output contract: top-10 over the whole corpus, self
+    * excluded). GraphAutoSpec pins both routes and the boundary;
+    * Verify asserts the route (oracleRouteChecks). */
+  def simSearchGraphAuto(s: SparkSession, dir: String,
+      knee: Long = GraphServeKnee): DataFrame = {
+    val v = emb(s, dir)
+    val n = v.count()
+    if (n <= knee) simSearchGraphCached(s, dir)
+    else graft.ops.VectorQueries.exactTopkFrom(v, v)
+  }
+
   private def sidePath(name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_$name.parquet"
   val GraphAdjPath: String = sidePath("graph_adj_side")

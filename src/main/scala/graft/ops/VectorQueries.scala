@@ -272,6 +272,31 @@ object VectorQueries {
         "re-adjudicate the oracle before verifying above the knee")
   }
 
+  /** The [[requireBelowKnee]] posture for the TRAINER-CAP seam
+    * (round-14 verdict item 4): every sample-trained oracle-checked
+    * face's oracle was adjudicated in the regime where
+    * [[Vectors.trainSample]] returns the corpus frame ITSELF (n ≤ cap
+    * — all gate SFs), i.e. where sampled and full fits are
+    * bit-identical by construction. Above the cap the fit runs on the
+    * content-keyed sample; the exported learned tables still make the
+    * replay self-consistent, but the regime the gate certified has
+    * silently changed. Verify calls this (via
+    * SparkEntry.oracleRouteChecks) so an above-cap gate corpus fails
+    * with an explicit seam message instead of being trusted
+    * unadjudicated. (The C87/C87a audit faces are exempt by design:
+    * their oracles verify only the overlay arithmetic over EXPORTED
+    * method lists plus the exact ground truth, which is
+    * regime-independent.) */
+  private[graft] def requireBelowTrainCap(s: SparkSession, dir: String,
+      face: String): Unit = {
+    val n = emb(s, dir).count()
+    require(n <= Vectors.TrainSampleCap,
+      s"$face is sample-trained past Vectors.TrainSampleCap=" +
+        s"${Vectors.TrainSampleCap} and the gate corpus reads n=$n above " +
+        "it: the registered oracle was adjudicated in the bit-identical " +
+        "(below-cap) regime — re-adjudicate before verifying above the cap")
+  }
+
   /** C5b: the AUTOMATIC hand-over face for embedding near-dup pairs —
     * the round-12 verdict's one `weak` mark closed as code, the
     * [[graft.ops.Cluster.connectedComponentsAuto]] posture transposed.

@@ -163,4 +163,70 @@ class ManifestSoakSpec extends SparkSpec {
       assert(healed == cold, "a stale fingerprint must rebuild the prev card")
     } finally ArtifactStore.rootOverride = saved
   }
+
+  test("export_manifest_delta soak: 6 serves over a mutating corpus — " +
+      "standing card == fresh recompute at every step (round-14 verdict item 8)") {
+    val saved = ArtifactStore.rootOverride
+    val corpusDir = tmpDir("soak_delta_corpus")
+    val standingRoot = tmpDir("soak_delta_standing")
+    try {
+      // driver-side working copy of the gate corpus, mutated step by step
+      var cur: Seq[(Long, String, String, String, Long)] =
+        graft.sources.Tables(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getLong(4)))
+      val maxId0 = cur.map(_._1).max
+      def arrival(id: Long) = (id,
+        "spark window merge table column vector stream value data small " +
+          "join filter big group hash customer sort order slow line part",
+        "en", "src3", 120L)
+      // the interleaved mutations (each runs AFTER the previous serve):
+      //   2. a new arrival (the face's own "latest arrival" semantics)
+      //   3. the arrival withdrawn (state reverts — the stale-card trap)
+      //   4. one existing raw row duplicated TWICE (even multiplicity —
+      //      the XOR-cancellation hole the hardened fingerprint closes)
+      //   5. a text mutation on an existing doc (content drift)
+      //   6. a second arrival on the mutated corpus
+      val steps: Seq[Seq[(Long, String, String, String, Long)] => Seq[(Long, String, String, String, Long)]] =
+        Seq(identity,
+          s => s :+ arrival(maxId0 + 1),
+          s => s.filter(_._1 != maxId0 + 1),
+          s => s ++ Seq(s.head, s.head),
+          s => s.map(r => if (r._1 == maxId0 - 1)
+            r.copy(_2 = r._2 + " mutated tail token") else r),
+          s => s :+ arrival(maxId0 + 2))
+      import spark.implicits._
+      steps.zipWithIndex.foreach { case (mutate, i) =>
+        cur = mutate(cur)
+        cur.toDF("doc_id", "text", "lang", "source", "n_chars")
+          .coalesce(2).write.mode("overwrite")
+          .parquet(s"$corpusDir/documents.parquet")
+        ArtifactStore.rootOverride = Some(standingRoot)
+        val warm = Pipeline.exportManifestDelta(spark, corpusDir)
+          .collect().map(_.toString).sorted.toSeq
+        // the full-recompute reference: a COLD build in a throwaway
+        // store is exactly the two-sided pipeline with no standing state
+        ArtifactStore.rootOverride = Some(tmpDir(s"soak_delta_fresh$i"))
+        val fresh = Pipeline.exportManifestDelta(spark, corpusDir)
+          .collect().map(_.toString).sorted.toSeq
+        assert(warm == fresh,
+          s"step ${i + 1}: standing-card delta diverged from the full recompute")
+        // and the standing meta always fingerprints the CURRENT prev
+        // state (the card rebuilt in place on every effective mutation)
+        ArtifactStore.rootOverride = Some(standingRoot)
+        val metaFp = ArtifactStore.load(spark, corpusDir, "manifest_prev_meta")
+          .head().getAs[String]("fp")
+        val prevNow = {
+          val docs = graft.sources.Tables(spark, corpusDir, "documents")
+          val k = docs.agg(max(col("doc_id"))).head().getLong(0)
+          docs.where(col("doc_id") =!= k)
+        }
+        assert(metaFp == Pipeline.corpusFingerprint(prevNow),
+          s"step ${i + 1}: standing meta fingerprint is stale")
+      }
+    } finally ArtifactStore.rootOverride = saved
+  }
 }

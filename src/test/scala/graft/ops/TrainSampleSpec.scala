@@ -69,6 +69,55 @@ class TrainSampleSpec extends SparkSpec {
     assert(codes == codesAgain, "sampled build must be deterministic")
   }
 
+  test("above the cap the sample is deterministic UNDER REPARTITIONING") {
+    // round-14 verdict item 4: the whole oracle-replay posture of the
+    // trained faces rests on trainSample being a pure per-row content
+    // predicate — a sample that depended on partitioning (sample(),
+    // monotonically_increasing_id, zipWithIndex) would silently train a
+    // different model per layout
+    val v = emb
+    val base = Vectors.trainSample(v, 500L, cap = 100L)._1
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted.toSeq
+    for (p <- Seq(1, 7, 32)) {
+      val ids = Vectors.trainSample(v.repartition(p), 500L, cap = 100L)._1
+        .select(col("vec_id")).collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == base, s"sample must not depend on partitioning (p=$p)")
+    }
+    val shuffledOrder = Vectors.trainSample(
+      v.orderBy(col("vec_id").desc), 500L, cap = 100L)._1
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(shuffledOrder == base, "sample must not depend on row order")
+  }
+
+  test("Verify guards the cap seam for every sample-trained oracle-checked face") {
+    // the faces whose fits run through trainSample — their oracles were
+    // adjudicated in the below-cap (bit-identical) regime, so Verify
+    // must refuse an above-cap corpus with an explicit seam message
+    val guarded = Seq("sim_search_ivfpq", "sim_search_ivfpq_cached",
+      "sim_search_graph", "sim_search_graph_cached",
+      "dedup_semantic_pq", "dedup_semantic_pq_cached",
+      "dedup_semantic_incremental", "dedup_semantic_incremental_cached")
+    guarded.foreach { f =>
+      assert(graft.SparkEntry.oracleRouteChecks.contains(f),
+        s"$f must carry a Verify route/seam check")
+      // below the cap (every gate SF): silent
+      graft.SparkEntry.oracleRouteChecks(f)(spark, sfDir)
+    }
+    // the above-cap refusal: a minimal cap+1 corpus (tiny vectors — the
+    // guard only counts healthy rows) must fail with the seam message
+    val dir = tmpDir("traincap")
+    spark.range(Vectors.TrainSampleCap + 1)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0f), lit(0.0f), lit(0.0f), lit(0.0f)).as("embedding"),
+        lit(0).as("label"))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      VectorQueries.requireBelowTrainCap(spark, dir, "sim_search_ivfpq")
+    }
+    assert(e.getMessage.contains("bit-identical") &&
+      e.getMessage.contains("sim_search_ivfpq"), e.getMessage)
+  }
+
   test("sampled IvfPq build: every vector posted, search serves") {
     val v = emb
     val unit = v.select(col("vec_id"),
