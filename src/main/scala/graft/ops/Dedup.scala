@@ -122,6 +122,44 @@ object Dedup {
       .agg(count(lit(1)).as("shared_bands"))
   }
 
+  /** SPANNING star edges of the MinHash candidate graph — the
+    * scale-safe CONNECTED-COMPONENTS input (round-14 verdict item 7).
+    *
+    * [[minhashCandidates]] enumerates every within-bucket pair, which
+    * is the right face when the pairs themselves are the answer — but
+    * as a CC edge list it is Θ(m²) per bucket, and a skewed corpus
+    * (one mega-cluster of near-dups = one hot band bucket) makes the
+    * edge list quadratic in the cluster: measured on the planted
+    * 10%-mega-cluster corpus, the 12.8k-member bucket at 128k docs is
+    * already an 82M-pair clique and the 51.2k-member bucket at 512k a
+    * 1.3B-pair one — all shipped through the pair shuffle and the
+    * propagation loop's persisted symmetric edge list.
+    *
+    * A bucket is a CLIQUE in the candidate graph, and a star spans a
+    * clique, so connecting every member to its bucket's MIN doc id
+    * yields EXACTLY the same connected components (any candidate pair
+    * shares a bucket; both ends reach that bucket's min) at O(m) edges
+    * per bucket — corpus-linear regardless of skew. The per-bucket min
+    * is a distributive aggregate (map-side combined, no hot-key
+    * blowup), and the join back attaches one min row per bucket.
+    * ClusterSpec pins component equality with the pair spelling on the
+    * planted skew shape; the C17/C70/C106 oracles replay CC from the
+    * candidate PAIRS and stay green because the components are equal
+    * by construction. */
+  def minhashStarEdges(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, numHashes: Int = 16, numBands: Int = 4): DataFrame = {
+    val rows = numHashes / numBands
+    val sh = shingleFrame(docs, idCol, textCol, n)
+    val bands = lshBands(minhashSignature(sh, idCol, numHashes), idCol, numBands, rows)
+      .select(col(idCol).as("__id"), col("band_idx"), col("band_key"))
+    val mins = bands.groupBy(col("band_idx"), col("band_key"))
+      .agg(min(col("__id")).as("doc_a"))
+    bands.join(mins, Seq("band_idx", "band_key"))
+      .where(col("__id") =!= col("doc_a"))
+      .select(col("doc_a"), col("__id").as("doc_b"))
+      .distinct()
+  }
+
   /** 60-bit SimHash: token hash = first 15 hex chars of md5 (60 bits,
     * sign-safe in a long); signature bit i is set when the
     * occurrence-weighted ±1 sum over tokens is positive. One native

@@ -254,9 +254,12 @@ object DedupQueries {
     * transitive step pair emitters can't do: A~B, B~C groups A and C. */
   def dedupCluster(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val pairs = Dedup.minhashCandidates(d, "doc_id", "text")
-      .select(col("doc_a"), col("doc_b"))
-    val cc = Cluster.connectedComponentsAuto(d.select(col("doc_id")), pairs, "doc_id")
+    // CC consumes the spanning STAR edges, not the pair enumeration:
+    // same components by construction, O(bucket) instead of O(bucket^2)
+    // edges under skew (Dedup.minhashStarEdges scaladoc; round-14
+    // verdict item 7)
+    val edges = Dedup.minhashStarEdges(d, "doc_id", "text")
+    val cc = Cluster.connectedComponentsAuto(d.select(col("doc_id")), edges, "doc_id")
       .withColumnRenamed("id", "doc_id")
     val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, Seq("cluster_id"))
@@ -300,7 +303,10 @@ object DedupQueries {
       .withColumn("m", min(col("doc_id")).over(Window.partitionBy(col("h"))))
       .where(col("doc_id") =!= col("m"))
       .select(col("m").as("doc_a"), col("doc_id").as("doc_b"))
-    val edges = nd.unionByName(exactEdges)
+    // the leak COUNTS below need the pair list (nd) — but CC only needs
+    // connectivity, so its edge input is the spanning star set: same
+    // components, skew-safe (round-14 verdict item 7)
+    val edges = Dedup.minhashStarEdges(d, "doc_id", "text").unionByName(exactEdges)
     val cc = Cluster.connectedComponentsAuto(d.select(col("doc_id")), edges, "doc_id")
       .withColumnRenamed("id", "doc_id")
     val folded = cc
@@ -440,9 +446,9 @@ object DedupQueries {
     * the largest dup cluster, never the corpus). */
   def dedupKeeperQuality(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val pairs = Dedup.minhashCandidates(d, "doc_id", "text")
-      .select(col("doc_a"), col("doc_b"))
-    val cc = Cluster.connectedComponentsAuto(d.select(col("doc_id")), pairs, "doc_id")
+    // star-edge CC input (see dedupCluster) — components identical
+    val edges = Dedup.minhashStarEdges(d, "doc_id", "text")
+    val cc = Cluster.connectedComponentsAuto(d.select(col("doc_id")), edges, "doc_id")
       .withColumnRenamed("id", "doc_id")
     val sized = cc.withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))

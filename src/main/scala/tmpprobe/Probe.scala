@@ -62,3 +62,44 @@ object Probe {
     println("PROBE_DONE " + dir)
   }
 }
+
+/** Skew-resilience measurement (round-14 verdict item 7): CC over the
+  * pair spelling vs the star spelling on a planted mega-cluster
+  * corpus, and the full dedup_split_leakage face. One mode per JVM. */
+object ProbeSkew {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0); val mode = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = graft.sources.Tables(spark, dir, "documents")
+    val t0 = System.nanoTime()
+    mode match {
+      case "pairs" =>
+        val edges = graft.ops.Dedup.minhashCandidates(d, "doc_id", "text")
+          .select(col("doc_a"), col("doc_b"))
+        val cc = graft.ops.Cluster.connectedComponentsAuto(
+          d.select(col("doc_id")), edges, "doc_id")
+        val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc).limit(3).collect()
+        println(s"PROBE_SKEW cc_pairs top clusters: ${sizes.mkString(" ")}")
+      case "star" =>
+        val edges = graft.ops.Dedup.minhashStarEdges(d, "doc_id", "text")
+        val cc = graft.ops.Cluster.connectedComponentsAuto(
+          d.select(col("doc_id")), edges, "doc_id")
+        val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc).limit(3).collect()
+        println(s"PROBE_SKEW cc_star top clusters: ${sizes.mkString(" ")}")
+      case "face" =>
+        graft.ops.DedupQueries.dedupSplitLeakage(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+    }
+    println(f"PROBE_SKEW $mode $dir wall ${(System.nanoTime() - t0) / 1e9}%.1f s")
+  }
+}

@@ -204,4 +204,50 @@ class ClusterSpec extends SparkSpec {
     assert(clustered.forall(_._3 == nDocs.toLong))
     assert(clustered.count(_._4 == 1) == 1)
   }
+
+  test("minhashStarEdges: identical components to the pair spelling, " +
+      "including a planted mega-cluster (round-14 verdict item 7)") {
+    import org.apache.spark.sql.functions._
+    // a skewed corpus: 40 near-dups of ONE seed (the hot-bucket shape),
+    // two small clusters, and uniques — built like the generator's
+    // --skew-docs mode
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    def nearDup(i: Int) = {
+      val w = base.split(" ")
+      w(i % w.length) = "dup"
+      w.mkString(" ")
+    }
+    val mega = (0 until 40).map(i =>
+      (i.toLong, if (i == 0) base else nearDup(i)))
+    val small = Seq((100L, "one two three four five six seven eight nine ten"),
+      (101L, "one two three four five six seven eight nine dup"),
+      (102L, "cat dog bird fish horse sheep goat cow duck hen"),
+      (103L, "cat dog bird fish horse sheep goat cow duck dup"))
+    val uniq = (200 until 230).map(i =>
+      (i.toLong, s"unique$i words ${i * 7} other ${i * 13} tokens ${i * 3} here ${i * 29} now ${i * 31} end"))
+    val docs = (mega ++ small ++ uniq).toDF("doc_id", "text")
+
+    val ids = docs.select(col("doc_id"))
+    val pairCc = Cluster.connectedComponentsAuto(ids,
+        Dedup.minhashCandidates(docs, "doc_id", "text")
+          .select(col("doc_a"), col("doc_b")), "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val starCc = Cluster.connectedComponentsAuto(ids,
+        Dedup.minhashStarEdges(docs, "doc_id", "text"), "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(pairCc == starCc,
+      "star edges must produce the exact components of the pair graph")
+    // non-vacuous: the planted cluster's dominant component is big (a
+    // few variants may band-split — equality above is the real pin)
+    val megaSizes = starCc.filter(_._1 < 40L).values
+      .groupBy(identity).map(_._2.size)
+    assert(megaSizes.max >= 10,
+      s"planted mega-cluster must largely cluster: ${starCc.filter(_._1 < 40L)}")
+    // and the edge volume is linear, not quadratic, in the hot bucket
+    val starEdges = Dedup.minhashStarEdges(docs, "doc_id", "text").count()
+    val pairEdges = Dedup.minhashCandidates(docs, "doc_id", "text").count()
+    assert(starEdges < pairEdges,
+      s"star edge list ($starEdges) must undercut the pair list ($pairEdges)")
+  }
 }
