@@ -117,7 +117,27 @@ object Dedup {
     val bands = lshBands(minhashSignature(sh, idCol, numHashes), idCol, numBands, rows)
     val a = bands.select(col(idCol).as("doc_a"), col("band_idx"), col("band_key"))
     val b = bands.select(col(idCol).as("doc_b"), col("band_idx"), col("band_key"))
-    a.join(b, Seq("band_idx", "band_key")).where(col("doc_a") < col("doc_b"))
+    // The C5 G×G grid carried over to the band self-join (round-15):
+    // the physical join key is (band_idx, band_key, ga, gb), so a HOT
+    // bucket — a mega-cluster of near-dups all sharing a band — splits
+    // its quadratic pair enumeration into G² independent sub-tasks
+    // instead of landing m²/2 join output on ONE reducer. Measured at
+    // the planted 10%-mega-cluster 512k corpus (51,200-member bucket,
+    // 1.3B pairs): the ungridded join dies of UNABLE_TO_ACQUIRE_MEMORY
+    // in the single hot task at the 8 GB bench heap — input-size-based
+    // AQE skew splitting never engages because the skew is OUTPUT
+    // amplification (the bucket's input partition is a few MB). The
+    // pair SET is exactly unchanged (each (a,b) pair meets in exactly
+    // one (ga, gb) cell per shared band); each side replicates G ways
+    // on corpus-linear band tables, which is noise at any scale.
+    val grid = 8
+    val cells = array((0 until grid).map(lit): _*)
+    val ga = a.withColumn("ga", pmod(hash(col("doc_a")), lit(grid)))
+      .withColumn("gb", explode(cells))
+    val gb = b.withColumn("gb", pmod(hash(col("doc_b")), lit(grid)))
+      .withColumn("ga", explode(cells))
+    ga.join(gb, Seq("band_idx", "band_key", "ga", "gb"))
+      .where(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_bands"))
   }

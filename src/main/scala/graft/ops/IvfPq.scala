@@ -106,7 +106,15 @@ object IvfPq {
   /** C44 query face: IVF-PQ top-10 for the query set vec_id < 5.
     * k_coarse=8 IVF clusters (3 Lloyd rounds), shared residual PQ
     * codebook (M=8 × 8 dims, k=16, 2 rounds), nprobe=2, top-100 ADC
-    * candidates, exact cosine rescore, top-10. */
+    * candidates, exact cosine rescore, top-10.
+    *
+    * ABOVE-KNEE POSTURE (round-15 rule, BASELINE "the ONE
+    * quantized-family rule"): quantized serves are GEOMETRY-gated, not
+    * size-gated — no knee route. On clustered geometry the sampled fit
+    * holds real recall at every measured scale (ivfpq 0.84 at 512k /
+    * 0.64 at 4M, serve 5.0 s vs exact 3.5 s at 4M, probe-bounded past
+    * it); on structure-free geometry recall is noise, and the C87/C87a
+    * audit — not a corpus count — is the operational detector. */
   def simSearchIvfPq(s: SparkSession, dir: String): DataFrame = {
     val numSub = 8; val subDim = 8; val k = 16
     val (v, unit) = frames(s, dir)

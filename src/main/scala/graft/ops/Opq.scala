@@ -158,7 +158,12 @@ object Opq {
   /** C38b query face: rotated-PQ top-10 for the query set vec_id < 5 —
     * OPQ-P init + 2 OPQ-NP sweeps, then the shared C38 ADC scan +
     * exact rescore (cosine is rotation-invariant, so only the
-    * candidate set differs from C38/C38a). */
+    * candidate set differs from C38/C38a). Above-knee posture: the ONE
+    * quantized-family rule (BASELINE round-15; see
+    * [[IvfPq.simSearchIvfPq]]) — geometry-gated via the C87 audit, no
+    * knee route (blob recall 1.00 at 512k/4M; the rotated full-corpus
+    * scan's 104 s @4M envelope is the documented cost of rotation over
+    * inline array columns). */
   def simSearchOpqRot(s: SparkSession, dir: String): DataFrame = {
     val numSub = 8; val subDim = 8
     val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")

@@ -183,7 +183,11 @@ object ProductQuant {
     * rescore (and every other ANN family here) reports. Candidates:
     * top-100 by ADC distance per query; rescore: exact cosine from the
     * raw vectors (a broadcast of the 5×100 candidate list — the corpus
-    * never re-shuffles); report top-10. */
+    * never re-shuffles); report top-10. Above-knee posture: the ONE
+    * quantized-family rule (BASELINE round-15; see
+    * [[IvfPq.simSearchIvfPq]]) — geometry-gated via the C87 audit, no
+    * knee route (blob-corpus recall 1.00 at 512k/4M under the sampled
+    * fit). */
   def simSearchPq(s: SparkSession, dir: String): DataFrame = {
     val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
       .select(col("vec_id"), col("e"), col("nrm"))

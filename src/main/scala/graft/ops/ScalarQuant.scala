@@ -117,7 +117,11 @@ object ScalarQuant {
     * half-away-from-zero on its exact value (the §4 trap is
     * scale>0 per-row rounding, where DuckDB's multiply-first
     * introduces fp error). ScalarQuantSpec still bounds reconstruction
-    * error and recall@10 against the exact C6 face. */
+    * error and recall@10 against the exact C6 face. Above-knee
+    * posture: the ONE quantized-family rule (BASELINE round-15; see
+    * [[IvfPq.simSearchIvfPq]]) — geometry-gated via the C87 audit, no
+    * knee route (SQ8's margin-cut + exact rescore reads recall 1.00 on
+    * every corpus measured, both geometries). */
   def simSearchSq8(s: SparkSession, dir: String): DataFrame =
     sq8TopK(Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
       .select(col("vec_id"), col("e"), col("nrm")))
