@@ -184,4 +184,27 @@ class PipelineSpec extends SparkSpec {
       benchTextCol = "question")
     assert(folds2 == folds, "renamed benchmark column must not change the export")
   }
+
+  test("star member set == pair loser set (the round-15 dropNearDups swap, proven on data)") {
+    import org.apache.spark.sql.functions.col
+    // real gate documents (planted exact + near dups) PLUS a planted
+    // hot cluster, so the equivalence is exercised on both shapes
+    val base = graft.sources.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val seed = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val hot = (0 until 30).map { i =>
+      val w = seed.split(" "); w(i % w.length) = "dup"
+      (900000L + i, w.mkString(" "))
+    }
+    val docs = base.unionByName(hot.toDF("doc_id", "text"))
+    val pairLosers = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .select(col("doc_b")).as[Long].collect().toSet
+    val starMembers = Dedup.minhashStarEdges(docs, "doc_id", "text")
+      .select(col("doc_b")).as[Long].collect().toSet
+    assert(starMembers == pairLosers,
+      "x is a non-min star member iff x is doc_b of some candidate pair — " +
+        s"diff: ${(starMembers diff pairLosers) ++ (pairLosers diff starMembers)}")
+    assert(pairLosers.nonEmpty, "non-vacuous: the corpus has near-dups")
+  }
 }
