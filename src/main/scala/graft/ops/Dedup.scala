@@ -25,9 +25,20 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     graft.functions.WordShingles(text, n)
 
-  /** Exploded (id, shingle) frame for a document frame. */
+  /** Exploded (id, shingle) frame for a document frame.
+    *
+    * The DOC frame is hash-spread by id first (round-15): the explode
+    * and everything computed on its output (the k-md5 MinHashes pass,
+    * shingle hashing) otherwise run inside the scan task, and a
+    * single-rowgroup parquet input pins that to ONE task on a 32-core
+    * box (measured: the whole sf0.1 minhash pass as one 1.8 s task).
+    * Exchanging the raw docs is far cheaper than exchanging the
+    * ~100×-larger exploded shingle stream, and downstream per-doc
+    * aggregates cluster on the same key. No-op on already-parallel
+    * inputs — the at-scale case keeps its unshuffled scan. */
   def shingleFrame(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol), explode(shingles(col(textCol), n)).as("s"))
+    Vectors.ensureParallelismBy(docs, col(idCol))
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("s"))
 
   /** Drop shingles whose document frequency exceeds `maxDf` (the skew
     * guard — mirrors stopword-shingle removal in production dedup).
@@ -59,6 +70,8 @@ object Dedup {
     // the cache is scoped to the caller's next action (CacheScope), so a
     // long-lived session never accumulates dead shingle caches. The
     // default recomputes and caches nothing.
+    // (shingleFrame spreads the doc side by id, so the explode itself
+    // parallelizes; the join/cap exchanges on `s` are unchanged)
     val sh0 = capDocFrequency(shingleFrame(docs, idCol, textCol, n), maxDf)
     val sh = if (persistShingles) {
       val p = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -87,14 +100,28 @@ object Dedup {
     * row come from ONE native expression pass
     * ([[graft.functions.MinHashes]]: single byte conversion, thread-local
     * digest) instead of k independent concat→md5 trees. */
-  def minhashSignature(shingled: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+  def minhashSignature(shingled: DataFrame, idCol: String, numHashes: Int,
+                       materialize: Boolean = true): DataFrame = {
+    // (shingleFrame spreads the doc side by id, so the k-md5 MinHashes
+    // projection below runs parallel with map-side partial aggregation)
     val sigs = shingled.withColumn("__sigs",
       graft.functions.MinHashes(col("s"), numHashes))
-    sigs.groupBy(col(idCol))
+    val sig = sigs.groupBy(col(idCol))
       .agg(
         min(element_at(col("__sigs"), 1)).as("m0"),
         (1 until numHashes).map(k =>
           min(element_at(col("__sigs"), k + 1)).as(s"m$k")): _*)
+    // Materialize by default (round-15): every band consumer feeds the
+    // signature into ≥2 plan subtrees (both sides of the pair self-join,
+    // or the star min + its join-back), and Spark does not dedupe common
+    // subtrees across a join — the formatted plan of `dedup_minhash`
+    // showed the whole shingle→minhash→agg pipeline TWICE, one copy
+    // inside a BroadcastExchange. One eager localCheckpoint (doc-count ×
+    // 16 hashes — far smaller than the corpus text) runs the pipeline
+    // once and every consumer scans blocks. Single-consumer callers
+    // (index writers) pass materialize = false and keep the streaming
+    // one-pass shape.
+    if (materialize) sig.localCheckpoint(true) else sig
   }
 
   /** LSH banding: (id, band_idx, band_key) with band_key = md5 of the
@@ -110,11 +137,22 @@ object Dedup {
   /** MinHash-LSH candidate pairs: docs sharing >= 1 band. Output:
     * (doc_a, doc_b, shared_bands). The join key is (band_idx, band_key) —
     * bucket-local, no cross join. */
+  /** The (id, band_idx, band_key) table the default 16×4 MinHash faces
+    * share — exposed so a face needing BOTH the pair enumeration and
+    * the star edges (C106) computes the signature pass once. */
+  def bandFrame(docs: DataFrame, idCol: String, textCol: String,
+                n: Int = 3, numHashes: Int = 16, numBands: Int = 4): DataFrame =
+    lshBands(minhashSignature(shingleFrame(docs, idCol, textCol, n), idCol, numHashes),
+      idCol, numBands, numHashes / numBands)
+
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, numHashes: Int = 16, numBands: Int = 4): DataFrame = {
-    val rows = numHashes / numBands
-    val sh = shingleFrame(docs, idCol, textCol, n)
-    val bands = lshBands(minhashSignature(sh, idCol, numHashes), idCol, numBands, rows)
+                        n: Int = 3, numHashes: Int = 16, numBands: Int = 4): DataFrame =
+    candidatesFromBands(
+      bandFrame(docs, idCol, textCol, n, numHashes, numBands), idCol)
+
+  /** The pair enumeration of [[minhashCandidates]] over an
+    * already-computed band table (shareable/persistable by callers). */
+  def candidatesFromBands(bands: DataFrame, idCol: String): DataFrame = {
     val a = bands.select(col(idCol).as("doc_a"), col("band_idx"), col("band_key"))
     val b = bands.select(col(idCol).as("doc_b"), col("band_idx"), col("band_key"))
     // The C5 G×G grid carried over to the band self-join (round-15):
@@ -167,10 +205,14 @@ object Dedup {
     * candidate PAIRS and stay green because the components are equal
     * by construction. */
   def minhashStarEdges(docs: DataFrame, idCol: String, textCol: String,
-                       n: Int = 3, numHashes: Int = 16, numBands: Int = 4): DataFrame = {
-    val rows = numHashes / numBands
-    val sh = shingleFrame(docs, idCol, textCol, n)
-    val bands = lshBands(minhashSignature(sh, idCol, numHashes), idCol, numBands, rows)
+                       n: Int = 3, numHashes: Int = 16, numBands: Int = 4): DataFrame =
+    starEdgesFromBands(
+      bandFrame(docs, idCol, textCol, n, numHashes, numBands), idCol)
+
+  /** The star-edge derivation of [[minhashStarEdges]] over an
+    * already-computed band table (shareable/persistable by callers). */
+  def starEdgesFromBands(bands0: DataFrame, idCol: String): DataFrame = {
+    val bands = bands0
       .select(col(idCol).as("__id"), col("band_idx"), col("band_key"))
     val mins = bands.groupBy(col("band_idx"), col("band_key"))
       .agg(min(col("__id")).as("doc_a"))

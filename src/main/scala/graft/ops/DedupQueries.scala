@@ -59,41 +59,66 @@ object DedupQueries {
   def dedupMinhashTuning(s: SparkSession, dir: String,
       maxBand: Int = 64): DataFrame = {
     val d = docs(s, dir)
+    // minhashSignature materializes itself (localCheckpoint) — all four
+    // re-bandings below scan the same blocks
     val sig = Dedup.minhashSignature(
-        Dedup.shingleFrame(d, "doc_id", "text", 3), "doc_id", 16)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    CacheScope.releaseAfterAction(s, sig)
+      Dedup.shingleFrame(d, "doc_id", "text", 3), "doc_id", 16)
     val truth = Dedup.jaccardPairs(d, "doc_id", "text", persistShingles = true)
       .select(col("doc_a"), col("doc_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     CacheScope.releaseAfterAction(s, truth)
     val truthCount = truth.agg(count(lit(1)).as("true_pairs"))
-    val cards = TuningConfigs.map { case (bands, rows) =>
-      val bnd = Dedup.lshBands(sig, "doc_id", bands, rows)
-      // hot-band discovery is a partial-agg groupBy (map-side combined);
-      // over-cap groups are few by definition, so the exclusion is a
-      // broadcast anti-join — the banded frame never reshuffles for it
-      val groups = bnd.groupBy(col("band_idx"), col("band_key"))
-        .agg(count(lit(1)).as("__m"))
-      val hot = groups.where(col("__m") > maxBand)
-      val hotStats = hot.agg(
-        count(lit(1)).as("hot_bands"),
-        coalesce(sum(col("__m")), lit(0L)).as("hot_band_docs"))
-      val kept = bnd.join(broadcast(hot.select(col("band_idx"), col("band_key"))),
-        Seq("band_idx", "band_key"), "left_anti")
-      val pa = kept.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
-      val pb = kept.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key"))
-      val cand = pa.join(pb, Seq("band_idx", "band_key"))
-        .where(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-      cand.join(truth.withColumn("__hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
-        .agg(count(lit(1)).as("candidates"),
-          coalesce(sum(col("__hit")), lit(0L)).as("hits"))
-        .crossJoin(broadcast(hotStats))
-        .select(lit(bands).as("bands"), lit(rows).as("rows_per_band"),
-          col("candidates"), col("hits"), col("hot_bands"), col("hot_band_docs"))
-    }
-    cards.reduce(_ union _)
+    // ONE multi-config band frame (round-15): the four configurations
+    // previously each ran their own groupBy / anti-join / pair-join /
+    // distinct / truth-join subtree (~4 shuffles × 4 configs). With the
+    // config id as one more key column, all four ride ONE hot-band
+    // groupBy, ONE anti-join, ONE band-equi pair join, ONE distinct and
+    // ONE truth join — identical per-config semantics (every key is
+    // (cfg, band_idx, band_key), so configs never cross), a quarter of
+    // the stages. `cfg` = the config's band count (unique in the ladder).
+    val allBands = TuningConfigs.map { case (bands, rows) =>
+        Dedup.lshBands(sig, "doc_id", bands, rows).withColumn("cfg", lit(bands))
+      }.reduce(_ unionByName _)
+    // hot-band discovery is a partial-agg groupBy (map-side combined);
+    // over-cap groups are few by definition, so the exclusion is a
+    // broadcast anti-join — the banded frame never reshuffles for it
+    val hot = allBands.groupBy(col("cfg"), col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("__m"))
+      .where(col("__m") > maxBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheScope.releaseAfterAction(s, hot)
+    val hotStats = hot.groupBy(col("cfg")).agg(
+      count(lit(1)).as("hot_bands"),
+      sum(col("__m")).as("hot_band_docs"))
+    val kept = allBands.join(
+      broadcast(hot.select(col("cfg"), col("band_idx"), col("band_key"))),
+      Seq("cfg", "band_idx", "band_key"), "left_anti")
+    val pa = kept.select(col("doc_id").as("doc_a"),
+      col("cfg"), col("band_idx"), col("band_key"))
+    val pb = kept.select(col("doc_id").as("doc_b"),
+      col("cfg"), col("band_idx"), col("band_key"))
+    val cand = pa.join(pb, Seq("cfg", "band_idx", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("cfg"), col("doc_a"), col("doc_b")).distinct()
+    val candStats = cand
+      .join(truth.withColumn("__hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("cfg"))
+      .agg(count(lit(1)).as("candidates"),
+        coalesce(sum(col("__hit")), lit(0L)).as("hits"))
+    // a config with zero candidates / zero hot bands yields no grouped
+    // row — the spine join + coalesce reproduces the old per-config
+    // global aggregates' guaranteed zeros exactly
+    import s.implicits._
+    val spine = TuningConfigs.toDF("bands", "rows_per_band")
+      .withColumn("cfg", col("bands"))
+    spine
+      .join(candStats, Seq("cfg"), "left")
+      .join(hotStats, Seq("cfg"), "left")
+      .select(col("bands"), col("rows_per_band"),
+        coalesce(col("candidates"), lit(0L)).as("candidates"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("hot_bands"), lit(0L)).as("hot_bands"),
+        coalesce(col("hot_band_docs"), lit(0L)).as("hot_band_docs"))
       .crossJoin(broadcast(truthCount))
       .withColumn("precision_bp", expr(
         "CASE WHEN candidates = 0 THEN NULL ELSE hits * 10000 div candidates END"))
@@ -143,7 +168,11 @@ object DedupQueries {
   def dedupWinnow(s: SparkSession, dir: String): DataFrame = {
     // POSITIONAL shingles (the C45 idiom) — WordShingles would dedup
     // repeats, and winnowing selection is position-dependent.
-    val sh = docs(s, dir)
+    // doc-level hash-spread (round-15): the positional shingle explode +
+    // md5 pass otherwise run inside the single-rowgroup scan task, and
+    // the selection window below partitions on the same key, so no
+    // second exchange appears (no-op on already-parallel inputs)
+    val sh = Vectors.ensureParallelismBy(docs(s, dir), col("doc_id"))
       .select(col("doc_id"), Text.tokens(col("text")).as("ts"))
       .where(size(col("ts")) >= 3)
       .select(col("doc_id"),
@@ -295,10 +324,22 @@ object DedupQueries {
     * CTE + the generated fold CASEs). */
   def dedupSplitLeakage(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val nd = Dedup.minhashCandidates(d, "doc_id", "text")
+    // ONE signature/banding pass (round-15): the pair list (for counts)
+    // and the star edges (for CC) previously each re-derived the
+    // shingle → 16-minhash → band table from the raw corpus — the
+    // face's single most expensive stage, paid twice. minhashSignature
+    // materializes itself, so both deriveds re-band the same blocks.
+    val bands = Dedup.bandFrame(d, "doc_id", "text")
+    val nd = Dedup.candidatesFromBands(bands, "doc_id")
       .select(col("doc_a"), col("doc_b"))
+    // the content-hash frame likewise feeds TWO consumers (exact star
+    // edges + the exact leak counts), and a scoped persist would be
+    // released by the CC loop's own internal actions before the second
+    // consumer runs — an eager checkpoint (doc-count × one hash) holds
+    // for the whole face
     val h = d.select(col("doc_id"),
-      graft.ops.Text.contentHash(col("text")).as("h"))
+        graft.ops.Text.contentHash(col("text")).as("h"))
+      .localCheckpoint(true)
     val exactEdges = h
       .withColumn("m", min(col("doc_id")).over(Window.partitionBy(col("h"))))
       .where(col("doc_id") =!= col("m"))
@@ -306,7 +347,7 @@ object DedupQueries {
     // the leak COUNTS below need the pair list (nd) — but CC only needs
     // connectivity, so its edge input is the spanning star set: same
     // components, skew-safe (round-14 verdict item 7)
-    val edges = Dedup.minhashStarEdges(d, "doc_id", "text").unionByName(exactEdges)
+    val edges = Dedup.starEdgesFromBands(bands, "doc_id").unionByName(exactEdges)
     val cc = Cluster.connectedComponentsAuto(d.select(col("doc_id")), edges, "doc_id")
       .withColumnRenamed("id", "doc_id")
     val folded = cc
@@ -342,25 +383,40 @@ object DedupQueries {
     def ndLeaks(tag: String, name: String): DataFrame =
       ndBoth.where(col("tag") === tag)
         .select(col("fold_a"), col("fold_b"), col("n").as(name))
-    def exactLeaks(foldCol: String, name: String): DataFrame = {
-      val gf = h.join(folded.select(col("doc_id"), col(foldCol).as("f")),
-          Seq("doc_id"))
-        .groupBy(col("h"), col("f")).agg(count(lit(1)).as("n"))
-      gf.select(col("h"), col("f").as("fa"), col("n").as("na"))
-        .join(gf.select(col("h"), col("f").as("fb"), col("n").as("nb")), Seq("h"))
-        .where(col("fa") < col("fb"))
-        .groupBy(col("fa").as("fold_a"), col("fb").as("fold_b"))
-        .agg(sum(col("na") * col("nb")).as(name))
-    }
+    // ONE enumeration for BOTH exact-leak spellings too (round-15, the
+    // ndBoth pattern): the (h × fold) histogram explodes into two
+    // tagged tuples, one groupBy + one self-join serve both fold
+    // columns — previously each spelling re-joined h to folded and
+    // re-ran its own histogram + pair join.
+    val gfBoth = h
+      .join(folded.select(col("doc_id"), col("fold_naive"), col("fold_clustered")),
+        Seq("doc_id"))
+      .select(col("h"), explode(array(
+        struct(lit("naive").as("tag"), col("fold_naive").as("f")),
+        struct(lit("clustered").as("tag"), col("fold_clustered").as("f"))))
+        .as("t"))
+      .groupBy(col("t.tag").as("tag"), col("h"), col("t.f").as("f"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheScope.releaseAfterAction(s, gfBoth)
+    val exBoth = gfBoth.select(col("tag"), col("h"), col("f").as("fa"), col("n").as("na"))
+      .join(gfBoth.select(col("tag"), col("h"), col("f").as("fb"), col("n").as("nb")),
+        Seq("tag", "h"))
+      .where(col("fa") < col("fb"))
+      .groupBy(col("tag"), col("fa").as("fold_a"), col("fb").as("fold_b"))
+      .agg(sum(col("na") * col("nb")).as("n"))
+    def exactLeaks(tag: String, name: String): DataFrame =
+      exBoth.where(col("tag") === tag)
+        .select(col("fold_a"), col("fold_b"), col("n").as(name))
     import s.implicits._
     val spine = Seq(("test", "train"), ("test", "val"), ("train", "val"))
       .toDF("fold_a", "fold_b")
     spine
-      .join(exactLeaks("fold_naive", "naive_exact_pairs"),
+      .join(exactLeaks("naive", "naive_exact_pairs"),
         Seq("fold_a", "fold_b"), "left")
       .join(ndLeaks("naive", "naive_neardup_pairs"),
         Seq("fold_a", "fold_b"), "left")
-      .join(exactLeaks("fold_clustered", "clustered_exact_pairs"),
+      .join(exactLeaks("clustered", "clustered_exact_pairs"),
         Seq("fold_a", "fold_b"), "left")
       .join(ndLeaks("clustered", "clustered_neardup_pairs"),
         Seq("fold_a", "fold_b"), "left")

@@ -49,9 +49,17 @@ object ExactSubstr {
   }
 
   /** Every L-token window of every doc as (doc_id, pos, h) — 1-based
-    * window start position, md5 window hash. */
+    * window start position, md5 window hash.
+    *
+    * The doc frame is hash-spread by id first (round-15): the per-window
+    * md5 pass — one digest per token position, the family's dominant
+    * map-side compute — otherwise runs inside the single-rowgroup scan
+    * task; exchanging the raw docs is ~100× cheaper than exchanging the
+    * window stream, and the island-merge window downstream partitions on
+    * the same key. No-op on already-parallel inputs (the at-scale case). */
   def windowHashes(docs: DataFrame, idCol: String, textCol: String, L: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("ts"))
+    Vectors.ensureParallelismBy(docs, col(idCol))
+      .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("ts"))
       .where(size(col("ts")) >= L)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(1), size(col("ts")) - (L - 1)),

@@ -112,10 +112,10 @@ object GraphAnn {
     * build's TopKByScore fold, and why the widening is scoped rather
     * than session-global). */
   def buildGraph(v0: DataFrame, degree: Int = Degree): (DataFrame, DataFrame) = {
-    // see Vectors.ensureParallelism: the multi-assign and within-cell
-    // pair stages below replay the corpus several times
-    val n = v0.count()
-    val v = Vectors.ensureParallelism(v0, n)
+    // materialize once + row-aware spread (round-15): the fit's Lloyd
+    // rounds and the multi-assign below otherwise re-evaluate the
+    // scan+norm plan per pass
+    val (v, n) = Vectors.materializeSpread(v0)
     // SAMPLE-TRAINED cell fit (round 14): the cells are pure blocking
     // structure here — k stays adaptiveK(n) (pair volume is n·cell·p²,
     // so SHRINKING k with the sample would square the pair stage), but
@@ -129,11 +129,17 @@ object GraphAnn {
     val centsArr = fit.centroids.select(col("cluster"), col("ce"), col("cn"))
       .agg(array_sort(collect_list(
         struct(col("cluster"), col("ce"), col("cn")))).as("cents"))
-    // 3-probe multi-assign: boundary vectors meet all their sides (C68)
-    val assigned = v.crossJoin(broadcast(centsArr))
+    // 3-probe multi-assign: boundary vectors meet all their sides (C68).
+    // ONE argmax pass (round-15): the assignment feeds both pair-join
+    // sides AND the medoid pass below — without the checkpoint the
+    // k-way NearestCentroids scan over the corpus ran three times
+    // (Spark does not dedupe duplicated subtrees).
+    val assigned0 = v.crossJoin(broadcast(centsArr))
       .select(col("vec_id"), col("e"), col("nrm"),
-        explode(graft.functions.NearestCentroids(col("e"), col("cents"), 3))
-          .as("cluster"))
+        graft.functions.NearestCentroids(col("e"), col("cents"), 3).as("cls"))
+      .localCheckpoint(true)
+    val assigned = assigned0.select(col("vec_id"), col("e"), col("nrm"),
+      explode(col("cls")).as("cluster"))
     val a = assigned.select(col("cluster"), col("vec_id").as("src"),
       col("e").as("se"), col("nrm").as("sn"))
     val b = assigned.select(col("cluster"), col("vec_id").as("dst"),
@@ -167,11 +173,11 @@ object GraphAnn {
     // corpus instead (same doubles — the edge copies WERE the corpus
     // rows — so every cosine, and the oracle replay, is bit-identical).
     val adj = topR.select(col("src"), col("dst"))
-    // entry points: each cell's medoid under the cosine objective
-    val one = v.crossJoin(broadcast(centsArr))
-      .select(col("vec_id"), col("e"), col("nrm"),
-        graft.functions.NearestCentroids(col("e"), col("cents"), 1)
-          .getItem(0).as("cluster"))
+    // entry points: each cell's medoid under the cosine objective —
+    // cls(0) IS NearestCentroids(..., 1)(0) (same score order, same
+    // tie-break), so the medoid pass reuses the checkpointed assignment
+    val one = assigned0.select(col("vec_id"), col("e"), col("nrm"),
+      col("cls").getItem(0).as("cluster"))
     val toCent = one.join(broadcast(fit.centroids), Seq("cluster"))
       .withColumn("cc", Vectors.cosine(col("e"), col("ce"), col("nrm"), col("cn")))
     val mw = Window.partitionBy(col("cluster"))

@@ -37,7 +37,7 @@ object IncrementalIndex {
   private def bandsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     Dedup.lshBands(
       Dedup.minhashSignature(Dedup.shingleFrame(docs, idCol, textCol, 3),
-        idCol, 16), idCol, 4, 4)
+        idCol, 16, materialize = false), idCol, 4, 4)
       .select(col(idCol).as("doc_id"), col("band_idx"), col("band_key"))
 
   /** Create (overwrite) the index from the current standing corpus. */

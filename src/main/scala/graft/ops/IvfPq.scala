@@ -80,8 +80,8 @@ object IvfPq {
   private[ops] def buildIndex(s: SparkSession, unit: DataFrame,
       numSub: Int, subDim: Int, k: Int,
       trainCap: Long = Vectors.TrainSampleCap,
-      coarseK: Int = -1): (DataFrame, DataFrame, DataFrame) = {
-    val n = unit.count()
+      coarseK: Int = -1, rows: Long = -1L): (DataFrame, DataFrame, DataFrame) = {
+    val n = if (rows >= 0) rows else unit.count()
     val (tu, tn) = Vectors.trainSample(unit, n, trainCap)
     val sampled = tn >= 0 && tn < n
     val kc = if (coarseK > 0) coarseK
@@ -117,8 +117,12 @@ object IvfPq {
     * audit — not a corpus count — is the operational detector. */
   def simSearchIvfPq(s: SparkSession, dir: String): DataFrame = {
     val numSub = 8; val subDim = 8; val k = 16
-    val (v, unit) = frames(s, dir)
-    val (coarse, cb, postings) = buildIndex(s, unit, numSub, subDim, k)
+    val (v, unit0) = frames(s, dir)
+    // materialize once + row-aware spread (round-15): the unit frame
+    // feeds the coarse fit, the residual/encode passes, and the query
+    // probes — previously each re-derived it from the single-task scan
+    val (unit, n) = Vectors.materializeSpread(unit0)
+    val (coarse, cb, postings) = buildIndex(s, unit, numSub, subDim, k, rows = n)
     // round-11 oracle exports: coarse centroids + the shared residual
     // codebook are the ONLY learned state — the posting lists re-derive
     // from them deterministically, so the DuckDB replay rebuilds the
@@ -128,7 +132,7 @@ object IvfPq {
     graft.ops.VectorQueries.exportSide(
       coarse.select(col("cluster"), col("ce"), col("cn")), IvfPqCoarsePath)
     graft.ops.VectorQueries.exportSide(cb, IvfPqCbPath)
-    search(v, unit, coarse, cb, postings, numSub, subDim, nprobe = 2)
+    search(v, unit, coarse, cb, postings, numSub, subDim, nprobe = 2, rows = n)
   }
 
   /** C44a: the PERSISTED-INDEX face — centroids, codebook, and posting
@@ -139,8 +143,11 @@ object IvfPq {
   def simSearchIvfPqCached(s: SparkSession, dir: String): DataFrame = {
     val numSub = 8; val subDim = 8; val k = 16
     val (v, unit) = frames(s, dir)
+    // warm serve stays lazy (round-15 A/B: a count + checkpoint taxes
+    // it); the cold build branch materializes its own spread frame
     if (!ArtifactStore.has(s, dir, "ivfpq_coarse", "ivfpq_cb", "ivfpq_postings")) {
-      val (coarse, cb, postings) = buildIndex(s, unit, numSub, subDim, k)
+      val (u, n) = Vectors.materializeSpread(unit)
+      val (coarse, cb, postings) = buildIndex(s, u, numSub, subDim, k, rows = n)
       ArtifactStore.save(coarse, dir, "ivfpq_coarse")
       ArtifactStore.save(cb, dir, "ivfpq_cb")
       ArtifactStore.save(postings, dir, "ivfpq_postings")
@@ -251,7 +258,7 @@ object IvfPq {
     * bucket-bounded ADC scan, exact rescore. */
   private def search(v: DataFrame, unit: DataFrame, coarse: DataFrame,
       cb: DataFrame, postings: DataFrame,
-      numSub: Int, subDim: Int, nprobe: Int): DataFrame = {
+      numSub: Int, subDim: Int, nprobe: Int, rows: Long = -1L): DataFrame = {
     // probes: each query's nprobe nearest coarse centroids + its
     // PER-CLUSTER residual (q − that cluster's centroid)
     val centsArr = coarse.agg(array_sort(collect_list(
@@ -293,7 +300,8 @@ object IvfPq {
     // the old fixed 100 up to 8k vectors, then ~1.25% of the corpus —
     // the round-12 64k sweep showed the fixed cut halving recall
     val cand = scored.withColumn("crnk", row_number().over(byAdc))
-      .where(col("crnk") <= ProductQuant.adaptiveCand(v.count()))
+      .where(col("crnk") <=
+        ProductQuant.adaptiveCand(if (rows >= 0) rows else v.count()))
       .select(col("query_id"), col("vec_id"))
 
     val q = v.where(col("vec_id") < 5)

@@ -137,9 +137,11 @@ object KMeans {
     * and the DuckDB oracle replays the cosine-tightness card from
     * them. */
   def embedKmeans(s: SparkSession, dir: String): DataFrame = {
-    val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
-      .select(col("vec_id"), col("e"), col("nrm"))
-    val n = v.count()
+    // materialize once + row-aware spread (round-15): 4 Lloyd rounds +
+    // the final card join all re-scan this frame
+    val (v, n) = Vectors.materializeSpread(
+      Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
+        .select(col("vec_id"), col("e"), col("nrm")))
     val f = fit(v, k = adaptiveK(n), iters = 4, rows = n)
     graft.ops.VectorQueries.exportSide(
       f.assignments.select(col("vec_id"), col("cluster")), KmeansAssignPath)
@@ -185,9 +187,10 @@ object KMeans {
     * the floor idiom (§4: per-row round() of arbitrary doubles is not
     * parity-safe; floor(x·10⁴ + 0.5) is pure IEEE). */
   def corpusTopics(s: SparkSession, dir: String): DataFrame = {
-    val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
-      .select(col("vec_id"), col("e"), col("nrm"))
-    val n = v.count()
+    // materialize once + row-aware spread (the embedKmeans rationale)
+    val (v, n) = Vectors.materializeSpread(
+      Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
+        .select(col("vec_id"), col("e"), col("nrm")))
     val f = fit(v, k = adaptiveK(n), iters = 4, rows = n)
     f.assignments.select(col("vec_id").as("doc_id"), col("cluster"))
       .coalesce(1).write.mode("overwrite").parquet(TopicsAssignPath)

@@ -168,10 +168,12 @@ object Opq {
     val numSub = 8; val subDim = 8
     val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
       .select(col("vec_id"), col("e"), col("nrm"))
-    val unit0 = v
-      .select(col("vec_id"), transform(col("e"), x => x / col("nrm")).as("e"))
-      .localCheckpoint(true)
-    val n = unit0.count()
+    // materialize once + row-aware spread (round-15): every refine/
+    // crossMatrix/reconstruct pass below re-scans these blocks, and a
+    // single-rowgroup parquet input otherwise pins them all to ONE task
+    // (measured 1.3 s single-task passes inside the 9 s face)
+    val (unit0, n) = Vectors.materializeSpread(v
+      .select(col("vec_id"), transform(col("e"), x => x / col("nrm")).as("e")))
     val (r, cb) =
       refine(unit0, pcaAllocRotation(unit0, numSub, subDim, rows = n),
         numSub, subDim, k = 16, sweeps = 2, rows = n)
@@ -182,7 +184,8 @@ object Opq {
     graft.ops.VectorQueries.exportSide(rotColsDf(s, r), ProductQuant.OpqRotPath)
     graft.ops.VectorQueries.exportSide(cb, ProductQuant.OpqRotCbPath)
     ProductQuant.adcSearch(v, rotate(unit0, r),
-      s.read.parquet(ProductQuant.OpqRotCbPath), numSub, subDim, cand = 100)
+      s.read.parquet(ProductQuant.OpqRotCbPath), numSub, subDim, cand = 100,
+      rows = n)
   }
 
   /** The rotation exported column-wise: (j, c) with c = R's column j —
@@ -202,11 +205,13 @@ object Opq {
     val numSub = 8; val subDim = 8; val k = 16
     val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
       .select(col("vec_id"), col("e"), col("nrm"))
+    // the WARM serve stays lazy (a count + checkpoint measurably taxes
+    // it — round-15 A/B); only the cold BUILD branch materializes the
+    // spread training frame
     val unit0 = v
       .select(col("vec_id"), transform(col("e"), x => x / col("nrm")).as("e"))
     if (!ArtifactStore.has(s, dir, "opq_rot", "opq_cb")) {
-      val u = unit0.localCheckpoint(true)
-      val n = u.count()
+      val (u, n) = Vectors.materializeSpread(unit0)
       val (r, cb) =
         refine(u, pcaAllocRotation(u, numSub, subDim, rows = n),
           numSub, subDim, k, sweeps = 2, rows = n)

@@ -568,12 +568,21 @@ object Pipeline {
                   persistResult: Boolean = true,
                   clusteredNearDup: Boolean = false): (DataFrame, CorpusStats) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val q = qualityFilter(docs, textCol).persist(MEMORY_AND_DISK)
+    // Spread the corpus once at the head of the funnel: quality stats,
+    // content hashing, and the shingle/minhash stages below are all
+    // heavy per-row compute that a single-rowgroup scan would serialize
+    // into one task — and the persisted stage frames inherit the spread
+    // layout, so every downstream pass stays parallel. No-op at scale
+    // (multi-split inputs). The stats.input count stays on the RAW
+    // frame: a metadata-speed parquet count, not a shuffle.
+    val input = docs.count()
+    val spread = Vectors.ensureParallelism(docs, input)
+    val q = qualityFilter(spread, textCol).persist(MEMORY_AND_DISK)
     val e = dropExactDups(q, idCol, textCol).persist(MEMORY_AND_DISK)
     val n0 = if (clusteredNearDup) dropNearDupsClustered(e, idCol, textCol)
              else dropNearDups(e, idCol, textCol)
     val n = if (persistResult) n0.persist(MEMORY_AND_DISK) else n0
-    val stats = CorpusStats(docs.count(), q.count(), e.count(), n.count())
+    val stats = CorpusStats(input, q.count(), e.count(), n.count())
     q.unpersist(blocking = false)
     e.unpersist(blocking = false)
     (n, stats)

@@ -191,11 +191,14 @@ object ProductQuant {
   def simSearchPq(s: SparkSession, dir: String): DataFrame = {
     val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
       .select(col("vec_id"), col("e"), col("nrm"))
-    val unit = v.select(col("vec_id"),
-      transform(col("e"), x => x / col("nrm")).as("e"))
-    val cb0 = fit(unit, numSub = 8, subDim = 8, k = 16, iters = 2)
+    // materialize once + row-aware spread (round-15): the unit frame
+    // feeds the fit, the full-corpus encode, and the query tables —
+    // previously each consumer re-derived it from the (single-task) scan
+    val (unit, n) = Vectors.materializeSpread(v.select(col("vec_id"),
+      transform(col("e"), x => x / col("nrm")).as("e")))
+    val cb0 = fit(unit, numSub = 8, subDim = 8, k = 16, iters = 2, rows = n)
     VectorQueries.exportSide(cb0, PqCbPath)
-    adcSearch(v, unit, s.read.parquet(PqCbPath), numSub = 8, subDim = 8)
+    adcSearch(v, unit, s.read.parquet(PqCbPath), numSub = 8, subDim = 8, rows = n)
   }
 
   /** C38 WITHOUT the oracle export — for composite callers (the recall
@@ -216,8 +219,9 @@ object ProductQuant {
   def simSearchOpq(s: SparkSession, dir: String): DataFrame = {
     val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
       .select(col("vec_id"), col("e"), col("nrm"))
-    val unit0 = v.select(col("vec_id"),
-      transform(col("e"), x => x / col("nrm")).as("e"))
+    // materialize once + row-aware spread (the simSearchPq rationale)
+    val (unit0, n) = Vectors.materializeSpread(v.select(col("vec_id"),
+      transform(col("e"), x => x / col("nrm")).as("e")))
     val perm = balancedPermutation(unit0, numSub = 8, subDim = 8)
     // the permutation is driver-side data: the exported table and the
     // permute() operand are the SAME Seq, so no recompute risk
@@ -227,20 +231,23 @@ object ProductQuant {
       OpqPermPath)
     // empty corpus: no permutation was learnable — identity layout
     val unit = if (perm.isEmpty) unit0 else permute(unit0, perm)
-    val cb0 = fit(unit, numSub = 8, subDim = 8, k = 16, iters = 2)
+    val cb0 = fit(unit, numSub = 8, subDim = 8, k = 16, iters = 2, rows = n)
     VectorQueries.exportSide(cb0, OpqCbPath)
-    adcSearch(v, unit, s.read.parquet(OpqCbPath), numSub = 8, subDim = 8)
+    adcSearch(v, unit, s.read.parquet(OpqCbPath), numSub = 8, subDim = 8, rows = n)
   }
 
   /** Shared PQ/OPQ search over any (vec_id, e, nrm) frame (spec entry
     * point — PqSpec drives it with a constructed anisotropic corpus). */
   def pqTopK(v: DataFrame, balance: Boolean,
       numSub: Int = 8, subDim: Int = 8, k: Int = 16, cand: Int = 100): DataFrame = {
-    val unit0 = v.select(col("vec_id"),
-      transform(col("e"), x => x / col("nrm")).as("e"))
+    // materialize once + row-aware spread (the simSearchPq rationale —
+    // this is also the plan the recall audit's `pq` member runs)
+    val (unit0, n) = Vectors.materializeSpread(v.select(col("vec_id"),
+      transform(col("e"), x => x / col("nrm")).as("e")))
     val perm = if (balance) balancedPermutation(unit0, numSub, subDim) else Nil
     val unit = if (perm.isEmpty) unit0 else permute(unit0, perm)
-    adcSearch(v, unit, fit(unit, numSub, subDim, k, iters = 2), numSub, subDim, cand)
+    adcSearch(v, unit, fit(unit, numSub, subDim, k, iters = 2, rows = n),
+      numSub, subDim, cand, rows = n)
   }
 
   /** ADC candidate scan + exact rescore over any already-transformed
@@ -262,8 +269,11 @@ object ProductQuant {
     math.max(floor, (n / 80L).toInt)
 
   private[ops] def adcSearch(v: DataFrame, unit: DataFrame, cb: DataFrame,
-      numSub: Int, subDim: Int, cand: Int = 100): DataFrame = {
-    val candN = adaptiveCand(v.count(), cand)
+      numSub: Int, subDim: Int, cand: Int = 100, rows: Long = -1L): DataFrame = {
+    // callers that already counted the (norm-filtered) corpus pass it —
+    // unit and v hold the same rows, so the budget is identical and the
+    // recount scan disappears (round-15 job-count trim)
+    val candN = adaptiveCand(if (rows >= 0) rows else v.count(), cand)
     val codes = encode(unit, cb, numSub, subDim)
     // query-side distance tables: per subspace, map(code -> exact d²)
     val qtabs = assignCodeTables(subFrame(unit.where(col("vec_id") < 5),

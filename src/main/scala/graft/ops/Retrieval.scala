@@ -56,7 +56,10 @@ object Retrieval {
     * C42 tfFrame convention: a zero-token doc has no terms, not one ""
     * term). */
   private def tok(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    // doc-level hash-spread (round-15, the tfFrame rationale): the
+    // tokenize+explode otherwise runs inside the single-rowgroup scan
+    // task; the per-doc postings groupBy clusters on the same key
+    Vectors.ensureParallelismBy(docs(s, dir), col("doc_id"))
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
       .where(col("term") =!= "")
 

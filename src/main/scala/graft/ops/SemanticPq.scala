@@ -444,9 +444,13 @@ object SemanticPq {
     * confirm, and the card. SemanticPqSpec stays the semantic anchor
     * (card equality with C37, planted pairs, margin headroom). */
   def dedupSemanticPq(s: SparkSession, dir: String): DataFrame = {
-    val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
-      .select(col("vec_id"), col("e"), col("nrm"))
-    val n = v.count()
+    // materialize once + row-aware spread (round-15): the corpus frame
+    // feeds the model build (assign/residual/encode) AND both sides of
+    // the exact confirm — previously each consumer re-derived scan+norm
+    // serially from the single-rowgroup input
+    val (v, n) = Vectors.materializeSpread(
+      Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
+        .select(col("vec_id"), col("e"), col("nrm")))
     val m = buildModel(v, KMeans.adaptiveK(n), iters = 3,
       numSub = 16, subDim = 4, pqK = 64, rows = n)
     graft.ops.VectorQueries.exportSide(
@@ -550,7 +554,10 @@ object SemanticPq {
     * batch-internal silence). */
   def dedupSemanticIncremental(s: SparkSession, dir: String,
       tau: Double = 0.35, margin: Double = 0.25): DataFrame = {
-    val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
+    // materialize once + row-aware spread (the dedupSemanticPq rationale)
+    val (v, _) = Vectors.materializeSpread(
+      Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
+        .select(col("vec_id"), col("label"), col("e"), col("nrm")))
     val (standing, batch) = splitBatch(v)
     val nStand = standing.count()
     val m = buildModel(standing, k = KMeans.adaptiveK(nStand),
@@ -655,7 +662,9 @@ object SemanticPq {
     * index build. Identical results to [[dedupSemanticIncremental]]
     * (training is deterministic; CachedFacesSpec pins cold and warm). */
   def dedupSemanticIncrementalCached(s: SparkSession, dir: String): DataFrame = {
+    // warm serve stays lazy (round-15 A/B)
     val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
+      .select(col("vec_id"), col("label"), col("e"), col("nrm"))
     val (standing, batch) = splitBatch(v)
     val root = ArtifactStore.path(dir, "vecindex")
     if (!ArtifactStore.has(s, dir,
@@ -677,11 +686,13 @@ object SemanticPq {
   def dedupSemanticPqCached(s: SparkSession, dir: String,
       tau: Double = 0.35, margin: Double = 0.15, grid: Int = 4): DataFrame = {
     val numSub = 16; val subDim = 4
+    // warm serve stays lazy (round-15 A/B); the cold build branch
+    // materializes its own spread frame
     val v = Vectors.withNorm(Tables(s, dir, "embeddings"), "embedding")
       .select(col("vec_id"), col("e"), col("nrm"))
     if (!ArtifactStore.has(s, dir, "sempq_cents", "sempq_cb", "sempq_codes")) {
-      val n = v.count()
-      val m = buildModel(v, k = KMeans.adaptiveK(n), iters = 3,
+      val (u, n) = Vectors.materializeSpread(v)
+      val m = buildModel(u, k = KMeans.adaptiveK(n), iters = 3,
         numSub, subDim, pqK = 64, rows = n)
       ArtifactStore.save(m.cents, dir, "sempq_cents")
       ArtifactStore.save(m.cb, dir, "sempq_cb")

@@ -854,7 +854,11 @@ object TextQueries {
 
   /** The per-doc term-frequency frame the unigram-LM faces score. */
   private def tfFrame(s: SparkSession, dir: String): DataFrame = {
-    val tf = docs(s, dir)
+    // doc-level hash-spread (round-15): tokenize+explode otherwise run
+    // inside the single-rowgroup scan task; the per-doc groupBy below
+    // clusters on the same key, so no second exchange appears (no-op on
+    // already-parallel inputs — the at-scale case)
+    val tf = Vectors.ensureParallelismBy(docs(s, dir), col("doc_id"))
       .select(col("doc_id"), col("source"),
         explode(Text.tokens(col("text"))).as("term"))
       // an empty doc splits to one "" pseudo-token; it is not a term —
@@ -1060,7 +1064,8 @@ object TextQueries {
     * for the plan-shape argument. */
   private def bigramLm(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val toks = docs(s, dir)
+    // doc-level hash-spread (the tfFrame rationale)
+    val toks = Vectors.ensureParallelismBy(docs(s, dir), col("doc_id"))
       .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("ts"))
     val grams = toks.select(col("doc_id"), col("source"),
         explode(arrays_zip(

@@ -636,8 +636,10 @@ object VectorQueries {
     * test SFs) so per-cluster pair work stays bounded at any scale. */
   def dedupSemantic(s: SparkSession, dir: String, tau: Double = 0.35,
       k: Int = 0, iters: Int = 3, grid: Int = 4): DataFrame = {
-    val v = emb(s, dir).select(col("vec_id"), col("e"), col("nrm"))
-    val n = v.count()
+    // materialize once + row-aware spread (round-15): the corpus feeds
+    // the fit and, via `assigned`, three more subtrees
+    val (v, n) = Vectors.materializeSpread(
+      emb(s, dir).select(col("vec_id"), col("e"), col("nrm")))
     val kk = if (k > 0) k else KMeans.adaptiveK(n)
     val fit = KMeans.fit(v, k = kk, iters = iters, rows = n)
     exportSide(fit.centroids.select(col("cluster"), col("ce"), col("cn")),
@@ -645,10 +647,14 @@ object VectorQueries {
     val centsArr = s.read.parquet(SemDedupCentsPath)
       .agg(array_sort(collect_list(
         struct(col("cluster"), col("ce"), col("cn")))).as("cents"))
+    // ONE argmax pass: the assignment feeds both grid-join sides and
+    // the cluster-size rollup — Spark does not dedupe the duplicated
+    // subtrees, so unchecked this ran three times
     val assigned = v.crossJoin(broadcast(centsArr))
       .select(col("vec_id"), col("e"), col("nrm"),
         graft.functions.NearestCentroids(col("e"), col("cents"), 1)
           .getItem(0).as("cluster"))
+      .localCheckpoint(true)
     val cells = array((0 until grid).map(lit): _*)
     val a = assigned.select(col("vec_id").as("vec_a"), col("cluster"),
         col("e").as("ea"), col("nrm").as("na"))
@@ -659,11 +665,15 @@ object VectorQueries {
       .withColumn("gb", pmod(hash(col("vec_b")), lit(grid)))
       .withColumn("ga", explode(cells))
     val cos = Vectors.cosine(col("ea"), col("eb"), col("na"), col("nb"))
+    // output-scale; persisted so the Σcell² grid join runs once, not
+    // once per aggregate branch (the SemanticPq.cardFrom posture)
     val pairs = a.join(b, Seq("cluster", "ga", "gb"))
       .where(col("vec_a") < col("vec_b"))
       .withColumn("cos", cos)
       .where(col("cos") >= tau)
       .select(col("cluster"), col("vec_a"), col("vec_b"), col("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheScope.releaseAfterAction(s, pairs)
     // pruned = has a smaller-id near neighbor in the same cluster
     val pruned = pairs.select(col("cluster"), col("vec_b").as("vec_id")).distinct()
     val sizes = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n_vecs"))
@@ -863,18 +873,24 @@ object VectorQueries {
     * [[exportSide]]); KnnGraphSpec still measures recall against the
     * exact graph and pins determinism + the no-cartesian plan shape. */
   def knnGraph(s: SparkSession, dir: String): DataFrame = {
-    val v = emb(s, dir).select(col("vec_id"), col("e"), col("nrm"))
-    val n = v.count()
+    // materialize once + row-aware spread (round-15): the corpus feeds
+    // the fit and BOTH pair-join sides below
+    val (v, n) = Vectors.materializeSpread(
+      emb(s, dir).select(col("vec_id"), col("e"), col("nrm")))
     val fit = KMeans.fit(v, k = KMeans.adaptiveK(n), iters = 3, rows = n)
     exportSide(fit.centroids.select(col("cluster"), col("ce"), col("cn")),
       KnnCentsPath)
     val centsArr = s.read.parquet(KnnCentsPath)
       .agg(array_sort(collect_list(
         struct(col("cluster"), col("ce"), col("cn")))).as("cents"))
+    // the multi-assign argmax feeds both sides of the within-cell pair
+    // join; Spark does not dedupe the duplicated subtree, so without
+    // the checkpoint the k-way argmax pass over the corpus ran TWICE
     val assigned = v.crossJoin(broadcast(centsArr))
       .select(col("vec_id"), col("e"), col("nrm"),
         explode(graft.functions.NearestCentroids(col("e"), col("cents"), 3))
           .as("cluster"))
+      .localCheckpoint(true)
     val a = assigned.select(col("cluster"), col("vec_id").as("src"),
       col("e").as("se"), col("nrm").as("sn"))
     val b = assigned.select(col("cluster"), col("vec_id").as("dst"),

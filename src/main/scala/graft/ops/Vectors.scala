@@ -71,6 +71,44 @@ object Vectors {
     else v.repartition(want)
   }
 
+  /** KEYED sibling of [[ensureParallelism]] for pipelines whose heavy
+    * per-row compute sits immediately above a groupBy/join on `key`:
+    * hash-spread the frame by that key, so the exchange this inserts IS
+    * the downstream aggregate/join's own exchange (same partitioning —
+    * EnsureRequirements adds no second one) and the expensive
+    * projection lands post-shuffle, spread across the cluster instead
+    * of serialized into a single-rowgroup scan task (round-15: the
+    * 16-md5 MinHashes pass over all of sf0.1's shingles ran as ONE
+    * 1.8 s task on 32 cores). No-op on already-spread inputs — the
+    * 100 TB case, where adding a raw-row shuffle would be a
+    * regression, keeps its map-side partial aggregation. Hash
+    * repartition, not round-robin: no sort-before-repartition pass,
+    * and the key is what downstream clusters on anyway. Output is
+    * partitioning-independent everywhere this is used (min/count
+    * aggregates, equi-joins). */
+  def ensureParallelismBy(v: DataFrame, key: Column): DataFrame = {
+    val cores = v.sparkSession.sparkContext.defaultParallelism
+    if (v.queryExecution.toRdd.getNumPartitions * 2 >= cores) v
+    else v.repartition(cores, key)
+  }
+
+  /** Materialize a corpus plan ONCE and return it spread row-aware,
+    * plus its row count — the entry idiom of the inline index trainers
+    * (round-15). Order matters: checkpoint first (the one unavoidable
+    * full evaluation of the plan), count the cheap blocks, THEN
+    * repartition — counting the raw plan before checkpointing would
+    * evaluate the scan+norm projection twice. The second checkpoint
+    * (after the spread) is a block-read + small shuffle, so every
+    * downstream pass of the iterative fit reads already-spread blocks
+    * with no per-pass exchange. */
+  def materializeSpread(plan: DataFrame,
+      rowsPerTask: Long = RowsPerTask): (DataFrame, Long) = {
+    val first = plan.localCheckpoint(true)
+    val n = first.count()
+    val spread = ensureParallelism(first, n, rowsPerTask)
+    (if (spread eq first) first else spread.localCheckpoint(true), n)
+  }
+
   /** Rows per task the row-aware [[ensureParallelism]] targets. 512
     * matches [[KMeans.TargetCellSize]]'s measured small-work quantum:
     * per-task scheduling overhead (~ms) stays under ~1% of a task that

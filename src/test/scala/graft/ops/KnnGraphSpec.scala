@@ -54,7 +54,15 @@ class KnnGraphSpec extends SparkSpec {
       s"pairs must form only within cells:\n$plan")
     assert(plan.contains("WindowGroupLimit"),
       s"the per-vector top-3 must rank with a partial group limit:\n$plan")
-    assert(plan.contains("nearest_centroids"),
-      "assignment must be the native narrow argmax projection")
+    // round-15: the multi-assign argmax is checkpointed ONCE (it feeds
+    // both pair-join sides, which Spark would otherwise compute twice),
+    // so the serve plan reads the materialized assignment instead of
+    // re-running nearest_centroids inline — both join sides must scan
+    // the checkpoint blocks
+    assert(plan.contains("ExistingRDD"),
+      s"the pair join must read the one materialized assignment:\n$plan")
+    assert(!plan.contains("nearest_centroids"),
+      "the argmax must not be recomputed inside the pair join " +
+        "(it runs once, in the checkpointed assignment pass)")
   }
 }
