@@ -70,8 +70,13 @@ object ScalarQuant {
     * candidates per query, exact-rescore those. */
   def sq8TopK(v: DataFrame, k: Int = 10, margin: Int = 40,
               dim: Int = VectorQueries.EmbeddingDim): DataFrame = {
-    val unit = v.select(col("vec_id"),
-      transform(col("e"), x => x / col("nrm")).as("e"))
+    // materialize once + row-aware spread (round-15): the unit frame
+    // feeds the range fit, the quantized index (twice — queries and the
+    // scan side), and both rescore sides; each re-derived the scan+norm
+    // serially before. min/max is order-independent, so the spread
+    // cannot move a single output bit.
+    val (unit, _) = Vectors.materializeSpread(v.select(col("vec_id"),
+      transform(col("e"), x => x / col("nrm")).as("e")))
     val (lo, hi) = dimRanges(unit, dim)
     if (lo.isEmpty) // empty corpus: the documented empty result frame
       return unit.where(lit(false)).select(col("vec_id").as("query_id"),

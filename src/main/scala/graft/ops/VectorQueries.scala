@@ -432,6 +432,10 @@ object VectorQueries {
     * ARE the b-plane set) and replays the SAME integer-threshold rule
     * from its own corpus count. */
   def simSearchLsh(s: SparkSession, dir: String): DataFrame = {
+    // deliberately NOT materializeSpread'd (round-15): this face is
+    // sub-second — the checkpoint+count+respread jobs were measured to
+    // cost more than the duplicated lazy subtrees they save (the same
+    // asymmetry that keeps the warm *_cached serves lazy)
     val v = emb(s, dir)
     val n = v.count()
     simSearchLshAt(v, numTables = 4,
